@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001 as a smoke check;
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 (plus the LLM-pipeline extension tier) for the driver's
+DuckDB value-hash comparison at sf0.01. All real logic lives in the
+``rearc_data_engineer_takehome_spark`` package; this module is a thin
+adapter.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rearc_data_engineer_takehome_spark.queries import REGISTRY  # noqa: E402
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+FLAGSHIP = "best_part_by_supplier"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the reference's signature shape — top-1-per-group via
+    pre-aggregated ranking window ("best year per series",
+    reference notebooks/20_analytics.ipynb cell-10).
+    """
+    return REGISTRY[FLAGSHIP].spark(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: q.spark for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query; omitted for non-SQL-expressible
+    ops (the driver then records a weaker rows-only check)."""
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

@@ -1,0 +1,61 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count()-style action that forces full
+evaluation without driver-side materialization of wide rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rearc_data_engineer_takehome_spark.queries import REGISTRY
+from rearc_data_engineer_takehome_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    # Warm the JVM + parquet footers once so timings measure query
+    # execution, not first-touch JIT/metadata costs.
+    names = sorted(REGISTRY)
+    REGISTRY[names[0]].spark(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        q = REGISTRY[name]
+        start = time.perf_counter()
+        df = q.spark(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - start, 4)
+        _ = n
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "total_query_seconds",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

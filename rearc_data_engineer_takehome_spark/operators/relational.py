@@ -1,0 +1,124 @@
+"""Relational analytics operators (reference inventory A*, W1, J1, O*).
+
+These are the reference's three analytics requirements generalized into
+reusable DataFrame transformations (reference: notebooks/20_analytics.ipynb
+cells 8/10/12 — global mean+stddev, top-1-per-group via ranking window,
+left broadcast join + sort). Each function is declarative: it returns a
+lazy DataFrame so Catalyst plans pushdown/pruning/broadcast itself.
+
+Scale notes (100 TB posture):
+  * ``top1_per_group`` pre-aggregates BEFORE the window so the shuffled
+    data is one row per (group, order-key) — the window then shuffles
+    the *aggregate*, not the fact table.
+  * ``left_enrich`` broadcasts the dimension side explicitly when told
+    it is small; otherwise it leaves strategy to AQE.
+  * No ``collect()`` anywhere — everything composes into one plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.functions import broadcast
+
+
+def global_stats(
+    df: DataFrame, value_col: str, extra_aggs: Sequence[Column] = ()
+) -> DataFrame:
+    """A1: global (no-group) mean + sample stddev of one column.
+
+    Mirrors the reference's population_stats output schema
+    (mean_<col>, stddev_<col>); ``F.stddev`` is sample stddev
+    (stddev_samp) in both Spark and DuckDB, so oracles align.
+    Executes as partial aggregates per partition + a single-row final
+    combine — no full shuffle even at 100 TB.
+    """
+    return df.agg(
+        F.mean(value_col).alias(f"mean_{value_col}"),
+        F.stddev(value_col).alias(f"stddev_{value_col}"),
+        *extra_aggs,
+    )
+
+
+def top1_per_group(
+    df: DataFrame,
+    group_col: str,
+    sub_col: str,
+    value_col: str,
+    agg: str = "sum",
+) -> DataFrame:
+    """W1+A2: for each ``group_col``, the ``sub_col`` with the largest
+    aggregated ``value_col``; ties break on the smallest ``sub_col``.
+
+    This is the reference's "best year per series" (its deterministic
+    tie-break 'if same summed_value, pick earliest year' is preserved —
+    reference: notebooks/20_analytics.ipynb:2177,2186-2194).
+
+    Plan shape: hash-aggregate (map-side partial combine) shrinks the
+    fact table to one row per (group, sub) BEFORE the ranking window,
+    so the window's shuffle moves only aggregate rows. row_number over
+    a per-group ordered window is Spark's native top-1; no frame spec
+    (ranking windows ignore frames).
+    """
+    agg_fn = getattr(F, agg)
+    aggregated = df.groupBy(group_col, sub_col).agg(
+        agg_fn(value_col).alias(f"{agg}_{value_col}")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(f"{agg}_{value_col}").desc(), F.col(sub_col).asc())
+    )
+    return (
+        aggregated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .select(
+            F.col(group_col),
+            F.col(sub_col).alias(f"best_{sub_col}"),
+            F.col(f"{agg}_{value_col}"),
+        )
+    )
+
+
+def left_enrich(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    dim_is_small: bool = True,
+) -> DataFrame:
+    """J1: left outer equi-join keeping every fact row (the reference
+    keeps BLS rows whose year has no population — notebooks/
+    20_analytics.ipynb:2541-2556).
+
+    ``dim_is_small=True`` adds an explicit broadcast hint — at 100 TB
+    the fact side must never shuffle for a dimension lookup. With
+    ``False``, strategy is left to Catalyst/AQE (sort-merge or
+    shuffled-hash, skew-split by AQE).
+    """
+    right = broadcast(dim) if dim_is_small else dim
+    return fact.join(right, on=on, how="left")
+
+
+def grouped_agg(
+    df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]
+) -> DataFrame:
+    """A2/A3/A11: groupBy + aggregates. Spark plans partial (map-side)
+    + final hash aggregation automatically; nothing to hand-tune."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """O1-O3: global sort + limit. Catalyst rewrites this to
+    TakeOrderedAndProject — a per-partition heap + driver merge of k
+    rows, NOT a full sort; safe at any scale for small k."""
+    return df.orderBy(*order).limit(k)
+
+
+def distinct_count(df: DataFrame, col: str, approx: bool = False) -> DataFrame:
+    """A4/A5: distinct cardinality of one column. ``approx=True`` uses
+    HyperLogLog++ (one pass, no shuffle of distinct values) — the right
+    choice at 100 TB when ±2% is acceptable."""
+    fn = F.approx_count_distinct if approx else F.countDistinct
+    return df.agg(fn(col).alias(f"distinct_{col}"))

@@ -1,0 +1,367 @@
+"""Named parity queries + DuckDB oracles (feeds ``__spark_entry__``).
+
+Every operator claimed in SURVEY.md §2 gets a named query here, runnable
+against the driver's synthetic tables (TESTDATA.md), plus an equivalent
+ANSI-SQL oracle DuckDB can run on the same parquet files. The driver
+hash-compares values order-insensitively after sorting columns by name,
+so BOTH sides must (a) alias every computed column identically and
+(b) round floating-point aggregates identically — double summation order
+differs between engines, so un-rounded sums would hash-mismatch on the
+last bits (see SURVEY.md §7.4 risk #2).
+
+Determinism rules applied throughout:
+  * every double aggregate is ``round(x, N)`` on both sides;
+  * every top-k / row_number ranks on the ROUNDED value with a unique-key
+    tie-break, so both engines pick identical winners;
+  * timestamps are compared as epoch seconds (floor), never as strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .operators import relational
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible; driver does rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Core relational parity (reference operators A1-A11, W1, J1, P*, O*)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_quantity < 50
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A2-style grouped aggregation battery (scan→filter→partial+final hash agg). "
+    "Reference analog: notebooks/20_analytics.ipynb:2182-2183.",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_quantity") < 50)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "best_part_by_supplier",
+    """
+    WITH agg AS (
+        SELECT l_suppkey, l_partkey,
+               round(sum(l_quantity), 2) AS sum_l_quantity
+        FROM lineitem
+        GROUP BY l_suppkey, l_partkey
+    ), ranked AS (
+        SELECT l_suppkey, l_partkey AS best_l_partkey, sum_l_quantity,
+               row_number() OVER (PARTITION BY l_suppkey
+                                  ORDER BY sum_l_quantity DESC, l_partkey ASC) AS rn
+        FROM agg
+    )
+    SELECT l_suppkey, best_l_partkey, sum_l_quantity FROM ranked WHERE rn = 1
+    """,
+    doc="W1: top-1-per-group via ranking window, deterministic tie-break "
+    "(desc rounded sum, asc key). Reference: notebooks/20_analytics.ipynb:2186-2194 "
+    "'best year per series'. Pre-aggregates before the window so the shuffle "
+    "carries aggregate rows, not the fact table.",
+)
+def best_part_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # Rank on the ROUNDED sum: both engines then see identical order keys,
+    # so float summation-order differences cannot flip a winner.
+    agg = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_l_quantity")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("sum_l_quantity").desc(), F.col("l_partkey").asc()
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_suppkey",
+            F.col("l_partkey").alias("best_l_partkey"),
+            "sum_l_quantity",
+        )
+    )
+
+
+@query(
+    "order_value_stats",
+    """
+    SELECT round(avg(o_totalprice), 4)    AS mean_o_totalprice,
+           round(stddev(o_totalprice), 4) AS stddev_o_totalprice,
+           count(*)                       AS n_orders
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+    """,
+    doc="A1: global mean + sample stddev with a range/equality filter. "
+    "Reference: notebooks/20_analytics.ipynb:641-647 (population_stats). "
+    "Partial aggregation per partition, single-row combine — no wide shuffle.",
+)
+def order_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    filtered = orders.where(F.col("o_orderstatus").isin("F", "O"))
+    return relational.global_stats(
+        filtered, "o_totalprice", extra_aggs=[F.count(F.lit(1)).alias("n_orders")]
+    ).select(
+        F.round("mean_o_totalprice", 4).alias("mean_o_totalprice"),
+        F.round("stddev_o_totalprice", 4).alias("stddev_o_totalprice"),
+        "n_orders",
+    )
+
+
+@query(
+    "lineitem_part_report",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
+           round(l.l_quantity, 2) AS quantity,
+           p.p_brand, p.p_type
+    FROM lineitem l
+    LEFT JOIN (SELECT p_partkey, p_brand, p_type FROM part WHERE p_size > 25) p
+      ON l.l_partkey = p.p_partkey
+    WHERE l.l_returnflag = 'R'
+    """,
+    doc="J1: left outer equi-join that must PRESERVE fact rows with no dim "
+    "match (the filtered dim guarantees nulls — mirrors the reference report "
+    "keeping years with no population, notebooks/20_analytics.ipynb:2541-2556). "
+    "Dim side is broadcast: fact never shuffles for a lookup.",
+)
+def lineitem_part_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    dim = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_size") > 25)
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    joined = relational.left_enrich(
+        li, dim.withColumnRenamed("p_partkey", "l_partkey"), on="l_partkey"
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.round("l_quantity", 2).alias("quantity"),
+        "p_brand",
+        "p_type",
+    )
+
+
+@query(
+    "null_profile_orders",
+    """
+    SELECT count(*)                                               AS n_rows,
+           sum(CASE WHEN o_orderkey      IS NULL THEN 1 ELSE 0 END) AS o_orderkey_nulls,
+           sum(CASE WHEN o_custkey       IS NULL THEN 1 ELSE 0 END) AS o_custkey_nulls,
+           sum(CASE WHEN o_orderstatus   IS NULL THEN 1 ELSE 0 END) AS o_orderstatus_nulls,
+           sum(CASE WHEN o_totalprice    IS NULL THEN 1 ELSE 0 END) AS o_totalprice_nulls,
+           sum(CASE WHEN o_orderdate     IS NULL THEN 1 ELSE 0 END) AS o_orderdate_nulls,
+           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS o_orderpriority_nulls
+    FROM orders
+    """,
+    doc="A8/V4: conditional-count null profile, one pass over all columns. "
+    "Reference: notebooks/21_EDA.ipynb:1073-1085 (null_profile).",
+)
+def null_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.col(c).isNull().cast("int")).alias(f"{c}_nulls")
+        for c in orders.columns
+    ]
+    return orders.agg(*aggs)
+
+
+@query(
+    "duplicate_keys_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber, count(*) AS n
+    FROM lineitem
+    GROUP BY l_orderkey, l_linenumber
+    HAVING count(*) > 1
+    """,
+    doc="P10/V6: business-key duplicate detection (HAVING over group count). "
+    "Reference: notebooks/21_EDA.ipynb:666-668. Expected empty on clean data — "
+    "the zero-row hash match is itself the check.",
+)
+def duplicate_keys_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+@query(
+    "cardinality_profile",
+    """
+    SELECT count(*)                    AS n_rows,
+           count(DISTINCT l_orderkey)  AS distinct_orders,
+           count(DISTINCT l_partkey)   AS distinct_parts,
+           count(DISTINCT l_suppkey)   AS distinct_suppliers,
+           count(DISTINCT l_returnflag) AS distinct_returnflags
+    FROM lineitem
+    """,
+    doc="A4/A5/V7: exact distinct cardinalities. At 100 TB swap to "
+    "approx_count_distinct (HLL++) — see relational.distinct_count(approx=True). "
+    "Reference: notebooks/21_EDA.ipynb:520-525.",
+)
+def cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        F.countDistinct("l_returnflag").alias("distinct_returnflags"),
+    )
+
+
+@query(
+    "order_date_domain",
+    """
+    SELECT strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_order_ts,
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_order_ts,
+           count(DISTINCT CAST(year(o_orderdate) AS INT))  AS distinct_years
+    FROM orders
+    """,
+    doc="A7/V7: domain (min/max/range) checks. Fixture timestamps load as "
+    "TIMESTAMP_NTZ under default Spark configs (the driver's session), so "
+    "outputs use tz-independent wall-time formatting — never epoch casts, "
+    "which are illegal on NTZ and tz-dependent on LTZ. "
+    "Reference: notebooks/21_EDA.ipynb:1372-1373.",
+)
+def order_date_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("min_order_ts"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("max_order_ts"),
+        F.countDistinct(F.year("o_orderdate").cast("int")).alias("distinct_years"),
+    )
+
+
+@query(
+    "top_customers_by_revenue",
+    """
+    WITH rev AS (
+        SELECT o.o_custkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               count(DISTINCT o.o_orderkey) AS n_orders
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey
+    ), ranked AS (
+        SELECT c.c_custkey, c.c_name, c.c_mktsegment, rev.revenue, rev.n_orders,
+               row_number() OVER (ORDER BY rev.revenue DESC, c.c_custkey ASC) AS rn
+        FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey
+    )
+    SELECT c_custkey, c_name, c_mktsegment, revenue, n_orders
+    FROM ranked WHERE rn <= 20
+    """,
+    doc="O2/O3 + multi-join: top-k over a joined aggregate. orderBy().limit(k) "
+    "compiles to TakeOrderedAndProject (per-partition heap, no global sort). "
+    "Ranked on the ROUNDED revenue with unique-key tie-break for determinism.",
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+    joined = rev.join(
+        F.broadcast(cust), rev.o_custkey == cust.c_custkey
+    ).select("c_custkey", "c_name", "c_mktsegment", "revenue", "n_orders")
+    return (
+        joined.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+    )
+
+
+@query(
+    "revenue_by_region",
+    """
+    SELECT r.r_name AS region,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation   n ON s.s_nationkey = n.n_nationkey
+    JOIN region   r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="Snowflake join chain fact→dim→dim→dim with every dim broadcast — "
+    "the 100 TB pattern: zero shuffles of the fact table before aggregation.",
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nat = F.broadcast(_t(spark, sf_dir, "nation"))
+    reg = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -1,0 +1,58 @@
+"""SparkSession construction with scale-aware defaults.
+
+The reference runs on Databricks Serverless and never tunes Spark
+(reference: README.md:43-46 — serverless/Photon rationale). For an OSS
+engine meant to run from local[32] up to a 1000-executor cluster we set
+the handful of configs that matter at both ends:
+
+  * AQE on (runtime re-plan, skew-join handling, partition coalescing).
+  * Arrow on (cheap pandas interchange for the Pandas-UDF operators).
+  * ``spark.sql.shuffle.partitions`` sized by caller — tests pass a
+    small value; at cluster scale leave it to AQE's coalescing with a
+    high initial value.
+
+Nothing here is Databricks-specific: no dbutils, no Unity Catalog.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+
+def get_spark(
+    app_name: str = "rearc-takehome-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``shuffle_partitions`` defaults to 2×cores locally; on a real
+    cluster callers should leave it high and let AQE coalesce.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Runtime re-planning: partition coalescing, skew-join splitting,
+        # dynamic broadcast conversion. Essential at 100 TB, harmless at sf0.001.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow transfer for the Pandas-UDF extension operators.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # NOTE: parquet timestamp inference is left at Spark defaults
+        # (TIMESTAMP_NTZ) on purpose — the correctness driver builds its
+        # own default-config session, so queries must behave identically
+        # under defaults. Timestamp-derived outputs therefore use
+        # tz-independent expressions (date_format / year on NTZ).
+    )
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,31 @@
+"""Shared pytest fixtures: one SparkSession per test session, testdata dirs."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rearc_data_engineer_takehome_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECTNESS = os.environ.get("SPARK_GRAFT_T2_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(app_name="tests", shuffle_partitions=8)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_smoke() -> str:
+    return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def sf_correctness() -> str:
+    return SF_CORRECTNESS
