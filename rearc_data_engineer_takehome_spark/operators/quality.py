@@ -1,0 +1,185 @@
+"""Data-quality / validation operators (reference checks V1-V10).
+
+The reference's correctness assurance is runtime validation embedded in
+the pipeline (SURVEY.md §5): path/table existence asserts, null-critical
+checks, duplicate detection, domain checks, completeness histograms, IQR
+outliers, and an append-only DQ run log. Reference:
+notebooks/20_analytics.ipynb:3103-3172 (validation cell) and
+notebooks/21_EDA.ipynb cells 9-25 (profiling harness).
+
+Every check returns a DataFrame (composable, lazy); ``assert_*`` wrappers
+raise like the reference's RuntimeError-on-failure contract. At scale:
+one-pass aggregations only — the null profile is a single agg over all
+columns, not a per-column scan; quantiles use percentile_approx in-plan
+rather than the reference's driver-side approxQuantile collect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+class ValidationError(RuntimeError):
+    """Raised when a hard data-quality assertion fails (the reference
+    raises RuntimeError to halt the workflow — README.md:214-215)."""
+
+
+def null_profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """V4/A8: per-column null count + percentage, ONE pass.
+
+    Returns one row per profiled column: (column, n_nulls, pct_nulls).
+    Reference: notebooks/21_EDA.ipynb:1073-1085.
+    """
+    cols = list(cols or df.columns)
+    aggs = [F.count(F.lit(1)).alias("__total")] + [
+        F.sum(F.col(c).isNull().cast("int")).alias(c) for c in cols
+    ]
+    wide = df.agg(*aggs)
+    # unpivot the single wide row → long (column, n_nulls) form
+    stacked = wide.select(
+        F.col("__total"),
+        F.expr(
+            "stack({n}, {args}) as (column, n_nulls)".format(
+                n=len(cols),
+                args=", ".join(f"'{c}', `{c}`" for c in cols),
+            )
+        ),
+    ).select(
+        "column",
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.round(F.col("n_nulls") * 100.0 / F.col("__total"), 4).alias("pct_nulls"),
+    )
+    return stacked
+
+
+def duplicate_rows(df: DataFrame) -> DataFrame:
+    """V6 (full-row): rows appearing more than once, with multiplicity.
+    Equivalent to count() - dropDuplicates().count() in the reference
+    (21_EDA.ipynb:657-658) but returns the offending rows."""
+    return (
+        df.groupBy(*df.columns)
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def duplicate_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """V6 (business-key): key groups with >1 row.
+    Reference: notebooks/21_EDA.ipynb:666-668."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+def domain_check(
+    df: DataFrame, col: str, allowed: Sequence[str] | None = None
+) -> DataFrame:
+    """V7: distinct values of a column (optionally flagging values outside
+    an allowed vocabulary). Reference: notebooks/21_EDA.ipynb:1366-1370."""
+    out = df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+    if allowed is not None:
+        out = out.withColumn("in_domain", F.col(col).isin(list(allowed)))
+    return out
+
+
+def completeness(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    coverage_col: str,
+    expected: int,
+) -> DataFrame:
+    """V8: per-group coverage — distinct ``coverage_col`` values vs the
+    expected count, with a boolean completeness flag. The reference checks
+    quarters-present-per-(series, year) against 4
+    (notebooks/21_EDA.ipynb:1875-1890)."""
+    return (
+        df.groupBy(*group_keys)
+        .agg(F.countDistinct(coverage_col).alias("n_present"))
+        .withColumn("is_complete", F.col("n_present") >= F.lit(expected))
+    )
+
+
+def iqr_outliers(
+    df: DataFrame, col: str, factor: float = 1.5, relative_error: float = 0.01
+) -> DataFrame:
+    """V9/A10: rows outside [q1 - f*iqr, q3 + f*iqr].
+
+    Unlike the reference's driver-side ``df.approxQuantile`` + Python
+    arithmetic (21_EDA.ipynb:2309-2319), the quantiles are computed
+    IN-PLAN with percentile_approx and broadcast-joined back — one job,
+    no driver round-trip, valid at 100 TB.
+    """
+    bounds = df.agg(
+        F.percentile_approx(col, 0.25, int(1 / relative_error)).alias("q1"),
+        F.percentile_approx(col, 0.75, int(1 / relative_error)).alias("q3"),
+    ).select(
+        (F.col("q1") - factor * (F.col("q3") - F.col("q1"))).alias("lower"),
+        (F.col("q3") + factor * (F.col("q3") - F.col("q1"))).alias("upper"),
+    )
+    return df.join(F.broadcast(bounds)).where(
+        (F.col(col) < F.col("lower")) | (F.col(col) > F.col("upper"))
+    )
+
+
+def describe_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """V-/A9: count/mean/stddev/min/max per numeric column.
+    Reference: notebooks/21_EDA.ipynb:2121-2124 (describe())."""
+    return df.select(*cols).describe()
+
+
+def dq_summary(df: DataFrame, keys: Sequence[str], run_utc: str) -> DataFrame:
+    """V10: one summary row per run (row counts, dup counts, null counts)
+    suitable for append-only accumulation into a run-log table.
+    Reference: notebooks/21_EDA.ipynb:33297-33367."""
+    total = df.count()
+    full_dups = total - df.dropDuplicates().count()
+    key_dups = duplicate_keys(df, keys).count()
+    null_counts = df.agg(
+        *[F.sum(F.col(c).isNull().cast("int")).alias(c) for c in df.columns]
+    ).collect()[0]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            {
+                "run_utc": run_utc,
+                "n_rows": total,
+                "n_full_row_dups": full_dups,
+                "n_key_dups": key_dups,
+                "n_null_cells": int(sum(null_counts[c] or 0 for c in df.columns)),
+            }
+        ]
+    )
+
+
+# --- hard assertions (reference validation cell, 20_analytics.ipynb:3103-3172) ---
+
+
+def assert_non_empty(df: DataFrame, what: str) -> int:
+    """V2/V3: parsed row count must be positive."""
+    n = df.count()
+    if n <= 0:
+        raise ValidationError(f"{what}: expected >0 rows, got {n}")
+    return n
+
+
+def assert_no_nulls(df: DataFrame, cols: Sequence[str], what: str) -> None:
+    """V4: zero rows may have NULL in any critical column."""
+    pred = None
+    for c in cols:
+        p = F.col(c).isNull()
+        pred = p if pred is None else (pred | p)
+    bad = df.where(pred).count()
+    if bad:
+        raise ValidationError(f"{what}: {bad} rows with NULL critical fields {cols}")
+
+
+def assert_unique_keys(df: DataFrame, keys: Sequence[str], what: str) -> None:
+    """V6 as a hard gate."""
+    n = duplicate_keys(df, keys).count()
+    if n:
+        raise ValidationError(f"{what}: {n} duplicate key groups on {keys}")
