@@ -1,0 +1,360 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each a pure DataFrame composition designed for the
+100 TB shape of the problem:
+
+  * exact        — hash-groupBy on content digest (never shuffles raw text);
+  * n-gram Jaccard (exact) — inverted-index self-join on shingle hashes
+    with a document-frequency cap to kill posting-list skew;
+  * MinHash + LSH — banded signature buckets generate candidates, exact
+    Jaccard verifies them (probabilistic recall, exact precision);
+  * SimHash      — packed bit fingerprint, byte-band candidate buckets,
+    Hamming-distance verify;
+  * embedding cosine — blocked pairwise cosine over array<float>.
+
+Hashes are md5-derived (functions/hashing.py) so every deterministic
+stage is DuckDB-oracle verifiable; only LSH *bucketing recall* is
+probabilistic, and tests assert recall against the exact operator.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions import hashing, vectors
+from ..functions.text import word_shingles, ws_tokens
+
+
+def spread_compute(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a narrow input so CPU-heavy projections (hashing,
+    signatures) parallelize. A single parquet file arrives as ONE
+    partition regardless of cores — on local[32] that serializes 24 s of
+    signature work onto one task. At cluster scale inputs are already
+    many-partitioned and this is a no-op by partition-count check."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: canonical representative (min id) per distinct
+    content digest. Grouping on md5(text) instead of the text itself
+    keeps shuffle rows ~40 bytes regardless of document size — the
+    difference between a feasible and an impossible shuffle at 100 TB.
+
+    Returns (id_col, n_copies) — one row per distinct content.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("__digest"))
+        .groupBy("__digest")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "n_copies")
+    )
+
+
+def _shingle_posting(
+    df: DataFrame, text_col: str, id_col: str, k: int, max_df: int | None
+) -> DataFrame:
+    """Distinct (doc, shingle_hash) posting list, optionally dropping
+    shingles present in more than ``max_df`` documents (stopword-shingle
+    skew cap — a shingle in a million docs forces a million² candidate
+    pairs; capping document frequency is the standard fix)."""
+    posting = (
+        spread_compute(df)
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(ws_tokens(F.col(text_col)), k)).alias("shingle"),
+        )
+        .select(id_col, hashing.stable_hash64(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+    if max_df is not None:
+        rare = (
+            posting.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("sh")
+        )
+        posting = posting.join(rare, "sh")
+    return posting
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-duplicate pairs via inverted-index
+    self-join: pairs sharing ≥1 shingle get their intersection counted
+    in one shuffle; set sizes broadcast back in; J = |∩| / (|a|+|b|-|∩|).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, J ≥ threshold,
+    jaccard rounded to 6dp for cross-engine comparison.
+    """
+    posting = _shingle_posting(df, text_col, id_col, k, max_df).cache()
+    sizes = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = posting.select(F.col(id_col).alias("id_a"), "sh")
+    b = posting.select(F.col(id_col).alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_perm: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, signature array<bigint>) — deterministic, oracle-verifiable.
+
+    Two-projection shape ON PURPOSE: the base md5 hash array is aliased
+    in its own projection and referenced ``n_perm`` times by the affine
+    permutations, so CollapseProject keeps it materialized and the md5s
+    compute ONCE per shingle instead of once per permutation (measured
+    8× difference at sf0.1). Input is compute-spread first: hashing is
+    CPU-bound, not IO-bound.
+    """
+    shingles = word_shingles(ws_tokens(F.col(text_col)), k)
+    base = spread_compute(df).select(
+        F.col(id_col), hashing.shingle_hashes(shingles).alias("base_hashes")
+    )
+    return base.select(
+        F.col(id_col),
+        hashing.minhash_from_base(F.col("base_hashes"), n_perm, seed).alias(
+            "signature"
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_perm: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+
+    Candidate generation: split the signature into ``bands`` bands of
+    ``n_perm // bands`` rows; docs sharing any band hash become
+    candidates (one shuffle on band key — never all-pairs). Verification
+    computes exact Jaccard on the candidates only. Probabilistic recall
+    (1-(1-s^r)^b), exact precision.
+    """
+    rows = n_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, k, n_perm, seed)
+    # PERF: the banded table feeds BOTH sides of the candidate self-join.
+    # Without persist(), each join side re-inlines and re-evaluates the
+    # full signature expression inside its Generate — interpreted, per
+    # output row (measured 52 s vs 1 s at sf0.1). Persisting the ~40-byte
+    # band rows is also the correct 100 TB architecture: signatures are
+    # computed once and reused across every LSH stage.
+    banded = (
+        sig.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.col("signature")
+                                        .getItem(i * rows + j)
+                                        .cast("string")
+                                        for j in range(rows)
+                                    ],
+                                )
+                            ).alias("bh"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bd"),
+        )
+        .select(id_col, "bd.band", "bd.bh")
+        .persist()
+    )
+
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    # exact-Jaccard verify ONLY the candidates; posting feeds both join
+    # sides → persist for the same reuse reason as above
+    posting = _shingle_posting(df, text_col, id_col, k, None).persist()
+    sizes = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = posting.select(F.col(id_col).alias("id_a"), "sh")
+    b = posting.select(F.col(id_col).alias("id_b"), "sh")
+    common = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """(id, simhash bigint) fingerprints — token hashes aliased once,
+    referenced ``bits`` times by the bit votes (same CollapseProject
+    barrier rationale as minhash_signatures)."""
+    base = spread_compute(df).select(
+        F.col(id_col),
+        hashing.shingle_hashes(ws_tokens(F.col(text_col))).alias("token_hashes"),
+    )
+    return base.select(
+        F.col(id_col),
+        hashing.simhash_from_base(F.col("token_hashes"), bits).alias("simhash"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates share at least one of
+    ``n_bands`` byte-bands (pigeonhole: hamming ≤ n_bands-1 guarantees a
+    shared band), verified with exact Hamming distance ≤ max_hamming."""
+    width = bits // n_bands
+    fp = simhash_fingerprints(df, text_col, id_col, bits)
+    banded = fp.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bh"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select(id_col, "simhash", "bd.band", "bd.bh")
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(y, ["band", "bh"])
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            hashing.hamming64(F.col("x.simhash"), F.col("y.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    With ``block_col`` (cluster/label/LSH bucket) the join is equi on the
+    block — each block's pairs compute locally after one shuffle. Without
+    it this is a cartesian product: correct, but only acceptable for
+    small n (the brute-force baseline).
+    """
+    # Norms are projected BEFORE the join: the join shuffle is a barrier,
+    # so each side's norm folds once per input row instead of once per
+    # PAIR — per-pair work is then a single dot + divide (3× fewer array
+    # folds; same double expression sqrt(dot(v,v)) as the oracle).
+    a = df.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        vectors.norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        vectors.norm(F.col(vec_col)).alias("nb"),
+    )
+    joined = a.join(b, on=block_col) if block_col else a.crossJoin(b)
+    return (
+        joined.where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                vectors.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,125 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language identification, document fingerprinting.
+
+Extension tier beyond the reference's surface (BASELINE.json north
+star). Everything is a single codegen'd projection over the
+``documents`` table — no UDFs, no shuffles except where an aggregate is
+requested. Each operator has a DuckDB-expressible twin in queries.py so
+correctness is oracle-gated.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..functions import hashing
+from ..functions.text import BPE_PATTERN, bpe_tokens, word_shingles, ws_tokens
+
+#: Tiny per-language stopword lexicons for the n-gram/stopword heuristic
+#: language ID. Deliberately small + hardcoded: the point is the Spark
+#: plumbing (argmax over per-language token-hit ratios), not lexical
+#: coverage. Order fixed → deterministic tie-break.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "it", "that", "for", "was"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "les"),
+    "de": ("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"),
+    "zh": ("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(ws_tokens(text))
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish token count (letters runs + digit runs + symbols)."""
+    return F.size(bpe_tokens(text))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + composite score.
+
+    Features follow the public Gopher/C4-style heuristics: length,
+    token count, mean word length, punctuation ratio, stopword ratio,
+    digit ratio. The composite ``quality_score`` is a fixed linear blend
+    clamped to [0, 1] — deterministic, documented, oracle-expressible.
+    """
+    t = F.col(text_col)
+    toks = ws_tokens(t)
+    n_tok = F.size(toks)
+    n_char = F.length(t)
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(en_stop, F.lower(x))))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    n_digit = F.size(F.regexp_extract_all(t, F.lit("[0-9]"), 0))
+    mean_word_len = (n_char - (n_tok - 1)) / n_tok  # chars net of single spaces
+
+    punct_ratio = F.round(n_punct / F.greatest(n_char, F.lit(1)), 6)
+    stop_ratio = F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 6)
+    digit_ratio = F.round(n_digit / F.greatest(n_char, F.lit(1)), 6)
+
+    score = (
+        F.lit(0.4) * F.least(n_tok / F.lit(64.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.2) * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + F.lit(0.1) * (F.lit(1.0) - digit_ratio)
+    )
+    return df.select(
+        "*",
+        n_char.alias("n_char"),
+        n_tok.alias("n_tokens_ws"),
+        token_count_bpe(t).alias("n_tokens_bpe"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        F.round(F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0)), 6).alias(
+            "quality_score"
+        ),
+    )
+
+
+def language_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit ratio."""
+    toks = F.transform(ws_tokens(text), F.lower)
+    n = F.greatest(F.size(toks), F.lit(1))
+    out = {}
+    for lang, words in STOPWORDS.items():
+        lex = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda x: F.array_contains(lex, x))) / n
+    return out
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword ratios,
+    'und' (undetermined) when every score is zero. Deterministic
+    tie-break by lexicon declaration order."""
+    scores = language_scores(F.col(text_col))
+    langs = list(scores)
+    best_score = F.greatest(*[scores[lang] for lang in langs])
+    pred: Column = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → build backwards
+        pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
+    pred = F.when(best_score > 0, pred).otherwise(F.lit("und"))
+    return df.select(
+        "*",
+        F.round(best_score, 6).alias("lang_score"),
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Document fingerprints: exact content hash (md5) + a rolling-window
+    structural fingerprint (minimum k-word shingle hash — winnowing's
+    'min sample' in one expression). Equal fingerprints → near-identical
+    prefix-structure; used for cheap first-pass dedup bucketing."""
+    toks = ws_tokens(F.col(text_col))
+    shingle_hashes = F.transform(word_shingles(toks, k), hashing.stable_hash64)
+    return df.select(
+        "*",
+        F.md5(F.col(text_col)).alias("content_md5"),
+        F.array_min(shingle_hashes).alias("min_shingle_hash"),
+    )

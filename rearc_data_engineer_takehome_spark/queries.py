@@ -365,3 +365,9 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+# Extension-tier registrations (text analysis / dedup / similarity /
+# event windows / multimodal). Imported last: queries_llm pulls `query`
+# and `_t` from this module, which are already bound by this point.
+from . import queries_llm  # noqa: E402,F401  (registration side effect)

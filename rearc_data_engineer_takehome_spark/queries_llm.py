@@ -1,0 +1,603 @@
+"""Extension-tier parity queries: text analysis, dedup, similarity
+search, event windows, multimodal plumbing.
+
+Registered into the same REGISTRY as the core relational queries. The
+deterministic operators (token stats, quality scores, language ID,
+fingerprints, exact/Jaccard/MinHash-signature dedup, blocked cosine,
+brute-force kNN, tumbling/sliding/session windows, JSON extraction) all
+carry full DuckDB oracles — including the MinHash signatures, which are
+md5-derived and therefore bit-identical across engines. Only the
+LSH-bucketed variants (probabilistic recall) and the mapInPandas
+multimodal path (not SQL-expressible) are rows-only; pytest gates their
+recall/shape instead (tests/test_llm_ops.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .functions.hashing import MERSENNE_31, _affine_params, stable_hash64_sql
+from .functions.text import BPE_PATTERN
+from .operators import dedup, multimodal, similarity
+from .operators import text as text_ops
+from .queries import _t, query
+from .streaming import windows as win
+
+# DuckDB expression fragments mirroring functions/text.py
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+def _shingles_sql(k: int, tokens: str = "t") -> str:
+    """DuckDB twin of functions.text.word_shingles(tokens, k)."""
+    return (
+        f"(CASE WHEN len({tokens}) >= {k} THEN "
+        f"[array_to_string({tokens}[i:i+{k - 1}], ' ') "
+        f"for i in generate_series(1, len({tokens}) - {k - 1})] "
+        f"ELSE [array_to_string({tokens}, ' ')] END)"
+    )
+
+
+_SHINGLES3 = _shingles_sql(3)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_token_stats",
+    f"""
+    WITH feat AS (
+        SELECT lang,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS ws,
+               len(regexp_extract_all(text, '{BPE_PATTERN}'))  AS bpe,
+               n_chars
+        FROM documents
+    )
+    SELECT lang,
+           count(*)                 AS n_docs,
+           sum(ws)::BIGINT          AS total_tokens_ws,
+           sum(bpe)::BIGINT         AS total_tokens_bpe,
+           round(avg(ws), 4)        AS avg_tokens_ws,
+           round(avg(n_chars), 4)   AS avg_chars
+    FROM feat GROUP BY lang
+    """,
+    doc="Token counting (whitespace + BPE-ish regex) aggregated per "
+    "language — single projection + one hash agg; regex dialect restricted "
+    "to the Java∩RE2 intersection so both engines tokenize identically.",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            "n_chars",
+            text_ops.token_count_ws(F.col("text")).alias("ws"),
+            text_ops.token_count_bpe(F.col("text")).alias("bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").cast("bigint").alias("total_tokens_ws"),
+            F.sum("bpe").cast("bigint").alias("total_tokens_bpe"),
+            F.round(F.avg("ws"), 4).alias("avg_tokens_ws"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+_EN_STOP_SQL = "['the','and','of','to','in','is','it','that','for','was']"
+
+
+@query(
+    "doc_quality_scores",
+    f"""
+    WITH f AS (
+        SELECT doc_id,
+               length(text) AS n_char,
+               len({_TOKS}) AS n_tok,
+               len(list_filter(list_transform({_TOKS}, x -> lower(x)),
+                               x -> list_contains({_EN_STOP_SQL}, x))) AS stop_hits,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+               len(regexp_extract_all(text, '[0-9]'))           AS n_digit
+        FROM documents
+    )
+    SELECT doc_id, n_char,
+           n_tok AS n_tokens_ws,
+           round(n_punct / greatest(n_char, 1), 6)  AS punct_ratio,
+           round(stop_hits / greatest(n_tok, 1), 6) AS stopword_ratio,
+           round(least(greatest(
+               0.4 * least(n_tok / 64.0, 1.0)
+             + 0.3 * (1.0 - round(n_punct / greatest(n_char, 1), 6))
+             + 0.2 * least(round(stop_hits / greatest(n_tok, 1), 6) * 5.0, 1.0)
+             + 0.1 * (1.0 - round(n_digit / greatest(n_char, 1), 6)), 0.0), 1.0), 6)
+               AS quality_score
+    FROM f
+    """,
+    doc="Gopher/C4-style quality heuristics (length, punctuation ratio, "
+    "stopword ratio, digit ratio) blended into a clamped [0,1] score — one "
+    "codegen'd projection per document, no shuffle.",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feat = text_ops.quality_features(docs)
+    return feat.select(
+        "doc_id",
+        "n_char",
+        F.col("n_tokens_ws").cast("bigint").alias("n_tokens_ws"),
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+def _lang_scores_sql() -> str:
+    toks_lower = f"list_transform({_TOKS}, x -> lower(x))"
+    parts = []
+    for lang, words in text_ops.STOPWORDS.items():
+        lex = "[" + ",".join(f"'{w}'" for w in words) + "]"
+        parts.append(
+            f"len(list_filter({toks_lower}, x -> list_contains({lex}, x)))"
+            f" / greatest(len({_TOKS}), 1) AS s_{lang}"
+        )
+    return ", ".join(parts)
+
+
+@query(
+    "doc_language_id",
+    f"""
+    WITH s AS (SELECT doc_id, {_lang_scores_sql()} FROM documents),
+    m AS (SELECT doc_id, s_en, s_es, s_fr, s_de, s_zh,
+                 greatest(s_en, s_es, s_fr, s_de, s_zh) AS best FROM s)
+    SELECT doc_id,
+           round(best, 6) AS lang_score,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN s_en = best THEN 'en'
+                WHEN s_es = best THEN 'es'
+                WHEN s_fr = best THEN 'fr'
+                WHEN s_de = best THEN 'de'
+                ELSE 'zh' END AS lang_pred
+    FROM m
+    """,
+    doc="Heuristic language ID: argmax of per-language stopword-hit ratios "
+    "with deterministic tie-break by lexicon order; 'und' when all zero.",
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.language_id(docs).select("doc_id", "lang_score", "lang_pred")
+
+
+@query(
+    "doc_fingerprints",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           list_min(list_transform({_shingles_sql(5)},
+                    s -> {stable_hash64_sql("s")})) AS min_shingle_hash
+    FROM toks
+    """,
+    doc="Document fingerprinting: exact content digest + rolling-hash "
+    "structural fingerprint (min 5-word-shingle hash, winnowing-lite). "
+    "Both md5-derived → bit-identical across engines.",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.fingerprint(docs, k=5).select(
+        "doc_id", "content_md5", "min_shingle_hash"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_docs",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup via content-digest groupBy — shuffles 40-byte digests, "
+    "never raw documents (the feasibility difference at 100 TB). Canonical "
+    "representative = min id.",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS s FROM toks),
+    p AS (SELECT DISTINCT doc_id, {stable_hash64_sql("s")} AS h FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM p GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(c / (na.n + nb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes na ON na.doc_id = common.id_a
+    JOIN sizes nb ON nb.doc_id = common.id_b
+    WHERE round(c / (na.n + nb.n - c), 6) >= 0.8
+    """,
+    doc="EXACT n-gram (3-word shingle) Jaccard near-dup pairs via "
+    "inverted-index self-join — the ground truth the LSH variant is "
+    "recall-tested against. The fixtures contain planted near-dups "
+    "(J≈0.98), so the result is non-trivial.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.8
+    )
+
+
+def _minhash_sig_sql(n_perm: int, seed: int = 7) -> str:
+    base = f"{stable_hash64_sql('s')} % {MERSENNE_31}"
+    mins = []
+    for j, (a, b) in enumerate(_affine_params(n_perm, seed)):
+        mins.append(
+            f"list_min(list_transform(sh, s -> ({a} * ({base}) + {b}) % {MERSENNE_31})) AS m{j}"
+        )
+    return ", ".join(mins)
+
+
+_N_PERM = 8
+
+
+@query(
+    "minhash_signatures",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES3} AS sh FROM toks),
+    sig AS (SELECT doc_id, {_minhash_sig_sql(_N_PERM)} FROM sh)
+    SELECT doc_id, u.perm::INT AS perm, u.minhash
+    FROM sig, LATERAL (
+        SELECT unnest(generate_series(0, {_N_PERM - 1})) AS perm,
+               unnest([{", ".join(f"m{j}" for j in range(_N_PERM))}]) AS minhash
+    ) u
+    """,
+    doc="MinHash signatures (md5-based affine permutations mod Mersenne-31) "
+    "exploded to (doc_id, perm, minhash) — the deterministic core of "
+    "MinHash-LSH, verified bit-identical against DuckDB. Computed as one "
+    "array projection: transform + array_min, no explode/shuffle.",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), n_perm=_N_PERM, seed=7
+    )
+    # PERF: never posexplode the computed array directly — Catalyst inlines
+    # the whole signature lambda-expression into Generate, which then
+    # evaluates it interpreted per OUTPUT row (45 s vs 2 s at sf0.1).
+    # Referencing the alias 8× in a getItem projection makes CollapseProject
+    # keep it as a real node (non-cheap expr, multiple refs), so the explode
+    # only touches plain column refs.
+    wide = sig.select(
+        "doc_id",
+        *[F.col("signature").getItem(i).alias(f"m{i}") for i in range(_N_PERM)],
+    )
+    return wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("perm"),
+                        F.col(f"m{i}").alias("minhash"),
+                    )
+                    for i in range(_N_PERM)
+                ]
+            )
+        ).alias("pm"),
+    ).select("doc_id", "pm.perm", "pm.minhash")
+
+
+@query(
+    "dedup_minhash_lsh",
+    None,  # probabilistic candidate recall → rows-only; pytest gates recall vs exact
+    doc="MinHash+LSH near-dup pairs (8 perms, 4 bands), exact-Jaccard "
+    "verified candidates. Bucketing recall is probabilistic so no SQL "
+    "oracle; tests/test_llm_ops.py asserts recall ≥ 0.95 against the exact "
+    "operator at J≥0.8 and perfect precision.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n_perm=_N_PERM, bands=4, threshold=0.8
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_sql(bits: int) -> str:
+    h = f"({stable_hash64_sql('tk')})"
+    terms = []
+    for j in range(bits):
+        vote = (
+            f"list_sum(list_transform(t, tk -> "
+            f"CASE WHEN ({h} >> {j}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+    SELECT doc_id, ({_simhash_sql(_SIMHASH_BITS)})::BIGINT AS simhash
+    FROM toks
+    """,
+    doc="SimHash fingerprints (16-bit, per-bit majority vote over token "
+    "hashes) — packed bigint, bit-identical across engines. Near-dup pairs "
+    "via byte-band buckets + Hamming verify are tested in pytest "
+    "(pigeonhole guarantee: hamming ≤ bands-1 ⇒ shared band).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_fingerprints(
+        _t(spark, sf_dir, "documents"), bits=_SIMHASH_BITS
+    )
+
+
+_COS_SQL = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_SQL}, 6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_COS_SQL}, 6) >= 0.4
+    """,
+    doc="Embedding-cosine near-dup pairs BLOCKED by label — the equi-join "
+    "on the block key is what makes this a shuffle join instead of a "
+    "cartesian product at scale. Threshold 0.4 chosen to be non-trivial on "
+    "the fixture distribution (max within-label cosine ≈ 0.47).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings").where(F.col("vec_id") == vec_id).head()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+@query(
+    "knn_bruteforce",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id,
+               round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+                     (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+    doc="Exact cosine top-10 against a query vector (vec_id 0): scan + "
+    "zip_with/aggregate dot product + TakeOrderedAndProject. The "
+    "correctness baseline every ANN variant is recall-tested against.",
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_vec(spark, sf_dir, 0)
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    return similarity.bruteforce_topk(emb, q, k=10)
+
+
+@query(
+    "knn_all_pairs_topk",
+    f"""
+    WITH scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_COS_SQL}, 6) AS cos_sim,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY round({_COS_SQL}, 6) DESC, b.vec_id ASC) AS rn
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM scored WHERE rn <= 3
+    """,
+    doc="k-NN for EVERY vector (k=3), blocked by label: within-block "
+    "pairwise cosine + per-row ranking window. The blocked-join shape is "
+    "the scalable skeleton; swap the block key for an LSH/IVF bucket at "
+    "100 TB.",
+)
+def knn_all_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.all_pairs_topk(
+        _t(spark, sf_dir, "embeddings"), k=3, block_col="label"
+    )
+
+
+@query(
+    "knn_lsh",
+    None,  # probabilistic bucket recall → rows-only; pytest gates recall
+    doc="Sign-random-projection LSH top-k (6 bits × 3 tables, multi-probe "
+    "radius 2): near-boundary sign flips are recovered by probing adjacent "
+    "buckets instead of adding tables. pytest asserts recall ≥ 0.6 vs "
+    "brute force on the fixture (tests/test_llm_ops.py); tuned to 1.0 "
+    "there — random-ish fixture vectors are LSH's worst case.",
+)
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_vec(spark, sf_dir, 0)
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    indexed = similarity.lsh_index(emb, dim=len(q), bits=6, n_tables=3)
+    return similarity.lsh_topk(indexed, q, k=10, bits=6, n_tables=3, probe_radius=2)
+
+
+@query(
+    "knn_ivf",
+    None,  # centroid pruning drops true neighbours by design → rows-only
+    doc="IVF-flat search: label column as the coarse quantizer cell, "
+    "centroids from elementwise aggregation, probe the best 2 cells only. "
+    "pytest asserts the probed-cell results equal brute force restricted "
+    "to those cells.",
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_vec(spark, sf_dir, 0)
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    cents = similarity.ivf_centroids(emb, cell_col="label")
+    return similarity.ivf_topk(emb, q, cents, k=10, n_probe=2, cell_col="label")
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows + JSON props
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events fixture, whose parquet timestamps are NANOS —
+    Spark rejects those outright (PARQUET_TYPE_ILLEGAL), so they are read
+    as raw int64 via the nanosAsLong conf (runtime-settable, works in the
+    driver's default session too) and converted to a proper event-time
+    timestamp with timestamp_micros. All downstream window bounds are
+    emitted as absolute epoch seconds — tz-independent in both engines."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = _t(spark, sf_dir, "events")
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+@query(
+    "events_hourly",
+    """
+    SELECT floor(epoch(time_bucket(INTERVAL 1 HOUR, ts)))::BIGINT AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour event-time windows per type (batch F.window). "
+    "In Structured Streaming the same transformation runs with a watermark "
+    "(streaming/windows.py, tested against this batch result).",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return win.tumbling_agg(_events(spark, sf_dir), "ts", "1 hour", keys=["event_type"])
+
+
+@query(
+    "events_sliding",
+    """
+    WITH grid AS (
+        SELECT floor(epoch(time_bucket(INTERVAL 1 HOUR, ts)))::BIGINT AS window_start,
+               value FROM events
+        UNION ALL
+        SELECT floor(epoch(time_bucket(INTERVAL 1 HOUR, ts, INTERVAL 30 MINUTE)))::BIGINT
+               AS window_start,
+               value FROM events
+    )
+    SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM grid GROUP BY 1
+    """,
+    doc="Sliding windows (1 h window, 30 min slide): every event lands in "
+    "two windows. Oracle reconstructs the overlap as a union of two offset "
+    "tumbling grids — semantics identical to Spark's window(ts, 1h, 30m).",
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return win.sliding_agg(_events(spark, sf_dir), "ts", "1 hour", "30 minutes")
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM g
+    )
+    SELECT user_id, session_seq, count(*) AS n_events,
+           floor(epoch(min(ts)))::BIGINT AS session_start,
+           floor(epoch(max(ts)))::BIGINT AS session_end,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, session_seq
+    """,
+    doc="Gap-based sessionization (30 min) via lag + running sum — the "
+    "batch twin of Structured Streaming session windows; custom stateful "
+    "logic expressed relationally so it stays oracle-verifiable. Gaps are "
+    "measured on second-truncated epochs (identical semantics in both "
+    "engines, unlike timestampdiff/date_diff).",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return win.sessionize(_events(spark, sf_dir), "ts", "user_id", 30)
+
+
+@query(
+    "events_json_props",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured JSON property extraction (get_json_object) + "
+    "aggregation — the schema-on-read path for event payloads.",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas — rows-only)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_features",
+    None,  # mapInPandas decode path — not SQL-expressible; pytest checks shape
+    doc="Binary-column multimodal pipeline: documents → synthetic assets "
+    "(binary payload + typed metadata) → Arrow-batched mapInPandas feature "
+    "extraction with per-asset error isolation → per-modality stats. The "
+    "decode step is a deterministic stub (no media libs in container); the "
+    "Spark plumbing (schema, batching, one-to-many expansion) is real.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_assets(spark, docs)
+    feats = multimodal.extract_features(assets, decoder="fake")
+    return feats.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("feature_mean"), 6).alias("avg_feature"),
+        F.sum((F.col("decode_error").isNotNull()).cast("int")).alias("n_errors"),
+    )

@@ -1,0 +1,145 @@
+"""Event-time windowed aggregation — batch and Structured Streaming.
+
+The reference is batch-only by design (README.md:92-109 rejects
+event-driven triggering), so windowing is extension tier. The SAME
+transformation function serves both modes: ``F.window``/session
+windows work identically on a static DataFrame and a streaming one —
+pass a ``readStream`` source and add a watermark for late data.
+
+Scale notes: windowed aggregation shuffles on (window, keys); at 100 TB
+pre-filter and project before the window, and let AQE size partitions.
+Streaming state is bounded by the watermark; without one, state grows
+forever.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling event-time windows: count + sum per window (and keys).
+
+    Expects an LTZ timestamp column (see queries_llm._events — the
+    fixture's nanosecond timestamps load as long and convert via
+    timestamp_micros). Window bounds are emitted as ABSOLUTE epoch
+    seconds: tz-independent in both engines, unlike wall-time strings
+    which depend on the session zone for LTZ values."""
+    keys = keys or []
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding windows (duration > slide → overlapping assignment)."""
+    keys = keys or []
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration, slide).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    gap_minutes: int = 30,
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessionization in BATCH via window functions:
+    a new session starts when the gap from the previous event exceeds
+    ``gap_minutes``; session id = running count of session starts.
+
+    Classic lag + cumulative-sum formulation — one shuffle on user, fully
+    SQL-expressible (and therefore oracle-verifiable), equivalent to
+    Structured Streaming's session_window for completed sessions.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # Gap measured on second-truncated epochs: LTZ→long truncates to
+    # seconds, exactly floor(epoch(ts)) in DuckDB. (timestampdiff/date_diff
+    # disagree across engines on sub-second offsets — floor vs boundary
+    # count — so they are deliberately avoided.)
+    with_prev = df.withColumn("__prev_ts", F.lag(F.col(ts_col)).over(w))
+    gap = F.col(ts_col).cast("long") - F.col("__prev_ts").cast("long")
+    with_start = with_prev.withColumn(
+        "is_new_session",
+        F.when(F.col("__prev_ts").isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    ).drop("__prev_ts")
+    with_sid = with_start.withColumn(
+        "session_seq", F.sum("is_new_session").over(w)
+    )
+    return (
+        with_sid.groupBy(user_col, "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).cast("long").alias("session_start"),
+            F.max(ts_col).cast("long").alias("session_end"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+    )
+
+
+def stream_tumbling_counts(
+    stream: DataFrame,
+    ts_col: str,
+    duration: str,
+    watermark: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Structured Streaming tumbling counts with a watermark bounding
+    late data and state size. Works with any readStream source."""
+    keys = keys or []
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), *keys, "n_events")
+    )
+
+
+def to_memory_sink(
+    df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataStreamWriter:
+    """Test/debug sink: results queryable as ``spark.table(query_name)``."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+    )
