@@ -578,6 +578,167 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Remaining DQ/profiling parity (V7-V9, A9-A10) + set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "iqr_outliers_price",
+    """
+    WITH b AS (
+        SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+               quantile_cont(l_extendedprice, 0.75) AS q3
+        FROM lineitem
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           round(l.l_extendedprice, 2) AS price
+    FROM lineitem l, b
+    WHERE l.l_extendedprice < b.q1 - 1.5 * (b.q3 - b.q1)
+       OR l.l_extendedprice > b.q3 + 1.5 * (b.q3 - b.q1)
+    """,
+    doc="V9/A10: IQR outlier detection with quantiles computed IN-PLAN "
+    "(exact percentile, verified bit-identical to DuckDB quantile_cont) "
+    "and broadcast back — one job, no driver round-trip, unlike the "
+    "reference's collected approxQuantile (21_EDA.ipynb:2309-2319). "
+    "operators/quality.iqr_outliers is the percentile_approx variant for "
+    "100 TB (single-pass sketch).",
+)
+def iqr_outliers_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+    ).select(
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lower"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("upper"),
+    )
+    return (
+        li.join(F.broadcast(bounds))
+        .where(
+            (F.col("l_extendedprice") < F.col("lower"))
+            | (F.col("l_extendedprice") > F.col("upper"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+
+
+@query(
+    "events_user_completeness",
+    """
+    SELECT user_id,
+           count(DISTINCT floor(epoch(ts) / 86400)::BIGINT) AS n_active_days,
+           count(DISTINCT floor(epoch(ts) / 86400)::BIGINT) >= 30 AS is_complete
+    FROM events GROUP BY user_id
+    """,
+    doc="V8 completeness: per-user distinct active epoch-days vs the "
+    "expected 30-day span (the reference checks quarters-per-series-year "
+    "vs 4, 21_EDA.ipynb:1875-1890). Epoch-day arithmetic keeps it "
+    "tz-independent.",
+)
+def events_user_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    epoch_day = F.floor(F.col("ts").cast("long") / 86400)
+    return ev.groupBy("user_id").agg(
+        F.countDistinct(epoch_day).alias("n_active_days"),
+        (F.countDistinct(epoch_day) >= 30).alias("is_complete"),
+    )
+
+
+@query(
+    "orders_priority_union",
+    """
+    WITH tagged AS (
+        SELECT 'urgent' AS tier, o_totalprice FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        UNION ALL
+        SELECT 'normal' AS tier, o_totalprice FROM orders
+        WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    )
+    SELECT tier, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM tagged GROUP BY tier
+    """,
+    doc="Set operation (unionByName) composing two filtered branches — "
+    "absent from the reference (SURVEY §2.7) but required for pipeline "
+    "composition; Catalyst pushes each branch's filter to its own scan.",
+)
+def orders_priority_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(F.lit("urgent").alias("tier"), "o_totalprice")
+    normal = orders.where(
+        ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(F.lit("normal").alias("tier"), "o_totalprice")
+    return (
+        urgent.unionByName(normal)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "describe_lineitem",
+    """
+    SELECT count(l_quantity)                  AS qty_count,
+           round(avg(l_quantity), 4)          AS qty_mean,
+           round(stddev(l_quantity), 4)       AS qty_stddev,
+           round(min(l_quantity), 2)          AS qty_min,
+           round(max(l_quantity), 2)          AS qty_max,
+           round(avg(l_extendedprice), 4)     AS price_mean,
+           round(stddev(l_extendedprice), 4)  AS price_stddev,
+           round(median(l_extendedprice), 4)  AS price_median
+    FROM lineitem
+    """,
+    doc="A9: describe()-style descriptive statistics as explicit "
+    "aggregates (count/mean/stddev/min/max/median) — the reference's "
+    "df.describe() profiling (21_EDA.ipynb:2121-2124) with deterministic "
+    "aliases and an exact median both engines agree on.",
+)
+def describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("l_quantity").alias("qty_count"),
+        F.round(F.avg("l_quantity"), 4).alias("qty_mean"),
+        F.round(F.stddev("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.min("l_quantity"), 2).alias("qty_min"),
+        F.round(F.max("l_quantity"), 2).alias("qty_max"),
+        F.round(F.avg("l_extendedprice"), 4).alias("price_mean"),
+        F.round(F.stddev("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.expr("median(l_extendedprice)"), 4).alias("price_median"),
+    )
+
+
+@query(
+    "events_value_domain",
+    """
+    SELECT event_type,
+           sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS n_negative,
+           sum(CASE WHEN value = 0 THEN 1 ELSE 0 END) AS n_zero,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="V7 domain/sign checks per event type (the reference's "
+    "negative-value and sign-constraint profiling, 21_EDA.ipynb:1376).",
+)
+def events_value_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.sum((F.col("value") < 0).cast("int")).alias("n_negative"),
+        F.sum((F.col("value") == 0).cast("int")).alias("n_zero"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing (mapInPandas — rows-only)
 # ---------------------------------------------------------------------------
 
