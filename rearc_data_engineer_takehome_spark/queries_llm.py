@@ -578,6 +578,46 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of join (events: each error matched to the user's latest prior signup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_asof_last_signup",
+    """
+    SELECT e.event_id, e.user_id, s.event_id AS signup_event_id
+    FROM (SELECT event_id, user_id, epoch_ns(ts) AS tns
+          FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT event_id, user_id, epoch_ns(ts) AS tns
+                    FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id AND e.tns >= s.tns
+    """,
+    doc="As-of join (Spark lacks the primitive): for each error event, "
+    "the user's most recent signup at or before it. Implemented as "
+    "union-and-carry — tag both sides, one shuffle on the key, sort "
+    "within partitions, last(ignorenulls) over an unbounded-preceding "
+    "window. Same cost as one sort-merge join; never a range cross-join. "
+    "Verified against DuckDB's native ASOF LEFT JOIN on raw nanosecond "
+    "timestamps (no truncation on either side).",
+)
+def events_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import asof_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = _t(spark, sf_dir, "events")  # ts stays raw int64 nanos: exact
+    errors = raw.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("tns")
+    )
+    signups = raw.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"), "user_id", F.col("ts").alias("tns")
+    )
+    out = asof_join(
+        errors, signups, on="user_id", left_ts="tns", right_ts="tns", suffix=""
+    )
+    return out.select("event_id", "user_id", "signup_event_id")
+
+
+# ---------------------------------------------------------------------------
 # Remaining DQ/profiling parity (V7-V9, A9-A10) + set operations
 # ---------------------------------------------------------------------------
 

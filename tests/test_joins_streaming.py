@@ -1,0 +1,159 @@
+"""As-of join semantics, salted-join equivalence, bucketed co-located
+joins (no exchange in the plan), and stateful streaming."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from rearc_data_engineer_takehome_spark.operators import joins
+from rearc_data_engineer_takehome_spark.plans import explain
+
+
+@pytest.fixture()
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", 1, 10.0), ("A", 5, 11.0), ("A", 9, 12.0),
+            ("B", 3, 100.0),
+        ],
+        ["sym", "qt", "px"],
+    )
+
+
+@pytest.fixture()
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            ("A", 0, 7.0),   # before any quote → null match
+            ("A", 1, 8.0),   # exactly at quote t=1 → px 10.0 (>= semantics)
+            ("A", 6, 9.0),   # latest quote ≤ 6 is t=5 → 11.0
+            ("A", 99, 1.0),  # → t=9 quote 12.0
+            ("B", 2, 2.0),   # before B's only quote → null
+            ("B", 4, 3.0),   # → 100.0
+            ("C", 4, 4.0),   # key with no quotes at all → null
+        ],
+        ["sym", "tt", "qty"],
+    )
+
+
+def test_asof_backward_semantics(spark, trades, quotes):
+    out = joins.asof_join(trades, quotes, on="sym", left_ts="tt", right_ts="qt")
+    got = {(r.sym, r.tt): r.px_right for r in out.collect()}
+    assert got == {
+        ("A", 0): None,
+        ("A", 1): 10.0,
+        ("A", 6): 11.0,
+        ("A", 99): 12.0,
+        ("B", 2): None,
+        ("B", 4): 100.0,
+        ("C", 4): None,
+    }
+    assert out.count() == trades.count()  # left-outer: every trade kept
+
+
+def test_asof_matches_duckdb_asof_join(spark, trades, quotes):
+    """Cross-engine check against DuckDB's native ASOF JOIN."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("trades", trades.toPandas())
+    con.register("quotes", quotes.toPandas())
+    expected = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            """
+            SELECT t.sym, t.tt, q.px
+            FROM trades t ASOF LEFT JOIN quotes q
+              ON t.sym = q.sym AND t.tt >= q.qt
+            """
+        ).fetchall()
+    }
+    out = joins.asof_join(trades, quotes, on="sym", left_ts="tt", right_ts="qt")
+    got = {(r.sym, r.tt): r.px_right for r in out.collect()}
+    assert got == expected
+
+
+def test_asof_forward(spark, trades, quotes):
+    out = joins.asof_join(
+        trades, quotes, on="sym", left_ts="tt", right_ts="qt", direction="forward"
+    )
+    got = {(r.sym, r.tt): r.px_right for r in out.collect()}
+    assert got[("A", 0)] == 10.0   # earliest quote ≥ 0 is t=1
+    assert got[("A", 6)] == 12.0   # ≥6 → t=9
+    assert got[("A", 99)] is None  # nothing after 99
+
+
+def test_salted_join_equals_plain_join(spark, sf_smoke):
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_smoke}/part.parquet").withColumnRenamed(
+        "p_partkey", "l_partkey"
+    )
+    plain = (
+        li.join(part, "l_partkey")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        joins.salted_join(li, part, on="l_partkey", n_salts=4)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted((r.p_brand, r.n) for r in plain.collect()) == sorted(
+        (r.p_brand, r.n) for r in salted.collect()
+    )
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_smoke, tmp_path):
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketdb")
+    spark.sql("USE bucketdb")
+    try:
+        li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+        joins.write_bucketed(li, "li_b", "l_orderkey", n_buckets=8)
+        joins.write_bucketed(
+            orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+            "ord_b",
+            "l_orderkey",
+            n_buckets=8,
+        )
+        a, b = spark.table("li_b"), spark.table("ord_b")
+        # disable broadcast so the co-location is what avoids the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = a.join(b, "l_orderkey").groupBy("o_orderstatus").count()
+        n_ex = explain.count_exchanges(
+            a.join(b, "l_orderkey").select("l_orderkey", "o_orderstatus")
+        )
+        assert n_ex == 0, "bucketed-bucketed equi-join must not shuffle"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+        spark.sql("USE default")
+
+
+def test_stateful_running_stats(spark, tmp_path):
+    from rearc_data_engineer_takehome_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    src = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0), (1, 30.0), (2, 15.0)],
+        ["user_id", "value"],
+    )
+    data_dir = str(tmp_path / "state_src")
+    src.write.parquet(data_dir)
+    stream = spark.readStream.schema(src.schema).parquet(data_dir)
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.user_id: r for r in spark.table("running_stats").collect()}
+    assert rows[1].n_events == 3 and rows[1].total_value == 60.0
+    assert rows[1].peak_value == 30.0
+    assert rows[2].n_events == 2 and rows[2].total_value == 20.0
