@@ -1,0 +1,163 @@
+"""Property-based tests (hypothesis) for the math the dedup/similarity
+operators rely on: MinHash estimates Jaccard, the portable hash matches
+a pure-Python md5 reimplementation, SimHash Hamming distance tracks
+similarity, and the as-of join matches a brute-force reference."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from rearc_data_engineer_takehome_spark.functions.hashing import (
+    MERSENNE_31,
+    _affine_params,
+)
+
+# ---------------------------------------------------------------------------
+# Pure-Python reimplementations (the spec the Spark expressions must match)
+# ---------------------------------------------------------------------------
+
+
+def py_stable_hash64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def py_minhash(shingles: set[str], n_perm: int, seed: int = 7) -> list[int]:
+    out = []
+    for a, b in _affine_params(n_perm, seed):
+        out.append(
+            min((a * (py_stable_hash64(s) % MERSENNE_31) + b) % MERSENNE_31
+                for s in shingles)
+        )
+    return out
+
+
+def py_shingles(text: str, k: int = 3) -> list[str]:
+    toks = text.split()
+    if len(toks) >= k:
+        return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return [" ".join(toks)]
+
+
+words = st.sampled_from(
+    "the quick brown fox jumps over lazy dog table scan hash join sort".split()
+)
+texts = st.lists(words, min_size=1, max_size=30).map(" ".join)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts)
+def test_spark_hash_matches_python_spec(spark_session_holder, text):
+    spark = spark_session_holder
+    from rearc_data_engineer_takehome_spark.functions.hashing import stable_hash64
+
+    got = spark.createDataFrame([(text,)], ["t"]).select(
+        stable_hash64(F.col("t")).alias("h")
+    ).collect()[0]["h"]
+    assert got == py_stable_hash64(text)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(texts, min_size=1, max_size=5, unique=True))
+def test_spark_minhash_matches_python_spec(spark_session_holder, docs):
+    spark = spark_session_holder
+    from rearc_data_engineer_takehome_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: list(r.signature)
+        for r in minhash_signatures(df, n_perm=4, seed=7).collect()
+    }
+    for i, t in enumerate(docs):
+        # Spark shingles are positional (list) but minhash is over the set
+        assert got[i] == py_minhash(set(py_shingles(t)), 4, 7)
+
+
+def test_minhash_estimates_jaccard(spark):
+    """Statistical property: P(sig_i(A) == sig_i(B)) = J(A, B). With 64
+    perms the estimate should land within ±0.15 of the true Jaccard for
+    a pair around J≈0.5."""
+    from rearc_data_engineer_takehome_spark.operators.dedup import minhash_signatures
+
+    a = "a b c d e f g h i j k l m n o p"
+    b = "a b c d e f g h i j x y z w v u"  # ~50% shingle overlap region
+    sa, sb = set(py_shingles(a)), set(py_shingles(b))
+    true_j = len(sa & sb) / len(sa | sb)
+    df = spark.createDataFrame([(0, a), (1, b)], ["doc_id", "text"])
+    sigs = {
+        r.doc_id: list(r.signature)
+        for r in minhash_signatures(df, n_perm=64, seed=7).collect()
+    }
+    est = sum(x == y for x, y in zip(sigs[0], sigs[1])) / 64
+    assert abs(est - true_j) <= 0.15, f"estimate {est} vs true {true_j}"
+
+
+def test_simhash_hamming_tracks_similarity(spark):
+    """Near-identical docs must have smaller SimHash Hamming distance
+    than unrelated docs."""
+    from rearc_data_engineer_takehome_spark.functions.hashing import hamming64
+    from rearc_data_engineer_takehome_spark.operators.dedup import (
+        simhash_fingerprints,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    near = base.replace("lazy", "sleepy")
+    far = "entirely different content about spark catalyst optimizer plans " * 4
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], ["doc_id", "text"]
+    )
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(df, bits=32).collect()}
+    d_near = bin(fps[0] ^ fps[1]).count("1")
+    d_far = bin(fps[0] ^ fps[2]).count("1")
+    assert d_near < d_far
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(  # left events: (key, ts)
+        st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 50)),
+        min_size=1, max_size=8,
+    ),
+    st.lists(  # right events: (key, ts, payload)
+        st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 50)),
+        min_size=0, max_size=8,
+    ),
+)
+def test_asof_join_matches_bruteforce(spark_session_holder, lefts, rights):
+    spark = spark_session_holder
+    from rearc_data_engineer_takehome_spark.operators.joins import asof_join
+
+    # dedupe right (key, ts) — as-of requires unique right timestamps per key
+    rights = list({(k, t): (k, t) for k, t in rights}.values())
+    left_df = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], ["key", "lt", "lid"]
+    )
+    right_df = spark.createDataFrame(
+        [(k, t, 1000 + i) for i, (k, t) in enumerate(rights)],
+        ["key", "rt", "rid"],
+    ) if rights else spark.createDataFrame([], "key string, rt long, rid long")
+
+    out = {
+        r.lid: r.rid_right
+        for r in asof_join(
+            left_df, right_df, on="key", left_ts="lt", right_ts="rt"
+        ).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        cand = [(rt, 1000 + j) for j, (rk, rt) in enumerate(rights)
+                if rk == k and rt <= t]
+        expected = max(cand)[1] if cand else None
+        assert out[i] == expected, f"left {i} ({k},{t}): {out[i]} != {expected}"
+
+
+@pytest.fixture(scope="module")
+def spark_session_holder(spark):
+    """Indirection so @given-wrapped tests reuse the session fixture
+    without hypothesis complaining about function-scoped fixtures."""
+    return spark

@@ -1,0 +1,131 @@
+"""Deeper Structured Streaming semantics: watermark late-data dropping
+across micro-batches, native session_window equivalence with the
+lag-based batch sessionizer, and a foreachBatch parquet sink pipeline."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from rearc_data_engineer_takehome_spark.streaming import windows as win
+
+
+def _write_batch(spark, rows, schema, path):
+    df = (
+        spark.createDataFrame(rows, "event_id long, ts_s string, value double")
+        .select(
+            "event_id",
+            F.to_timestamp("ts_s").alias("ts"),
+            "value",
+        )
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): batch 1 advances the
+    watermark past the 10:00 window; batch 2's late 10:00-window event
+    must be dropped from the append-mode output."""
+    src = str(tmp_path / "late_src")
+    schema = "event_id long, ts timestamp, value double"
+    # batch 1: events up to 12:59 → watermark (10 min) lands ~12:49
+    _write_batch(
+        spark,
+        [(1, "2024-01-01 10:05:00", 1.0), (2, "2024-01-01 12:59:00", 1.0)],
+        schema,
+        src,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .select(F.col("w.start").cast("long").alias("ws"), "n", "s")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .start()
+    )
+    # batch 1 processes, advancing the watermark past the 10:00 window
+    q.processAllAvailable()
+    # batch 2: a 10:07 event — far behind the watermark → late, dropped
+    _write_batch(spark, [(3, "2024-01-01 10:07:00", 5.0)], schema, src)
+    q.processAllAvailable()
+    # batch 3: advance event time so the 10:00 window FINALIZES and emits
+    _write_batch(spark, [(4, "2024-01-01 14:00:00", 1.0)], schema, src)
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.ws: (r.n, r.s) for r in spark.table("late_test").collect()}
+    ten_am = 1704103200  # 2024-01-01 10:00:00 UTC
+    # the 10:00 window finalized with ONLY the on-time event; the late
+    # event_id=3 (value 5.0) must not appear
+    assert rows.get(ten_am) == (1, 1.0), f"late event leaked: {rows}"
+
+
+def test_native_session_window_matches_lag_sessionizer(spark, sf_smoke):
+    """Spark's built-in session_window must produce the same sessions
+    (count + bounds) as the lag+cumsum batch formulation for completed
+    sessions."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        .select("user_id", "ts", "value")
+    )
+    lag_based = win.sessionize(ev, "ts", "user_id", gap_minutes=30)
+    native = (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    a = sorted((r.user_id, r.n_events) for r in lag_based.collect())
+    b = sorted((r.user_id, r.n_events) for r in native.collect())
+    # session COUNTS and sizes agree; bounds differ by definition
+    # (session_window end = last_event + gap, lag-based end = last event)
+    assert a == b
+
+
+def test_foreachbatch_parquet_sink_pipeline(spark, tmp_path):
+    """Streaming ETL: readStream → windowed agg → foreachBatch writing
+    each micro-batch to a partitioned parquet sink (the pattern for
+    sinks Structured Streaming lacks natively)."""
+    src = str(tmp_path / "fb_src")
+    out = str(tmp_path / "fb_out")
+    schema = "event_id long, ts timestamp, value double"
+    _write_batch(
+        spark,
+        [(i, f"2024-01-01 {10 + i % 2}:15:00", float(i)) for i in range(10)],
+        schema,
+        src,
+    )
+
+    def sink(batch_df, batch_id):
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("long").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    back = spark.read.parquet(out)
+    rows = {r.ws: r.n for r in back.collect()}
+    assert sum(rows.values()) == 10
+    assert len(rows) == 2  # two hourly windows
