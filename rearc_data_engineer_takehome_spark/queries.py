@@ -367,6 +367,159 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_with_shipped_items",
+    """
+    SELECT o.o_orderkey, o.o_orderstatus, round(o.o_totalprice, 2) AS total
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'N')
+    """,
+    doc="Left SEMI join (EXISTS): orders having at least one non-returned "
+    "lineitem. Semi joins shuffle only the keys of the probe side — no "
+    "row multiplication, unlike an inner join + distinct.",
+)
+def orders_with_shipped_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "N")
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("total"))
+
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left ANTI join (NOT EXISTS): customers with no orders — the "
+    "null-producing complement of the semi join; broadcastable when the "
+    "right side's keys fit in memory.",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "revenue_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets: per (flag, status), per flag subtotals, and "
+    "the grand total in ONE aggregation pass (partial aggregation still "
+    "applies). NULL subtotal markers are coalesced to 'ALL' — mixed "
+    "null/str group keys sort/hash differently across engines.",
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+@query(
+    "returnflag_pivot",
+    """
+    SELECT l_linestatus,
+           round(coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'A'), 0), 2) AS qty_A,
+           round(coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'N'), 0), 2) AS qty_N,
+           round(coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'), 0), 2) AS qty_R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    doc="Pivot (long→wide) with an explicit value list — Spark's "
+    "groupBy().pivot(values) needs the vocabulary up front to stay a "
+    "single-pass aggregation; the oracle expresses the same thing as "
+    "FILTERed aggregates.",
+)
+def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+    )
+    return wide.select(
+        "l_linestatus",
+        *[
+            F.round(F.coalesce(F.col(v), F.lit(0.0)), 2).alias(f"qty_{v}")
+            for v in ["A", "N", "R"]
+        ],
+    )
+
+
+@query(
+    "customer_order_analytics",
+    """
+    WITH seq AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               epoch_ns(o_orderdate) AS od,
+               row_number()  OVER w AS order_seq,
+               rank()        OVER (PARTITION BY o_custkey ORDER BY round(o_totalprice, 2) DESC) AS price_rank,
+               lag(round(o_totalprice, 2))  OVER w AS prev_price,
+               lead(round(o_totalprice, 2)) OVER w AS next_price,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch_ns(o_orderdate), o_orderkey
+                                             ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+               round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch_ns(o_orderdate), o_orderkey
+                                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ns(o_orderdate), o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey, order_seq, price_rank, prev_price,
+           next_price, running_total, moving_avg3
+    FROM seq
+    """,
+    doc="Full analytic-window battery: row_number/rank/lag/lead plus "
+    "running sum (UNBOUNDED PRECEDING) and 3-row moving average — frame "
+    "specs the reference never used (SURVEY §2.5 gap). Ordered on "
+    "(epoch, orderkey) so ties are deterministic; one shuffle on the "
+    "partition key serves ALL the windows (shared window spec).",
+)
+def customer_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price2 = F.round(F.col("o_totalprice"), 2)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.rank()
+        .over(Window.partitionBy("o_custkey").orderBy(price2.desc()))
+        .alias("price_rank"),
+        F.lag(price2).over(w).alias("prev_price"),
+        F.lead(price2).over(w).alias("next_price"),
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_total"),
+        F.round(
+            F.avg("o_totalprice").over(w.rowsBetween(-2, Window.currentRow)), 4
+        ).alias("moving_avg3"),
+    )
+
+
 # Extension-tier registrations (text analysis / dedup / similarity /
 # event windows / multimodal). Imported last: queries_llm pulls `query`
 # and `_t` from this module, which are already bound by this point.

@@ -41,9 +41,18 @@ def _norm_cell(v):
     return str(v)
 
 
+def _sort_key(row):
+    # None is not comparable with str/int — sort on (is_null, type, value)
+    return tuple(
+        (v is None, type(v).__name__, "" if v is None else v) for v in row
+    )
+
+
 def _canonical(rows, columns):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
-    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+    return sorted(
+        (tuple(_norm_cell(r[i]) for i in order) for r in rows), key=_sort_key
+    )
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
