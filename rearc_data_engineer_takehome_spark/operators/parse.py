@@ -34,13 +34,18 @@ def parse_whitespace_series(lines: DataFrame, value_col: str = "value") -> DataF
       * conjunctive not-null filter then removes header/garbage rows.
     """
     tokens = F.split(F.trim(F.col(value_col)), r"\s+")
+    # F.get (NOT getItem): under ANSI mode (Spark 4 default) getItem
+    # THROWS InvalidArrayIndex on lines with fewer than 4 tokens — one
+    # short line would kill the whole job. get() yields NULL, which the
+    # not-null filter below then drops, preserving the reference's
+    # malformed-row semantics.
     parsed = (
         lines.where(F.length(F.trim(F.col(value_col))) > 0)
         .select(
-            tokens.getItem(0).alias("series_id"),
-            tokens.getItem(1).try_cast("int").alias("year"),
-            tokens.getItem(2).alias("period"),
-            tokens.getItem(3).try_cast("double").alias("value"),
+            F.get(tokens, 0).alias("series_id"),
+            F.get(tokens, 1).try_cast("int").alias("year"),
+            F.get(tokens, 2).alias("period"),
+            F.get(tokens, 3).try_cast("double").alias("value"),
         )
         .where(
             F.col("series_id").isNotNull()

@@ -556,6 +556,27 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_props_typed",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) > 80
+    """,
+    doc="Typed semi-structured parse: from_json with a DECLARED schema "
+    "(struct<k:int>) instead of per-path string extraction — one parse "
+    "per row regardless of field count, the scale-correct shape when "
+    "many fields are read.",
+)
+def events_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k INT").alias("p")
+    ).select("event_id", F.col("p.k").alias("k"))
+    return parsed.where(F.col("k") > 80)
+
+
+@query(
     "events_json_props",
     """
     SELECT event_type,
