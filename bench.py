@@ -31,10 +31,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
-    # Warm the JVM + parquet footers once so timings measure query
-    # execution, not first-touch JIT/metadata costs.
+    # Warm the JVM, parquet footers, python worker pool, and the
+    # higher-order-function codepaths once, so per-query timings measure
+    # steady-state execution rather than first-touch JIT.
     names = sorted(REGISTRY)
-    REGISTRY[names[0]].spark(spark, SF_DIR).count()
+    for warm in ("pricing_summary", "doc_fingerprints", "knn_bruteforce"):
+        if warm in REGISTRY:
+            REGISTRY[warm].spark(spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
     for name in names:

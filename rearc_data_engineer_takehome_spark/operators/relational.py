@@ -122,3 +122,37 @@ def distinct_count(df: DataFrame, col: str, approx: bool = False) -> DataFrame:
     choice at 100 TB when ±2% is acceptable."""
     fn = F.approx_count_distinct if approx else F.countDistinct
     return df.agg(fn(col).alias(f"distinct_{col}"))
+
+
+def skewed_grouped_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for SKEWED group keys: salt → partial agg on
+    (keys, salt) → final agg on keys. A hot key's rows spread over
+    ``n_salts`` reducers in phase one; phase two combines ``n_salts``
+    partial rows per key — trivially small.
+
+    Only for decomposable aggregates (sum/count here; min/max/avg extend
+    the same way). Spark's own partial aggregation usually suffices —
+    reach for this when map-side partials don't collapse the skew (high
+    cardinality per mapper) and AQE skew handling can't kick in (it only
+    splits JOIN partitions, not aggregations).
+
+    Emits ``sum_<col>`` per sum column plus ``n_rows``.
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(k) for k in keys],
+                                    F.monotonically_increasing_id()),
+                         F.lit(n_salts))
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(c).alias(f"__s_{c}") for c in sum_cols],
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__n").alias("n_rows"),
+        *[F.sum(f"__s_{c}").alias(f"sum_{c}") for c in sum_cols],
+    )

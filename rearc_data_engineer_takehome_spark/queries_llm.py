@@ -644,6 +644,25 @@ def events_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cardinality_sketch",
+    None,  # HLL++/GK sketches differ engine-to-engine → rows-only
+    doc="Approximate profiling — the 100 TB variants of A4/A10: "
+    "approx_count_distinct (HyperLogLog++, one pass, no distinct "
+    "shuffle) and percentile_approx (Greenwald-Khanna sketch). Sketch "
+    "internals differ across engines so this is rows-only; the EXACT "
+    "twins (cardinality_profile, iqr_outliers_price) are oracle-gated.",
+)
+def cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("approx_p99_price"),
+    )
+
+
+@query(
     "iqr_outliers_price",
     """
     WITH b AS (

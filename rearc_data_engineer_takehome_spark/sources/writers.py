@@ -54,6 +54,28 @@ def publish_append(df: DataFrame, table: str, fmt: str | None = None) -> None:
     )
 
 
+def publish_partition_overwrite(
+    df: DataFrame,
+    table: str,
+    partition_by: Sequence[str],
+    fmt: str | None = None,
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leaving all others untouched — the idempotent-rerun story
+    at 100 TB, where a full-table overwrite (S13) would rewrite
+    petabytes to refresh one day. Requires the table to already exist
+    partitioned (create with publish_overwrite + partition_by)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").format(
+            fmt or _table_format(spark)
+        ).insertInto(table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def write_parquet_dir(
     df: DataFrame, path: str, partition_by: Sequence[str] = (), mode: str = "overwrite"
 ) -> None:

@@ -73,3 +73,39 @@ def test_catalog_introspection(spark, db):
     assert "x" in cols
     dbs = {r.namespace for r in spark.sql("SHOW DATABASES").collect()}
     assert "curated_test" in dbs
+
+
+def test_dynamic_partition_overwrite_touches_only_new_partitions(spark, db):
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0), ("2024-01-02", 3, 30.0)],
+        ["day", "k", "v"],
+    )
+    writers.publish_overwrite(base, "t_dyn", partition_by=["day"])
+    # re-publish ONLY day 2 with corrected data (column order must match
+    # table schema for insertInto: data cols first, partition col last)
+    fixed = spark.createDataFrame([(99, 99.0, "2024-01-02")], ["k", "v", "day"])
+    writers.publish_partition_overwrite(fixed, "t_dyn", partition_by=["day"])
+    got = sorted((r.day, r.k, r.v) for r in spark.table("t_dyn").collect())
+    assert got == [
+        ("2024-01-01", 1, 10.0),   # untouched partition survives
+        ("2024-01-01", 2, 20.0),
+        ("2024-01-02", 99, 99.0),  # only day-2 replaced
+    ]
+
+
+def test_skewed_grouped_agg_equals_plain(spark, sf_smoke):
+    from rearc_data_engineer_takehome_spark.operators.relational import (
+        skewed_grouped_agg,
+    )
+    import pyspark.sql.functions as FF
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    plain = li.groupBy("l_returnflag").agg(
+        FF.count(FF.lit(1)).alias("n_rows"),
+        FF.round(FF.sum("l_quantity"), 2).alias("sum_l_quantity"),
+    )
+    salted = skewed_grouped_agg(li, ["l_returnflag"], ["l_quantity"], n_salts=8)
+    salted = salted.select(
+        "l_returnflag", "n_rows", FF.round("sum_l_quantity", 2).alias("sum_l_quantity")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
