@@ -315,6 +315,74 @@ def simhash_pairs(
     )
 
 
+def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs via iterative min-label
+    propagation: every node starts labeled with itself; each round, each
+    node adopts the minimum label among itself and its neighbours; stop
+    at fixpoint. Converges in O(cluster diameter) rounds — near-dup
+    clusters are shallow (usually ≤3 hops), so this is a handful of
+    joins, each a shuffle on the node id.
+
+    Input: (id_a, id_b) pairs (undirected). Output: (doc_id, cluster_id)
+    where cluster_id = min doc id of the component. Documents not in any
+    pair are absent (they are their own singleton cluster by definition).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbour_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbour_min, labels.id == neighbour_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_by_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one canonical document (min id) per near-dup cluster: cluster
+    the pairs, then anti-join the non-canonical members away. Documents
+    in no pair survive untouched."""
+    clusters = cluster_pairs(pairs)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

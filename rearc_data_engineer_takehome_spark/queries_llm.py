@@ -598,6 +598,75 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_clusters",
+    None,  # iterative label propagation — not single-query SQL; pytest gates
+    doc="Near-dup clustering: exact-Jaccard pairs (J≥0.8) → connected "
+    "components via iterative min-label propagation (O(diameter) join "
+    "rounds) → (doc_id, cluster_id). The canonical-doc selection step of "
+    "a production dedup pipeline; union-find equivalence tested in "
+    "tests/test_llm_ops.py.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.8
+    )
+    return dedup.cluster_pairs(pairs)
+
+
+@query(
+    "curation_pipeline",
+    f"""
+    WITH q AS (
+        SELECT doc_id, lang,
+               len({_TOKS}) AS n_tok,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+               length(text) AS n_char,
+               md5(text) AS digest
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, lang, digest,
+               0.5 * least(n_tok / 64.0, 1.0)
+             + 0.5 * (1.0 - round(n_punct / greatest(n_char, 1), 6)) AS score
+        FROM q
+    ), kept AS (
+        SELECT min(doc_id) AS doc_id, any_value(lang) AS lang,
+               max(score) AS score
+        FROM scored
+        WHERE score >= 0.6
+        GROUP BY digest
+    )
+    SELECT lang, count(*) AS n_docs, round(avg(score), 6) AS avg_score
+    FROM kept GROUP BY lang
+    """,
+    doc="Composed curation pipeline — the end-to-end shape of a training-"
+    "data filter: quality-score → threshold filter → exact dedup "
+    "(canonical min-id per digest) → per-language yield stats. One plan; "
+    "Catalyst fuses the scoring projection into the scan and the dedup "
+    "shuffles digests only.",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), 0))
+    score = 0.5 * F.least(n_tok / 64.0, F.lit(1.0)) + 0.5 * (
+        1.0 - F.round(n_punct / F.greatest(F.length("text"), F.lit(1)), 6)
+    )
+    scored = docs.select(
+        "doc_id", "lang", F.md5("text").alias("digest"), score.alias("score")
+    ).where(F.col("score") >= 0.6)
+    kept = scored.groupBy("digest").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.any_value("lang").alias("lang"),
+        F.max("score").alias("score"),
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join (events: each error matched to the user's latest prior signup)
 # ---------------------------------------------------------------------------

@@ -219,3 +219,53 @@ def test_stream_tumbling_matches_batch(spark, tmp_path):
     }
     assert len(got) == len(expected) == 3
     assert {n for _, n in got} == {n for _, n in expected}
+
+
+# ---------------------------------------------------------------------------
+# Clustering + vectorized kNN
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_pairs_matches_union_find(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)],
+        ["id_a", "id_b"],
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.cluster_pairs(pairs).collect()}
+    # union-find ground truth
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)]:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+    assert got == expected
+    assert got[4] == 1 and got[10] == 8  # chains collapse to min id
+
+
+def test_dedup_by_pairs_keeps_canonicals(spark, docs):
+    sample = docs.limit(20)
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 7)], ["id_a", "id_b"])
+    kept = dedup.dedup_by_pairs(sample, pairs)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 0 in ids and 1 not in ids and 2 not in ids
+    assert 5 in ids and 7 not in ids
+    assert len(ids) == 20 - 3  # three non-canonical members removed
+
+
+def test_vectorized_knn_matches_jvm_topk(emb):
+    q = _qvec(emb)
+    rest = emb.where(F.col("vec_id") != 0)
+    jvm = [(r.vec_id, r.cos_sim)
+           for r in similarity.bruteforce_topk(rest, q, k=10).collect()]
+    vec = [(r.vec_id, r.cos_sim)
+           for r in similarity.bruteforce_topk_vectorized(rest, q, k=10).collect()]
+    assert jvm == vec  # identical ids AND 6dp-rounded similarities
