@@ -893,6 +893,63 @@ def events_value_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_inventory",
+    """
+    SELECT (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS modality,
+           count(*) AS n_assets,
+           sum(length(text))::BIGINT AS total_bytes,
+           count(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Multimodal asset inventory: the deterministic (non-UDF) half of "
+    "the multimodal path — binary payload synthesis, typed metadata, "
+    "per-modality accounting — oracle-gated; the mapInPandas decode half "
+    "is multimodal_features (rows-only). Spark element_at and DuckDB list "
+    "indexing are both 1-based, so the modality cycles align verbatim.",
+)
+def multimodal_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_assets(spark, docs)
+    meta = assets.join(
+        docs.select("doc_id", "lang"),
+        assets.asset_id == F.col("doc_id"),
+    )
+    return meta.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@query(
+    "doc_metadata_consistency",
+    """
+    SELECT count(*) AS n_rows,
+           sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS n_chars_mismatch,
+           sum(CASE WHEN doc_id IS NULL OR text IS NULL THEN 1 ELSE 0 END) AS n_null_critical,
+           count(DISTINCT doc_id) AS n_distinct_ids
+    FROM documents
+    """,
+    doc="Cross-field DQ validation (V-battery extension): stored metadata "
+    "(n_chars) must agree with the recomputed value; critical fields "
+    "non-null; id uniqueness — one aggregation pass.",
+)
+def doc_metadata_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("n_chars") != F.length("text")).cast("int")).alias(
+            "n_chars_mismatch"
+        ),
+        F.sum(
+            (F.col("doc_id").isNull() | F.col("text").isNull()).cast("int")
+        ).alias("n_null_critical"),
+        F.countDistinct("doc_id").alias("n_distinct_ids"),
+    )
+
+
+@query(
     "multimodal_features",
     None,  # mapInPandas decode path — not SQL-expressible; pytest checks shape
     doc="Binary-column multimodal pipeline: documents → synthetic assets "
