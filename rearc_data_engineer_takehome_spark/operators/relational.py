@@ -24,6 +24,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.functions import broadcast
 
 
+def spread_compute(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a narrow input so CPU-heavy work parallelizes. A
+    single parquet file arrives as ONE partition regardless of cores —
+    on local[32] that serializes hashing/sorting onto one task. At
+    cluster scale inputs are already many-partitioned and this is a
+    no-op by partition-count check."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def global_stats(
     df: DataFrame, value_col: str, extra_aggs: Sequence[Column] = ()
 ) -> DataFrame:

@@ -753,7 +753,11 @@ def cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB (single-pass sketch).",
 )
 def iqr_outliers_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    from .operators.relational import spread_compute
+
+    # exact percentile merges per-partition count maps — spread the scan
+    # so the partial phase parallelizes (merge result is order-invariant)
+    li = spread_compute(_t(spark, sf_dir, "lineitem"))
     bounds = li.agg(
         F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
         F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
