@@ -26,7 +26,7 @@ from ..functions import hashing, vectors
 from ..functions.text import word_shingles, ws_tokens
 
 
-from .relational import spread_compute  # noqa: E402  (shared compute-spreading)
+from .relational import spread_compute
 
 
 def exact_dedup(
@@ -306,7 +306,9 @@ def simhash_pairs(
     )
 
 
-def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def cluster_pairs(
+    pairs: DataFrame, max_iter: int = 20, graph_partitions: int | None = None
+) -> DataFrame:
     """Connected components over near-dup pairs via iterative min-label
     propagation: every node starts labeled with itself; each round, each
     node adopts the minimum label among itself and its neighbours; stop
@@ -320,25 +322,33 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """
     # localCheckpoint (not persist): iterative joins grow the logical
     # plan linearly, so Catalyst re-optimizes an O(iterations)-deep
-    # lineage every round — checkpointing truncates it (10.5 s → ~3 s at
-    # sf0.1). Cluster graphs are tiny relative to the corpus, so the
-    # materialization is cheap.
-    # The cluster graph is tiny relative to the corpus — coalesce to a
-    # handful of partitions so each iteration's joins don't pay 32-task
-    # scheduling overhead on few-hundred-row frames.
+    # lineage every round — checkpointing truncates it. TRADE-OFF: the
+    # checkpoint is non-reliable; on a cluster with preemptible executors
+    # use spark.sparkContext.setCheckpointDir + .checkpoint() instead
+    # (lineage is gone, so a lost block cannot recompute).
+    #
+    # The cluster graph is orders of magnitude smaller than the corpus,
+    # so iterations run on few partitions (graph_partitions, default
+    # min(parallelism, 8)) to skip per-task scheduling overhead — but
+    # the coalesce happens AFTER the distinct/checkpoint so the edge
+    # dedup itself keeps full shuffle parallelism. Raise graph_partitions
+    # for corpora whose pair lists are themselves large.
+    n_graph = graph_partitions or min(
+        pairs.sparkSession.sparkContext.defaultParallelism, 8
+    )
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .coalesce(4)
         .localCheckpoint()
+        .coalesce(n_graph)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .coalesce(4)
         .localCheckpoint()
+        .coalesce(n_graph)
     )
     for _ in range(max_iter):
         neighbour_min = (
@@ -346,7 +356,7 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        propagated = (
+        new_labels = (
             labels.join(neighbour_min, labels.id == neighbour_min.src, "left")
             .select(
                 "id",
@@ -354,21 +364,7 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-        )
-        # pointer jumping: label(x) ← min(label(x), label(label(x))) —
-        # halves the effective diameter each round (O(log d) convergence)
-        lab2 = propagated.select(
-            F.col("id").alias("jid"), F.col("label").alias("jlabel")
-        )
-        new_labels = (
-            propagated.join(lab2, propagated.label == lab2.jid, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
-                ).alias("label"),
-            )
-            .coalesce(4)
+            .coalesce(n_graph)
             .localCheckpoint()
         )
         changed = (

@@ -755,10 +755,12 @@ def cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def iqr_outliers_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.relational import spread_compute
 
-    # exact percentile merges per-partition count maps — spread the scan
-    # so the partial phase parallelizes (merge result is order-invariant)
-    li = spread_compute(_t(spark, sf_dir, "lineitem"))
-    bounds = li.agg(
+    li = _t(spark, sf_dir, "lineitem")
+    # exact percentile merges per-partition count maps, so spreading the
+    # AGG input parallelizes the partial phase (merge is order-invariant).
+    # Only the bounds branch is repartitioned — the outlier filter branch
+    # parallelizes by file splits and must not pay a full-table shuffle.
+    bounds = spread_compute(li).agg(
         F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
         F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
     ).select(
