@@ -10,13 +10,21 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
+#: Explicit whitespace class. NOT ``\s``: Java's ``\s`` includes vertical
+#: tab (\x0B) while RE2's does not, so ``\s`` tokenizes differently
+#: across engines. The spelled-out class is identical in both dialects.
+WS_CLASS = r" \t\n\r\f\x0B"
+
 #: Whitespace tokenizer — identical semantics in Spark split() and DuckDB
 #: regexp_split_to_array after trim().
-WS_PATTERN = r"\s+"
+WS_PATTERN = rf"[{WS_CLASS}]+"
 
 #: BPE-ish word/number/punct token pattern (letters run | digits run |
 #: single non-space symbol) — valid in both Java regex and RE2.
-BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_PATTERN = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CLASS}]"
+
+#: Punctuation class for quality scoring (non-alnum, non-whitespace).
+PUNCT_PATTERN = rf"[^A-Za-z0-9{WS_CLASS}]"
 
 
 def ws_tokens(text: Column | str) -> Column:

@@ -377,6 +377,19 @@ def cluster_pairs(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausted max_iter without a fixpoint: labels are an
+        # under-merged approximation — surface it rather than silently
+        # splitting one component into several "canonical" docs
+        import warnings
+
+        warnings.warn(
+            f"cluster_pairs did not converge within {max_iter} iterations; "
+            "components deeper than max_iter hops carry split labels — "
+            "raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

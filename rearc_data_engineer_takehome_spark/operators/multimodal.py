@@ -173,6 +173,9 @@ def synthesize_assets(spark, documents: DataFrame, modality_cycle=("image", "aud
         modality.alias("modality"),
         F.lit("synthetic").alias("media_format"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
-        F.length(F.col("text")).cast("long").alias("n_bytes"),
+        # octet_length: byte size of the UTF-8 payload, matching
+        # len(payload) downstream — F.length counts CHARACTERS and
+        # disagrees for any non-ASCII text
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
         F.to_json(F.struct(F.col("lang"), F.col("source"))).alias("meta_json"),
     )

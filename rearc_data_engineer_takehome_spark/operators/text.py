@@ -14,7 +14,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from ..functions import hashing
-from ..functions.text import BPE_PATTERN, bpe_tokens, word_shingles, ws_tokens
+from ..functions.text import (
+    BPE_PATTERN,
+    PUNCT_PATTERN,
+    bpe_tokens,
+    word_shingles,
+    ws_tokens,
+)
 
 #: Tiny per-language stopword lexicons for the n-gram/stopword heuristic
 #: language ID. Deliberately small + hardcoded: the point is the Spark
@@ -53,7 +59,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_char = F.length(t)
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(en_stop, F.lower(x))))
-    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_PATTERN), 0))
     n_digit = F.size(F.regexp_extract_all(t, F.lit("[0-9]"), 0))
     mean_word_len = (n_char - (n_tok - 1)) / n_tok  # chars net of single spaces
 

@@ -23,10 +23,13 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    """True if every join strategy in the plan is broadcast (no
-    SortMergeJoin / ShuffledHashJoin of the fact side)."""
+    """True if every join in the plan is broadcast — at least one
+    broadcast join AND no SortMergeJoin/ShuffledHashJoin anywhere (a
+    single fact-side shuffle join hiding behind a broadcast one is
+    exactly the regression this check exists to catch)."""
     plan = formatted_plan(df)
-    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    broadcast = "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    return broadcast and not ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan)
 
 
 def has_shuffle_join(df: DataFrame) -> bool:

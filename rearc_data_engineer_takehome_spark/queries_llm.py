@@ -18,27 +18,16 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from .functions.hashing import MERSENNE_31, _affine_params, stable_hash64_sql
-from .functions.text import BPE_PATTERN
+from .functions.text import BPE_PATTERN, PUNCT_PATTERN, WS_PATTERN, word_shingles_sql
 from .operators import dedup, multimodal, similarity
 from .operators import text as text_ops
 from .queries import _t, query
 from .streaming import windows as win
 
-# DuckDB expression fragments mirroring functions/text.py
-_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
-
-
-def _shingles_sql(k: int, tokens: str = "t") -> str:
-    """DuckDB twin of functions.text.word_shingles(tokens, k)."""
-    return (
-        f"(CASE WHEN len({tokens}) >= {k} THEN "
-        f"[array_to_string({tokens}[i:i+{k - 1}], ' ') "
-        f"for i in generate_series(1, len({tokens}) - {k - 1})] "
-        f"ELSE [array_to_string({tokens}, ' ')] END)"
-    )
-
-
-_SHINGLES3 = _shingles_sql(3)
+# DuckDB expression fragments — single-sourced from functions/text.py so
+# the Spark expression and its oracle can never drift apart.
+_TOKS = f"regexp_split_to_array(trim(text), '{WS_PATTERN}')"
+_SHINGLES3 = word_shingles_sql("t", 3)
 
 
 # ---------------------------------------------------------------------------
@@ -51,7 +40,7 @@ _SHINGLES3 = _shingles_sql(3)
     f"""
     WITH feat AS (
         SELECT lang,
-               len(regexp_split_to_array(trim(text), '\\s+')) AS ws,
+               len({_TOKS}) AS ws,
                len(regexp_extract_all(text, '{BPE_PATTERN}'))  AS bpe,
                n_chars
         FROM documents
@@ -100,7 +89,7 @@ _EN_STOP_SQL = "['the','and','of','to','in','is','it','that','for','was']"
                len({_TOKS}) AS n_tok,
                len(list_filter(list_transform({_TOKS}, x -> lower(x)),
                                x -> list_contains({_EN_STOP_SQL}, x))) AS stop_hits,
-               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+               len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS n_punct,
                len(regexp_extract_all(text, '[0-9]'))           AS n_digit
         FROM documents
     )
@@ -175,7 +164,7 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)
     SELECT doc_id,
            md5(text) AS content_md5,
-           list_min(list_transform({_shingles_sql(5)},
+           list_min(list_transform({word_shingles_sql("t", 5)},
                     s -> {stable_hash64_sql("s")})) AS min_shingle_hash
     FROM toks
     """,
@@ -345,11 +334,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COS_SQL = (
-    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
-    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
-    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
-)
+from .functions.vectors import cosine_sql
+
+_COS_SQL = cosine_sql("a.embedding", "b.embedding")
 
 
 @query(
@@ -478,9 +465,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted as absolute epoch seconds — tz-independent in both engines."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = _t(spark, sf_dir, "events")
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+    # integer division (div), NOT / 1000: Divide casts int64 nanos to
+    # double whose ULP at ~1.7e18 is 256 ns, so a value within 128 ns of
+    # a boundary could round into the wrong microsecond/bucket while the
+    # DuckDB oracle keeps exact nanos.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 @query(
@@ -620,7 +609,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
         SELECT doc_id, lang,
                len({_TOKS}) AS n_tok,
-               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+               len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS n_punct,
                length(text) AS n_char,
                md5(text) AS digest
         FROM documents
@@ -630,7 +619,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              + 0.5 * (1.0 - round(n_punct / greatest(n_char, 1), 6)) AS score
         FROM q
     ), kept AS (
-        SELECT min(doc_id) AS doc_id, any_value(lang) AS lang,
+        SELECT min(doc_id) AS doc_id, min_by(lang, doc_id) AS lang,
                max(score) AS score
         FROM scored
         WHERE score >= 0.6
@@ -647,9 +636,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), WS_PATTERN)
     n_tok = F.size(toks)
-    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), 0))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_PATTERN), 0))
     score = 0.5 * F.least(n_tok / 64.0, F.lit(1.0)) + 0.5 * (
         1.0 - F.round(n_punct / F.greatest(F.length("text"), F.lit(1)), 6)
     )
@@ -658,7 +647,10 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("score") >= 0.6)
     kept = scored.groupBy("digest").agg(
         F.min("doc_id").alias("doc_id"),
-        F.any_value("lang").alias("lang"),
+        # min_by, not any_value: the lang feeds the final GROUP BY key,
+        # so a nondeterministic pick could diverge between engines when
+        # identical texts carry different lang labels
+        F.min_by("lang", "doc_id").alias("lang"),
         F.max("score").alias("score"),
     )
     return kept.groupBy("lang").agg(
@@ -903,7 +895,7 @@ def events_value_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS modality,
            count(*) AS n_assets,
-           sum(length(text))::BIGINT AS total_bytes,
+           sum(strlen(text))::BIGINT AS total_bytes,
            count(DISTINCT lang) AS n_langs
     FROM documents
     GROUP BY 1

@@ -154,34 +154,53 @@ def mirror_sync(
         _write_run_meta(target, report)
         return report
 
-    local_files = {p.name for p in target.iterdir() if p.is_file() and not p.name.startswith("_")}
+    # try/finally so the run record is written even if the sync body
+    # fails unexpectedly — the append-only audit trail (S15) must record
+    # failed runs too (the reference writes metadata in `finally`,
+    # 10_ingest_bls.ipynb:334-341).
+    try:
+        local_files = {
+            p.name
+            for p in target.iterdir()
+            if p.is_file() and not p.name.startswith("_")
+        }
 
-    for name in remote_files:
-        try:
-            data = fetch(f"{base_url.rstrip('/')}/{name}")
-            dest = target / name
-            if not dest.exists():
-                dest.write_bytes(data)
-                report.uploaded.append(name)
-            elif sha256_bytes(dest.read_bytes()) != sha256_bytes(data):
-                dest.write_bytes(data)
-                report.updated.append(name)
-            else:
-                report.skipped.append(name)
-        except Exception as exc:  # noqa: BLE001 — collect, continue (C3)
-            report.errors[name] = repr(exc)
+        for name in remote_files:
+            try:
+                data = fetch(f"{base_url.rstrip('/')}/{name}")
+                dest = target / name
+                if not dest.exists():
+                    dest.write_bytes(data)
+                    report.uploaded.append(name)
+                elif sha256_bytes(dest.read_bytes()) != sha256_bytes(data):
+                    dest.write_bytes(data)
+                    report.updated.append(name)
+                else:
+                    report.skipped.append(name)
+            except Exception as exc:  # noqa: BLE001 — collect, continue (C3)
+                report.errors[name] = repr(exc)
 
-    # gone-upstream deletion, guarded by toggle + protected set
-    if enable_delete:
-        for name in sorted(local_files - set(remote_files) - set(protected_files)):
-            (target / name).unlink()
-            report.deleted.append(name)
+        # gone-upstream deletion, guarded by toggle + protected set
+        if enable_delete:
+            for name in sorted(
+                local_files - set(remote_files) - set(protected_files)
+            ):
+                try:
+                    (target / name).unlink()
+                    report.deleted.append(name)
+                except OSError as exc:
+                    report.errors[name] = repr(exc)
 
-    if report.errors:
-        report.status = "partial_success" if (
-            report.uploaded or report.updated or report.skipped
-        ) else "failed"
-    _write_run_meta(target, report)
+        if report.errors:
+            report.status = "partial_success" if (
+                report.uploaded or report.updated or report.skipped
+            ) else "failed"
+    except Exception as exc:  # noqa: BLE001 — unexpected: record + re-raise
+        report.status = "failed"
+        report.errors["<sync>"] = repr(exc)
+        raise
+    finally:
+        _write_run_meta(target, report)
     return report
 
 

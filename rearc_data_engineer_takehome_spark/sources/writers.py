@@ -57,19 +57,30 @@ def publish_append(df: DataFrame, table: str, fmt: str | None = None) -> None:
 def publish_partition_overwrite(
     df: DataFrame,
     table: str,
-    partition_by: Sequence[str],
     fmt: str | None = None,
 ) -> None:
     """Dynamic partition overwrite: replace ONLY the partitions present
     in ``df``, leaving all others untouched — the idempotent-rerun story
     at 100 TB, where a full-table overwrite (S13) would rewrite
     petabytes to refresh one day. Requires the table to already exist
-    partitioned (create with publish_overwrite + partition_by)."""
+    partitioned (create with publish_overwrite + partition_by).
+
+    ``insertInto`` matches columns BY POSITION against the stored table
+    schema (which moves partition columns last), so the frame is
+    explicitly reordered to that schema first — otherwise a caller's
+    natural column order would silently write values into the wrong
+    columns.
+    """
     spark = df.sparkSession
+    table_cols = spark.table(table).columns
+    missing = set(table_cols) - set(df.columns)
+    if missing:
+        raise ValueError(f"frame lacks table columns {sorted(missing)}")
+    aligned = df.select(*table_cols)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        df.write.mode("overwrite").format(
+        aligned.write.mode("overwrite").format(
             fmt or _table_format(spark)
         ).insertInto(table)
     finally:

@@ -83,8 +83,10 @@ def test_dynamic_partition_overwrite_touches_only_new_partitions(spark, db):
     writers.publish_overwrite(base, "t_dyn", partition_by=["day"])
     # re-publish ONLY day 2 with corrected data (column order must match
     # table schema for insertInto: data cols first, partition col last)
-    fixed = spark.createDataFrame([(99, 99.0, "2024-01-02")], ["k", "v", "day"])
-    writers.publish_partition_overwrite(fixed, "t_dyn", partition_by=["day"])
+    # deliberately NOT in the stored-table column order (partition col
+    # moves last in the table schema) — the writer must realign by name
+    fixed = spark.createDataFrame([("2024-01-02", 99, 99.0)], ["day", "k", "v"])
+    writers.publish_partition_overwrite(fixed, "t_dyn")
     got = sorted((r.day, r.k, r.v) for r in spark.table("t_dyn").collect())
     assert got == [
         ("2024-01-01", 1, 10.0),   # untouched partition survives
