@@ -161,3 +161,25 @@ def spark_session_holder(spark):
     """Indirection so @given-wrapped tests reuse the session fixture
     without hypothesis complaining about function-scoped fixtures."""
     return spark
+
+
+def test_ws_tokenization_cross_engine_on_vertical_tab(spark):
+    """Java's \\s includes \\x0B, RE2's does not — the explicit WS class
+    must tokenize identically in both engines (the reason WS_PATTERN is
+    spelled out instead of using \\s)."""
+    import duckdb
+
+    from rearc_data_engineer_takehome_spark.functions.text import WS_PATTERN
+    from rearc_data_engineer_takehome_spark.operators.text import token_count_ws
+
+    tricky = "a b\x0bc\td  e\nf"
+    n_spark = (
+        spark.createDataFrame([(tricky,)], ["text"])
+        .select(token_count_ws("text").alias("n"))
+        .collect()[0]["n"]
+    )
+    con = duckdb.connect()
+    n_duck = con.execute(
+        f"SELECT len(regexp_split_to_array(trim(?), '{WS_PATTERN}'))", [tricky]
+    ).fetchone()[0]
+    assert n_spark == n_duck == 6
