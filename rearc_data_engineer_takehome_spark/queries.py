@@ -520,6 +520,136 @@ def customer_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "small_quantity_revenue",
+    """
+    WITH thresholds AS (
+        SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l.l_extendedprice), 2) AS total_price,
+           count(*) AS n_small
+    FROM lineitem l
+    JOIN thresholds t ON l.l_partkey = t.l_partkey
+    WHERE l.l_quantity < t.half_avg_qty
+    """,
+    doc="Correlated-subquery shape (TPC-H Q17): rows below a fraction of "
+    "their own group's average. Expressed as agg + self-join — the "
+    "decorrelated form Catalyst would rewrite the subquery into anyway; "
+    "the per-group threshold table shuffles once on the key.",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(thresholds, "l_partkey")
+        .where(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@query(
+    "brand_price_quartiles",
+    """
+    SELECT p.p_brand,
+           count(*) AS n,
+           round(quantile_cont(l.l_extendedprice, 0.25), 4) AS q1,
+           round(median(l.l_extendedprice), 4)              AS med,
+           round(quantile_cont(l.l_extendedprice, 0.75), 4) AS q3
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="GROUPED exact quantiles (the global variants live in "
+    "describe_lineitem / iqr_outliers_price): per-brand quartiles after a "
+    "broadcast dim join. Exact percentile is per-group memory O(group "
+    "size) — fine for bounded groups; use percentile_approx for "
+    "unbounded ones.",
+)
+def brand_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("q1"),
+            F.round(F.expr("median(l_extendedprice)"), 4).alias("med"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("q3"),
+        )
+    )
+
+
+@query(
+    "part_name_analysis",
+    """
+    SELECT upper(p_brand) AS brand_upper,
+           count(*) AS n,
+           sum(CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END) AS n_green,
+           round(avg(length(p_name)), 4) AS avg_name_len,
+           round(avg(length(regexp_replace(p_name, '[aeiou]', '', 'g'))), 4)
+               AS avg_consonant_len,
+           min(substring(p_type, 1, 5)) AS min_type_prefix,
+           max(concat(p_brand, '#', CAST(p_size AS VARCHAR))) AS max_brand_size
+    FROM part GROUP BY upper(p_brand)
+    """,
+    doc="String-function battery: upper/LIKE/length/regexp_replace/"
+    "substring/concat/cast — all JVM-side codegen'd expressions, oracle-"
+    "matched against the same ANSI semantics in DuckDB.",
+)
+def part_name_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.groupBy(F.upper("p_brand").alias("brand_upper")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p_name").like("%green%").cast("int")).alias("n_green"),
+        F.round(F.avg(F.length("p_name")), 4).alias("avg_name_len"),
+        F.round(
+            F.avg(F.length(F.regexp_replace("p_name", "[aeiou]", ""))), 4
+        ).alias("avg_consonant_len"),
+        F.min(F.substring("p_type", 1, 5)).alias("min_type_prefix"),
+        F.max(
+            F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string"))
+        ).alias("max_brand_size"),
+    )
+
+
+@query(
+    "embedding_element_stats",
+    """
+    SELECT label,
+           count(*) AS n_vectors,
+           round(min(list_min(embedding::DOUBLE[])), 6) AS min_element,
+           round(max(list_max(embedding::DOUBLE[])), 6) AS max_element,
+           round(avg(list_min(embedding::DOUBLE[])), 6) AS avg_min,
+           round(avg(list_max(embedding::DOUBLE[])), 6) AS avg_max
+    FROM embeddings GROUP BY label
+    """,
+    doc="Array-function battery over vector columns: per-vector min/max "
+    "folded per label — array_min/array_max are codegen'd JVM expressions "
+    "with exact DuckDB list_min/list_max twins (no summation-order "
+    "sensitivity, unlike element averages).",
+)
+def embedding_element_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "label",
+        F.array_min(as_double).alias("vmin"),
+        F.array_max(as_double).alias("vmax"),
+    ).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.min("vmin"), 6).alias("min_element"),
+        F.round(F.max("vmax"), 6).alias("max_element"),
+        F.round(F.avg("vmin"), 6).alias("avg_min"),
+        F.round(F.avg("vmax"), 6).alias("avg_max"),
+    )
+
+
 # Extension-tier registrations (text analysis / dedup / similarity /
 # event windows / multimodal). Imported last: queries_llm pulls `query`
 # and `_t` from this module, which are already bound by this point.
