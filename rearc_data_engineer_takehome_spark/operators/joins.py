@@ -90,6 +90,46 @@ def asof_join(
     )
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap: int,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Interval/range join: pairs (l, r) with the same key whose
+    timestamps satisfy ``|left_ts - right_ts| <= max_gap`` (seconds-scale
+    integers or whatever unit the columns carry).
+
+    Spark plans a naive ``ON key AND abs(l-r) <= g`` as an equi-join on
+    the key with a post-filter — fine — but when the KEY is coarse (or
+    absent) that degenerates to per-key cartesian. This implementation
+    adds time-bucket blocking: each right row lands in bucket
+    floor(rt/max_gap); each left row probes its own bucket ±1 (every
+    within-gap pair must share or neighbor a bucket). The join becomes
+    equi on (key, bucket) — 3× right-side duplication buys bounded
+    per-task pair counts regardless of key skew.
+    """
+    lb = F.floor(F.col(left_ts) / max_gap)
+    rb = F.floor(F.col(right_ts) / max_gap)
+    lt = left.withColumn(
+        "__bucket", F.explode(F.array(lb - 1, lb, lb + 1))
+    )
+    rcols = [c for c in right.columns if c != on]
+    rt = right.select(
+        F.col(on),
+        rb.alias("__bucket"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
+    )
+    joined = lt.join(rt, on=[on, "__bucket"]).drop("__bucket")
+    gap_ok = (
+        F.abs(F.col(left_ts) - F.col(f"{right_ts}{suffix}")) <= max_gap
+    )
+    return joined.where(gap_ok)
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

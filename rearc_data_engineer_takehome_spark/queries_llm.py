@@ -566,6 +566,76 @@ def events_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_hypertable_rollup",
+    """
+    WITH hourly AS (
+        SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS bucket_start,
+               count(*) AS n_events, sum(value) AS sum_value
+        FROM events GROUP BY 1
+    )
+    SELECT 'hour' AS granularity, bucket_start, n_events,
+           round(sum_value, 2) AS sum_value
+    FROM hourly
+    UNION ALL
+    SELECT 'day', (floor(bucket_start / 86400) * 86400)::BIGINT,
+           sum(n_events), round(sum(sum_value), 2)
+    FROM hourly GROUP BY 2
+    UNION ALL
+    SELECT 'week', (floor(bucket_start / 604800) * 604800)::BIGINT,
+           sum(n_events), round(sum(sum_value), 2)
+    FROM hourly GROUP BY 2
+    """,
+    doc="Hypertable-style multi-granularity rollup (continuous-aggregate "
+    "pattern): hour buckets aggregate the raw events ONCE; day and week "
+    "buckets re-aggregate FROM the hourly rollup — coarse granularities "
+    "never rescan raw data (one fact pass instead of three at 100 TB). "
+    "Buckets are floor-epoch aligned in both engines (time_bucket's week "
+    "origin differs between engines, so it is avoided).",
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return win.hypertable_rollup(_events(spark, sf_dir), "ts")
+
+
+@query(
+    "events_range_join_errors_signups",
+    """
+    SELECT e.event_id, s.event_id AS event_id_right,
+           e.user_id,
+           (floor(epoch(e.ts)) - floor(epoch(s.ts)))::BIGINT AS gap_s
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+    JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id
+     AND abs(floor(epoch(e.ts)) - floor(epoch(s.ts))) <= 3600
+    """,
+    doc="Range/interval join (Spark has no primitive): error events "
+    "paired with same-user signups within ±1 h. Time-bucket blocking "
+    "turns the range predicate into an equi-join on (key, bucket) with "
+    "±1-bucket probes — bounded per-task pairs even under key skew, "
+    "never a per-key cartesian. Gap computed on second-truncated epochs "
+    "for exact cross-engine agreement.",
+)
+def events_range_join_errors_signups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import range_join
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("tsec"), "event_type"
+    )
+    errors = base.where(F.col("event_type") == "error").drop("event_type")
+    signups = base.where(F.col("event_type") == "signup").drop("event_type")
+    out = range_join(
+        errors, signups, on="user_id", left_ts="tsec", right_ts="tsec",
+        max_gap=3600,
+    )
+    return out.select(
+        "event_id",
+        "event_id_right",
+        "user_id",
+        (F.col("tsec") - F.col("tsec_right")).alias("gap_s"),
+    )
+
+
+@query(
     "events_json_props",
     """
     SELECT event_type,

@@ -116,6 +116,62 @@ def sessionize(
     )
 
 
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str = "value",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Multi-granularity continuous-aggregate rollup (the hypertable
+    pattern): hour buckets aggregated from raw events ONCE, then day and
+    week buckets re-aggregated FROM THE HOURLY ROLLUP — coarse
+    granularities never rescan raw data, which at 100 TB is the
+    difference between one fact-table pass and three.
+
+    Output: (granularity, bucket_start epoch-seconds, keys..., n_events,
+    sum_value). sum/count are decomposable so re-aggregation is exact;
+    extend with min/max the same way (avg derives from sum/count).
+    """
+    keys = keys or []
+    hourly = (
+        df.groupBy(F.window(F.col(ts_col), "1 hour").alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start"), *keys,
+            "n_events", "sum_value",
+        )
+    )
+    hourly = hourly.persist()  # feeds three outputs
+
+    def coarsen(seconds: int):
+        return (
+            hourly.groupBy(
+                (F.floor(F.col("bucket_start") / seconds) * seconds).alias(
+                    "bucket_start"
+                ),
+                *keys,
+            )
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+        )
+
+    out_cols = ["granularity", "bucket_start", *keys, "n_events", "sum_value"]
+    tagged = [
+        hourly.withColumn("granularity", F.lit("hour")),
+        coarsen(86400).withColumn("granularity", F.lit("day")),
+        coarsen(7 * 86400).withColumn("granularity", F.lit("week")),
+    ]
+    result = tagged[0].select(*out_cols)
+    for t in tagged[1:]:
+        result = result.unionByName(t.select(*out_cols))
+    return result.withColumn("sum_value", F.round("sum_value", 2))
+
+
 def stream_tumbling_counts(
     stream: DataFrame,
     ts_col: str,

@@ -157,3 +157,54 @@ def test_stateful_running_stats(spark, tmp_path):
     assert rows[1].n_events == 3 and rows[1].total_value == 60.0
     assert rows[1].peak_value == 30.0
     assert rows[2].n_events == 2 and rows[2].total_value == 20.0
+
+
+def test_range_join_matches_naive(spark):
+    """Bucketed range join must equal the naive inequality join."""
+    import random
+
+    random.seed(7)
+    rows_l = [(i, i % 3, random.randint(0, 10_000)) for i in range(200)]
+    rows_r = [(1000 + i, i % 3, random.randint(0, 10_000)) for i in range(200)]
+    left = spark.createDataFrame(rows_l, ["lid", "k", "lt"])
+    right = spark.createDataFrame(rows_r, ["rid", "k", "rt"])
+
+    bucketed = joins.range_join(left, right, on="k", left_ts="lt",
+                                right_ts="rt", max_gap=500)
+    got = {(r.lid, r.rid_right) for r in bucketed.collect()}
+    naive = {
+        (l[0], r[0])
+        for l in rows_l for r in rows_r
+        if l[1] == r[1] and abs(l[2] - r[2]) <= 500
+    }
+    assert got == naive
+
+
+def test_hypertable_rollup_consistency(spark, sf_smoke):
+    """Coarser granularities must be exact re-aggregations of finer ones."""
+    import pyspark.sql.functions as FF
+
+    from rearc_data_engineer_takehome_spark.streaming.windows import (
+        hypertable_rollup,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .withColumn("ts", FF.timestamp_micros(FF.expr("ts div 1000")))
+    )
+    roll = hypertable_rollup(ev, "ts").cache()
+    by_gran = {
+        g: {r.bucket_start: r.n_events
+            for r in roll.where(FF.col("granularity") == g).collect()}
+        for g in ("hour", "day", "week")
+    }
+    assert sum(by_gran["hour"].values()) == sum(by_gran["day"].values())
+    assert sum(by_gran["day"].values()) == sum(by_gran["week"].values())
+    assert sum(by_gran["hour"].values()) == ev.count()
+    # each day bucket equals the sum of its hour buckets
+    for day_start, n in list(by_gran["day"].items())[:5]:
+        hours = [v for k, v in by_gran["hour"].items()
+                 if day_start <= k < day_start + 86400]
+        assert sum(hours) == n
+    roll.unpersist()
