@@ -129,3 +129,64 @@ def test_foreachbatch_parquet_sink_pipeline(spark, tmp_path):
     rows = {r.ws: r.n for r in back.collect()}
     assert sum(rows.values()) == 10
     assert len(rows) == 2  # two hourly windows
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + a time-range condition
+    (the streaming twin of the batch range join): impressions joined to
+    clicks within 30 minutes after the impression."""
+    imp_dir = str(tmp_path / "impressions")
+    clk_dir = str(tmp_path / "clicks")
+    schema = "event_id long, ts_s string, value double"
+    # value doubles as the campaign key (stream-stream joins REQUIRE an
+    # equality predicate alongside the time-range condition)
+    _write_batch(
+        spark,
+        [(1, "2024-01-01 10:00:00", 7.0), (2, "2024-01-01 11:00:00", 8.0)],
+        schema,
+        imp_dir,
+    )
+    _write_batch(
+        spark,
+        [
+            (101, "2024-01-01 10:10:00", 7.0),  # campaign 7, within 30 min of imp 1
+            (102, "2024-01-01 10:50:00", 7.0),  # campaign 7, too late for imp 1
+            (103, "2024-01-01 11:20:00", 8.0),  # campaign 8, within 30 min of imp 2
+            (104, "2024-01-01 11:20:00", 7.0),  # campaign 7, too late for imp 1
+        ],
+        schema,
+        clk_dir,
+    )
+
+    read_schema = "event_id long, ts timestamp, value double"
+    imps = (
+        spark.readStream.schema(read_schema).parquet(imp_dir)
+        .selectExpr("event_id AS imp_id", "ts AS imp_ts", "value AS campaign")
+        .withWatermark("imp_ts", "2 hours")
+    )
+    clicks = (
+        spark.readStream.schema(read_schema).parquet(clk_dir)
+        .selectExpr("event_id AS click_id", "ts AS click_ts", "value AS c_campaign")
+        .withWatermark("click_ts", "2 hours")
+    )
+    import pyspark.sql.functions as FF
+
+    joined = imps.join(
+        clicks,
+        FF.expr(
+            "campaign = c_campaign AND click_ts >= imp_ts "
+            "AND click_ts <= imp_ts + INTERVAL 30 MINUTES"
+        ),
+        "inner",
+    )
+    q = (
+        joined.select("imp_id", "click_id")
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.imp_id, r.click_id) for r in spark.table("ss_join").collect()}
+    assert got == {(1, 101), (2, 103)}
