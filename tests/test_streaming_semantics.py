@@ -72,7 +72,7 @@ def test_native_session_window_matches_lag_sessionizer(spark, sf_smoke):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = (
         spark.read.parquet(f"{sf_smoke}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .select("user_id", "ts", "value")
     )
     lag_based = win.sessionize(ev, "ts", "user_id", gap_minutes=30)
