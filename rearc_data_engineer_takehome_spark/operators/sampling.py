@@ -1,0 +1,71 @@
+"""Sampling operators for training-data pipelines: uniform sampling,
+stratified sampling, deterministic hash-based splits.
+
+Sampling at 100 TB is a scan-side operation — every operator here
+filters during the scan (no shuffle, no collect). Two determinism
+models:
+
+  * ``sample``/``stratified_sample`` are seed-deterministic WITHIN Spark
+    (Bernoulli per-row draws) but not reproducible across engines or
+    partitionings — fine for throughput sampling;
+  * ``hash_split`` is CONTENT-deterministic: a row's bucket depends only
+    on its key's md5, so the same row lands in the same split across
+    engines, runs, partitionings, and even cluster sizes — the property
+    a train/val/test split must have to avoid leakage when data is
+    re-ingested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.hashing import stable_hash64
+
+
+def sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """Uniform Bernoulli sample (seed-deterministic within Spark)."""
+    return df.sample(withReplacement=False, fraction=fraction, seed=seed)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: Mapping[str, float], seed: int = 42
+) -> DataFrame:
+    """Per-stratum sampling (e.g. rebalance languages in a corpus):
+    ``fractions`` maps stratum value → keep probability. Strata missing
+    from the map are dropped — make the default explicit."""
+    return df.sampleBy(strata_col, dict(fractions), seed=seed)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Sequence[float],
+    salt: str = "split",
+) -> list[DataFrame]:
+    """Content-deterministic disjoint splits (train/val/test).
+
+    Bucket = md5(salt:key) mod 10_000 mapped to cumulative weight
+    ranges. Every row appears in EXACTLY one split, and the assignment
+    is a pure function of the key — stable under re-ingestion,
+    repartitioning, and engine changes (the md5 hash is the same
+    portable hash the dedup operators use). Keys that must stay
+    together (e.g. all chunks of one document) should share ``key_col``.
+    """
+    total = float(sum(weights))
+    bucket = F.pmod(
+        stable_hash64(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+        F.lit(10_000),
+    )
+    splits = []
+    lo = 0.0
+    for w in weights:
+        hi = lo + (w / total) * 10_000
+        cond = (bucket >= F.lit(int(lo))) & (bucket < F.lit(int(hi)))
+        splits.append(df.where(cond))
+        lo = hi
+    # guard against float-edge truncation: last split takes the remainder
+    splits[-1] = df.where(bucket >= F.lit(int(lo - (weights[-1] / total) * 10_000)))
+    return splits

@@ -658,6 +658,49 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_split_sizes",
+    f"""
+    WITH b AS (
+        SELECT lang,
+               {stable_hash64_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           sum(CASE WHEN bucket < 8000 THEN 1 ELSE 0 END) AS n_train,
+           sum(CASE WHEN bucket >= 8000 AND bucket < 9000 THEN 1 ELSE 0 END) AS n_val,
+           sum(CASE WHEN bucket >= 9000 THEN 1 ELSE 0 END) AS n_test
+    FROM b GROUP BY lang
+    """,
+    doc="Content-deterministic train/val/test split (operators/sampling."
+    "hash_split): bucket = md5('split:'||key) mod 10000 → 80/10/10 "
+    "ranges. Pure function of the key, so assignment survives "
+    "re-ingestion, repartitioning, and engine changes (no leakage) — "
+    "and is therefore fully oracle-verifiable, unlike Bernoulli sampling.",
+)
+def corpus_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    train, val, test = hash_split(docs, "doc_id", [0.8, 0.1, 0.1])
+    parts = [
+        train.select("lang").withColumn("part", F.lit("n_train")),
+        val.select("lang").withColumn("part", F.lit("n_val")),
+        test.select("lang").withColumn("part", F.lit("n_test")),
+    ]
+    unioned = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return (
+        unioned.groupBy("lang")
+        .pivot("part", ["n_train", "n_val", "n_test"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "lang",
+            *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+              for c in ("n_train", "n_val", "n_test")],
+        )
+    )
+
+
+@query(
     "dedup_clusters",
     None,  # iterative label propagation — not single-query SQL; pytest gates
     doc="Near-dup clustering: exact-Jaccard pairs (J≥0.8) → connected "
