@@ -156,6 +156,21 @@ def dq_summary(df: DataFrame, keys: Sequence[str], run_utc: str) -> DataFrame:
     )
 
 
+def observed(df: DataFrame, name: str, *cols: Sequence[str]):
+    """Attach in-flight DQ metrics via Spark's Observation API: row count
+    + per-column null counts computed DURING the job that consumes the
+    DataFrame — no second pass, unlike the reference's separate count()
+    validations (20_analytics.ipynb:3146-3156). Returns (df, observation);
+    read ``observation.get`` after an action completes."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.col(c).isNull().cast("int")).alias(f"{c}_nulls") for c in cols
+    ]
+    return df.observe(obs, *metrics), obs
+
+
 # --- hard assertions (reference validation cell, 20_analytics.ipynb:3103-3172) ---
 
 

@@ -95,3 +95,38 @@ def write_parquet_dir(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet_dir(
+    spark: SparkSession, path: str, target_files: int
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_files`` files. Streaming/append sinks accrete tiny files
+    whose per-file open/footer overhead dominates scans at scale;
+    periodic compaction restores healthy file sizes.
+
+    Safe rewrite protocol: write to a sibling temp dir first, then swap
+    directories — the original data is never destroyed before the
+    replacement is fully committed. Returns the new file count.
+    """
+    import shutil
+    from pathlib import Path
+
+    src = Path(path)
+    tmp = src.with_name(src.name + "._compacting")
+    backup = src.with_name(src.name + "._old")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+
+    spark.read.parquet(str(src)).coalesce(target_files).write.mode(
+        "overwrite"
+    ).parquet(str(tmp))
+
+    src.rename(backup)
+    try:
+        tmp.rename(src)
+    except OSError:
+        backup.rename(src)  # roll back: original data restored
+        raise
+    shutil.rmtree(backup)
+    return len(list(src.glob("*.parquet")))
