@@ -650,6 +650,150 @@ def embedding_element_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scd2_customer_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(o_orderdate) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (lead(o_orderdate) OVER w IS NULL) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    doc="SCD type 2 interval building (operators/scd.scd2_from_events): a "
+    "change log becomes versioned rows with half-open validity intervals "
+    "and an is_current flag — first-class history where the reference "
+    "keeps point-in-time snapshots only (20_analytics.ipynb:653, 2200). "
+    "Timestamps compared as formatted strings (NTZ-safe, both engines).",
+)
+def scd2_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scd import scd2_from_events
+
+    orders = _t(spark, sf_dir, "orders")
+    versions = scd2_from_events(
+        orders, keys=["o_custkey"], ts_col="o_orderdate", tiebreak=["o_orderkey"]
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return versions.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "is_current",
+    )
+
+
+@query(
+    "promo_revenue_share",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share_pct,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    """,
+    doc="TPC-H Q14 shape: conditional aggregation (CASE inside sum) over a "
+    "date-sliced fact⋈dim join — promo revenue as a share of total. The "
+    "date filter pushes to the parquet scan; the dim side broadcasts.",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc_price), 4).alias(
+                "promo_share_pct"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "returnflag_priority_mix",
+    """
+    SELECT l.l_returnflag,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    """,
+    doc="TPC-H Q12 shape: fact⋈fact equi-join with CASE-bucketed counts — "
+    "urgent vs non-urgent order mix per return flag. Both sides shuffle "
+    "on the join key (orders is not broadcast-size at real SF); the "
+    "shipdate filter prunes lineitem before the exchange.",
+)
+def returnflag_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .join(orders.select("o_orderkey", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(urgent.cast("long")).alias("high_line_count"),
+            F.sum((~urgent).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "brand_disjunctive_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#4'  AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 1 AND 30)
+       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 10 AND 40
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand = 'Brand#2'  AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjunctive ranges spanning both "
+    "join sides. Catalyst splits the OR into single-side implied filters "
+    "(l_quantity ∈ [1,50], p_size ∈ [1,50], brand ∈ {…}) pushed below the "
+    "join, keeping the full predicate as a post-join residual.",
+)
+def brand_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    pred = (
+        ((br == "Brand#4") & sz.between(1, 25) & q.between(1, 30))
+        | ((br == "Brand#19") & sz.between(10, 40) & q.between(10, 40))
+        | ((br == "Brand#2") & sz.between(20, 50) & q.between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .where(pred)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # Extension-tier registrations (text analysis / dedup / similarity /
 # event windows / multimodal). Imported last: queries_llm pulls `query`
 # and `_t` from this module, which are already bound by this point.

@@ -97,30 +97,22 @@ def write_parquet_dir(
     writer.parquet(path)
 
 
-def compact_parquet_dir(
-    spark: SparkSession, path: str, target_files: int
-) -> int:
-    """Small-file compaction: rewrite a parquet directory into
-    ``target_files`` files. Streaming/append sinks accrete tiny files
-    whose per-file open/footer overhead dominates scans at scale;
-    periodic compaction restores healthy file sizes.
-
-    Safe rewrite protocol: write to a sibling temp dir first, then swap
-    directories — the original data is never destroyed before the
-    replacement is fully committed. Returns the new file count.
+def _swap_rewrite(path: str, write_tmp) -> None:
+    """Safe rewrite protocol: materialize the replacement in a sibling
+    temp dir, then swap directories — the original data is never
+    destroyed before the replacement is fully committed. ``write_tmp``
+    is called with the temp path and must produce the new contents.
     """
     import shutil
     from pathlib import Path
 
     src = Path(path)
-    tmp = src.with_name(src.name + "._compacting")
+    tmp = src.with_name(src.name + "._rewriting")
     backup = src.with_name(src.name + "._old")
     if tmp.exists():
         shutil.rmtree(tmp)
 
-    spark.read.parquet(str(src)).coalesce(target_files).write.mode(
-        "overwrite"
-    ).parquet(str(tmp))
+    write_tmp(str(tmp))
 
     src.rename(backup)
     try:
@@ -129,4 +121,77 @@ def compact_parquet_dir(
         backup.rename(src)  # roll back: original data restored
         raise
     shutil.rmtree(backup)
-    return len(list(src.glob("*.parquet")))
+
+
+def compact_parquet_dir(
+    spark: SparkSession, path: str, target_files: int
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_files`` files. Streaming/append sinks accrete tiny files
+    whose per-file open/footer overhead dominates scans at scale;
+    periodic compaction restores healthy file sizes. Returns the new
+    file count.
+    """
+    from pathlib import Path
+
+    df = spark.read.parquet(path)
+    _swap_rewrite(
+        path,
+        lambda tmp: df.coalesce(target_files).write.mode("overwrite").parquet(tmp),
+    )
+    return len(list(Path(path).glob("*.parquet")))
+
+
+def merge_upsert(
+    spark: SparkSession, path: str, updates: DataFrame, keys: Sequence[str]
+) -> None:
+    """Keyed MERGE (upsert) into a parquet directory: rows whose key
+    matches an update are replaced, unmatched updates are inserted,
+    everything else is untouched. Re-running the same updates converges
+    (idempotent), extending the reference's whole-table overwrite
+    idempotency contract (notebooks/10_ingest_bls.ipynb:203) to
+    row-level changes.
+
+    Plan shape: current LEFT ANTI updates on the keys (drops superseded
+    versions) ∪ updates, rewritten via the safe-swap protocol. On plain
+    parquet an upsert is necessarily a rewrite of the affected data; at
+    100 TB the affected data must be bounded — partition the table on a
+    key prefix and route each update batch through
+    ``publish_partition_overwrite`` so only touched partitions rewrite,
+    or use a metadata-native MERGE (Delta/Iceberg) when the runtime has
+    it (see _table_format). The anti-join itself broadcasts when the
+    update batch is small — the common CDC case.
+    """
+    from pathlib import Path
+
+    if not Path(path).exists():
+        updates.write.parquet(path)
+        return
+    current = spark.read.parquet(path)
+    if set(current.columns) != set(updates.columns):
+        raise ValueError(
+            f"update schema {sorted(updates.columns)} != table schema "
+            f"{sorted(current.columns)}"
+        )
+    merged = current.join(updates, on=list(keys), how="left_anti").unionByName(
+        updates
+    )
+    _swap_rewrite(path, lambda tmp: merged.write.parquet(tmp))
+
+
+def write_sorted(
+    df: DataFrame, path: str, sort_cols: Sequence[str], n_files: int
+) -> None:
+    """Layout-optimized write: range-partition on ``sort_cols`` into
+    ``n_files`` globally disjoint key ranges, sorted within each file.
+    Parquet footers then carry tight, non-overlapping min/max stats per
+    file and row group, so a point or range predicate on the sort key
+    skips every non-matching file without reading it — the single
+    biggest scan win at 100 TB (only ~1/n_files of data touched).
+    """
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
