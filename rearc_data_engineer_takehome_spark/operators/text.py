@@ -129,3 +129,56 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
         F.md5(F.col(text_col)).alias("content_md5"),
         F.array_min(shingle_hashes).alias("min_shingle_hash"),
     )
+
+
+def chunk_fixed(
+    df: DataFrame,
+    text_col: str = "text",
+    size: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Fixed-window document chunking: split each document into
+    ``size``-char chunks starting every ``stride`` chars (stride < size
+    → overlapping context windows, the standard pre-tokenization shape
+    for LLM training / embedding pipelines).
+
+    Pure codegen: sequence → transform → posexplode, no UDF and no
+    shuffle — chunking is embarrassingly parallel, so a 100 TB corpus
+    chunks at full scan speed with output partitioning inherited from
+    the input. Empty/null texts yield one empty chunk (row preserved).
+    """
+    n_windows = F.greatest(
+        F.floor((F.length(F.col(text_col)) - 1) / F.lit(stride)).cast("int"),
+        F.lit(0),
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), n_windows),
+        lambda i: F.substring(F.col(text_col), i * stride + 1, size),
+    )
+    others = [c for c in df.columns if c != text_col]
+    return df.select(
+        *others, F.posexplode(windows).alias("chunk_id", "chunk_text")
+    )
+
+
+#: PII patterns valid in both Java regex (Spark) and RE2 (DuckDB) — the
+#: oracle runs the same patterns, so stay inside the common subset
+#: (no lookbehind, no possessive quantifiers).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # paren'd area code is an alternation, not \(? — an optional paren
+    # would let the match start INSIDE "(212)" and leave "(" behind
+    (r"(?:\+?\d{1,3}[-. ])?(?:\(\d{3}\)|\b\d{3})[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub emails, IPv4 addresses, and phone numbers from a text
+    column — the minimum-viable PII pass every training-data pipeline
+    runs before publication. Chained regexp_replace stays inside
+    whole-stage codegen (no UDF)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out

@@ -1079,3 +1079,76 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("feature_mean"), 6).alias("avg_feature"),
         F.sum((F.col("decode_error").isNotNull()).cast("int")).alias("n_errors"),
     )
+
+
+@query(
+    "doc_chunks",
+    """
+    WITH exploded AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, greatest(CAST(floor((length(text) - 1) / 96.0)
+                                          AS BIGINT), 0) + 1),
+                   i -> struct_pack(
+                       chunk_id := i,
+                       chunk_text := substring(text, CAST(i * 96 + 1 AS INT), 128)
+                   ))) AS ch
+        FROM documents
+    )
+    SELECT doc_id, CAST(ch.chunk_id AS INT) AS chunk_id,
+           ch.chunk_text AS chunk_text,
+           length(ch.chunk_text) AS chunk_len
+    FROM exploded
+    """,
+    doc="Fixed-window document chunking (text_ops.chunk_fixed): 128-char "
+    "windows every 96 chars (overlapping) — the pre-tokenization shape for "
+    "LLM training/embedding pipelines. sequence→transform→posexplode, all "
+    "codegen, no shuffle; oracle is a correlated generate_series.",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text_ops.chunk_fixed(docs, "text", size=128, stride=96)
+    return out.select(
+        "doc_id", "chunk_id", "chunk_text", F.length("chunk_text").alias("chunk_len")
+    )
+
+
+@query(
+    "doc_pii_redaction",
+    """
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com or 10.0.'
+                    || doc_id % 256 || '.7 tel 555-867-5309' AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             '(?:\\+?\\d{1,3}[-. ])?(?:\\(\\d{3}\\)|\\b\\d{3})[-. ]\\d{3}[-. ]\\d{4}\\b',
+             '<PHONE>', 'g') AS redacted,
+           length(raw) AS raw_len
+    FROM enriched
+    """,
+    doc="PII redaction (text_ops.redact_pii): email/IPv4/phone scrubbing via "
+    "chained regexp_replace in the Java∩RE2 dialect intersection. The query "
+    "plants synthetic PII (the corpus has none) so the patterns provably "
+    "fire; oracle applies the identical patterns with DuckDB's 'g' flag.",
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel 555-867-5309"),
+    )
+    return docs.select(
+        "doc_id",
+        text_ops.redact_pii(raw).alias("redacted"),
+        F.length(raw).alias("raw_len"),
+    )

@@ -72,3 +72,36 @@ def test_compact_parquet_dir(spark, tmp_path):
     leftovers = [p.name for p in pathlib.Path(path).parent.iterdir()
                  if "._" in p.name]
     assert leftovers == []
+
+
+def test_available_now_incremental_ingestion(spark, tmp_path):
+    """Trigger.AvailableNow + checkpoint: each run drains exactly the
+    files that arrived since the last run, then stops — incremental
+    batch ingestion with streaming's exactly-once bookkeeping."""
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    schema = "id long, v double"
+
+    def land(lo, hi):
+        spark.range(lo, hi).select(
+            F.col("id"), (F.col("id") * 1.5).alias("v")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land(0, 100)
+    drain()
+    assert spark.read.parquet(out).count() == 100
+
+    land(100, 150)
+    drain()  # second run picks up ONLY the new files (no reprocessing)
+    ids = [r.id for r in spark.read.parquet(out).collect()]
+    assert len(ids) == 150 and len(set(ids)) == 150  # no duplicates
