@@ -79,3 +79,20 @@ def test_bls_parse_filter_stays_near_scan(spark, tmp_path):
     df = parse.read_and_parse_bls(spark, str(p))
     assert explain.count_exchanges(df) == 0
     assert explain.uses_whole_stage_codegen(df)
+
+
+def test_disjunctive_predicate_splits_to_both_scans(spark, sf_smoke):
+    """Q19 shape: the OR-of-conjunctions must not stay a post-join-only
+    filter — Catalyst derives single-side implications (quantity, size,
+    brand ranges) and pushes them into BOTH parquet scans, and the dim
+    side still broadcasts."""
+    df = REGISTRY["brand_disjunctive_revenue"].spark(spark, sf_smoke)
+    pushed = explain.pushed_filters(df)
+    assert "l_quantity" in pushed and "p_size" in pushed and "p_brand" in pushed
+    assert explain.has_broadcast_join(df) and not explain.has_shuffle_join(df)
+
+
+def test_promo_share_date_filter_pushed(spark, sf_smoke):
+    df = REGISTRY["promo_revenue_share"].spark(spark, sf_smoke)
+    assert "l_shipdate" in explain.pushed_filters(df)
+    assert explain.has_broadcast_join(df)
