@@ -1152,3 +1152,42 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_ops.redact_pii(raw).alias("redacted"),
         F.length(raw).alias("raw_len"),
     )
+
+
+@query(
+    "events_gapfill_daily",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               floor(epoch(time_bucket(INTERVAL 1 DAY, ts)))::BIGINT AS day_start,
+               round(avg(value), 4) AS val
+        FROM events WHERE value > 220
+        GROUP BY 1, 2
+    ), bounds AS (
+        SELECT min(day_start) AS lo, max(day_start) AS hi FROM daily
+    ), grid AS (
+        SELECT k.event_type,
+               unnest(generate_series(b.lo, b.hi, 86400)) AS day_start
+        FROM (SELECT DISTINCT event_type FROM daily) k, bounds b
+    ), dense AS (
+        SELECT g.event_type, g.day_start, d.val
+        FROM grid g LEFT JOIN daily d
+          ON g.event_type = d.event_type AND g.day_start = d.day_start
+    )
+    SELECT event_type, day_start,
+           last_value(val IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day_start
+                     ROWS UNBOUNDED PRECEDING) AS val_filled,
+           (val IS NULL) AS is_gap
+    FROM dense
+    """,
+    doc="Time-series gap filling + forward fill (win.gapfill_daily — "
+    "TimescaleDB time_bucket_gapfill/locf analog): sparse daily series "
+    "densified onto the full epoch-aligned day grid, last observation "
+    "carried forward, filled rows flagged. Filter value>220 creates real "
+    "gaps (12-23 of 30 days present per type at sf0.01). Day buckets are "
+    "epoch-second longs — tz-independent in both engines.",
+)
+def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).where(F.col("value") > 220)
+    return win.gapfill_daily(ev, "event_type", "ts", "value")

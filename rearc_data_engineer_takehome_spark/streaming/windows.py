@@ -199,3 +199,61 @@ def to_memory_sink(
         .queryName(query_name)
         .outputMode(output_mode)
     )
+
+
+def gapfill_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Time-series gap filling with forward fill (TimescaleDB's
+    ``time_bucket_gapfill`` + ``locf``): aggregate to a daily series per
+    key, densify onto the complete day grid spanning the data, and carry
+    the last observed value across missing days (``is_gap`` marks filled
+    rows; leading gaps stay null — there is nothing to carry).
+
+    Day buckets come from ``F.window(ts, '1 day')`` and are emitted as
+    absolute epoch seconds (``day_start``) — epoch-aligned and
+    tz-independent in every engine, unlike date_trunc/date_format on LTZ
+    values which shift with the session zone. The densification grid is
+    then a plain long sequence stepping 86400 — no timestamp arithmetic
+    at all.
+
+    Scale shape: the daily aggregate shrinks the fact table first
+    (days×keys rows); the grid is generated, never shuffled large; the
+    join and the forward-fill window both run over the already-tiny
+    densified series. Grid bounds are a 2-scalar driver aggregate,
+    constant size at any SF.
+    """
+    from pyspark.sql import Window
+
+    daily = df.groupBy(
+        F.window(F.col(ts_col), "1 day").alias("w"), F.col(key_col)
+    ).agg(F.round(F.avg(val_col), round_to).alias("val")).select(
+        F.col("w.start").cast("long").alias("day_start"), key_col, "val"
+    )
+    lo, hi = daily.agg(F.min("day_start"), F.max("day_start")).first()
+    grid = (
+        daily.select(key_col)
+        .distinct()
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(F.lit(lo), F.lit(hi), F.lit(86400))
+            ).alias("day_start"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("day_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dense = grid.join(daily, [key_col, "day_start"], "left")
+    return dense.select(
+        key_col,
+        "day_start",
+        F.last("val", ignorenulls=True).over(w).alias("val_filled"),
+        F.col("val").isNull().alias("is_gap"),
+    )
