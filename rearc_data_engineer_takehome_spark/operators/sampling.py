@@ -69,3 +69,33 @@ def hash_split(
     # guard against float-edge truncation: last split takes the remainder
     splits[-1] = df.where(bucket >= F.lit(int(lo - (weights[-1] / total) * 10_000)))
     return splits
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    m: int,
+    key_col: str,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    each row draws u ∈ (0,1) and ranks by ln(u)/w — the top ``m`` keys
+    are a weighted sample, P(selected) ∝ weight, in ONE distributed
+    pass with no sequential reservoir. Rows with weight ≤ 0 are excluded.
+
+    u derives from the portable md5 hash of (salt, key), so the sample
+    is a pure function of content — reproducible across runs, engines,
+    and partitionings (no RNG state). The ranking key is rounded to 8 dp
+    with a key tie-break so cross-engine libm ln() differences cannot
+    reorder the selection. Top-m compiles to TakeOrderedAndProject
+    (per-partition heaps), not a global sort.
+    """
+    h = stable_hash64(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    u = (h.cast("double") + 0.5) / float(1 << 60)
+    wkey = F.round(F.log(u) / F.col(weight_col), 8)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("wkey", wkey)
+        .orderBy(F.col("wkey").desc(), F.col(key_col).asc())
+        .limit(m)
+    )

@@ -1191,3 +1191,75 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).where(F.col("value") > 220)
     return win.gapfill_daily(ev, "event_type", "ts", "value")
+
+
+@query(
+    "doc_bm25_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, len({_TOKS}) AS dl,
+               unnest(list_transform({_TOKS}, x -> lower(x))) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM toks WHERE term IN ('spark', 'join', 'merge')
+        GROUP BY doc_id, dl, term
+    ), corpus AS (
+        SELECT count(*) AS n, sum(len({_TOKS})) AS sumdl FROM documents
+    ), dft AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), scored AS (
+        SELECT t.doc_id,
+               round(sum(
+                   round(ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0), 8)
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / (c.sumdl / c.n)))
+               ), 4) AS bm25,
+               count(*) AS n_terms_hit
+        FROM tf t JOIN dft d USING (term), corpus c
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, bm25, n_terms_hit,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank
+    FROM scored
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 20
+    """,
+    doc="BM25 keyword-search top-k (operators/search.bm25_topk): the "
+    "lexical half of hybrid retrieval next to the kNN tier. Token stream "
+    "filtered to query terms BEFORE the tf shuffle; |query|-row df "
+    "aggregate broadcast back; N/avgdl are 2 driver scalars (integer-exact "
+    "sums, so bit-identical); idf rounded 8dp to neutralize libm ln() "
+    "differences; top-k via TakeOrderedAndProject.",
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "join", "merge"], k=20)
+
+
+@query(
+    "sample_weighted_docs",
+    """
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               round(ln(((('0x' || substr(md5('wsample:' || doc_id::VARCHAR),
+                                          1, 15))::BIGINT)::DOUBLE + 0.5)
+                         / 1152921504606846976.0) / n_chars, 8) AS wkey
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, wkey
+    FROM keyed ORDER BY wkey DESC, doc_id ASC LIMIT 50
+    """,
+    doc="Weighted sampling without replacement (sampling.weighted_sample, "
+    "Efraimidis-Spirakis A-ES): rank by ln(u)/w with u from the portable "
+    "md5 hash — P(selected) ∝ n_chars, one distributed pass, reproducible "
+    "across engines (key rounded 8dp + id tie-break to absorb libm "
+    "differences). Top-m via TakeOrderedAndProject, no global sort.",
+)
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "n_chars", m=50, key_col="doc_id")

@@ -96,3 +96,23 @@ def test_promo_share_date_filter_pushed(spark, sf_smoke):
     df = REGISTRY["promo_revenue_share"].spark(spark, sf_smoke)
     assert "l_shipdate" in explain.pushed_filters(df)
     assert explain.has_broadcast_join(df)
+
+
+def test_join_strategy_hints_are_honored(spark, sf_smoke):
+    """Per-join strategy control: hints must survive to the physical
+    plan — the escape hatch when stats mislead the optimizer at scale."""
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    plan_of = lambda df: explain.formatted_plan(df)
+
+    merged = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    assert "SortMergeJoin" in plan_of(merged)
+
+    shuffled = li.join(
+        orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+    )
+    p = plan_of(shuffled)
+    assert "ShuffledHashJoin" in p and "SortMergeJoin" not in p
+
+    bcast = li.join(orders.hint("broadcast"), li.l_orderkey == orders.o_orderkey)
+    assert explain.has_broadcast_join(bcast)

@@ -47,3 +47,39 @@ def test_hash_split_disjoint_complete_deterministic(docs):
     # content-determinism: same assignment on a repartitioned frame
     train2 = sampling.hash_split(docs.repartition(13), "doc_id", [0.8, 0.1, 0.1])[0]
     assert {r.doc_id for r in train2.select("doc_id").collect()} == ids[0]
+
+
+def test_weighted_sample_matches_formula_and_is_deterministic(spark):
+    import hashlib, math
+
+    rows = [(i, float(10 + (i * 37) % 200)) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    from rearc_data_engineer_takehome_spark.operators.sampling import weighted_sample
+
+    got = weighted_sample(df, "w", m=30, key_col="doc_id").collect()
+    assert len(got) == 30
+
+    # per-row key matches the A-ES formula computed independently
+    def py_key(doc_id, w):
+        h = int(hashlib.md5(f"wsample:{doc_id}".encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / float(1 << 60)
+        return round(math.log(u) / w, 8)
+
+    for r in got:
+        assert abs(r.wkey - py_key(r.doc_id, r.w)) < 1e-9
+
+    # selection = global top-30 of the keys (verified on the full frame)
+    all_keys = sorted(
+        ((py_key(i, w), -i) for i, w in rows), reverse=True
+    )[:30]
+    assert {(-k[1]) for k in all_keys} == {r.doc_id for r in got}
+
+    # reruns identical (pure function of content, no RNG state)
+    again = weighted_sample(df, "w", m=30, key_col="doc_id").collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in got)
+
+    # zero/negative weights never selected
+    df2 = spark.createDataFrame([(900, 0.0), (901, -3.0)], "doc_id long, w double")
+    assert weighted_sample(df.union(df2), "w", m=300, key_col="doc_id").where(
+        "doc_id >= 900"
+    ).count() == 0
