@@ -83,3 +83,41 @@ def bm25_topk(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         id_col, "bm25", "n_terms_hit", "rank"
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top: int = 20,
+) -> DataFrame:
+    """Reciprocal rank fusion: combine N rankers into one list with
+    score = Σ 1/(k + rank_i), the standard score-free hybrid-retrieval
+    combiner (robust to incomparable score scales, e.g. BM25 vs cosine).
+    Items missing from a ranker simply contribute nothing.
+
+    Each input is (id, rank); inputs are top-m lists, so every join here
+    runs over m-row frames — candidate generation did the heavy lifting,
+    fusion is constant-size work regardless of corpus scale.
+    """
+    fused = None
+    contribs = []
+    for i, r in enumerate(rankings):
+        c = f"c{i}"
+        contribs.append(c)
+        part = r.select(
+            F.col(id_col), (1.0 / (F.lit(k) + F.col(rank_col))).alias(c)
+        )
+        fused = part if fused is None else fused.join(part, id_col, "full_outer")
+    score = F.round(
+        sum(F.coalesce(F.col(c), F.lit(0.0)) for c in contribs), 9
+    ).alias("rrf_score")
+    n_hit = sum(F.col(c).isNotNull().cast("int") for c in contribs).alias(
+        "n_rankers"
+    )
+    return (
+        fused.select(id_col, score, n_hit)
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(top)
+    )

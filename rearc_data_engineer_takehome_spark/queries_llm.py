@@ -1263,3 +1263,72 @@ def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return weighted_sample(docs, "n_chars", m=50, key_col="doc_id")
+
+
+@query(
+    "hybrid_retrieval_rrf",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, len({_TOKS}) AS dl,
+               unnest(list_transform({_TOKS}, x -> lower(x))) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM toks WHERE term IN ('spark', 'join', 'merge')
+        GROUP BY doc_id, dl, term
+    ), corpus AS (
+        SELECT count(*) AS n, sum(len({_TOKS})) AS sumdl FROM documents
+    ), dft AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), bm25 AS (
+        SELECT t.doc_id,
+               round(sum(
+                   round(ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0), 8)
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / (c.sumdl / c.n)))
+               ), 4) AS s
+        FROM tf t JOIN dft d USING (term), corpus c
+        GROUP BY t.doc_id
+    ), lex AS (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+        FROM bm25 ORDER BY s DESC, doc_id ASC LIMIT 50
+    ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cos AS (
+        SELECT e.vec_id AS doc_id,
+               round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+                     (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) AS s
+        FROM embeddings e, q WHERE e.vec_id <> 0
+    ), vec AS (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+        FROM cos ORDER BY s DESC, doc_id ASC LIMIT 50
+    ), fused AS (
+        SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+               round(coalesce(1.0 / (60 + l.rank), 0)
+                     + coalesce(1.0 / (60 + v.rank), 0), 9) AS rrf_score,
+               ((l.rank IS NOT NULL)::INT + (v.rank IS NOT NULL)::INT) AS n_rankers
+        FROM lex l FULL OUTER JOIN vec v USING (doc_id)
+    )
+    SELECT doc_id, rrf_score, n_rankers
+    FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
+    """,
+    doc="Hybrid retrieval: BM25 lexical top-50 + exact-cosine vector "
+    "top-50 (query vec_id 0) fused by reciprocal rank fusion "
+    "(search.rrf_fuse, score = Σ 1/(60+rank)) — the standard score-free "
+    "combiner for incomparable scales. Candidate generation does the "
+    "distributed work; fusion joins two 50-row lists.",
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.search import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, ["spark", "join", "merge"], k=50).select("doc_id", "rank")
+
+    q = _query_vec(spark, sf_dir, 0)
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    cos = similarity.bruteforce_topk(emb, q, k=50)
+    vw = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    vec = cos.withColumn("rank", F.row_number().over(vw)).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, vec], id_col="doc_id", k=60, top=20)

@@ -53,3 +53,27 @@ def test_bm25_matches_python_reference(spark):
     ]
     # n_terms_hit counts distinct matched terms
     assert got[5][1] == 3 and got[3][1] == 1
+
+
+def test_rrf_fuse_combines_overlapping_and_disjoint_rankers(spark):
+    from rearc_data_engineer_takehome_spark.operators.search import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(20, 1), (10, 2), (40, 3)], "doc_id long, rank int"
+    )
+    got = {r.doc_id: r for r in rrf_fuse([lex, vec], k=60, top=10).collect()}
+
+    def s(*ranks):
+        return round(sum(1.0 / (60 + r) for r in ranks), 9)
+
+    assert got[10].rrf_score == s(1, 2) and got[10].n_rankers == 2
+    assert got[20].rrf_score == s(2, 1) and got[20].n_rankers == 2
+    assert got[30].rrf_score == s(3) and got[30].n_rankers == 1
+    assert got[40].rrf_score == s(3) and got[40].n_rankers == 1
+    # docs in both rankers outrank single-ranker docs; 10 and 20 tie on
+    # score (symmetric ranks) and 30/40 tie — id breaks both ties
+    ranked = sorted(got.values(), key=lambda r: (-r.rrf_score, r.doc_id))
+    assert [r.doc_id for r in ranked] == [10, 20, 30, 40]
