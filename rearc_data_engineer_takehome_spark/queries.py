@@ -798,3 +798,83 @@ def brand_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # event windows / multimodal). Imported last: queries_llm pulls `query`
 # and `_t` from this module, which are already bound by this point.
 from . import queries_llm  # noqa: E402,F401  (registration side effect)
+
+
+@query(
+    "top_revenue_share_customers",
+    """
+    WITH rev AS (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY o_custkey
+    ), total AS (SELECT sum(revenue) AS t FROM rev)
+    SELECT r.o_custkey, r.revenue,
+           round(100.0 * r.revenue / t.t, 6) AS share_pct
+    FROM rev r, total t
+    WHERE r.revenue > 0.0011 * t.t
+    ORDER BY r.revenue DESC, r.o_custkey ASC
+    """,
+    doc="TPC-H Q11 shape: HAVING against a scalar subquery — keep groups "
+    "whose aggregate exceeds a fraction of the GLOBAL aggregate. The "
+    "global total is a 1-row broadcast (no driver round-trip); the "
+    "per-group aggregate is computed once and reused for both the filter "
+    "and the output.",
+)
+def top_revenue_share_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    total = rev.agg(F.sum("revenue").alias("t"))
+    return (
+        rev.join(F.broadcast(total))
+        .where(F.col("revenue") > 0.0011 * F.col("t"))
+        .select(
+            "o_custkey",
+            "revenue",
+            F.round(100.0 * F.col("revenue") / F.col("t"), 6).alias("share_pct"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+    )
+
+
+@query(
+    "order_value_distribution",
+    """
+    WITH ranked AS (
+        SELECT o_orderkey, o_totalprice,
+               ntile(10)      OVER w AS decile,
+               percent_rank() OVER w AS pr,
+               cume_dist()    OVER w AS cd
+        FROM orders
+        WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+    )
+    SELECT decile,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(avg(pr), 6) AS avg_percent_rank,
+           round(avg(cd), 6) AS avg_cume_dist
+    FROM ranked GROUP BY decile
+    """,
+    doc="Distribution-rank window battery (ntile/percent_rank/cume_dist "
+    "over a global order) folded to per-decile stats. A global-order "
+    "window is a single-partition sort — fine for bounded outputs; at "
+    "100 TB rank against pre-aggregated or bucketed data instead.",
+)
+def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    ranked = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.avg("pr"), 6).alias("avg_percent_rank"),
+        F.round(F.avg("cd"), 6).alias("avg_cume_dist"),
+    )

@@ -183,3 +183,31 @@ def test_ws_tokenization_cross_engine_on_vertical_tab(spark):
         f"SELECT len(regexp_split_to_array(trim(?), '{WS_PATTERN}'))", [tricky]
     ).fetchone()[0]
     assert n_spark == n_duck == 6
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0, max_size=400),
+    st.integers(min_value=2, max_value=50),   # stride
+    st.integers(min_value=0, max_value=60),   # extra: size = stride + extra
+)
+def test_chunk_fixed_covers_text_without_loss(spark, text, stride, extra):
+    """Property: for any text and any size >= stride, stitching the
+    stride-prefix of every chunk plus the final chunk reconstructs the
+    document exactly — chunking never loses or duplicates content."""
+    from rearc_data_engineer_takehome_spark.operators.text import chunk_fixed
+
+    size = stride + extra
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = sorted(
+        chunk_fixed(df, "text", size=size, stride=stride).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert chunks[0].chunk_id == 0
+    assert [r.chunk_id for r in chunks] == list(range(len(chunks)))
+    rebuilt = "".join(r.chunk_text[:stride] for r in chunks[:-1]) + chunks[-1].chunk_text
+    assert rebuilt == text
+    # every chunk is the exact substring at its offset
+    for r in chunks:
+        assert r.chunk_text == text[r.chunk_id * stride : r.chunk_id * stride + size]
