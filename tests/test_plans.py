@@ -116,3 +116,30 @@ def test_join_strategy_hints_are_honored(spark, sf_smoke):
 
     bcast = li.join(orders.hint("broadcast"), li.l_orderkey == orders.o_orderkey)
     assert explain.has_broadcast_join(bcast)
+
+
+def test_parquet_aggregate_pushdown_metadata_only(spark, sf_smoke):
+    """COUNT/MIN/MAX can be answered from parquet footer metadata alone
+    (PushedAggregation) — at 100 TB that is the difference between a
+    full scan and reading only file footers. Needs the v2 source."""
+    saved = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+        )
+        plan = explain.formatted_plan(agg)
+        assert "PushedAggregation" in plan and "COUNT(*)" in plan
+        row = agg.first()
+        # metadata answer must equal the scan answer
+        assert (row.n, row.lo) == (df.count(), 0)
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+        if saved is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", saved)

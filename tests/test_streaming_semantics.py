@@ -190,3 +190,34 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(180)
     got = {(r.imp_id, r.click_id) for r in spark.table("ss_join").collect()}
     assert got == {(1, 101), (2, 103)}
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: each micro-batch of a fact stream enriches
+    against a static dimension — no state store, no watermark needed
+    (the static side is re-read per batch, broadcast when small)."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "facts")
+    schema = "user_id long, amount double"
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    enriched = stream.join(F.broadcast(dim), "user_id", "left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("stream_static")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.user_id: r.tier for r in spark.table("stream_static").collect()}
+    # matched users enriched; unmatched user kept with null tier
+    assert rows == {1: "gold", 2: "silver", 3: None}
