@@ -350,32 +350,39 @@ def cluster_pairs(
         .localCheckpoint()
         .coalesce(n_graph)
     )
-    for _ in range(max_iter):
+    from pyspark.sql import Observation
+
+    for i in range(max_iter):
         neighbour_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # convergence detection rides the SAME job that materializes the
+        # checkpoint (Observation metrics are collected during it) — the
+        # old separate join+count was one extra Spark job per round
+        obs = Observation(f"cluster_round_{i}")
         new_labels = (
             labels.join(neighbour_min, labels.id == neighbour_min.src, "left")
             .select(
                 "id",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
+            .observe(
+                obs,
+                F.sum((F.col("label") != F.col("old_label")).cast("long")).alias(
+                    "n_changed"
+                ),
+            )
+            .select("id", "label")
             .coalesce(n_graph)
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if (obs.get["n_changed"] or 0) == 0:
             break
     else:
         # exhausted max_iter without a fixpoint: labels are an

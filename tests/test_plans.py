@@ -143,3 +143,20 @@ def test_parquet_aggregate_pushdown_metadata_only(spark, sf_smoke):
             spark.conf.unset("spark.sql.sources.useV1SourceList")
         else:
             spark.conf.set("spark.sql.sources.useV1SourceList", saved)
+
+
+def test_no_registered_query_plans_a_cartesian_product(spark, sf_smoke):
+    """Registry-wide hygiene sweep: no query may compile to
+    CartesianProduct. Intentional 1-row bound joins (stats bounds,
+    scalar totals) must be BroadcastNestedLoopJoin — constant-size —
+    never a partition-pair cartesian."""
+    offenders = []
+    for name, q in REGISTRY.items():
+        try:
+            plan = explain.formatted_plan(q.spark(spark, sf_smoke))
+        except Exception as e:  # pragma: no cover - surface which query broke
+            offenders.append((name, f"plan build failed: {e}"))
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+    assert not offenders, offenders
