@@ -878,3 +878,41 @@ def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("pr"), 6).alias("avg_percent_rank"),
         F.round(F.avg("cd"), 6).alias("avg_cume_dist"),
     )
+
+
+@query(
+    "fuzzy_part_name_pairs",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 1
+    """,
+    doc="Fuzzy string matching: blocked Levenshtein self-join — candidate "
+    "pairs come from an equi-join on the blocking key (brand), never a "
+    "cartesian, then the edit-distance predicate filters within blocks. "
+    "The blocked-join + expensive-predicate shape is the same skeleton as "
+    "the embedding/MinHash dedup tier; swap the block key for a cheaper "
+    "fingerprint (first token, length bucket) when blocks skew.",
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = part.alias("a")
+    b = part.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 1)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
+        )
+    )
