@@ -198,3 +198,49 @@ def assert_unique_keys(df: DataFrame, keys: Sequence[str], what: str) -> None:
     n = duplicate_keys(df, keys).count()
     if n:
         raise ValidationError(f"{what}: {n} duplicate key groups on {keys}")
+
+
+def winsorize(
+    df: DataFrame, col: str, lo_p: float = 0.01, hi_p: float = 0.99
+) -> DataFrame:
+    """Winsorization: clamp a column to its [lo_p, hi_p] quantiles —
+    outlier MITIGATION where iqr_outliers does outlier DETECTION.
+    Quantiles are computed in-plan and broadcast back (no driver
+    round-trip); the clamp itself is a codegen'd least/greatest
+    projection. Adds ``{col}_wins`` plus a ``was_clamped`` flag so
+    downstream can count affected rows without re-deriving bounds."""
+    bounds = df.agg(
+        F.expr(f"percentile({col}, {lo_p})").alias("__lo"),
+        F.expr(f"percentile({col}, {hi_p})").alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds))
+        .withColumn(
+            f"{col}_wins",
+            F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi")),
+        )
+        .withColumn("was_clamped", F.col(col) != F.col(f"{col}_wins"))
+        .drop("__lo", "__hi")
+    )
+
+
+def column_entropy(df: DataFrame, col: str) -> DataFrame:
+    """Shannon entropy + distinct ratio of a (categorical) column — the
+    profiling pair that catches both constant columns (H≈0) and
+    key-like columns (distinct ratio≈1). One groupBy on the column then
+    a 1-row fold; ln() is rounded at the end only (single aggregate, no
+    cross-engine rank sensitivity)."""
+    counts = df.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    total = counts.agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t")
+    return (
+        counts.join(F.broadcast(total))
+        .agg(
+            F.lit(col).alias("col_name"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("c").alias("n_rows"),
+        )
+    )

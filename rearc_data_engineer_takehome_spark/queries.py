@@ -916,3 +916,71 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
         )
     )
+
+
+@query(
+    "order_price_winsorized",
+    """
+    WITH b AS (
+        SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+               quantile_cont(o_totalprice, 0.99) AS hi
+        FROM orders
+    )
+    SELECT count(*) AS n,
+           sum(CASE WHEN o.o_totalprice < b.lo OR o.o_totalprice > b.hi
+                    THEN 1 ELSE 0 END) AS n_clamped,
+           round(avg(o.o_totalprice), 4) AS mean_raw,
+           round(avg(least(greatest(o.o_totalprice, b.lo), b.hi)), 4) AS mean_wins
+    FROM orders o, b
+    """,
+    doc="Winsorization (quality.winsorize): clamp to in-plan exact "
+    "[p01,p99] quantiles, broadcast back — outlier mitigation next to "
+    "iqr_outliers' detection. Robust-mean shift and clamp count verified "
+    "against DuckDB quantile_cont.",
+)
+def order_price_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import winsorize
+
+    orders = _t(spark, sf_dir, "orders")
+    w = winsorize(orders, "o_totalprice", 0.01, 0.99)
+    return w.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("was_clamped").cast("long")).alias("n_clamped"),
+        F.round(F.avg("o_totalprice"), 4).alias("mean_raw"),
+        F.round(F.avg("o_totalprice_wins"), 4).alias("mean_wins"),
+    )
+
+
+@query(
+    "categorical_entropy_profile",
+    """
+    WITH c1 AS (SELECT count(*)::DOUBLE AS c FROM orders GROUP BY o_orderpriority),
+    t1 AS (SELECT sum(c) AS t FROM c1),
+    c2 AS (SELECT count(*)::DOUBLE AS c FROM orders GROUP BY o_orderstatus),
+    t2 AS (SELECT sum(c) AS t FROM c2),
+    c3 AS (SELECT count(*)::DOUBLE AS c FROM customer GROUP BY c_mktsegment),
+    t3 AS (SELECT sum(c) AS t FROM c3)
+    SELECT 'o_orderpriority' AS col_name, round(-sum((c/t)*ln(c/t)), 6) AS entropy,
+           count(*) AS n_distinct, sum(c)::BIGINT AS n_rows FROM c1, t1
+    UNION ALL
+    SELECT 'o_orderstatus', round(-sum((c/t)*ln(c/t)), 6),
+           count(*), sum(c)::BIGINT FROM c2, t2
+    UNION ALL
+    SELECT 'c_mktsegment', round(-sum((c/t)*ln(c/t)), 6),
+           count(*), sum(c)::BIGINT FROM c3, t3
+    """,
+    doc="Column profiling: Shannon entropy + distinct count per "
+    "categorical column (quality.column_entropy) — catches constant "
+    "columns (H≈0) and key-like columns in one pass per column. Each "
+    "column is a |domain|-row groupBy folded to one row.",
+)
+def categorical_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import column_entropy
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        column_entropy(orders, "o_orderpriority")
+        .unionByName(column_entropy(orders, "o_orderstatus"))
+        .unionByName(column_entropy(cust, "c_mktsegment"))
+    )

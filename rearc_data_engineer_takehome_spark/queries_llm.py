@@ -1332,3 +1332,56 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), "rank"
     )
     return rrf_fuse([lex, vec], id_col="doc_id", k=60, top=20)
+
+
+@query(
+    "events_gapfill_interpolated",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               floor(epoch(time_bucket(INTERVAL 1 DAY, ts)))::BIGINT AS day_start,
+               round(avg(value), 4) AS val
+        FROM events WHERE value > 220
+        GROUP BY 1, 2
+    ), bounds AS (
+        SELECT min(day_start) AS lo, max(day_start) AS hi FROM daily
+    ), grid AS (
+        SELECT k.event_type,
+               unnest(generate_series(b.lo, b.hi, 86400)) AS day_start
+        FROM (SELECT DISTINCT event_type FROM daily) k, bounds b
+    ), dense AS (
+        SELECT g.event_type, g.day_start, d.val
+        FROM grid g LEFT JOIN daily d
+          ON g.event_type = d.event_type AND g.day_start = d.day_start
+    ), w AS (
+        SELECT event_type, day_start, val,
+               last_value(val IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY day_start
+                    ROWS UNBOUNDED PRECEDING) AS pv,
+               first_value(val IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY day_start
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               last_value(CASE WHEN val IS NOT NULL THEN day_start END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY day_start
+                         ROWS UNBOUNDED PRECEDING) AS pt,
+               first_value(CASE WHEN val IS NOT NULL THEN day_start END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY day_start
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM dense
+    )
+    SELECT event_type, day_start,
+           round(coalesce(val,
+               CASE WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt != pt
+                    THEN pv + (nv - pv) * (day_start - pt) / (nt - pt)
+                    ELSE coalesce(pv, nv) END), 4) AS val_interp,
+           (val IS NULL) AS is_gap
+    FROM w
+    """,
+    doc="Gap filling by linear interpolation between nearest observed "
+    "neighbours (win.gapfill_daily_interpolate) — the smooth counterpart "
+    "to events_gapfill_daily's step-function locf; edge gaps extend the "
+    "single available neighbour. Same epoch-long day grid.",
+)
+def events_gapfill_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).where(F.col("value") > 220)
+    return win.gapfill_daily_interpolate(ev, "event_type", "ts", "value")

@@ -257,3 +257,69 @@ def gapfill_daily(
         F.last("val", ignorenulls=True).over(w).alias("val_filled"),
         F.col("val").isNull().alias("is_gap"),
     )
+
+
+def gapfill_daily_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Gap filling by LINEAR INTERPOLATION between the nearest observed
+    neighbours (vs gapfill_daily's step-function carry-forward): a gap
+    day gets prev + (next−prev)·(t−t_prev)/(t_next−t_prev). Edge gaps
+    with only one neighbour fall back to that neighbour's value; the
+    ``is_gap`` flag marks synthesized rows.
+
+    Same scale shape as gapfill_daily (aggregate-first, generated grid,
+    windows over the tiny densified series): two extra ignorenulls
+    windows (next value / next time looking forward) are the only cost.
+    """
+    from pyspark.sql import Window
+
+    daily = df.groupBy(
+        F.window(F.col(ts_col), "1 day").alias("w"), F.col(key_col)
+    ).agg(F.round(F.avg(val_col), round_to).alias("val")).select(
+        F.col("w.start").cast("long").alias("day_start"), key_col, "val"
+    )
+    lo, hi = daily.agg(F.min("day_start"), F.max("day_start")).first()
+    grid = (
+        daily.select(key_col)
+        .distinct()
+        .select(
+            key_col,
+            F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(86400))).alias(
+                "day_start"
+            ),
+        )
+    )
+    dense = grid.join(daily, [key_col, "day_start"], "left")
+    back = (
+        Window.partitionBy(key_col)
+        .orderBy("day_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy("day_start")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("val").isNotNull(), F.col("day_start"))
+    prev_v = F.last("val", ignorenulls=True).over(back)
+    next_v = F.first("val", ignorenulls=True).over(fwd)
+    prev_t = F.last(obs_day, ignorenulls=True).over(back)
+    next_t = F.first(obs_day, ignorenulls=True).over(fwd)
+    interp = F.when(
+        prev_v.isNotNull() & next_v.isNotNull() & (next_t != prev_t),
+        prev_v
+        + (next_v - prev_v)
+        * (F.col("day_start") - prev_t)
+        / (next_t - prev_t),
+    ).otherwise(F.coalesce(prev_v, next_v))
+    return dense.select(
+        key_col,
+        "day_start",
+        F.round(F.coalesce(F.col("val"), interp), round_to).alias("val_interp"),
+        F.col("val").isNull().alias("is_gap"),
+    )

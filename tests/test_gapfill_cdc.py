@@ -111,3 +111,30 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_gapfill_interpolation_between_neighbours(spark):
+    from rearc_data_engineer_takehome_spark.streaming.windows import (
+        gapfill_daily_interpolate,
+    )
+
+    rows = [
+        ("A", "2024-01-01 06:00:00", 10.0),  # day 0
+        ("A", "2024-01-04 18:00:00", 40.0),  # day 3 → days 1,2 interpolate
+        ("B", "2024-01-02 00:00:00", 5.0),   # day 1 only → edges extend
+    ]
+    df = spark.createDataFrame(rows, "k string, ts_s string, v double").select(
+        "k", F.to_timestamp("ts_s").alias("ts"), "v"
+    )
+    out = {
+        (r.k, r.day_start): r
+        for r in gapfill_daily_interpolate(df, "k", "ts", "v").collect()
+    }
+    day0 = min(d for _, d in out)
+    a = [out[("A", day0 + i * DAY)] for i in range(4)]
+    assert [r.val_interp for r in a] == [10.0, 20.0, 30.0, 40.0]  # linear ramp
+    assert [r.is_gap for r in a] == [False, True, True, False]
+    b = [out[("B", day0 + i * DAY)] for i in range(4)]
+    # single observation: every other day copies it (nearest neighbour)
+    assert [r.val_interp for r in b] == [5.0, 5.0, 5.0, 5.0]
+    assert [r.is_gap for r in b] == [True, False, True, True]

@@ -88,3 +88,38 @@ def test_dq_summary(spark):
     assert row.n_full_row_dups == 1
     assert row.n_key_dups == 1
     assert row.n_null_cells == 1
+
+
+def test_winsorize_clamps_tails_only(spark):
+    import pyspark.sql.functions as F
+
+    from rearc_data_engineer_takehome_spark.operators.quality import winsorize
+
+    df = spark.range(1, 101).select(F.col("id").cast("double").alias("x"))
+    w = winsorize(df, "x", 0.05, 0.95)
+    rows = {r.x: (r.x_wins, r.was_clamped) for r in w.collect()}
+    lo = min(v for v, _ in rows.values())
+    hi = max(v for v, _ in rows.values())
+    # exact percentiles of 1..100 at 5%/95%
+    assert (lo, hi) == (5.95, 95.05)
+    assert rows[50.0] == (50.0, False)       # interior untouched
+    assert rows[1.0] == (5.95, True)         # low tail clamped up
+    assert rows[100.0] == (95.05, True)      # high tail clamped down
+    assert sum(1 for _, c in rows.values() if c) == 10  # 5 each tail
+
+
+def test_column_entropy_extremes(spark):
+    import math
+
+    import pyspark.sql.functions as F
+
+    from rearc_data_engineer_takehome_spark.operators.quality import column_entropy
+
+    const = spark.range(0, 64).select(F.lit("same").alias("c"))
+    r = column_entropy(const, "c").first()
+    assert (r.entropy, r.n_distinct, r.n_rows) == (0.0, 1, 64)  # constant → H=0
+
+    uniform = spark.range(0, 64).select((F.col("id") % 8).cast("string").alias("c"))
+    r = column_entropy(uniform, "c").first()
+    assert abs(r.entropy - round(math.log(8), 6)) < 1e-6  # uniform → ln(k)
+    assert r.n_distinct == 8
