@@ -1385,3 +1385,55 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_gapfill_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).where(F.col("value") > 220)
     return win.gapfill_daily_interpolate(ev, "event_type", "ts", "value")
+
+
+@query(
+    "events_rolling_7d",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               floor(epoch(time_bucket(INTERVAL 1 DAY, ts)))::BIGINT AS day_start,
+               count(*) AS n,
+               round(sum(value), 2) AS day_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day_start,
+           sum(n) OVER w AS n_7d,
+           round(sum(day_value) OVER w, 2) AS sum_7d,
+           round(avg(day_value) OVER w, 4) AS avg_7d
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day_start
+                 RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Rolling 7-day aggregates per type over the daily series using a "
+    "RANGE frame on epoch-long day buckets (6×86400 preceding + current "
+    "day) — frames follow TIME distance, not row count, so missing days "
+    "shrink the window honestly. Daily pre-aggregation first: the window "
+    "runs over days×types rows, never the fact table. Inner sums rounded "
+    "2dp so both engines window identical inputs.",
+)
+def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("day_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("day_start"), "event_type", "n",
+            "day_value",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_start")
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day_start",
+        F.sum("n").over(w).alias("n_7d"),
+        F.round(F.sum("day_value").over(w), 2).alias("sum_7d"),
+        F.round(F.avg("day_value").over(w), 4).alias("avg_7d"),
+    )
