@@ -1437,3 +1437,112 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("day_value").over(w), 2).alias("sum_7d"),
         F.round(F.avg("day_value").over(w), 4).alias("avg_7d"),
     )
+
+
+@query(
+    "events_funnel",
+    """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT 'signup' AS step, 1 AS step_n, (SELECT count(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 'signup>click', 2, (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 'signup>click>purchase', 3, (SELECT count(*) FROM s3)
+    """,
+    doc="Ordered funnel analysis: users completing signup → click → "
+    "purchase with strictly increasing event times. Each stage is a "
+    "conditional min-aggregate joined to the previous stage's completion "
+    "times — stage tables shrink monotonically, so every join after the "
+    "first runs on survivors only. Raw nanos compare exactly; no "
+    "timestamp arithmetic.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def stage_count(df: DataFrame, step: str, step_n: int) -> DataFrame:
+        return df.agg(
+            F.lit(step).alias("step"),
+            F.lit(step_n).alias("step_n"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        stage_count(s1, "signup", 1)
+        .unionByName(stage_count(s2, "signup>click", 2))
+        .unionByName(stage_count(s3, "signup>click>purchase", 3))
+    )
+
+
+@query(
+    "events_zscore_anomalies",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               round(avg(value), 6) AS mu,
+               round(stddev_samp(value), 6) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_anomalies,
+           round(min(e.value), 2) AS min_anomalous_value,
+           round(max(e.value), 2) AS max_anomalous_value
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.mu) / s.sigma) > 3
+    GROUP BY e.event_type
+    """,
+    doc="Z-score anomaly detection per group: per-type mean/stddev "
+    "computed in-plan (rounded 6dp so both engines threshold identical "
+    "z values) and broadcast back; |z|>3 rows summarized per type. The "
+    "two-pass shape (tiny stats aggregate + full scan filter) is the "
+    "standard distributed anomaly sweep — no per-row window needed.",
+)
+def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 3)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_anomalies"),
+            F.round(F.min("value"), 2).alias("min_anomalous_value"),
+            F.round(F.max("value"), 2).alias("max_anomalous_value"),
+        )
+    )
