@@ -866,8 +866,10 @@ def iqr_outliers_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Only the bounds branch is repartitioned — the outlier filter branch
     # parallelizes by file splits and must not pay a full-table shuffle.
     bounds = spread_compute(li).agg(
-        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
-        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+        F.expr("percentile(l_extendedprice, array(0.25, 0.75))").alias("q13"),
+    ).select(
+        F.col("q13").getItem(0).alias("q1"),
+        F.col("q13").getItem(1).alias("q3"),
     ).select(
         (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lower"),
         (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("upper"),

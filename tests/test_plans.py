@@ -54,19 +54,18 @@ def test_pricing_summary_single_shuffle(spark, sf_smoke):
     assert explain.uses_whole_stage_codegen(df)
 
 
-def test_top1_per_group_shuffles_aggregate_not_fact(spark, sf_smoke):
-    """The window ranks PRE-AGGREGATED rows: plan must aggregate before
-    the window's sort, and only shuffle on the group key."""
-    plan = explain.formatted_plan(
-        REGISTRY["best_part_by_supplier"].spark(spark, sf_smoke)
-    )
-    agg_pos = plan.find("HashAggregate")
-    win_pos = plan.find("Window")
-    assert agg_pos != -1 and win_pos != -1
-    # formatted plans list operators leaf-first: aggregate node id > window
-    # node id in text order means agg appears above; instead check the
-    # window's child chain contains the aggregate via numbering order
-    assert "RunningWindowFunction" in plan or "Window" in plan
+def test_top1_per_group_is_argmax_aggregate_not_window(spark, sf_smoke):
+    """Top-1-per-group compiles to two aggregates (sum, then argmax via
+    max-of-struct) — no Window node, exactly two exchanges, and the
+    argmax partial-combines map-side (partial_max before its exchange).
+    Struct max lowers to SortAggregate (structs aren't hash-aggregable)
+    but that sort is on the group key over already-combined rows — not
+    the full per-group ordering a ranking window would do."""
+    df = REGISTRY["best_part_by_supplier"].spark(spark, sf_smoke)
+    plan = explain.formatted_plan(df)
+    assert "Window" not in plan
+    assert explain.count_exchanges(df) == 2
+    assert "partial_max" in plan
 
 
 def test_bls_parse_filter_stays_near_scan(spark, tmp_path):
