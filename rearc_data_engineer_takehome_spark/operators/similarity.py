@@ -245,3 +245,56 @@ def all_pairs_topk(
         .where(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def all_pairs_topk_vectorized(
+    df: DataFrame,
+    k: int = 5,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Arrow-vectorized twin of :func:`all_pairs_topk`: one shuffle on the
+    block key, then each block computes its full cosine matrix with a
+    single BLAS matmul inside ``applyInPandas`` and keeps its own top-k
+    per row — the pairwise rows and the ranking window never exist, so
+    nothing O(block²) is shuffled or sorted by Spark. This is the scale
+    path: per-task memory is O(block²) floats, so the block key must
+    bound block size (an LSH/IVF bucket at 100 TB, a label here).
+
+    Similarities are rounded to 6dp before ranking (same contract as the
+    JVM twin, whose left-fold summation also differs from other engines
+    in the last ulps); ties break on ascending neighbour id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        n = len(pdf)
+        kk = min(k, n - 1)
+        if kk <= 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "cos_sim": pd.Series([], dtype="float64")}
+            )
+        ids = pdf[id_col].to_numpy(dtype="int64")
+        mat = np.stack(
+            pdf[vec_col].apply(lambda v: np.asarray(v, dtype=np.float64))
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        np.fill_diagonal(sims, -np.inf)
+        # stable argsort on -sims after the id-asc pre-sort = rank by
+        # (cos_sim desc, id_b asc), the window's exact order
+        nbr = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(n), kk)
+        cols = nbr.ravel()
+        return pd.DataFrame(
+            {"id_a": ids[rows], "id_b": ids[cols], "cos_sim": sims[rows, cols]}
+        )
+
+    return df.select(block_col, id_col, vec_col).groupBy(block_col).applyInPandas(
+        block_topk, schema="id_a bigint, id_b bigint, cos_sim double"
+    )

@@ -409,13 +409,15 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id_a, id_b, cos_sim FROM scored WHERE rn <= 3
     """,
-    doc="k-NN for EVERY vector (k=3), blocked by label: within-block "
-    "pairwise cosine + per-row ranking window. The blocked-join shape is "
-    "the scalable skeleton; swap the block key for an LSH/IVF bucket at "
-    "100 TB.",
+    doc="k-NN for EVERY vector (k=3), blocked by label: one shuffle on "
+    "the block key, then each block computes its cosine matrix with one "
+    "BLAS matmul and keeps top-k in-block (applyInPandas) — the O(block²) "
+    "pair rows never reach a Spark shuffle or window. Swap the block key "
+    "for an LSH/IVF bucket at 100 TB. The pure-JVM twin "
+    "(similarity.all_pairs_topk) is equivalence-tested against this one.",
 )
 def knn_all_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.all_pairs_topk(
+    return similarity.all_pairs_topk_vectorized(
         _t(spark, sf_dir, "embeddings"), k=3, block_col="label"
     )
 

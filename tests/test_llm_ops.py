@@ -269,3 +269,20 @@ def test_vectorized_knn_matches_jvm_topk(emb):
     vec = [(r.vec_id, r.cos_sim)
            for r in similarity.bruteforce_topk_vectorized(rest, q, k=10).collect()]
     assert jvm == vec  # identical ids AND 6dp-rounded similarities
+
+
+def test_all_pairs_vectorized_matches_jvm_window(emb):
+    """The BLAS/applyInPandas all-pairs top-k must equal the JVM
+    join+window twin exactly: same neighbour ids, same 6dp sims, same
+    tie-breaks."""
+    jvm = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in similarity.all_pairs_topk(emb, k=3, block_col="label").collect()
+    )
+    vec = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in similarity.all_pairs_topk_vectorized(
+            emb, k=3, block_col="label"
+        ).collect()
+    )
+    assert jvm == vec
