@@ -328,21 +328,28 @@ def cluster_pairs(
     # (lineage is gone, so a lost block cannot recompute).
     #
     # The cluster graph is orders of magnitude smaller than the corpus,
-    # so iterations run on few partitions (graph_partitions, default
-    # min(parallelism, 8)) to skip per-task scheduling overhead — but
-    # the coalesce happens AFTER the distinct/checkpoint so the edge
-    # dedup itself keeps full shuffle parallelism. Raise graph_partitions
-    # for corpora whose pair lists are themselves large.
-    n_graph = graph_partitions or min(
-        pairs.sparkSession.sparkContext.defaultParallelism, 8
-    )
+    # so iterations run on few partitions to skip per-task scheduling
+    # overhead — but the coalesce happens AFTER the distinct/checkpoint
+    # so the edge dedup itself keeps full shuffle parallelism. The width
+    # is sized from the MATERIALIZED edge count (counting a checkpointed
+    # frame is a metadata-cheap job): ~50k edges per partition, floor 1,
+    # cap at cluster parallelism — a 256-edge graph iterates on one
+    # partition (every round is pure fixed latency otherwise), a
+    # billion-edge graph still spreads cluster-wide.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
         .localCheckpoint()
-        .coalesce(n_graph)
     )
+    n_graph = graph_partitions or max(
+        1,
+        min(
+            pairs.sparkSession.sparkContext.defaultParallelism,
+            edges.count() // 50_000 + 1,
+        ),
+    )
+    edges = edges.coalesce(n_graph)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
