@@ -814,6 +814,7 @@ def brand_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # event windows / multimodal). Imported last: queries_llm pulls `query`
 # and `_t` from this module, which are already bound by this point.
 from . import queries_llm  # noqa: E402,F401  (registration side effect)
+from . import queries_analytics  # noqa: E402,F401  (registration side effect)
 
 
 @query(
