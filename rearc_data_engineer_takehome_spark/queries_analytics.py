@@ -4,7 +4,11 @@ profiling, a contingency-table independence statistic, and the
 remaining classic TPC-H decision-support shapes (Q18/Q21/Q22) adapted
 to this star schema.
 
-All nine carry full DuckDB oracles. Float aggregates follow the
+Plus sequence islands (streaks), robust stats (MAD), equi-width
+histograms, month-over-month growth, tie-inclusive top-N, join-derived
+latency distributions, and an INTERSECT/EXCEPT battery.
+
+All carry full DuckDB oracles. Float aggregates follow the
 repo-wide contract: round identically on both sides, rank only on
 rounded values, integer-valued double sums (quantities, counts) are
 exact in any order.
@@ -397,4 +401,274 @@ def idle_capital_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_cust"),
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence islands, robust stats, distributions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_activity_streaks",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, floor(epoch(ts) / 86400)::BIGINT AS d
+        FROM events
+    ), seq AS (
+        SELECT user_id, d,
+               d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        FROM days
+    ), runs AS (
+        SELECT user_id, count(*) AS len
+        FROM seq GROUP BY user_id, grp
+    )
+    SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks
+    FROM runs GROUP BY user_id
+    """,
+    doc="Islands-and-gaps: longest consecutive-active-day streak per "
+    "user via the classic day-minus-row_number grouping constant. All "
+    "integer arithmetic; the only window ranks the per-user DISTINCT "
+    "day set (bounded by the observation span), shuffled once on "
+    "user_id and reused by the run groupBy.",
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = (
+        days.select(
+            "user_id", "d", (F.col("d") - F.row_number().over(w)).alias("grp")
+        )
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+@query(
+    "order_price_mad",
+    """
+    WITH m AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders)
+    SELECT round(m.med, 4) AS med,
+           round(quantile_cont(abs(o.o_totalprice - m.med), 0.5), 4) AS mad
+    FROM orders o CROSS JOIN m
+    GROUP BY m.med
+    """,
+    doc="Median absolute deviation — the robust spread statistic next to "
+    "winsorize/iqr: exact median broadcast back, second exact median "
+    "over the absolute deviations. Two passes by definition (MAD is not "
+    "algebraic); each is one percentile aggregate.",
+)
+def order_price_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.agg(F.expr("percentile(o_totalprice, 0.5)").alias("med"))
+    return (
+        orders.join(F.broadcast(m))
+        .groupBy("med")
+        .agg(
+            F.expr("percentile(abs(o_totalprice - med), 0.5)").alias("mad_raw")
+        )
+        .select(
+            F.round("med", 4).alias("med"), F.round("mad_raw", 4).alias("mad")
+        )
+    )
+
+
+@query(
+    "order_price_histogram",
+    """
+    SELECT floor(o_totalprice / 50000)::BIGINT AS bin,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY bin
+    """,
+    doc="Equi-width histogram by integer floor-division binning — one "
+    "partial-combined groupBy, no sort (the ntile/global-rank variant in "
+    "order_value_distribution is the equi-DEPTH sibling). DuckDB's "
+    "::BIGINT rounds, so the oracle floors before casting.",
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "monthly_revenue_growth",
+    """
+    WITH m AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               round(sum(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT month, rev,
+           round(rev - lag(rev) OVER (ORDER BY month), 2) AS rev_delta,
+           round((rev - lag(rev) OVER (ORDER BY month))
+                 / lag(rev) OVER (ORDER BY month), 6) AS rev_pct_change
+    FROM m
+    """,
+    doc="Month-over-month growth: calendar-month rollup (NTZ-safe "
+    "date_trunc + format on both engines), then lag over the month "
+    "series. The window ranks the AGGREGATED series (one row per "
+    "month), so its single-partition sort is bounded by the calendar, "
+    "not the data; deltas are computed on the already-rounded revenue "
+    "so both engines subtract identical operands.",
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return m.select(
+        "month",
+        "rev",
+        F.round(F.col("rev") - prev, 2).alias("rev_delta"),
+        F.round((F.col("rev") - prev) / prev, 6).alias("rev_pct_change"),
+    )
+
+
+@query(
+    "top_parts_per_brand_ties",
+    """
+    WITH r AS (
+        SELECT p.p_brand, l.l_partkey,
+               round(sum(l.l_extendedprice), 2) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand, l.l_partkey
+    )
+    SELECT p_brand, l_partkey, rev, rnk FROM (
+        SELECT p_brand, l_partkey, rev,
+               dense_rank() OVER (PARTITION BY p_brand ORDER BY rev DESC) AS rnk
+        FROM r
+    ) WHERE rnk <= 3
+    """,
+    doc="Top-N per group WITH ties (dense_rank ≤ 3) — the tie-inclusive "
+    "sibling of top1_per_group's argmax. Ranking runs on rounded "
+    "revenue over pre-aggregated (brand, part) rows, so the window "
+    "shuffles one row per part, not per lineitem.",
+)
+def top_parts_per_brand_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    r = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("rev").desc())
+    return (
+        r.select("p_brand", "l_partkey", "rev", F.dense_rank().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "ship_lag_by_priority",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n,
+           round(avg(datediff('day', o.o_orderdate::DATE, l.l_shipdate::DATE)), 4)
+               AS avg_lag_days,
+           min(datediff('day', o.o_orderdate::DATE, l.l_shipdate::DATE))
+               AS min_lag_days,
+           max(datediff('day', o.o_orderdate::DATE, l.l_shipdate::DATE))
+               AS max_lag_days,
+           round(quantile_cont(
+               datediff('day', o.o_orderdate::DATE, l.l_shipdate::DATE), 0.5), 1)
+               AS median_lag_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Order-to-ship latency distribution per priority: integer day "
+    "diffs (NTZ-safe date casts) through a fact-to-fact join on the "
+    "order key, then count/avg/min/max/exact-median per priority. "
+    "Integer-valued lags make every aggregate except the rounded avg "
+    "and median order-insensitive.",
+)
+def ship_lag_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_orderpriority", lag.alias("lag_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("lag_days"), 4).alias("avg_lag_days"),
+            F.min("lag_days").alias("min_lag_days"),
+            F.max("lag_days").alias("max_lag_days"),
+            F.round(F.expr("percentile(lag_days, 0.5)"), 1).alias(
+                "median_lag_days"
+            ),
+        )
+    )
+
+
+@query(
+    "repeat_vs_lapsed_customers",
+    """
+    WITH h1 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE year(o_orderdate) = 1999
+    ), h2 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE year(o_orderdate) = 2000
+    )
+    SELECT 'retained' AS cohort, count(*) AS n_customers
+    FROM (SELECT o_custkey FROM h1 INTERSECT SELECT o_custkey FROM h2)
+    UNION ALL
+    SELECT 'lapsed', count(*)
+    FROM (SELECT o_custkey FROM h1 EXCEPT SELECT o_custkey FROM h2)
+    UNION ALL
+    SELECT 'new', count(*)
+    FROM (SELECT o_custkey FROM h2 EXCEPT SELECT o_custkey FROM h1)
+    """,
+    doc="Set-operation battery (SURVEY §2.7 beyond UNION): INTERSECT and "
+    "EXCEPT with distinct semantics classify year-over-year customers "
+    "as retained / lapsed / new. Spark compiles both to existence "
+    "aggregates on the custkey shuffle; year() on plain NTZ dates is "
+    "tz-safe in both engines.",
+)
+def repeat_vs_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    h1 = orders.where(F.year("o_orderdate") == 1999).select("o_custkey")
+    h2 = orders.where(F.year("o_orderdate") == 2000).select("o_custkey")
+
+    def label(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("cohort"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+
+    return (
+        label(h1.intersect(h2), "retained")
+        .unionByName(label(h1.subtract(h2), "lapsed"))
+        .unionByName(label(h2.subtract(h1), "new"))
     )
