@@ -336,6 +336,11 @@ def cluster_pairs(
     # cap at cluster parallelism — a 256-edge graph iterates on one
     # partition (every round is pure fixed latency otherwise), a
     # billion-edge graph still spreads cluster-wide.
+    # materialize the candidate pairs BEFORE the symmetrizing self-union:
+    # Spark re-executes a non-materialized plan once per union branch, so
+    # an expensive upstream pair generator (MinHash/Jaccard join) would
+    # run twice (measured 2× the pair-job cost on dedup_clusters).
+    pairs = pairs.select("id_a", "id_b").localCheckpoint()
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
