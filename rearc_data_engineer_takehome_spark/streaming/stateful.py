@@ -80,3 +80,75 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 typed-state API (transformWithStateInPandas)
+# ---------------------------------------------------------------------------
+
+
+def has_transform_with_state() -> bool:
+    """transformWithStateInPandas streams state through a protobuf
+    channel between the JVM and the Python driver worker; a broken or
+    absent ``google.protobuf`` install crashes the StreamingPythonRunner
+    at query start (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE), so
+    callers gate execution on this probe. Plan construction and schema
+    resolution work without it."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_stats_tws(stream: DataFrame) -> DataFrame:
+    """Spark 4 twin of :func:`running_user_stats` on the
+    ``transformWithStateInPandas`` typed-state API: named ValueState
+    with an explicit schema instead of a positional state tuple, plus
+    (unused here) timers, ListState/MapState, and per-state TTL — the
+    API to reach for when custom operators need more than one state
+    blob per key. Semantics are identical: one updated
+    (user_id, n_events, total_value, peak_value) row per user per
+    micro-batch. Requires the RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState(
+                "stats", "n BIGINT, total DOUBLE, peak DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            st = self._stats.get()
+            n, total, peak = st if st else (0, 0.0, float("-inf"))
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                if len(pdf):
+                    peak = max(peak, float(pdf["value"].max()))
+            self._stats.update((n, round(total, 6), peak))
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n_events": n,
+                        "total_value": round(total, 6),
+                        "peak_value": peak,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        _RunningStats(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

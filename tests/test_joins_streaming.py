@@ -208,3 +208,58 @@ def test_hypertable_rollup_consistency(spark, sf_smoke):
                  if day_start <= k < day_start + 86400]
         assert sum(hours) == n
     roll.unpersist()
+
+
+def test_tws_plan_resolves_and_matches_legacy_schema(spark):
+    """The transformWithStateInPandas twin must build a resolved plan
+    with the same output schema as the applyInPandasWithState operator
+    even where the protobuf channel is unavailable (plan construction
+    is JVM-side; only query START needs the Python runner)."""
+    from rearc_data_engineer_takehome_spark.streaming.stateful import (
+        running_user_stats,
+        running_user_stats_tws,
+    )
+
+    src = spark.createDataFrame([(1, 10.0)], ["user_id", "value"])
+    legacy = running_user_stats(src)
+    tws = running_user_stats_tws(src)
+    assert tws.schema == legacy.schema
+
+
+def test_tws_running_stats_matches_legacy_api(spark, tmp_path):
+    """Execution parity between the two stateful APIs (skipped where
+    google.protobuf is broken — transformWithStateInPandas streams
+    state over protobuf and crashes the streaming runner without it)."""
+    import pytest as _pytest
+
+    from rearc_data_engineer_takehome_spark.streaming.stateful import (
+        has_transform_with_state,
+        running_user_stats_tws,
+    )
+
+    if not has_transform_with_state():
+        _pytest.skip("google.protobuf unavailable: tws runner cannot start")
+
+    src = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0), (1, 30.0), (2, 15.0)],
+        ["user_id", "value"],
+    )
+    data_dir = str(tmp_path / "tws_src")
+    src.write.parquet(data_dir)
+    stream = spark.readStream.schema(src.schema).parquet(data_dir)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    q = (
+        running_user_stats_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.user_id: r for r in spark.table("tws_stats").collect()}
+    assert rows[1].n_events == 3 and rows[1].total_value == 60.0
+    assert rows[2].n_events == 2 and rows[2].peak_value == 15.0
