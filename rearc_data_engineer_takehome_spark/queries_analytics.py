@@ -672,3 +672,78 @@ def repeat_vs_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(label(h1.subtract(h2), "lapsed"))
         .unionByName(label(h2.subtract(h1), "new"))
     )
+
+
+@query(
+    "brand_type_rollup_csv",
+    """
+    WITH d AS (SELECT DISTINCT p_brand, p_type FROM part)
+    SELECT p_brand,
+           count(*) AS n_types,
+           string_agg(p_type, ',' ORDER BY p_type) AS types_csv
+    FROM d GROUP BY p_brand
+    """,
+    doc="Grouped ordered string aggregation (the reporting/denormalize "
+    "shape): distinct types per brand folded to one sorted CSV cell. "
+    "Spark's collect_set is unordered, so determinism comes from "
+    "array_sort before array_join — same contract as the oracle's "
+    "ORDER BY inside string_agg. Group payload is bounded by the "
+    "distinct-type vocabulary, not row count.",
+)
+def brand_type_rollup_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "part").select("p_brand", "p_type").distinct()
+    return d.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.array_join(F.array_sort(F.collect_set("p_type")), ",").alias(
+            "types_csv"
+        ),
+    )
+
+
+@query(
+    "events_time_weighted_value",
+    """
+    WITH seq AS (
+        SELECT user_id, value,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt_us
+        FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           sum(dt_us) AS total_us,
+           round(sum(value * dt_us) / sum(dt_us), 6) AS twap
+    FROM seq WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Time-weighted average (TWAP): each observation weighted by its "
+    "holding duration to the next event — the correct mean for "
+    "irregularly-sampled series where the arithmetic mean over-weights "
+    "bursts. Ordering uses raw nanos but durations are exact MICROsecond "
+    "longs (ts div 1000 — DuckDB's TIMESTAMP truncates parquet nanos to "
+    "µs, so µs is the precision both engines share); only the final "
+    "ratio is rounded since the value×duration sum is order-sensitive "
+    "in the last bits.",
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("ts div 1000")
+    seq = ev.select(
+        "user_id",
+        "value",
+        (F.lead(us).over(w) - us).alias("dt_us"),
+    )
+    return (
+        seq.where(F.col("dt_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dt_us").alias("total_us"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+            ).alias("twap"),
+        )
+    )
