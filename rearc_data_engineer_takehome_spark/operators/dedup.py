@@ -468,3 +468,59 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def embedding_near_dup_pairs_vectorized(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Arrow-vectorized twin of :func:`embedding_near_dup_pairs`
+    (blocked form): one shuffle on the block key, then each block
+    computes its full cosine matrix with a single BLAS matmul inside
+    ``applyInPandas`` and emits only the upper-triangle pairs at or
+    above the threshold — the O(block²) candidate rows never exist as
+    Spark rows (see similarity.all_pairs_topk_vectorized for the top-k
+    sibling and the block-size memory bound). Similarities are rounded
+    to 6dp BEFORE thresholding, the same contract as the JVM twin, so
+    both emit the identical pair set."""
+    import numpy as np
+    import pandas as pd
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        if n < 2:
+            return empty
+        ids = pdf[id_col].to_numpy(dtype="int64")
+        mat = np.stack(
+            pdf[vec_col].apply(lambda v: np.asarray(v, dtype=np.float64))
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        iu, ju = np.triu_indices(n, k=1)
+        keep = sims[iu, ju] >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "cos_sim": sims[iu[keep], ju[keep]],
+            }
+        )
+
+    return (
+        df.select(block_col, id_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(block_pairs, schema="id_a bigint, id_b bigint, cos_sim double")
+    )

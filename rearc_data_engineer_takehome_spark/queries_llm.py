@@ -348,13 +348,16 @@ _COS_SQL = cosine_sql("a.embedding", "b.embedding")
     JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE round({_COS_SQL}, 6) >= 0.4
     """,
-    doc="Embedding-cosine near-dup pairs BLOCKED by label — the equi-join "
-    "on the block key is what makes this a shuffle join instead of a "
-    "cartesian product at scale. Threshold 0.4 chosen to be non-trivial on "
-    "the fixture distribution (max within-label cosine ≈ 0.47).",
+    doc="Embedding-cosine near-dup pairs BLOCKED by label: one shuffle "
+    "on the block key, per-block BLAS cosine matrix + 6dp-rounded "
+    "threshold inside applyInPandas (the O(block²) candidates never "
+    "become Spark rows). Threshold 0.4 chosen to be non-trivial on the "
+    "fixture distribution (max within-label cosine ≈ 0.47). The "
+    "pure-JVM twin (dedup.embedding_near_dup_pairs) is "
+    "equivalence-tested against this one.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_near_dup_pairs(
+    return dedup.embedding_near_dup_pairs_vectorized(
         _t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.4
     )
 

@@ -286,3 +286,21 @@ def test_all_pairs_vectorized_matches_jvm_window(emb):
         ).collect()
     )
     assert jvm == vec
+
+
+def test_embedding_near_dup_vectorized_matches_jvm(emb):
+    """The BLAS/applyInPandas near-dup pair set must equal the JVM
+    blocked-join twin exactly (ids and 6dp-rounded sims)."""
+    jvm = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in dedup.embedding_near_dup_pairs(
+            emb, block_col="label", threshold=0.4
+        ).collect()
+    )
+    vec = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in dedup.embedding_near_dup_pairs_vectorized(
+            emb, block_col="label", threshold=0.4
+        ).collect()
+    )
+    assert jvm and jvm == vec
