@@ -228,6 +228,40 @@ def winsorize(
     )
 
 
+def entropy_from_long(long_df: DataFrame) -> DataFrame:
+    """Shannon entropy + distinct count for MANY columns in one
+    pipeline, from an unpivoted (col_name, v) frame: one groupBy on
+    (col_name, v), per-column totals via a window over the tiny counts
+    table (partitioned by col_name, which the final per-column fold
+    then reuses — no extra exchange), and the same -Σ(c/t)·ln(c/t)
+    arithmetic as :func:`column_entropy` so oracles are unchanged.
+    Profiling N columns this way is 2-3 exchanges total instead of ~4N
+    (one counts+total+cross-join pipeline per column)."""
+    from pyspark.sql import Window
+
+    counts = long_df.groupBy("col_name", "v").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    t = F.sum("c").over(Window.partitionBy("col_name"))
+    witht = counts.select("col_name", "c", t.alias("t"))
+    p = F.col("c") / F.col("t")
+    return witht.groupBy("col_name").agg(
+        F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("c").cast("long").alias("n_rows"),
+    )
+
+
+def columns_entropy(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Entropy profile of several columns of one DataFrame in a single
+    pass: stack-unpivot (codegen, no shuffle) then entropy_from_long."""
+    pairs = ", ".join(f"'{c}', {c}" for c in cols)
+    long_df = df.select(
+        F.expr(f"stack({len(cols)}, {pairs}) AS (col_name, v)")
+    )
+    return entropy_from_long(long_df)
+
+
 def column_entropy(df: DataFrame, col: str) -> DataFrame:
     """Shannon entropy + distinct ratio of a (categorical) column — the
     profiling pair that catches both constant columns (H≈0) and
