@@ -179,6 +179,10 @@ def priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
         )
         .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        # the |p|x|s|-cell table feeds FOUR consumers (cells + three
+        # margins); materialize once or each re-runs the full scan+agg
+        # (measured 8 exchanges -> 3)
+        .localCheckpoint()
     )
     tot = o.agg(F.sum("n").alias("t"))
     rm = o.groupBy("p").agg(F.sum("n").alias("rp"))
@@ -658,8 +662,20 @@ def ship_lag_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def repeat_vs_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    h1 = orders.where(F.year("o_orderdate") == 1999).select("o_custkey")
-    h2 = orders.where(F.year("o_orderdate") == 2000).select("o_custkey")
+    # each distinct key set feeds two set operations; materialized once
+    # so the orders scan runs twice (once per year), not six times
+    h1 = (
+        orders.where(F.year("o_orderdate") == 1999)
+        .select("o_custkey")
+        .distinct()
+        .localCheckpoint()
+    )
+    h2 = (
+        orders.where(F.year("o_orderdate") == 2000)
+        .select("o_custkey")
+        .distinct()
+        .localCheckpoint()
+    )
 
     def label(df: DataFrame, name: str) -> DataFrame:
         return df.agg(

@@ -1479,10 +1479,14 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # each stage table feeds BOTH the next stage's join and its own
+    # count; materialized once per stage or stage N re-runs stages 1..N
+    # (the funnel re-read the events scan 6x instead of 3x)
     s1 = (
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint()
     )
     s2 = (
         ev.where(F.col("event_type") == "click")
@@ -1490,6 +1494,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint()
     )
     s3 = (
         ev.where(F.col("event_type") == "purchase")
@@ -1498,6 +1503,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )
+
     def stage_count(df: DataFrame, step: str, step_n: int) -> DataFrame:
         return df.agg(
             F.lit(step).alias("step"),
