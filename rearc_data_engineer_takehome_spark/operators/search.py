@@ -46,16 +46,34 @@ def bm25_topk(
     idf = ln((N - df + 0.5)/(df + 0.5) + 1), tf normalization
     tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
     """
+    from .relational import spread_compute
+
     terms = [t.lower() for t in terms]
-    toks = docs.select(
+    # spread first: tokenization is CPU-bound and a single parquet file
+    # is ONE input partition otherwise. The lowered token array is
+    # aliased and referenced twice (size + explode) so CollapseProject
+    # keeps a projection barrier — exploding the computed array directly
+    # would inline it into Generate and re-evaluate the tokenize per
+    # OUTPUT TOKEN (measured ~4× on this operator).
+    arred = spread_compute(docs).select(
         F.col(id_col),
-        F.size(ws_tokens(text_col)).alias("dl"),
-        F.explode(F.transform(ws_tokens(text_col), F.lower)).alias("term"),
+        F.transform(ws_tokens(text_col), F.lower).alias("arr"),
+    ).select(F.col(id_col), F.size("arr").alias("dl"), F.col("arr"))
+    toks = arred.select(
+        F.col(id_col), F.col("dl"), F.explode("arr").alias("term")
     ).where(F.col("term").isin(terms))
 
-    tf = toks.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the per-term df aggregate and the scoring join; it is
+    # |query terms| × matching docs rows (tiny), while its lineage is a
+    # full corpus tokenize+explode — materialize once or that pipeline
+    # runs twice (Spark re-executes non-materialized plans per branch)
+    tf = (
+        toks.groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
 
-    n_docs, sum_dl = docs.agg(
+    n_docs, sum_dl = spread_compute(docs).agg(
         F.count(F.lit(1)), F.sum(F.size(ws_tokens(text_col)))
     ).first()
     avgdl = sum_dl / n_docs  # integer-exact sum → bit-identical anywhere
