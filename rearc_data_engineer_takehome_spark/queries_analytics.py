@@ -763,3 +763,70 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+
+@query(
+    "events_wau",
+    """
+    WITH w AS (
+        SELECT (floor(epoch(e.ts) / 86400)::BIGINT - t.k) * 86400
+                   AS window_start,
+               e.user_id
+        FROM events e CROSS JOIN unnest(range(0, 7)) AS t(k)
+    )
+    SELECT window_start, count(DISTINCT user_id) AS wau
+    FROM w GROUP BY window_start
+    """,
+    doc="Rolling weekly active users (WAU): 7-day window sliding 1 day "
+    "with a DISTINCT user count — the windowed-distinct shape "
+    "events_sliding's plain counts don't cover. Spark assigns each "
+    "event to its 7 epoch-aligned windows via window(ts, 7d, 1d); the "
+    "oracle reconstructs the same assignment as day_floor(ts)-k. At "
+    "100 TB swap countDistinct for approx_count_distinct or an HLL "
+    "union over per-day sketches (see the sketch queries).",
+)
+def events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.col("w.start").cast("long").alias("window_start"), "wau")
+    )
+
+
+@query(
+    "modal_event_type_per_user",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ), r AS (
+        SELECT user_id, event_type, n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type ASC) AS rn
+        FROM c
+    )
+    SELECT user_id, event_type AS modal_type, n FROM r WHERE rn = 1
+    """,
+    doc="Deterministic grouped MODE: most frequent event_type per user, "
+    "ties broken lexicographically — built-in mode() is "
+    "tie-nondeterministic in both engines, so the composition "
+    "(count groupBy, then rank over the tiny counts table) is the "
+    "cross-engine-safe form. The window ranks ≤|event types| rows per "
+    "user, never raw events.",
+)
+def modal_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    c = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n")
+    )
