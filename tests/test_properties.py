@@ -211,3 +211,117 @@ def test_chunk_fixed_covers_text_without_loss(spark, text, stride, extra):
     # every chunk is the exact substring at its offset
     for r in chunks:
         assert r.chunk_text == text[r.chunk_id * stride : r.chunk_id * stride + size]
+
+
+# ---------------------------------------------------------------------------
+# Relational / analytics operators vs brute-force Python references
+# ---------------------------------------------------------------------------
+
+kv_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),   # group
+        st.integers(min_value=0, max_value=6),   # sub
+        st.integers(min_value=-50, max_value=50) # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(kv_rows)
+def test_top1_per_group_matches_bruteforce(spark, rows):
+    """Property: the argmax-aggregate top-1 equals the brute-force
+    (max summed value, min sub on ties) reference for any input."""
+    from collections import defaultdict
+
+    from rearc_data_engineer_takehome_spark.operators.relational import (
+        top1_per_group,
+    )
+
+    rows = [(g, sub, float(v)) for g, sub, v in rows]
+    df = spark.createDataFrame(rows, "g long, sub long, v double")
+    got = {
+        r.g: (r.best_sub, r.sum_v)
+        for r in top1_per_group(df, "g", "sub", "v").collect()
+    }
+    sums: dict = defaultdict(float)
+    for g, sub, v in rows:
+        sums[(g, sub)] += v
+    expect = {}
+    for (g, sub), s in sums.items():
+        cur = expect.get(g)
+        if cur is None or (s, -sub) > (cur[1], -cur[0]):
+            expect[g] = (sub, s)
+    assert got == {g: (sub, s) for g, (sub, s) in expect.items()}
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 3)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_entropy_from_long_matches_per_column(spark, pairs):
+    """Property: the single-pipeline multi-column entropy equals the
+    per-column operator for any (col_name, value) distribution."""
+    from rearc_data_engineer_takehome_spark.operators.quality import (
+        column_entropy,
+        entropy_from_long,
+    )
+
+    long_df = spark.createDataFrame(pairs, "col_name string, v string")
+    got = {
+        r.col_name: (r.entropy, r.n_distinct, r.n_rows)
+        for r in entropy_from_long(long_df).collect()
+    }
+    for name in {c for c, _ in pairs}:
+        one = column_entropy(
+            long_df.where(F.col("col_name") == name).select("v"), "v"
+        ).collect()[0]
+        assert got[name] == (one.entropy, one.n_distinct, one.n_rows)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_streak_grouping_constant_matches_bruteforce(spark, user_days):
+    """Property: the day-minus-row_number islands grouping yields the
+    true longest consecutive run and run count per user."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(user_days, "user_id long, d long").distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = (
+        df.select("user_id", "d", (F.col("d") - F.row_number().over(w)).alias("grp"))
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    got = {
+        r.user_id: (r.longest, r.n_streaks)
+        for r in runs.groupBy("user_id")
+        .agg(F.max("len").alias("longest"), F.count(F.lit(1)).alias("n_streaks"))
+        .collect()
+    }
+    by_user: dict = {}
+    for u, d in user_days:
+        by_user.setdefault(u, set()).add(d)
+    for u, days in by_user.items():
+        ds = sorted(days)
+        runs_py, best, cur = 1, 1, 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs_py += 1
+                cur = 1
+            best = max(best, cur)
+        assert got[u] == (best, runs_py)
