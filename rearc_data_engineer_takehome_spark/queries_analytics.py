@@ -830,3 +830,72 @@ def modal_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("modal_type"), "n")
     )
+
+
+@query(
+    "revenue_by_dow",
+    """
+    SELECT ((datediff('day', DATE '1970-01-01', o_orderdate::DATE) + 4) % 7)
+               AS dow_sun0,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(DISTINCT weekofyear(o_orderdate)) AS n_weeks_seen,
+           count(DISTINCT quarter(o_orderdate)) AS n_quarters_seen
+    FROM orders GROUP BY dow_sun0
+    """,
+    doc="Calendar-part battery: day-of-week revenue profile plus "
+    "ISO-week/quarter coverage counts. Day-of-week comes from pure "
+    "epoch-day arithmetic ((days-since-1970 + 4) mod 7, Sunday=0) "
+    "because the engines disagree on dayofweek()'s numbering "
+    "convention; weekofyear/quarter are ISO-consistent in both.",
+)
+def revenue_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    dow = (
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        + 4
+    ) % 7
+    return (
+        orders.groupBy(dow.alias("dow_sun0"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.countDistinct(F.weekofyear("o_orderdate")).alias("n_weeks_seen"),
+            F.countDistinct(F.quarter("o_orderdate")).alias("n_quarters_seen"),
+        )
+    )
+
+
+@query(
+    "returnflag_status_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           grouping_id(l_returnflag, l_linestatus) AS gid,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS (the asymmetric sibling of "
+    "revenue_cube's full CUBE): per-flag totals, per-status totals, and "
+    "the grand total in ONE Expand+HashAggregate pass — three "
+    "aggregations, one shuffle, with grouping_id disambiguating the "
+    "aggregated-away NULLs.",
+)
+def returnflag_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "qty")
+    )
