@@ -77,12 +77,42 @@ def lsh_index(
     seed: int = 13,
 ) -> DataFrame:
     """Attach ``n_tables`` SRP bucket ids. Materialize/persist this once;
-    every query then prunes to matching buckets."""
-    out = df
+    every query then prunes to matching buckets.
+
+    All tables' projections run in ONE Arrow-batched pandas UDF as a
+    single (rows × dim)·(dim × tables·bits) BLAS matmul — the
+    expression-level fold (vectors.dot per plane per table) is
+    interpreted per element and measured ~1.5 ms/row even on tiny
+    inputs. Bucket ids are bit-identical to :func:`srp_bucket` (same
+    planes, same v·p > 0 signs; equivalence-tested), which remains the
+    pure-JVM spec.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    all_planes = np.array(
+        [
+            plane
+            for t in range(n_tables)
+            for plane in _hyperplanes(dim, bits, seed + 101 * t)
+        ],
+        dtype=np.float64,
+    )  # (n_tables*bits, dim)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def buckets(batch):
+        mat = np.stack(batch.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        signs = (mat @ all_planes.T) > 0  # (rows, n_tables*bits)
+        per_table = signs.reshape(len(mat), n_tables, bits)
+        ids = (per_table * weights).sum(axis=2)  # (rows, n_tables)
+        return pd.Series(list(ids))
+
+    out = df.withColumn("__b", buckets(F.col(vec_col)))
     for t in range(n_tables):
-        planes = _hyperplanes(dim, bits, seed + 101 * t)
-        out = out.withColumn(f"bucket_{t}", srp_bucket(F.col(vec_col), planes))
-    return out
+        out = out.withColumn(f"bucket_{t}", F.col("__b").getItem(t))
+    return out.drop("__b")
 
 
 def lsh_topk(

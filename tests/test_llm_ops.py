@@ -304,3 +304,26 @@ def test_embedding_near_dup_vectorized_matches_jvm(emb):
         ).collect()
     )
     assert jvm and jvm == vec
+
+
+def test_lsh_index_vectorized_matches_srp_bucket_spec(emb):
+    """The Arrow-batched bucket computation must be bit-identical to the
+    expression-level srp_bucket fold (same planes, same sign tests)."""
+    from rearc_data_engineer_takehome_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_index,
+        srp_bucket,
+    )
+
+    fast = {
+        r.vec_id: (r.bucket_0, r.bucket_1, r.bucket_2)
+        for r in lsh_index(emb, dim=64, bits=6, n_tables=3).collect()
+    }
+    ref = emb
+    for t in range(3):
+        planes = _hyperplanes(64, 6, 13 + 101 * t)
+        ref = ref.withColumn(f"bucket_{t}", srp_bucket(F.col("embedding"), planes))
+    slow = {
+        r.vec_id: (r.bucket_0, r.bucket_1, r.bucket_2) for r in ref.collect()
+    }
+    assert fast == slow
