@@ -99,3 +99,31 @@ def weighted_sample(
         .orderBy(F.col("wkey").desc(), F.col(key_col).asc())
         .limit(m)
     )
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str,
+    salt: str = "reservoir",
+) -> DataFrame:
+    """Content-deterministic exact-k sample per group (the bounded
+    cousin of fraction-based ``stratified_sample``): rank rows within
+    each group by the portable md5 hash of their key and keep the first
+    ``k``. Equivalent to a uniform k-reservoir given hash uniformity,
+    but reproducible across engines, runs, and partitionings like
+    ``hash_split``. One shuffle on the group key; the ranking window
+    sorts only within groups and short-circuits at k via the rn
+    filter."""
+    h = stable_hash64(
+        F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -899,3 +899,53 @@ def returnflag_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .select("l_returnflag", "l_linestatus", "gid", "n", "qty")
     )
+
+
+@query(
+    "sample_docs_per_lang",
+    """
+    WITH r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5('reservoir:' || doc_id::VARCHAR),
+                                            1, 15))::BIGINT ASC,
+                            doc_id ASC
+               ) AS rn
+        FROM documents
+    )
+    SELECT lang, doc_id FROM r WHERE rn <= 5
+    """,
+    doc="Content-deterministic exact-k reservoir per group "
+    "(sampling.reservoir_per_group): rank within each language by the "
+    "portable md5 hash, keep 5 — a uniform per-stratum sample that is "
+    "reproducible across engines, runs, and partitionings (unlike "
+    "seed-based sampleBy). One shuffle on the group key.",
+)
+def sample_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import reservoir_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return reservoir_per_group(docs, "lang", 5, "doc_id").select(
+        "lang", "doc_id"
+    )
+
+
+@query(
+    "events_wau_approx",
+    None,  # HLL++ sketch estimates differ engine-to-engine → rows-only
+    doc="Approximate WAU: the 100 TB twin of events_wau — "
+    "approx_count_distinct (HyperLogLog++, rsd 2%) over the same "
+    "7-day/1-day-slide windows, one pass, no per-window distinct "
+    "shuffle. pytest gates the estimate against the exact count per "
+    "window (tests/test_sampling.py).",
+)
+def events_wau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("wau_approx"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"), "wau_approx"
+        )
+    )

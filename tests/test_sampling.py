@@ -83,3 +83,46 @@ def test_weighted_sample_matches_formula_and_is_deterministic(spark):
     assert weighted_sample(df.union(df2), "w", m=300, key_col="doc_id").where(
         "doc_id >= 900"
     ).count() == 0
+
+
+def test_reservoir_per_group_exact_k_and_deterministic(spark, sf_smoke):
+    from rearc_data_engineer_takehome_spark.operators.sampling import (
+        reservoir_per_group,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    out1 = sorted(
+        (r.lang, r.doc_id)
+        for r in reservoir_per_group(docs, "lang", 5, "doc_id").collect()
+    )
+    out2 = sorted(
+        (r.lang, r.doc_id)
+        for r in reservoir_per_group(
+            docs.repartition(7), "lang", 5, "doc_id"
+        ).collect()
+    )
+    assert out1 == out2  # partitioning-independent
+    from collections import Counter
+
+    per_group = Counter(lang for lang, _ in out1)
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    for lang, n in sizes.items():
+        assert per_group[lang] == min(5, n)
+
+
+def test_wau_approx_within_envelope(spark, sf_smoke):
+    from rearc_data_engineer_takehome_spark.queries import REGISTRY
+
+    exact = {
+        r.window_start: r.wau
+        for r in REGISTRY["events_wau"].spark(spark, sf_smoke).collect()
+    }
+    approx = {
+        r.window_start: r.wau_approx
+        for r in REGISTRY["events_wau_approx"].spark(spark, sf_smoke).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for ws, n in exact.items():
+        assert abs(approx[ws] - n) <= max(3, 0.1 * n), (ws, n, approx[ws])
