@@ -97,7 +97,12 @@ def extract_features(assets: DataFrame, decoder: str = "fake") -> DataFrame:
     Per-asset decode failures are ISOLATED into ``decode_error`` rows —
     one corrupt file must never kill a 100 TB job.
     """
+    from .relational import spread_compute
+
     decode = DECODERS[decoder]
+    # decode is CPU-bound, not IO-bound: repartition first so a
+    # single-file input doesn't serialize every decode on one task
+    assets = spread_compute(assets)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
