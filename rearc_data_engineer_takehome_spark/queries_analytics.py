@@ -949,3 +949,62 @@ def events_wau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").cast("long").alias("window_start"), "wau_approx"
         )
     )
+
+
+@query(
+    "events_daily_growth_accounting",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, floor(epoch(ts) / 86400)::BIGINT AS d
+        FROM events
+    ), first AS (
+        SELECT user_id, min(d) AS fd FROM days GROUP BY user_id
+    ), daily AS (
+        SELECT days.d,
+               count(*) AS active_users,
+               sum(CASE WHEN days.d = first.fd THEN 1 ELSE 0 END) AS new_users,
+               sum(CASE WHEN days.d > first.fd THEN 1 ELSE 0 END)
+                   AS returning_users
+        FROM days JOIN first USING (user_id)
+        GROUP BY days.d
+    )
+    SELECT d, active_users, new_users, returning_users,
+           sum(new_users) OVER (ORDER BY d) AS cumulative_users
+    FROM daily
+    """,
+    doc="Growth accounting: per-day active users split into new vs "
+    "returning (first-active-day join) plus the cumulative user count "
+    "(running sum over the daily aggregate — the window ranks one row "
+    "per day, bounded by the calendar). All-integer arithmetic; the "
+    "user_id shuffle serves both the distinct and the first-day "
+    "aggregate.",
+)
+def events_daily_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("d"),
+        )
+        .distinct()
+    )
+    first = days.groupBy("user_id").agg(F.min("d").alias("fd"))
+    daily = (
+        days.join(first, "user_id")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum((F.col("d") == F.col("fd")).cast("long")).alias("new_users"),
+            F.sum((F.col("d") > F.col("fd")).cast("long")).alias(
+                "returning_users"
+            ),
+        )
+    )
+    w = Window.orderBy("d")
+    return daily.select(
+        "d",
+        "active_users",
+        "new_users",
+        "returning_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
