@@ -221,3 +221,64 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     rows = {r.user_id: r.tier for r in spark.table("stream_static").collect()}
     # matched users enriched; unmatched user kept with null tier
     assert rows == {1: "gold", 2: "silver", 3: None}
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: an unmatched left row may
+    only emit (with null right side) once the watermark has passed its
+    join window — the state-eviction semantics that make outer streaming
+    joins bounded. The watermark lags one micro-batch, so the source is
+    split into per-file micro-batches with later data that pushes the
+    watermark past the first batch's window."""
+    import pyspark.sql.functions as FF
+
+    imp_dir = str(tmp_path / "lo_impressions")
+    clk_dir = str(tmp_path / "lo_clicks")
+    schema = "event_id long, ts_s string, value double"
+    # one file per (source, hour) → maxFilesPerTrigger=1 gives ~3 batches
+    _write_batch(spark, [(1, "2024-01-01 10:00:00", 7.0),
+                         (2, "2024-01-01 10:00:00", 9.0)], schema, imp_dir)
+    _write_batch(spark, [(3, "2024-01-01 13:00:00", 99.0)], schema, imp_dir)
+    _write_batch(spark, [(4, "2024-01-01 15:00:00", 98.0)], schema, imp_dir)
+    _write_batch(spark, [(101, "2024-01-01 10:10:00", 7.0)], schema, clk_dir)
+    _write_batch(spark, [(102, "2024-01-01 13:00:00", 97.0)], schema, clk_dir)
+    _write_batch(spark, [(103, "2024-01-01 15:00:00", 96.0)], schema, clk_dir)
+
+    read_schema = "event_id long, ts timestamp, value double"
+    imps = (
+        spark.readStream.schema(read_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(imp_dir)
+        .selectExpr("event_id AS imp_id", "ts AS imp_ts", "value AS campaign")
+        .withWatermark("imp_ts", "10 minutes")
+    )
+    clicks = (
+        spark.readStream.schema(read_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(clk_dir)
+        .selectExpr("event_id AS click_id", "ts AS click_ts",
+                    "value AS c_campaign")
+        .withWatermark("click_ts", "10 minutes")
+    )
+    joined = imps.join(
+        clicks,
+        FF.expr(
+            "campaign = c_campaign AND click_ts >= imp_ts "
+            "AND click_ts <= imp_ts + INTERVAL 30 MINUTES"
+        ),
+        "left_outer",
+    )
+    q = (
+        joined.select("imp_id", "click_id")
+        .writeStream.format("memory")
+        .queryName("ss_left_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.imp_id, r.click_id) for r in spark.table("ss_left_outer").collect()}
+    # imp 1 matched; imp 2's window [10:00, 10:30] is far behind the final
+    # watermark (~14:50), so its null row MUST have been emitted/evicted
+    assert (1, 101) in got
+    assert (2, None) in got
