@@ -1008,3 +1008,39 @@ def events_daily_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFram
         "returning_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
+
+
+@query(
+    "events_props_variant",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+           count(*) AS n,
+           min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY k_mod
+    """,
+    doc="Spark 4 VARIANT path for semi-structured data: try_parse_json "
+    "once into the binary VARIANT encoding, then typed variant_get "
+    "extractions — repeated field reads don't re-parse the JSON text "
+    "(the third semi-structured tier next to get_json_object per-path "
+    "strings and from_json declared structs). try_parse_json yields "
+    "NULL, not an error, on malformed input — the 100 TB-safe default.",
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").select("props")
+    v = ev.where(F.col("props").isNotNull()).select(
+        F.try_parse_json("props").alias("v")
+    )
+    k = F.variant_get(F.col("v"), "$.k", "int")
+    return (
+        v.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

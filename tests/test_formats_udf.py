@@ -84,3 +84,36 @@ def test_sql_registered_pandas_udf(spark):
     expected = round(sum((abs(float(i)) + 1.0) ** 0.5 for i in range(100)), 4)
     assert abs(got - expected) < 1e-6
     spark.catalog.dropTempView("udf_in")
+
+
+def test_python_udtf_lateral_explodes_rows(spark):
+    """Spark 4 Python UDTF surface: a table function registered in SQL,
+    used with LATERAL to fan each document out to (word, length) rows —
+    the row-generating UDF tier next to scalar pandas UDFs and grouped
+    applyInPandas. (UDTFs run row-at-a-time Python: fine for bounded
+    fan-out, not a substitute for codegen'd explode in the hot path.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, n_chars: int")
+    class WordLens:
+        def eval(self, text: str):
+            for w in (text or "").split():
+                yield (w, len(w))
+
+    spark.udtf.register("word_lens", WordLens)
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, None)], ["doc_id", "text"]
+    )
+    df.createOrReplaceTempView("udtf_docs")
+    got = sorted(
+        (r.doc_id, r.word, r.n_chars)
+        for r in spark.sql(
+            "SELECT d.doc_id, w.word, w.n_chars "
+            "FROM udtf_docs d, LATERAL word_lens(d.text) w"
+        ).collect()
+    )
+    assert got == [
+        (1, "alpha", 5),
+        (1, "beta", 4),
+        (2, "gamma", 5),
+    ]
