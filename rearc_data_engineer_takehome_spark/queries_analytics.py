@@ -1044,3 +1044,34 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@query(
+    "top2_orders_per_customer_lateral",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+             FROM orders o WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+    """,
+    doc="Correlated LATERAL subquery with per-row ORDER BY + LIMIT — "
+    "the top-N-per-entity shape written as a lateral join instead of a "
+    "ranking window (SURVEY §2.3 breadth; Catalyst decorrelates it into "
+    "a ranked join rather than executing per-customer subqueries). "
+    "Deterministic: ordered on the rounded price with the orderkey "
+    "tie-break. SQL-path query — both engines run the same text via "
+    "their catalog views.",
+)
+def top2_orders_per_customer_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+                 FROM orders o WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+        """
+    )
