@@ -38,6 +38,14 @@ def main() -> None:
     for warm in ("pricing_summary", "doc_fingerprints", "knn_bruteforce"):
         if warm in REGISTRY:
             REGISTRY[warm].spark(spark, SF_DIR).count()
+    # the grouped-map Arrow path spawns a different python worker type
+    # than scalar pandas UDFs; warm it with a trivial op so the BLAS
+    # operators measure compute, not worker-pool cold start
+    from pyspark.sql import functions as F
+
+    spark.range(64).withColumn("g", F.col("id") % 2).groupBy("g").applyInPandas(
+        lambda pdf: pdf, schema="id long, g long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in names:
