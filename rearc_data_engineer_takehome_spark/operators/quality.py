@@ -200,6 +200,118 @@ def assert_unique_keys(df: DataFrame, keys: Sequence[str], what: str) -> None:
         raise ValidationError(f"{what}: {n} duplicate key groups on {keys}")
 
 
+def exact_quantiles_scalable(
+    df: DataFrame,
+    col: str,
+    probs: Sequence[float],
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """EXACT interpolated quantiles (quantile_cont semantics) in two
+    bounded passes — the 100 TB replacement for ``percentile()``'s
+    single-pass counts map, whose per-partition OpenHashMap and
+    single-reducer merge scale with DISTINCT-VALUE cardinality.
+
+    Pass 1: one aggregate computes n plus approximate value brackets
+    around each target rank (percentile_approx at rank-fraction margin
+    2/accuracy — twice the GK sketch's guaranteed rank error, so the
+    true order statistics provably lie inside the brackets).
+    Pass 2: one scan counts rows below each bracket (the global rank
+    offset) while the in-bracket DISTINCT values are counted per value
+    — duplicate-heavy columns collapse to their distinct set, so no
+    task ever materializes an O(bracket) array — then a cumulative walk
+    over that tiny table locates the floor/ceil order statistics and
+    interpolates exactly like quantile_cont / Spark ``percentile``.
+
+    Everything stays in-plan (the result is a 1-row DataFrame with one
+    ``q_{i}`` column per prob, broadcastable as bounds); only plan
+    literals, never data, cross the driver. Interpolation operands are
+    exact order statistics, so results are bit-identical to the
+    single-pass exact percentile (asserted in tests).
+    """
+    from pyspark.sql import Window
+
+    probs = list(probs)
+    margin = 2.0 / accuracy
+    lows = [max(p - margin, 0.0) for p in probs]
+    highs = [min(p + margin, 1.0) for p in probs]
+    src = df.select(F.col(col).alias("x")).where(F.col("x").isNotNull())
+    b = src.agg(
+        F.count("x").alias("n"),
+        F.percentile_approx("x", lows, accuracy).alias("vlo"),
+        F.percentile_approx("x", highs, accuracy).alias("vhi"),
+    ).localCheckpoint()  # tiny; feeds the filter AND the final assembly
+
+    cand = src.join(F.broadcast(b))
+    # one scan: per prob, the below-bracket count; in-bracket rows
+    # explode to (prob index, value) for the distinct-count walk
+    below = cand.groupBy().agg(
+        *[
+            F.sum((F.col("x") < F.get(F.col("vlo"), i)).cast("long")).alias(
+                f"below_{i}"
+            )
+            for i in range(len(probs))
+        ]
+    )
+    in_bracket = (
+        cand.select(
+            "x",
+            F.posexplode(
+                F.array(*[F.lit(i) for i in range(len(probs))])
+            ).alias("pos", "i"),
+        )
+        .where(
+            (F.col("x") >= F.get(F.col("vlo"), F.col("i")))
+            & (F.col("x") <= F.get(F.col("vhi"), F.col("i")))
+        )
+        .groupBy("i", "x")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("i").orderBy("x")
+    walked = in_bracket.select(
+        "i",
+        "x",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+        F.sum("cnt").over(w).alias("cum_incl"),
+    )
+    # global rank range of value x for prob i: [below_i + cum_before,
+    # below_i + cum_incl - 1]; pick the values covering floor(h), ceil(h)
+    joined = walked.join(F.broadcast(below)).join(F.broadcast(b.select("n")))
+    aggs = []
+    for i, p in enumerate(probs):
+        h = (F.col("n") - 1).cast("double") * F.lit(float(p))
+        lo_rank = F.floor(h)
+        hi_rank = -F.floor(-h)
+        start = F.col(f"below_{i}") + F.col("cum_before")
+        end = F.col(f"below_{i}") + F.col("cum_incl") - 1
+        aggs.append(
+            F.max(
+                F.when(
+                    (F.col("i") == i) & (start <= lo_rank) & (lo_rank <= end),
+                    F.col("x"),
+                )
+            ).alias(f"xf_{i}")
+        )
+        aggs.append(
+            F.max(
+                F.when(
+                    (F.col("i") == i) & (start <= hi_rank) & (hi_rank <= end),
+                    F.col("x"),
+                )
+            ).alias(f"xc_{i}")
+        )
+        aggs.append(F.max(h - lo_rank.cast("double")).alias(f"frac_{i}"))
+    folded = joined.agg(*aggs)
+    final_cols = []
+    for i in range(len(probs)):
+        xf, xc, frac = F.col(f"xf_{i}"), F.col(f"xc_{i}"), F.col(f"frac_{i}")
+        final_cols.append(
+            F.when(frac == 0.0, xf)
+            .otherwise(xf + frac * (xc - xf))
+            .alias(f"q_{i}")
+        )
+    return folded.select(*final_cols)
+
+
 def winsorize(
     df: DataFrame, col: str, lo_p: float = 0.01, hi_p: float = 0.99
 ) -> DataFrame:

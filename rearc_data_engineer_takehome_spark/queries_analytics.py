@@ -1075,3 +1075,35 @@ def top2_orders_per_customer_lateral(spark: SparkSession, sf_dir: str) -> DataFr
                  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
         """
     )
+
+
+@query(
+    "price_quantiles_scalable",
+    """
+    SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    """,
+    doc="EXACT quantiles via quality.exact_quantiles_scalable: two "
+    "bounded passes (approx brackets, then a distinct-count rank walk "
+    "inside the brackets) instead of percentile()'s single-pass counts "
+    "map, whose memory and single-reducer merge scale with "
+    "distinct-value cardinality. Bit-identical to quantile_cont "
+    "(interpolates exact order statistics) — the oracle proves it.",
+)
+def price_quantiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import exact_quantiles_scalable
+
+    q = exact_quantiles_scalable(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        [0.25, 0.50, 0.75, 0.99],
+    )
+    return q.select(
+        F.round("q_0", 4).alias("p25"),
+        F.round("q_1", 4).alias("p50"),
+        F.round("q_2", 4).alias("p75"),
+        F.round("q_3", 4).alias("p99"),
+    )

@@ -123,3 +123,27 @@ def test_column_entropy_extremes(spark):
     r = column_entropy(uniform, "c").first()
     assert abs(r.entropy - round(math.log(8), 6)) < 1e-6  # uniform → ln(k)
     assert r.n_distinct == 8
+
+
+def test_exact_quantiles_scalable_matches_single_pass(spark, sf_smoke):
+    """The two-pass bracketed quantile must be BIT-identical to the
+    single-pass exact percentile, including on a duplicate-heavy column
+    (where the bracket collapses onto one value's mass)."""
+    import pyspark.sql.functions as F
+
+    from rearc_data_engineer_takehome_spark.operators.quality import (
+        exact_quantiles_scalable,
+    )
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    probs = [0.0, 0.25, 0.5, 0.75, 0.99, 1.0]
+    ref = li.agg(
+        F.expr(f"percentile(l_extendedprice, array({','.join(map(str, probs))}))")
+    ).collect()[0][0]
+    got = exact_quantiles_scalable(li, "l_extendedprice", probs).collect()[0]
+    assert [got[f"q_{i}"] for i in range(len(probs))] == list(ref)
+
+    dup = li.select("l_quantity")  # ~50 distinct values, heavy duplicates
+    ref2 = dup.agg(F.expr("percentile(l_quantity, array(0.5, 0.9))")).collect()[0][0]
+    got2 = exact_quantiles_scalable(dup, "l_quantity", [0.5, 0.9]).collect()[0]
+    assert [got2["q_0"], got2["q_1"]] == list(ref2)
