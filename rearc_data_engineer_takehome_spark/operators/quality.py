@@ -242,16 +242,26 @@ def exact_quantiles_scalable(
     ).localCheckpoint()  # tiny; feeds the filter AND the final assembly
 
     cand = src.join(F.broadcast(b))
-    # one scan: per prob, the below-bracket count; in-bracket rows
-    # explode to (prob index, value) for the distinct-count walk
-    below = cand.groupBy().agg(
-        *[
-            F.sum((F.col("x") < F.get(F.col("vlo"), i)).cast("long")).alias(
-                f"below_{i}"
-            )
-            for i in range(len(probs))
-        ]
-    )
+    # one scan: per prob, the below-bracket count plus the adjacent
+    # distinct values just OUTSIDE the bracket — the GK rank-error bound
+    # means a bracket can miss the floor/ceil order statistic by at most
+    # ONE rank (when the margin is narrower than a rank, i.e. tiny n or
+    # extreme p), and the max-below / min-above values are exactly those
+    # ±1-rank fallbacks. In-bracket rows explode to (prob index, value)
+    # for the distinct-count walk.
+    side_aggs = []
+    for i in range(len(probs)):
+        vlo_i, vhi_i = F.get(F.col("vlo"), i), F.get(F.col("vhi"), i)
+        side_aggs.append(
+            F.sum((F.col("x") < vlo_i).cast("long")).alias(f"below_{i}")
+        )
+        side_aggs.append(
+            F.max(F.when(F.col("x") < vlo_i, F.col("x"))).alias(f"maxbelow_{i}")
+        )
+        side_aggs.append(
+            F.min(F.when(F.col("x") > vhi_i, F.col("x"))).alias(f"minabove_{i}")
+        )
+    below = cand.groupBy().agg(*side_aggs)
     in_bracket = (
         cand.select(
             "x",
@@ -300,13 +310,26 @@ def exact_quantiles_scalable(
             ).alias(f"xc_{i}")
         )
         aggs.append(F.max(h - lo_rank.cast("double")).alias(f"frac_{i}"))
+        aggs.append(F.max(h).alias(f"h_{i}"))
+        aggs.append(F.max(F.col(f"maxbelow_{i}")).alias(f"mb_{i}"))
+        aggs.append(F.max(F.col(f"minabove_{i}")).alias(f"ma_{i}"))
     folded = joined.agg(*aggs)
     final_cols = []
-    for i in range(len(probs)):
-        xf, xc, frac = F.col(f"xf_{i}"), F.col(f"xc_{i}"), F.col(f"frac_{i}")
+    for i, p in enumerate(probs):
+        # ±1-rank fallbacks: a floor rank just below the bracket is the
+        # adjacent value below; a ceil rank just above is the one above
+        xf = F.coalesce(F.col(f"xf_{i}"), F.col(f"mb_{i}"))
+        xc = F.coalesce(F.col(f"xc_{i}"), F.col(f"ma_{i}"))
+        frac = F.col(f"frac_{i}")
+        # Spark's percentile interpolates with the two-sided weighted
+        # form (ceil-pos)·lower + (pos-floor)·higher; reproduce it
+        # operand-for-operand so results are BIT-identical, not just
+        # within an ulp
+        h = F.col(f"h_{i}")
+        lo = F.floor(h).cast("double")
         final_cols.append(
             F.when(frac == 0.0, xf)
-            .otherwise(xf + frac * (xc - xf))
+            .otherwise((lo + 1.0 - h) * xf + (h - lo) * xc)
             .alias(f"q_{i}")
         )
     return folded.select(*final_cols)

@@ -325,3 +325,25 @@ def test_streak_grouping_constant_matches_bruteforce(spark, user_days):
                 cur = 1
             best = max(best, cur)
         assert got[u] == (best, runs_py)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.integers(min_value=-100, max_value=100), min_size=2, max_size=60
+    ),
+    st.integers(min_value=1, max_value=19),
+)
+def test_exact_quantiles_scalable_matches_percentile(spark, vals, p20):
+    """Property: the two-pass bracketed quantile equals the single-pass
+    exact percentile for any value multiset (duplicates included) and
+    any interior probability."""
+    from rearc_data_engineer_takehome_spark.operators.quality import (
+        exact_quantiles_scalable,
+    )
+
+    prob = p20 / 20.0
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    ref = df.agg(F.expr(f"percentile(x, {prob})")).collect()[0][0]
+    got = exact_quantiles_scalable(df, "x", [prob]).collect()[0]["q_0"]
+    assert got == ref
