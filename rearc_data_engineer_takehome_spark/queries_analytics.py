@@ -1107,3 +1107,79 @@ def price_quantiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q_2", 4).alias("p75"),
         F.round("q_3", 4).alias("p99"),
     )
+
+
+@query(
+    "part_pair_affinity",
+    """
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+        SELECT count(DISTINCT l_orderkey)::DOUBLE AS n FROM lineitem
+    ), part_freq AS (
+        SELECT l_partkey, count(*) AS f FROM baskets GROUP BY l_partkey
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_together
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b
+        HAVING count(*) >= 3
+    )
+    SELECT p.part_a, p.part_b, p.n_together,
+           round((p.n_together * o.n) / (fa.f * fb.f), 6) AS lift
+    FROM pairs p
+    JOIN part_freq fa ON fa.l_partkey = p.part_a
+    JOIN part_freq fb ON fb.l_partkey = p.part_b
+    CROSS JOIN n_orders o
+    """,
+    doc="Market-basket co-occurrence with lift: distinct (order, part) "
+    "baskets self-joined on the order key — pair blow-up is bounded by "
+    "per-order line count (≤ C(lines,2) per order), never corpus-wide — "
+    "then support-filtered pairs scored by lift = P(ab)/(P(a)P(b)). "
+    "Counts are integer-exact; only lift is rounded. The basket "
+    "deduplication shuffle is shared by the pair join and the "
+    "single-part frequencies.",
+)
+def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n")
+    )
+    part_freq = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_together"))
+        .where(F.col("n_together") >= 3)
+    )
+    fa = part_freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("f").alias("fa")
+    )
+    fb = part_freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("f").alias("fb")
+    )
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_together",
+            F.round(
+                (F.col("n_together") * F.col("n")) / (F.col("fa") * F.col("fb")),
+                6,
+            ).alias("lift"),
+        )
+    )
