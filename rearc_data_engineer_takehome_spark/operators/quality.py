@@ -335,6 +335,127 @@ def exact_quantiles_scalable(
     return folded.select(*final_cols)
 
 
+def grouped_exact_quantiles_scalable(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    probs: Sequence[float],
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group :func:`exact_quantiles_scalable`: one row per group
+    with exact interpolated quantiles, without per-group counts maps.
+
+    Same two-pass structure with the group key threaded through every
+    stage: pass 1 is a grouped aggregate (n + approx brackets per
+    group), pass 2 joins brackets back on the group key (a plain
+    shuffle equi-join — works for unbounded group counts) and walks
+    each group's in-bracket distinct values. Per-group state is
+    O(distinct values inside the brackets), not O(group distinct
+    cardinality) — the property ``percentile() GROUP BY`` lacks.
+    Returns (group_col, q_0..q_{k-1}), bit-identical to grouped
+    ``percentile`` (tested).
+    """
+    from pyspark.sql import Window
+
+    probs = list(probs)
+    margin = 2.0 / accuracy
+    lows = [max(p - margin, 0.0) for p in probs]
+    highs = [min(p + margin, 1.0) for p in probs]
+    g = group_col
+    src = df.select(F.col(g), F.col(col).alias("x")).where(
+        F.col("x").isNotNull()
+    )
+    b = (
+        src.groupBy(g)
+        .agg(
+            F.count("x").alias("n"),
+            F.percentile_approx("x", lows, accuracy).alias("vlo"),
+            F.percentile_approx("x", highs, accuracy).alias("vhi"),
+        )
+        .localCheckpoint()
+    )
+
+    cand = src.join(b, g)
+    side_aggs = []
+    for i in range(len(probs)):
+        vlo_i, vhi_i = F.get(F.col("vlo"), i), F.get(F.col("vhi"), i)
+        side_aggs.append(
+            F.sum((F.col("x") < vlo_i).cast("long")).alias(f"below_{i}")
+        )
+        side_aggs.append(
+            F.max(F.when(F.col("x") < vlo_i, F.col("x"))).alias(f"maxbelow_{i}")
+        )
+        side_aggs.append(
+            F.min(F.when(F.col("x") > vhi_i, F.col("x"))).alias(f"minabove_{i}")
+        )
+    below = cand.groupBy(g).agg(*side_aggs)
+    in_bracket = (
+        cand.select(
+            g,
+            "x",
+            F.posexplode(
+                F.array(*[F.lit(i) for i in range(len(probs))])
+            ).alias("pos", "i"),
+        )
+        .where(
+            (F.col("x") >= F.get(F.col("vlo"), F.col("i")))
+            & (F.col("x") <= F.get(F.col("vhi"), F.col("i")))
+        )
+        .groupBy(g, "i", "x")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(g, "i").orderBy("x")
+    walked = in_bracket.select(
+        g,
+        "i",
+        "x",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+        F.sum("cnt").over(w).alias("cum_incl"),
+    )
+    joined = walked.join(below, g).join(b.select(g, "n"), g)
+    aggs = []
+    for i, p in enumerate(probs):
+        h = (F.col("n") - 1).cast("double") * F.lit(float(p))
+        lo_rank = F.floor(h)
+        hi_rank = -F.floor(-h)
+        start = F.col(f"below_{i}") + F.col("cum_before")
+        end = F.col(f"below_{i}") + F.col("cum_incl") - 1
+        aggs.append(
+            F.max(
+                F.when(
+                    (F.col("i") == i) & (start <= lo_rank) & (lo_rank <= end),
+                    F.col("x"),
+                )
+            ).alias(f"xf_{i}")
+        )
+        aggs.append(
+            F.max(
+                F.when(
+                    (F.col("i") == i) & (start <= hi_rank) & (hi_rank <= end),
+                    F.col("x"),
+                )
+            ).alias(f"xc_{i}")
+        )
+        aggs.append(F.max(h - lo_rank.cast("double")).alias(f"frac_{i}"))
+        aggs.append(F.max(h).alias(f"h_{i}"))
+        aggs.append(F.max(F.col(f"maxbelow_{i}")).alias(f"mb_{i}"))
+        aggs.append(F.max(F.col(f"minabove_{i}")).alias(f"ma_{i}"))
+    folded = joined.groupBy(g).agg(*aggs)
+    final_cols = [F.col(g)]
+    for i in range(len(probs)):
+        xf = F.coalesce(F.col(f"xf_{i}"), F.col(f"mb_{i}"))
+        xc = F.coalesce(F.col(f"xc_{i}"), F.col(f"ma_{i}"))
+        frac = F.col(f"frac_{i}")
+        h = F.col(f"h_{i}")
+        lo = F.floor(h).cast("double")
+        final_cols.append(
+            F.when(frac == 0.0, xf)
+            .otherwise((lo + 1.0 - h) * xf + (h - lo) * xc)
+            .alias(f"q_{i}")
+        )
+    return folded.select(*final_cols)
+
+
 def winsorize(
     df: DataFrame, col: str, lo_p: float = 0.01, hi_p: float = 0.99
 ) -> DataFrame:

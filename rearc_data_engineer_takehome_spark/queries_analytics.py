@@ -1183,3 +1183,38 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "returnflag_price_deciles_scalable",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.1), 4) AS p10,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="GROUPED exact quantiles via "
+    "quality.grouped_exact_quantiles_scalable: the per-group two-pass "
+    "bracketed walk — per-group state is O(distinct values inside the "
+    "brackets), not O(group distinct cardinality) like percentile() "
+    "GROUP BY, so groups of unbounded size stay bounded-memory. "
+    "Bit-identical to quantile_cont per group (the oracle proves it).",
+)
+def returnflag_price_deciles_scalable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.quality import grouped_exact_quantiles_scalable
+
+    q = grouped_exact_quantiles_scalable(
+        _t(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        [0.1, 0.5, 0.9],
+    )
+    return q.select(
+        "l_returnflag",
+        F.round("q_0", 4).alias("p10"),
+        F.round("q_1", 4).alias("p50"),
+        F.round("q_2", 4).alias("p90"),
+    )

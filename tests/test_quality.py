@@ -147,3 +147,29 @@ def test_exact_quantiles_scalable_matches_single_pass(spark, sf_smoke):
     ref2 = dup.agg(F.expr("percentile(l_quantity, array(0.5, 0.9))")).collect()[0][0]
     got2 = exact_quantiles_scalable(dup, "l_quantity", [0.5, 0.9]).collect()[0]
     assert [got2["q_0"], got2["q_1"]] == list(ref2)
+
+
+def test_grouped_exact_quantiles_scalable_matches_single_pass(spark, sf_smoke):
+    """Per-group bracketed quantiles must be bit-identical to grouped
+    percentile(), including on a duplicate-heavy column."""
+    import pyspark.sql.functions as F
+
+    from rearc_data_engineer_takehome_spark.operators.quality import (
+        grouped_exact_quantiles_scalable,
+    )
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    for col in ("l_extendedprice", "l_quantity"):
+        ref = {
+            r.l_returnflag: list(r.q)
+            for r in li.groupBy("l_returnflag")
+            .agg(F.expr(f"percentile({col}, array(0.1, 0.5, 0.9))").alias("q"))
+            .collect()
+        }
+        got = {
+            r.l_returnflag: [r.q_0, r.q_1, r.q_2]
+            for r in grouped_exact_quantiles_scalable(
+                li, "l_returnflag", col, [0.1, 0.5, 0.9]
+            ).collect()
+        }
+        assert got == ref, col
