@@ -6,7 +6,12 @@ to this star schema.
 
 Plus sequence islands (streaks), robust stats (MAD), equi-width
 histograms, month-over-month growth, tie-inclusive top-N, join-derived
-latency distributions, and an INTERSECT/EXCEPT battery.
+latency distributions, an INTERSECT/EXCEPT battery, string/temporal
+rollups (listagg, calendar parts, TWAP), windowed distinct users (WAU
+exact + HLL twin), growth accounting, deterministic mode and per-group
+reservoirs, Spark 4 surfaces (VARIANT, GROUPING SETS, LATERAL), market
+basket lift, and the two-pass scalable exact quantiles (global and
+grouped).
 
 All carry full DuckDB oracles. Float aggregates follow the
 repo-wide contract: round identically on both sides, rank only on
