@@ -1223,3 +1223,67 @@ def returnflag_price_deciles_scalable(
         F.round("q_1", 4).alias("p50"),
         F.round("q_2", 4).alias("p90"),
     )
+
+
+@query(
+    "user_value_window_nulls",
+    """
+    WITH v AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN value < 0 THEN NULL ELSE round(value, 4) END AS v
+        FROM events
+    ), w AS (
+        SELECT user_id,
+               first_value(v IGNORE NULLS) OVER win AS first_v,
+               last_value(v IGNORE NULLS) OVER win AS last_v,
+               nth_value(v, 2 IGNORE NULLS) OVER win AS second_v,
+               count(*) OVER win AS n_events,
+               count(v) OVER win AS n_nonnull
+        FROM v
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, max(first_v) AS first_v, max(last_v) AS last_v,
+           max(second_v) AS second_v, max(n_events) AS n_events,
+           max(n_nonnull) AS n_nonnull
+    FROM w GROUP BY user_id
+    """,
+    doc="first_value / last_value / nth_value with IGNORE NULLS over a "
+    "full-partition frame — the null-skipping window tier (the same "
+    "machinery gapfill's forward-fill uses, surfaced as a query). "
+    "Nulls are derived deterministically (negative readings), values "
+    "rounded BEFORE the windows so both engines pick identical "
+    "operands; the full-frame results are constant per partition, so "
+    "one groupBy folds them to a row per user.",
+)
+def user_value_window_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("value") < 0, F.lit(None)).otherwise(
+            F.round("value", 4)
+        ).alias("v"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w = ev.select(
+        "user_id",
+        F.first("v", ignorenulls=True).over(win).alias("first_v"),
+        F.last("v", ignorenulls=True).over(win).alias("last_v"),
+        F.nth_value("v", 2, ignoreNulls=True).over(win).alias("second_v"),
+        F.count(F.lit(1)).over(win).alias("n_events"),
+        F.count("v").over(win).alias("n_nonnull"),
+    )
+    return w.groupBy("user_id").agg(
+        F.max("first_v").alias("first_v"),
+        F.max("last_v").alias("last_v"),
+        F.max("second_v").alias("second_v"),
+        F.max("n_events").alias("n_events"),
+        F.max("n_nonnull").alias("n_nonnull"),
+    )
