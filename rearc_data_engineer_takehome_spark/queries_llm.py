@@ -289,11 +289,47 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_lsh",
-    None,  # probabilistic candidate recall → rows-only; pytest gates recall vs exact
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    shl AS (SELECT doc_id, {_SHINGLES3} AS sh FROM toks),
+    sig AS (SELECT doc_id, {_minhash_sig_sql(8)} FROM shl),
+    bands AS (
+        SELECT doc_id, u.band, u.bh FROM sig, LATERAL (
+            SELECT unnest([0, 1, 2, 3]) AS band,
+                   unnest([md5(m0::VARCHAR || ',' || m1::VARCHAR),
+                           md5(m2::VARCHAR || ',' || m3::VARCHAR),
+                           md5(m4::VARCHAR || ',' || m5::VARCHAR),
+                           md5(m6::VARCHAR || ',' || m7::VARCHAR)]) AS bh
+        ) u
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+    ),
+    p AS (SELECT DISTINCT doc_id, {stable_hash64_sql("s")} AS h
+          FROM (SELECT doc_id, unnest(sh) AS s FROM shl)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM p GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, count(*) AS cmn
+        FROM cand c
+        JOIN p a ON a.doc_id = c.id_a
+        JOIN p b ON b.doc_id = c.id_b AND b.h = a.h
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, round(cmn / (na.n + nb.n - cmn), 6) AS jaccard
+    FROM common
+    JOIN sizes na ON na.doc_id = common.id_a
+    JOIN sizes nb ON nb.doc_id = common.id_b
+    WHERE round(cmn / (na.n + nb.n - cmn), 6) >= 0.8
+    """,
     doc="MinHash+LSH near-dup pairs (8 perms, 4 bands), exact-Jaccard "
-    "verified candidates. Bucketing recall is probabilistic so no SQL "
-    "oracle; tests/test_llm_ops.py asserts recall ≥ 0.95 against the exact "
-    "operator at J≥0.8 and perfect precision.",
+    "verified candidates. Despite being 'approximate', the whole "
+    "pipeline is DETERMINISTIC (md5-derived signatures, md5 band "
+    "hashes, exact verification) so the oracle replays banding + "
+    "verification in SQL and value-hashes must match; "
+    "tests/test_llm_ops.py additionally gates recall ≥ 0.95 against "
+    "the exact operator at J≥0.8.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
