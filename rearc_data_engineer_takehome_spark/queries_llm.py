@@ -463,12 +463,36 @@ def knn_all_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "knn_lsh",
-    None,  # probabilistic bucket recall → rows-only; pytest gates recall
+    """
+    WITH q AS (
+        SELECT qv, (CASE WHEN list_dot_product(qv, [-0.7471385487770168, 0.6076465357074066, -0.3408309999128166, -0.3494814709449052, -0.05075527656021295, 0.1053243053126236, 0.00734196271241605, -0.6852077505615384, -0.5083329434683264, -0.11684360657876058, -0.6187085885968235, -0.6698768368434248, -0.5831742201784632, 0.8158673075463638, -0.15956544662096328, 0.5061660854647034, 0.44112533587089464, -0.03429089641568872, -0.8422300732847382, -0.1333241293873232, -0.7827585830667187, -0.01822199598769736, -0.18139621975843523, 0.23531484984888484, -0.13196826319768273, 0.23500499347660075, -0.8048135993144471, 0.9910416951652163, -0.466980828386777, 0.28424036596836433, -0.2767294939140268, -0.2610787571079467, 0.0007377587024659515, 0.8635727497614367, 0.7035492299263681, -0.9724608433921685, -0.6714766462081694, 0.3764902580457212, -0.4436583873037907, 0.8192919250401891, 0.8387050555150894, 0.02929272308269537, 0.2661407996166347, -0.3516480681954106, 0.6135704727009101, -0.8661419265004131, 0.7189682959561372, 0.12152110831107565, 0.9511792450043217, -0.5357513674465006, 0.49282705435468777, 0.3927325385043272, -0.23991364520009795, 0.777960996104802, 0.1425049742271174, -0.3710325074663451, 0.03662856254881253, -0.005109522748866446, 0.6408939037602182, 0.78613463110268, -0.8008208471752827, 0.6061566852690201, 0.8157589323582326, -0.8572823060856664]::DOUBLE[]) > 0 THEN 1 ELSE 0 END + CASE WHEN list_dot_product(qv, [-0.20745834810599906, -0.389483236710645, 0.09849594102688197, 0.19520041017725087, 0.03706946625752172, 0.5202756474928452, 0.8916767552543166, 0.6148296275659453, 0.19727688069672, 0.07118289704747371, -0.40317223610507014, -0.5680336548955638, -0.14559000041036207, -0.22104804925729538, -0.9375820351601838, -0.5371487609809792, -0.36046800031536286, -0.9774874683981949, -0.08356903185857723, 0.0689355715153046, -0.08190771696458765, -0.25231692497518743, -0.13127419920463668, 0.7745717550379052, -0.6609472496561171, -0.27181933676443504, 0.9992951844554059, -0.7924212620811208, 0.5021423028837304, 0.08788451386351559, -0.6813328581099902, -0.46380941105766105, -0.7259171882271358, 0.9426553620042644, -0.4468454737419295, -0.8517753513295498, 0.6027313924771172, -0.5833186860990975, -0.23763386063336955, -0.7855823372553489, -0.5337984677700679, -0.8518136863886019, -0.005432690575310817, 0.5236238187463846, -0.1743299980827181, 0.5597182548530186, -0.28487216005771954, 0.39761079540993705, -0.10670789051145335, -0.10597689679002498, 0.5678333207472268, -0.07877382033843294, 0.385522202041787, 0.2197971459876198, -0.9526918481594588, -0.30659832391224495, 0.06288878592708635, -0.11010223590456514, 0.7427763011252346, 0.28750094048733743, 0.537205818030529, 0.40029118953538423, 0.27804481616038057, 0.42968064090524716]::DOUBLE[]) > 0 THEN 2 ELSE 0 END + CASE WHEN list_dot_product(qv, [0.3847903538527455, -0.965668950498978, 0.2940173476692045, 0.5186124234528517, -0.4793296127858804, -0.8821268975828916, 0.35327107608700214, -0.4870510254906063, -0.8029124065786999, -0.8948102072460526, 0.5810959269262217, -0.7248009048025896, -0.1899682236996698, 0.898659386769908, 0.4196806012458498, 0.5873808606566158, -0.040611415801856565, 0.5609563538059579, 0.6040580550737735, -0.40028933745825224, -0.07803701765924431, 0.14315461339207514, 0.6330306621725916, 0.9202686324273917, 0.9515581614421615, 0.26664638752146286, 0.174715490955188, -0.48485521918120467, 0.09678571135899805, -0.11818322819475202, 0.9255329237007961, -0.2255140302518055, -0.27649822588603545, -0.6845429850035811, 0.7543656800306495, 0.4265735435052591, 0.5156827356852409, -0.15369928743980354, 0.2364005243363776, 0.0871536324891522, 0.9589709129449855, -0.7472739375020292, 0.17442048247230613, 0.7066215192807668, 0.7208783577213131, -0.2561823469049487, 0.9968499446749828, 0.9006187991296131, 0.09386400818523954, 0.7112696072646654, -0.8249161574780918, 0.15319083686756274, -0.5968492388735145, -0.23087604570153886, -0.3349092200934525, 0.2682778265015322, -0.14837423259364846, -0.910271985703888, 0.9672965596359455, -0.09005802577297561, -0.15570155770144944, 0.941674342341206, -0.8561892172784363, -0.3363728969114782]::DOUBLE[]) > 0 THEN 4 ELSE 0 END + CASE WHEN list_dot_product(qv, [0.6569574785040742, 0.928231467295553, -0.4441271193523817, 0.8651268970658972, 0.2863517425584581, -0.8061009842755322, 0.9172529217673482, 0.9974896094327768, -0.7442453886478397, -0.7720106809848685, -0.40627795304153336, 0.5627075472913246, 0.4955838266611663, -0.6394506677424846, 0.5837018204811193, -0.6392640779608462, 0.967865507938398, -0.45523883470200843, 0.14280212741630027, 0.5467290652057668, -0.3225670168183342, -0.28803516877174606, 0.2427055399311473, -0.7905740755783012, 0.37856107479508294, -0.5035177379800582, -0.8780920031784885, -0.6413166749930286, 0.09901518899460027, 0.6650101537731556, 0.5919526105089581, -0.9036022317308828, 0.680430827651477, -0.024554241187474513, 0.1123553577121299, 0.9912022817105652, 0.06321344050978528, -0.5684179542051997, 0.1328414892157337, 0.03950813176834145, -0.9345483439839011, 0.3976963468052013, -0.9667159500096351, 0.735548304099801, -0.8073750094245331, 0.23396525412183888, 0.29449883515596587, 0.6873951485756931, -0.88484583062671, 0.8109245635632161, -0.46024702514888294, -0.23421573711521748, -0.7583084509523782, -0.5299039256360876, -0.22445660602770268, -0.17946674758056735, -0.7421550236173728, -0.2641184541741216, 0.7905128271372746, 0.7175519410783553, 0.5709085389782169, 0.08685101948916851, -0.009886274391412653, 0.42904644651197676]::DOUBLE[]) > 0 THEN 8 ELSE 0 END + CASE WHEN list_dot_product(qv, [-0.2842951215673202, 0.9808269734735833, 0.14268915945880445, 0.7624837448240229, 0.30140110622938465, -0.6891038820492525, 0.3275809872548292, 0.5211401365009996, 0.8710114986535646, 0.27889793527733464, -0.9526546070460695, 0.7114182526990058, -0.24932415989483514, 0.9101934106172329, 0.563593607888849, 0.742826758252259, -0.3682652884329978, -0.858383777682084, 0.970672169222343, 0.666861510019126, 0.9888327833390813, -0.7860478867731847, -0.4925692992329923, 0.6229102099895707, 0.049094406479368136, -0.20043800259047873, 0.22840545650361577, -0.3788120629521555, 0.2477926235155914, 0.4493225869920481, -0.7925021811893624, 0.637839909875112, 0.7073882540338099, 0.39201190233083083, 0.8369412563901126, 0.925640186415738, 0.31651492176764484, -0.2876452192621545, 0.502745153367937, -0.728743382347536, -0.6467064804368855, 0.9890015780614436, 0.7698104060338546, -0.6074227093547693, -0.5188735695875614, -0.2977246350339753, 0.8240281225837591, -0.05113341984829667, -0.7360115264430811, 0.901711540449512, -0.133085739287631, 0.5510241456047564, -0.9827688139057796, 0.868778687911473, 0.33130772986342727, -0.47693619207328863, 0.511658108206301, -0.05537024629638132, -0.5191969764593054, 0.8823600651429371, 0.00033897102793578604, 0.10427838739419082, 0.442087958952625, -0.47533378828407535]::DOUBLE[]) > 0 THEN 16 ELSE 0 END + CASE WHEN list_dot_product(qv, [0.05434382414701955, 0.8669055807146411, 0.3767958388367114, 0.4279952262331179, -0.3392556308881496, -0.032365443515739, -0.0952647017451902, -0.28623810455475995, 0.7175312727209482, -0.2285773086221986, 0.5747787839460745, -0.1642551621520968, 0.9787490880322958, 0.7841644770894711, 0.07008736645171343, 0.9943272147819846, 0.4474740208448049, -0.05891926829242766, 0.710847506992478, 0.7530234706384737, 0.7307951800506114, 0.24337491995413907, -0.5670597174373994, 0.44065648945799385, 0.9209181674473874, -0.14026202347516936, 0.23775001582003807, 0.8072259634706711, -0.6661683950275563, -0.42886419637111883, 0.9251552495552753, 0.4992408513641784, 0.08878512694240337, 0.4943338107528856, 0.9683872021184856, -0.10890541287464561, -0.475447804115935, -0.34453332485910215, -0.21306821021237, -0.5296149085652684, 0.9254127758749262, -0.8215621622070025, 0.46588988514987184, 0.1404307301606329, -0.7514839063694525, -0.7060497872309377, 0.24658679619406088, -0.0937808657573923, 0.7843409282467135, 0.2913719519670015, -0.9456520925911505, -0.6447925627855119, 0.1966043167377003, 0.17844507291394573, 0.32042428351757635, -0.9111643573246845, -0.8046868173796072, -0.988913785479092, -0.3761538392714463, -0.3074310389457112, 0.07880616157493292, 0.6073713499561386, 0.22809030230715943, -0.4241139162923112]::DOUBLE[]) > 0 THEN 32 ELSE 0 END) AS qb_0,
+           (CASE WHEN list_dot_product(qv, [0.6330699129684112, -0.6780456991738522, -0.9542581792811867, 0.2359820014907148, 0.325313587522416, -0.2754093124046122, -0.1633536819866338, -0.0714898209204815, -0.3075809091322673, -0.36442540249828026, 0.816374739419673, 0.23815208229744633, 0.3744323564079066, -0.4079126230865573, -0.6198144735073811, -0.3976367841992159, 0.6112061395761073, -0.6684301973204133, 0.6903691858669534, 0.1525130231223979, 0.894326341007305, -0.902184182457243, 0.366844812969775, 0.8717393030505594, 0.4717693137396688, -0.4091126909936128, 0.15167537548546872, -0.4333318107666393, 0.7057901128650099, -0.1330988793073743, 0.2758761743424667, 0.9021333125613162, 0.9578257261604473, -0.37392706545205, 0.3816446045185986, -0.26553275902808426, 0.4870595716949204, 0.27766369935184243, -0.3471375488496805, -0.8258481251492384, -0.7535609677201682, -0.278872291875346, 0.3668880753304611, 0.02728256568498133, 0.2762245172014042, 0.23775356045632612, 0.4228891164813524, 0.388087490844262, -0.7383914514107579, -0.09860801690996412, 0.9502432452560379, 0.25972115058456824, 0.9343292708634767, -0.37783805223618083, -0.3386983455688539, -0.8616569773556327, -0.05453410763524458, -0.5231744556909375, 0.9666741814889552, -0.9773273345732763, -0.7717900484701874, -0.6205322834440165, -0.3636582046798721, 0.6889829448357434]::DOUBLE[]) > 0 THEN 1 ELSE 0 END + CASE WHEN list_dot_product(qv, [-0.4021030528632613, -0.7422055419275029, 0.7798993487143073, 0.5491786689697584, 0.339284274087404, -0.030632806317221095, -0.2196268253781929, -0.875003134001726, -0.0016472347143261512, -0.5863554831242881, -0.7080934313022743, -0.16757471013304082, -0.37104752719918277, -0.4663958710388896, 0.1448869806665023, -0.0445593964728529, -0.4710472987424328, 0.5579025824253903, 0.34659551323809246, -0.9662401757486918, 0.12449249782833327, -0.32397867892937626, 0.24312485656734895, 0.7485256892076522, -0.22992546372714506, 0.8803818879470624, 0.30910109018612575, -0.14530157293946444, 0.77417346756203, 0.5975238723854497, 0.31652685337435416, 0.20440539904542, -0.6645943567821857, -0.6477279931184099, 0.3631176480307836, -0.1252439345886418, -0.9265689215326555, 0.08246768717292619, -0.18718315189572377, -0.07380933560879877, 0.8049105088134003, -0.4695190635892079, -0.8478116257337298, 0.7450603883432656, 0.9383380006700643, -0.4166767041899241, 0.13433992092534797, -0.8586504167957636, -0.22905453569058143, -0.6019065870273491, 0.31557403778066595, -0.7487819887040574, 0.2500800693113159, -0.03336249135283509, 0.03218223430264322, -0.42528261384890886, 0.08449168600823964, 0.7183596300461994, -0.5886991077409418, -0.5879645959583726, 0.727862291320174, 0.19131254641625905, 0.10100360223839089, -0.5731220770812615]::DOUBLE[]) > 0 THEN 2 ELSE 0 END + CASE WHEN list_dot_product(qv, [0.8674309480381486, 0.6856910480365106, -0.924657192524205, 0.18934822074564184, -0.9554075776047287, 0.18829855417255925, -0.8602810662219144, 0.1515719454129425, -0.059718097871892195, 0.592789679102449, 0.21685434476836618, -0.9815857413437644, 0.7031273522974875, 0.2819708021987184, -0.5330470393959791, -0.7126687728031372, -0.03224739216051786, -0.7966355717247544, -0.8791205166543334, -0.7452513590899701, 0.5129501156916894, 0.11802305462854124, -0.7227078822908308, -0.22108895161848163, -0.3581694480576383, -0.21650126675422343, -0.043841898207699015, 0.16773827736295854, 0.03133249339283628, 0.23070481428771017, -0.1060497322576116, 0.09586759299057768, 0.2914855125407727, -0.7737505492161036, -0.7286146844056456, -0.6286802215000566, 0.7166174826268001, -0.5940206750632884, 0.41668639754699277, 0.6792627773681039, -0.9279574976914551, -0.1933851050744172, 0.5465966831369686, -0.36096498037913705, 0.6778431174652275, 0.3237638492662054, 0.4462508485850445, 0.38382900426066935, 0.006108950952148362, -0.47823702714580185, 0.2810075608163516, -0.7168736610730861, 0.986968059592952, -0.013818012831058768, -0.9191664247444513, -0.5942670064341269, -0.6380923300753152, 0.5020269458421491, 0.13658307907477418, 0.6823743921214851, 0.101222027672081, 0.3138234235262207, 0.7079379854823238, -0.005525521820973878]::DOUBLE[]) > 0 THEN 4 ELSE 0 END + CASE WHEN list_dot_product(qv, [0.046848517632651854, -0.6646594532601391, -0.26948498328708836, -0.9498679090255828, -0.9988094115647976, -0.255251107467908, 0.9907548602729002, -0.8215339023301542, -0.04788128893964272, 0.773695719331533, 0.47549508716583233, 0.31562456225923574, -0.3509176830725861, 0.8125423359661887, 0.4198635521396643, -0.9251201755373144, 0.8635141950421938, -0.831919559547143, -0.05423424104674868, -0.22213496015909573, -0.6760268053206577, 0.8185088603476434, -0.2057038697651925, -0.1442821074416455, 0.3402802934966238, -0.5550780998839957, 0.5491677796376309, 0.5814180347480653, 0.9207628256872114, 0.16732243208905273, -0.12452849831222912, 0.6294682684042174, -0.06443493704604664, -0.004931669957012441, -0.2687407502484621, -0.1626973709101064, -0.29497779144237113, -0.154516814847677, 0.5900010478539846, 0.984722633073253, -0.17752249218099447, 0.9770531940011993, 0.9807287166946499, -0.3547104520451825, -0.6688958682997074, -0.3369417281814018, 0.9740983498930937, 0.7427456852333307, -0.6504726158340811, -0.4879238838041906, 0.0951417699571453, 0.44706564223771394, 0.9888936046775645, 0.47382550855365246, 0.6114596441997437, 0.3070560012564105, -0.09067587537827893, 0.9445992837339818, 0.7101275846062054, 0.2537190529650255, 0.039794075402039386, 0.1193544251093317, -0.13436162638334836, -0.36813099698509355]::DOUBLE[]) > 0 THEN 8 ELSE 0 END + CASE WHEN list_dot_product(qv, [0.03832799621433369, 0.05150519786681973, 0.42171247118222777, -0.022121262595197755, -0.9467993925318815, -0.13675088951786818, -0.253310661025664, 0.3479107112203479, -0.14824638390451983, -0.6752837266321843, -0.8478714366026574, 0.7369049573422042, -0.6346430728325834, 0.03201148368304185, 0.09423138623079885, -0.2758235466410328, 0.5025791819558625, 0.7883792280526045, -0.7187427482827786, 0.011695123651773498, -0.19348935667314116, 0.5952979449895994, 0.0960512912338678, -0.38888827384881564, -0.0867528651148175, 0.6570234221152584, -0.04569808255582475, 0.7480050469870134, -0.15562053232121953, -0.8529619460170164, -0.3766223441949129, 0.28325378378840904, -0.9681355024506352, -0.423616118317527, -0.1825808702885544, 0.3573927753167865, 0.010658516680511765, -0.8414721712488847, 0.08337745935322971, 0.7443036607623763, -0.2645870199820597, -0.2267761201999947, -0.8038289467483778, -0.40918495655202136, 0.28750048020302654, -0.43146501430556217, -0.33689220152605126, 0.04200129268063346, -0.31787259546777746, 0.02490148299691053, -0.01820318067745952, 0.20402978086605317, 0.606280445960542, -0.19574291406447142, 0.29088279688603835, 0.14404384583804397, 0.42534147911589937, 0.897517859653725, -0.049357397831942595, 0.6139076104807604, 0.5865374436116995, -0.9989801080617817, -0.6159646914995223, 0.1550026072695312]::DOUBLE[]) > 0 THEN 16 ELSE 0 END + CASE WHEN list_dot_product(qv, [-0.39414401664977217, 0.06319646966199466, -0.6434521897349612, -0.3062030645353627, 0.3776154167843986, -0.10947833888229497, 0.7515626213221576, 0.15103074732498767, 0.9084576780224001, -0.7091787796642656, -0.8683300382320449, 0.053627792598289314, -0.29561443248325703, -0.6753853684984977, -0.04420422184784367, -0.13222250273542335, 0.837387498864105, 0.04987361325173323, -0.5190415915850697, -0.26747348832998596, -0.7444738065778584, -0.3412717675868028, 0.46562736559691986, 0.5538889607528195, -0.29781824661591927, -0.9331652223136204, 0.04027516811016851, 0.2035343497993818, -0.7065002740663677, 0.21050585022817891, -0.5489701853940647, 0.929727701214113, -0.6311738559802009, 0.2869546706130952, 0.03973091485364488, -0.8615927196538331, -0.6112377240827784, -0.468259809976041, 0.9726056575577431, 0.888318842581935, 0.6360836506455876, -0.841450172142201, -0.442920027943951, 0.18639024660877723, -0.19764067657730144, -0.2832910820512805, 0.5731961777016332, 0.2632567398102117, 0.37527590603372696, 0.4009007080113165, -0.4583725970385636, 0.5719173040913119, -0.6247789009807494, -0.703744509108486, 0.4705519704453862, -0.7004990066006259, -0.7641159006723799, 0.47232333709855934, -0.9241254436918294, 0.21913966000683782, -0.19518033230149157, -0.42708135091261257, -0.540392258535807, 0.05616199990281001]::DOUBLE[]) > 0 THEN 32 ELSE 0 END) AS qb_1,
+           (CASE WHEN list_dot_product(qv, [0.013278374713839192, 0.03626206594488912, 0.4323146413504433, 0.8214454739263348, 0.7013824516050451, -0.6561429301218479, -0.33404932668568377, 0.5422281087205751, -0.10682887479620828, -0.6120071984177999, 0.2514580674361693, -0.8538189985616826, -0.6679610670057236, 0.36830744628052137, 0.9199364996062012, 0.6985603461368648, 0.7812869432813201, 0.6974305017748621, 0.22296844501864488, 0.4383501756321191, 0.5714112650813288, 0.21385363107321154, 0.9150858456979851, -0.491836243747766, -0.9244931093229799, 0.9467696245361736, -0.8918356497146154, 0.14229468330150508, -0.12143894588320292, -0.5504381245831129, 0.8284818425989604, 0.06534538223057895, -0.08508630638157133, 0.38857311933446326, 0.05973997911082907, 0.4413953253360001, -0.35440421040198977, 0.17883714065796363, -0.25061671039557043, -0.4709881753386659, -0.345826990955426, -0.5870373068333874, 0.46763535104428744, 0.40621319956537305, -0.061121438298101904, -0.6583509525869347, 0.12680993700656784, 0.6546538733774485, -0.42796214782583764, 0.3385353336265724, -0.5923405638426118, 0.1267097626648095, 0.10857218692705128, 0.4663628994228366, -0.8199016653648254, 0.6477185527550795, -0.14569677781930168, 0.9587606113669915, -0.7075455407823077, -0.7407893002492324, -0.7427592497650921, 0.15277874784294698, 0.4569246582820232, 0.23524819575715306]::DOUBLE[]) > 0 THEN 1 ELSE 0 END + CASE WHEN list_dot_product(qv, [-0.5967477576205236, 0.9050721528556394, -0.5386972435982675, 0.9031569277622662, 0.6414990819172863, -0.5815412601272874, 0.6690695939892977, -0.3648358955693972, -0.2005713501253723, 0.7561061367039501, 0.9869853735005216, 0.23288423462948216, -0.5965050539880035, -0.7117436928204837, -0.7726440035068114, 0.4480299680352735, -0.5816265971695027, 0.09329263324897541, 0.776760058334762, -0.001415923012688114, 0.33089271262125397, -0.3956404328835651, 0.6175239123393343, 0.7224796233773989, 0.20109632220182716, 0.03258311265855962, -0.3810930040831543, 0.501818116202192, -0.9537953677596704, -0.8928367690926162, -0.6856134351413012, 0.8726202091485011, -0.6032715253372358, -0.23811134824108415, -0.8269192301965033, 0.6012874821522662, -0.4558692355424282, 0.7482540604449501, -0.1367324431580781, 0.6379636660377512, 0.14361948539686864, -0.08722444078981395, 0.3098094391078512, 0.9664969579401466, 0.05100599942284689, 0.6069283367671332, 0.5535520019084157, -0.11491162900146423, -0.3514011808697096, 0.9021637227353267, 0.06331475481410531, 0.5812098429303181, 0.11463793658084498, -0.28652212869328997, -0.9829436832352548, -0.5439669037855729, 0.1060945860893927, -0.45317850400303594, 0.07982548339288176, 0.5365698675959174, 0.9185187646098187, -0.01766609670286623, -0.0760376116835989, 0.4240752049322296]::DOUBLE[]) > 0 THEN 2 ELSE 0 END + CASE WHEN list_dot_product(qv, [-0.6499284577764484, 0.33705104657199936, -0.14333173271761435, -0.13991598196156818, 0.5685144575764227, -0.7412759940719901, -0.07383320853083086, 0.7901949163164914, 0.6834762108349157, 0.08038956545095033, -0.14738723738948956, 0.7616294221150608, -0.40377707170535526, -0.3347177823724715, 0.514225319962192, -0.012718406262890225, -0.02388336851917905, -0.1542274972554667, -0.3622990883824405, 0.909786619278312, -0.8960627509573769, 0.09289149586500711, -0.07844642675425328, 0.6375534643356451, 0.33210294244256167, -0.6996489210299097, -0.26239928737058615, 0.8203317739071216, -0.03412072457332527, 0.5795928567701722, 0.8623676117839807, 0.41724921623296085, 0.859469250967581, -0.862958113428626, -0.2115950488419407, 0.3160660134946276, 0.9175522295683594, 0.9656579373132266, 0.596972270757608, -0.7286280777529445, -0.8148859083278956, 0.3605037273531946, 0.9187728838016314, 0.5714485199609591, 0.6348078772091419, 0.9037100454373592, -0.10434824750489391, -0.13296079060827437, -0.08164610628094271, 0.3322563384437309, -0.6130687208892049, 0.41306184098626497, 0.5707853580594184, 0.20324002003942132, 0.49657637060454984, 0.5431881606302142, 0.8721895724430182, -0.08567412261181384, -0.6941304014863972, -0.5451931899840543, 0.35814561304561154, -0.3140274952887644, 0.2720651882430838, 0.32532185326953034]::DOUBLE[]) > 0 THEN 4 ELSE 0 END + CASE WHEN list_dot_product(qv, [-0.5632604432387706, -0.25755037381583124, -0.09484284722179492, -0.7648627151170629, -0.28397056568805346, 0.2955987693397162, -0.9357432012215477, -0.6405574140930851, 0.6484828107685543, 0.31940211964793463, -0.6427318726268021, 0.06854157722714693, 0.8025808071936615, 0.264535339674862, 0.2560252837982093, 0.7890237268862175, 0.7591628821459899, 0.7913997156077224, -0.2512706095097976, -0.9909989855239582, 0.9705134061770186, -0.07494711053296721, -0.6541132794615323, 0.5020098606950103, 0.3019995121981649, -0.6066384617879332, -0.023572437546250047, -0.19584725551084103, -0.25748953762017757, -0.33036528959504996, -0.8410096071334163, 0.1625387685393176, -0.8093007017435703, 0.01469090127344952, -0.6498368582090543, 0.683402976469222, -0.6531690233945275, 0.2593843245098457, -0.9528393935077645, -0.0700628656218355, 0.5795033596219121, -0.44358995880280294, 0.928173383398935, 0.5550307918098341, -0.5304167271748816, -0.9078487104846424, -0.3463021353697786, 0.7980962218909682, -0.41609940104145227, 0.21322766882840272, 0.6505305650631734, -0.8716529784093547, 0.7360956603075071, -0.5224450572566075, -0.5526241055728098, 0.7935787500933884, 0.5608032728608152, 0.15331702164208538, 0.6297423420751362, -0.21011383514830417, -0.49132038817413815, 0.15185783072949466, -0.25883697837528397, 0.8346915595178359]::DOUBLE[]) > 0 THEN 8 ELSE 0 END + CASE WHEN list_dot_product(qv, [0.36095111399598756, -0.8778165777399438, 0.7007357829056511, -0.8067262700144184, -0.19499989129314765, 0.4156021030135164, -0.8342023093061572, 0.17468128593969645, 0.8324957335373955, 0.3705346114582968, -0.7430882661592454, 0.7623916619854025, 0.9800380142296685, -0.846170443251149, -0.37513083542725156, 0.7055261484656754, -0.6265763476552774, 0.4351422337872928, -0.40815766578790014, -0.6434712627155791, 0.6241885033146364, -0.023356223247616326, 0.6846718817007278, 0.599313242312798, -0.22260013670900314, -0.4855151531790045, -0.31980162161526515, -0.1251778430738174, -0.5590336881580302, -0.1552464790260809, 0.03925749279953661, -0.071332342298294, -0.6436592589350802, 0.7607558610341154, 0.7978970030327786, -0.21085463578216468, -0.2951978884066213, 0.6047008767643849, -0.3359902346614778, 0.21735070387228883, 0.11753244047276623, 0.5574461815385667, -0.37746829953061023, -0.21094720374927356, -0.9061254700063855, -0.5652053935771492, 0.5021874743641384, 0.13513600520956381, 0.10026633550752617, -0.8519085744556908, 0.09667937793271197, -0.14296458387264988, 0.1953297058268635, 0.7397354839595842, 0.25045786390864966, 0.7650238837493766, 0.33902485002549776, -0.14959403439616858, 0.4204821807954202, 0.3454551558185839, -0.8272640838045368, -0.10223860351775438, 0.32598265804833026, 0.785339002823138]::DOUBLE[]) > 0 THEN 16 ELSE 0 END + CASE WHEN list_dot_product(qv, [-0.8426318574465639, -0.7405126413906515, 0.33629978169336594, 0.9595986446961566, -0.9055135355430532, -0.18659123424885093, -0.4016100556104949, 0.5882995992047353, -0.9006159166761478, 0.8102197492936676, -0.31143886041016433, 0.2715107473486753, 0.4300220470011902, -0.13493521408646647, -0.15849581014740066, 0.7412277797471687, -0.7726990231165949, 0.15866649479589423, 0.25106930983738285, 0.7120295527015543, -0.2197427932063284, -0.9259184551277445, -0.5016855513687608, 0.6671214320476453, 0.48344533932077405, 0.2739315788479284, -0.15719967959970116, -0.4001572638719074, -0.746832153105179, 0.8498758968274767, -0.023095620343404843, -0.6397854489359526, 0.6488671610971946, 0.07957553047330479, -0.8889253724111956, 0.3857199735669794, -0.747027644049622, -0.5919862950929797, 0.15827952532785594, 0.3062525937291387, 0.34675452541624874, -0.8613381820773993, 0.6482700589622259, 0.23234976305692157, 0.3562025532148496, 0.13946762312837668, 0.8998055592092054, 0.6202943453778158, -0.03378911617925995, 0.5104294640556313, 0.028906898514023283, -0.21137282903186416, 0.5538378813008007, 0.4140659088690821, 0.6206796573731961, -0.48983365587656735, -0.7235449839651527, -0.06643954032378951, 0.5279029518877876, 0.745710358959387, -0.46916682617791594, 0.5384659482186362, 0.6911251806212266, 0.5364379160979313]::DOUBLE[]) > 0 THEN 32 ELSE 0 END) AS qb_2
+        FROM (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0)
+    ),
+    c AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+           (CASE WHEN list_dot_product(e.embedding::DOUBLE[], [-0.7471385487770168, 0.6076465357074066, -0.3408309999128166, -0.3494814709449052, -0.05075527656021295, 0.1053243053126236, 0.00734196271241605, -0.6852077505615384, -0.5083329434683264, -0.11684360657876058, -0.6187085885968235, -0.6698768368434248, -0.5831742201784632, 0.8158673075463638, -0.15956544662096328, 0.5061660854647034, 0.44112533587089464, -0.03429089641568872, -0.8422300732847382, -0.1333241293873232, -0.7827585830667187, -0.01822199598769736, -0.18139621975843523, 0.23531484984888484, -0.13196826319768273, 0.23500499347660075, -0.8048135993144471, 0.9910416951652163, -0.466980828386777, 0.28424036596836433, -0.2767294939140268, -0.2610787571079467, 0.0007377587024659515, 0.8635727497614367, 0.7035492299263681, -0.9724608433921685, -0.6714766462081694, 0.3764902580457212, -0.4436583873037907, 0.8192919250401891, 0.8387050555150894, 0.02929272308269537, 0.2661407996166347, -0.3516480681954106, 0.6135704727009101, -0.8661419265004131, 0.7189682959561372, 0.12152110831107565, 0.9511792450043217, -0.5357513674465006, 0.49282705435468777, 0.3927325385043272, -0.23991364520009795, 0.777960996104802, 0.1425049742271174, -0.3710325074663451, 0.03662856254881253, -0.005109522748866446, 0.6408939037602182, 0.78613463110268, -0.8008208471752827, 0.6061566852690201, 0.8157589323582326, -0.8572823060856664]::DOUBLE[]) > 0 THEN 1 ELSE 0 END + CASE WHEN list_dot_product(e.embedding::DOUBLE[], [-0.20745834810599906, -0.389483236710645, 0.09849594102688197, 0.19520041017725087, 0.03706946625752172, 0.5202756474928452, 0.8916767552543166, 0.6148296275659453, 0.19727688069672, 0.07118289704747371, -0.40317223610507014, -0.5680336548955638, -0.14559000041036207, -0.22104804925729538, -0.9375820351601838, -0.5371487609809792, -0.36046800031536286, -0.9774874683981949, -0.08356903185857723, 0.0689355715153046, -0.08190771696458765, -0.25231692497518743, -0.13127419920463668, 0.7745717550379052, -0.6609472496561171, -0.27181933676443504, 0.9992951844554059, -0.7924212620811208, 0.5021423028837304, 0.08788451386351559, -0.6813328581099902, -0.46380941105766105, -0.7259171882271358, 0.9426553620042644, -0.4468454737419295, -0.8517753513295498, 0.6027313924771172, -0.5833186860990975, -0.23763386063336955, -0.7855823372553489, -0.5337984677700679, -0.8518136863886019, -0.005432690575310817, 0.5236238187463846, -0.1743299980827181, 0.5597182548530186, -0.28487216005771954, 0.39761079540993705, -0.10670789051145335, -0.10597689679002498, 0.5678333207472268, -0.07877382033843294, 0.385522202041787, 0.2197971459876198, -0.9526918481594588, -0.30659832391224495, 0.06288878592708635, -0.11010223590456514, 0.7427763011252346, 0.28750094048733743, 0.537205818030529, 0.40029118953538423, 0.27804481616038057, 0.42968064090524716]::DOUBLE[]) > 0 THEN 2 ELSE 0 END + CASE WHEN list_dot_product(e.embedding::DOUBLE[], [0.3847903538527455, -0.965668950498978, 0.2940173476692045, 0.5186124234528517, -0.4793296127858804, -0.8821268975828916, 0.35327107608700214, -0.4870510254906063, -0.8029124065786999, -0.8948102072460526, 0.5810959269262217, -0.7248009048025896, -0.1899682236996698, 0.898659386769908, 0.4196806012458498, 0.5873808606566158, -0.040611415801856565, 0.5609563538059579, 0.6040580550737735, -0.40028933745825224, -0.07803701765924431, 0.14315461339207514, 0.6330306621725916, 0.9202686324273917, 0.9515581614421615, 0.26664638752146286, 0.174715490955188, -0.48485521918120467, 0.09678571135899805, -0.11818322819475202, 0.9255329237007961, -0.2255140302518055, -0.27649822588603545, -0.6845429850035811, 0.7543656800306495, 0.4265735435052591, 0.5156827356852409, -0.15369928743980354, 0.2364005243363776, 0.0871536324891522, 0.9589709129449855, -0.7472739375020292, 0.17442048247230613, 0.7066215192807668, 0.7208783577213131, -0.2561823469049487, 0.9968499446749828, 0.9006187991296131, 0.09386400818523954, 0.7112696072646654, -0.8249161574780918, 0.15319083686756274, -0.5968492388735145, -0.23087604570153886, -0.3349092200934525, 0.2682778265015322, -0.14837423259364846, -0.910271985703888, 0.9672965596359455, -0.09005802577297561, -0.15570155770144944, 0.941674342341206, -0.8561892172784363, -0.3363728969114782]::DOUBLE[]) > 0 THEN 4 ELSE 0 END + CASE WHEN list_dot_product(e.embedding::DOUBLE[], [0.6569574785040742, 0.928231467295553, -0.4441271193523817, 0.8651268970658972, 0.2863517425584581, -0.8061009842755322, 0.9172529217673482, 0.9974896094327768, -0.7442453886478397, -0.7720106809848685, -0.40627795304153336, 0.5627075472913246, 0.4955838266611663, -0.6394506677424846, 0.5837018204811193, -0.6392640779608462, 0.967865507938398, -0.45523883470200843, 0.14280212741630027, 0.5467290652057668, -0.3225670168183342, -0.28803516877174606, 0.2427055399311473, -0.7905740755783012, 0.37856107479508294, -0.5035177379800582, -0.8780920031784885, -0.6413166749930286, 0.09901518899460027, 0.6650101537731556, 0.5919526105089581, -0.9036022317308828, 0.680430827651477, -0.024554241187474513, 0.1123553577121299, 0.9912022817105652, 0.06321344050978528, -0.5684179542051997, 0.1328414892157337, 0.03950813176834145, -0.9345483439839011, 0.3976963468052013, -0.9667159500096351, 0.735548304099801, -0.8073750094245331, 0.23396525412183888, 0.29449883515596587, 0.6873951485756931, -0.88484583062671, 0.8109245635632161, -0.46024702514888294, -0.23421573711521748, -0.7583084509523782, -0.5299039256360876, -0.22445660602770268, -0.17946674758056735, -0.7421550236173728, -0.2641184541741216, 0.7905128271372746, 0.7175519410783553, 0.5709085389782169, 0.08685101948916851, -0.009886274391412653, 0.42904644651197676]::DOUBLE[]) > 0 THEN 8 ELSE 0 END + CASE WHEN list_dot_product(e.embedding::DOUBLE[], [-0.2842951215673202, 0.9808269734735833, 0.14268915945880445, 0.7624837448240229, 0.30140110622938465, -0.6891038820492525, 0.3275809872548292, 0.5211401365009996, 0.8710114986535646, 0.27889793527733464, -0.9526546070460695, 0.7114182526990058, -0.24932415989483514, 0.9101934106172329, 0.563593607888849, 0.742826758252259, -0.3682652884329978, -0.858383777682084, 0.970672169222343, 0.666861510019126, 0.9888327833390813, -0.7860478867731847, -0.4925692992329923, 0.6229102099895707, 0.049094406479368136, -0.20043800259047873, 0.22840545650361577, -0.3788120629521555, 0.2477926235155914, 0.4493225869920481, -0.7925021811893624, 0.637839909875112, 0.7073882540338099, 0.39201190233083083, 0.8369412563901126, 0.925640186415738, 0.31651492176764484, -0.2876452192621545, 0.502745153367937, -0.728743382347536, -0.6467064804368855, 0.9890015780614436, 0.7698104060338546, -0.6074227093547693, -0.5188735695875614, -0.2977246350339753, 0.8240281225837591, -0.05113341984829667, -0.7360115264430811, 0.901711540449512, -0.133085739287631, 0.5510241456047564, -0.9827688139057796, 0.868778687911473, 0.33130772986342727, -0.47693619207328863, 0.511658108206301, -0.05537024629638132, -0.5191969764593054, 0.8823600651429371, 0.00033897102793578604, 0.10427838739419082, 0.442087958952625, -0.47533378828407535]::DOUBLE[]) > 0 THEN 16 ELSE 0 END + CASE WHEN list_dot_product(e.embedding::DOUBLE[], [0.05434382414701955, 0.8669055807146411, 0.3767958388367114, 0.4279952262331179, -0.3392556308881496, -0.032365443515739, -0.0952647017451902, -0.28623810455475995, 0.7175312727209482, -0.2285773086221986, 0.5747787839460745, -0.1642551621520968, 0.9787490880322958, 0.7841644770894711, 0.07008736645171343, 0.9943272147819846, 0.4474740208448049, -0.05891926829242766, 0.710847506992478, 0.7530234706384737, 0.7307951800506114, 0.24337491995413907, -0.5670597174373994, 0.44065648945799385, 0.9209181674473874, -0.14026202347516936, 0.23775001582003807, 0.8072259634706711, -0.6661683950275563, -0.42886419637111883, 0.9251552495552753, 0.4992408513641784, 0.08878512694240337, 0.4943338107528856, 0.9683872021184856, -0.10890541287464561, -0.475447804115935, -0.34453332485910215, -0.21306821021237, -0.5296149085652684, 0.9254127758749262, -0.8215621622070025, 0.46588988514987184, 0.1404307301606329, -0.7514839063694525, -0.7060497872309377, 0.24658679619406088, -0.0937808657573923, 0.7843409282467135, 0.2913719519670015, -0.9456520925911505, -0.6447925627855119, 0.1966043167377003, 0.17844507291394573, 0.32042428351757635, -0.9111643573246845, -0.8046868173796072, -0.988913785479092, -0.3761538392714463, -0.3074310389457112, 0.07880616157493292, 0.6073713499561386, 0.22809030230715943, -0.4241139162923112]::DOUBLE[]) > 0 THEN 32 ELSE 0 END) AS bucket_0,
+           (CASE WHEN list_dot_product(e.embedding::DOUBLE[], [0.6330699129684112, -0.6780456991738522, -0.9542581792811867, 0.2359820014907148, 0.325313587522416, -0.2754093124046122, -0.1633536819866338, -0.0714898209204815, -0.3075809091322673, -0.36442540249828026, 0.816374739419673, 0.23815208229744633, 0.3744323564079066, -0.4079126230865573, -0.6198144735073811, -0.3976367841992159, 0.6112061395761073, -0.6684301973204133, 0.6903691858669534, 0.1525130231223979, 0.894326341007305, -0.902184182457243, 0.366844812969775, 0.8717393030505594, 0.4717693137396688, -0.4091126909936128, 0.15167537548546872, -0.4333318107666393, 0.7057901128650099, -0.1330988793073743, 0.2758761743424667, 0.9021333125613162, 0.9578257261604473, -0.37392706545205, 0.3816446045185986, -0.26553275902808426, 0.4870595716949204, 0.27766369935184243, -0.3471375488496805, -0.8258481251492384, -0.7535609677201682, -0.278872291875346, 0.3668880753304611, 0.02728256568498133, 0.2762245172014042, 0.23775356045632612, 0.4228891164813524, 0.388087490844262, -0.7383914514107579, -0.09860801690996412, 0.9502432452560379, 0.25972115058456824, 0.9343292708634767, -0.37783805223618083, -0.3386983455688539, -0.8616569773556327, -0.05453410763524458, -0.5231744556909375, 0.9666741814889552, -0.9773273345732763, -0.7717900484701874, -0.6205322834440165, -0.3636582046798721, 0.6889829448357434]::DOUBLE[]) > 0 THEN 1 ELSE 0 END + CASE WHEN list_dot_product(e.embedding::DOUBLE[], [-0.4021030528632613, -0.7422055419275029, 0.7798993487143073, 0.5491786689697584, 0.339284274087404, -0.030632806317221095, -0.2196268253781929, -0.875003134001726, -0.0016472347143261512, -0.5863554831242881, -0.7080934313022743, -0.16757471013304082, -0.37104752719918277, -0.4663958710388896, 0.1448869806665023, -0.0445593964728529, -0.4710472987424328, 0.5579025824253903, 0.34659551323809246, -0.9662401757486918, 0.12449249782833327, -0.32397867892937626, 0.24312485656734895, 0.7485256892076522, -0.22992546372714506, 0.8803818879470624, 0.30910109018612575, -0.14530157293946444, 0.77417346756203, 0.5975238723854497, 0.31652685337435416, 0.20440539904542, -0.6645943567821857, -0.6477279931184099, 0.3631176480307836, -0.1252439345886418, -0.9265689215326555, 0.08246768717292619, -0.18718315189572377, -0.07380933560879877, 0.8049105088134003, -0.4695190635892079, -0.8478116257337298, 0.7450603883432656, 0.9383380006700643, -0.4166767041899241, 0.13433992092534797, -0.8586504167957636, -0.22905453569058143, -0.6019065870273491, 0.31557403778066595, -0.7487819887040574, 0.2500800693113159, -0.03336249135283509, 0.03218223430264322, -0.42528261384890886, 0.08449168600823964, 0.7183596300461994, -0.5886991077409418, -0.5879645959583726, 0.727862291320174, 0.19131254641625905, 0.10100360223839089, -0.5731220770812615]::DOUBLE[]) > 0 THEN 2 ELSE 0 END + CASE WHEN list_dot_product(e.embedding::DOUBLE[], [0.8674309480381486, 0.6856910480365106, -0.924657192524205, 0.18934822074564184, -0.9554075776047287, 0.18829855417255925, -0.8602810662219144, 0.1515719454129425, -0.059718097871892195, 0.592789679102449, 0.21685434476836618, -0.9815857413437644, 0.7031273522974875, 0.2819708021987184, -0.5330470393959791, -0.7126687728031372, -0.03224739216051786, -0.7966355717247544, -0.8791205166543334, -0.7452513590899701, 0.5129501156916894, 0.11802305462854124, -0.7227078822908308, -0.22108895161848163, -0.3581694480576383, -0.21650126675422343, -0.043841898207699015, 0.16773827736295854, 0.03133249339283628, 0.23070481428771017, -0.1060497322576116, 0.09586759299057768, 0.2914855125407727, -0.7737505492161036, -0.7286146844056456, -0.6286802215000566, 0.7166174826268001, -0.5940206750632884, 0.41668639754699277, 0.6792627773681039, -0.9279574976914551, -0.1933851050744172, 0.5465966831369686, -0.36096498037913705, 0.6778431174652275, 0.3237638492662054, 0.4462508485850445, 0.38382900426066935, 0.006108950952148362, -0.47823702714580185, 0.2810075608163516, -0.7168736610730861, 0.986968059592952, -0.013818012831058768, -0.9191664247444513, -0.5942670064341269, -0.6380923300753152, 0.5020269458421491, 0.13658307907477418, 0.6823743921214851, 0.101222027672081, 0.3138234235262207, 0.7079379854823238, -0.005525521820973878]::DOUBLE[]) > 0 THEN 4 ELSE 0 END + CASE WHEN list_dot_product(e.embedding::DOUBLE[], [0.046848517632651854, -0.6646594532601391, -0.26948498328708836, -0.9498679090255828, -0.9988094115647976, -0.255251107467908, 0.9907548602729002, -0.8215339023301542, -0.04788128893964272, 0.773695719331533, 0.47549508716583233, 0.31562456225923574, -0.3509176830725861, 0.8125423359661887, 0.4198635521396643, -0.9251201755373144, 0.8635141950421938, -0.831919559547143, -0.05423424104674868, -0.22213496015909573, -0.6760268053206577, 0.8185088603476434, -0.2057038697651925, -0.1442821074416455, 0.3402802934966238, -0.5550780998839957, 0.5491677796376309, 0.5814180347480653, 0.9207628256872114, 0.16732243208905273, -0.12452849831222912, 0.6294682684042174, -0.06443493704604664, -0.004931669957012441, -0.2687407502484621, -0.1626973709101064, -0.29497779144237113, -0.154516814847677, 0.5900010478539846, 0.984722633073253, -0.17752249218099447, 0.9770531940011993, 0.9807287166946499, -0.3547104520451825, -0.6688958682997074, -0.3369417281814018, 0.9740983498930937, 0.7427456852333307, -0.6504726158340811, -0.4879238838041906, 0.0951417699571453, 0.44706564223771394, 0.9888936046775645, 0.47382550855365246, 0.6114596441997437, 0.3070560012564105, -0.09067587537827893, 0.9445992837339818, 0.7101275846062054, 0.2537190529650255, 0.039794075402039386, 0.1193544251093317, -0.13436162638334836, -0.36813099698509355]::DOUBLE[]) > 0 THEN 8 ELSE 0 END + CASE WHEN list_dot_product(e.embedding::DOUBLE[], [0.03832799621433369, 0.05150519786681973, 0.42171247118222777, -0.022121262595197755, -0.9467993925318815, -0.13675088951786818, -0.253310661025664, 0.3479107112203479, -0.14824638390451983, -0.6752837266321843, -0.8478714366026574, 0.7369049573422042, -0.6346430728325834, 0.03201148368304185, 0.09423138623079885, -0.2758235466410328, 0.5025791819558625, 0.7883792280526045, -0.7187427482827786, 0.011695123651773498, -0.19348935667314116, 0.5952979449895994, 0.0960512912338678, -0.38888827384881564, -0.0867528651148175, 0.6570234221152584, -0.04569808255582475, 0.7480050469870134, -0.15562053232121953, -0.8529619460170164, -0.3766223441949129, 0.28325378378840904, -0.9681355024506352, -0.423616118317527, -0.1825808702885544, 0.3573927753167865, 0.010658516680511765, -0.8414721712488847, 0.08337745935322971, 0.7443036607623763, -0.2645870199820597, -0.2267761201999947, -0.8038289467483778, -0.40918495655202136, 0.28750048020302654, -0.43146501430556217, -0.33689220152605126, 0.04200129268063346, -0.31787259546777746, 0.02490148299691053, -0.01820318067745952, 0.20402978086605317, 0.606280445960542, -0.19574291406447142, 0.29088279688603835, 0.14404384583804397, 0.42534147911589937, 0.897517859653725, -0.049357397831942595, 0.6139076104807604, 0.5865374436116995, -0.9989801080617817, -0.6159646914995223, 0.1550026072695312]::DOUBLE[]) > 0 THEN 16 ELSE 0 END + CASE WHEN list_dot_product(e.embedding::DOUBLE[], [-0.39414401664977217, 0.06319646966199466, -0.6434521897349612, -0.3062030645353627, 0.3776154167843986, -0.10947833888229497, 0.7515626213221576, 0.15103074732498767, 0.9084576780224001, -0.7091787796642656, -0.8683300382320449, 0.053627792598289314, -0.29561443248325703, -0.6753853684984977, -0.04420422184784367, -0.13222250273542335, 0.837387498864105, 0.04987361325173323, -0.5190415915850697, -0.26747348832998596, -0.7444738065778584, -0.3412717675868028, 0.46562736559691986, 0.5538889607528195, -0.29781824661591927, -0.9331652223136204, 0.04027516811016851, 0.2035343497993818, -0.7065002740663677, 0.21050585022817891, -0.5489701853940647, 0.929727701214113, -0.6311738559802009, 0.2869546706130952, 0.03973091485364488, -0.8615927196538331, -0.6112377240827784, -0.468259809976041, 0.9726056575577431, 0.888318842581935, 0.6360836506455876, -0.841450172142201, -0.442920027943951, 0.18639024660877723, -0.19764067657730144, -0.2832910820512805, 0.5731961777016332, 0.2632567398102117, 0.37527590603372696, 0.4009007080113165, -0.4583725970385636, 0.5719173040913119, -0.6247789009807494, -0.703744509108486, 0.4705519704453862, -0.7004990066006259, -0.7641159006723799, 0.47232333709855934, -0.9241254436918294, 0.21913966000683782, -0.19518033230149157, -0.42708135091261257, -0.540392258535807, 0.05616199990281001]::DOUBLE[]) > 0 THEN 32 ELSE 0 END) AS bucket_1,
+           (CASE WHEN list_dot_product(e.embedding::DOUBLE[], [0.013278374713839192, 0.03626206594488912, 0.4323146413504433, 0.8214454739263348, 0.7013824516050451, -0.6561429301218479, -0.33404932668568377, 0.5422281087205751, -0.10682887479620828, -0.6120071984177999, 0.2514580674361693, -0.8538189985616826, -0.6679610670057236, 0.36830744628052137, 0.9199364996062012, 0.6985603461368648, 0.7812869432813201, 0.6974305017748621, 0.22296844501864488, 0.4383501756321191, 0.5714112650813288, 0.21385363107321154, 0.9150858456979851, -0.491836243747766, -0.9244931093229799, 0.9467696245361736, -0.8918356497146154, 0.14229468330150508, -0.12143894588320292, -0.5504381245831129, 0.8284818425989604, 0.06534538223057895, -0.08508630638157133, 0.38857311933446326, 0.05973997911082907, 0.4413953253360001, -0.35440421040198977, 0.17883714065796363, -0.25061671039557043, -0.4709881753386659, -0.345826990955426, -0.5870373068333874, 0.46763535104428744, 0.40621319956537305, -0.061121438298101904, -0.6583509525869347, 0.12680993700656784, 0.6546538733774485, -0.42796214782583764, 0.3385353336265724, -0.5923405638426118, 0.1267097626648095, 0.10857218692705128, 0.4663628994228366, -0.8199016653648254, 0.6477185527550795, -0.14569677781930168, 0.9587606113669915, -0.7075455407823077, -0.7407893002492324, -0.7427592497650921, 0.15277874784294698, 0.4569246582820232, 0.23524819575715306]::DOUBLE[]) > 0 THEN 1 ELSE 0 END + CASE WHEN list_dot_product(e.embedding::DOUBLE[], [-0.5967477576205236, 0.9050721528556394, -0.5386972435982675, 0.9031569277622662, 0.6414990819172863, -0.5815412601272874, 0.6690695939892977, -0.3648358955693972, -0.2005713501253723, 0.7561061367039501, 0.9869853735005216, 0.23288423462948216, -0.5965050539880035, -0.7117436928204837, -0.7726440035068114, 0.4480299680352735, -0.5816265971695027, 0.09329263324897541, 0.776760058334762, -0.001415923012688114, 0.33089271262125397, -0.3956404328835651, 0.6175239123393343, 0.7224796233773989, 0.20109632220182716, 0.03258311265855962, -0.3810930040831543, 0.501818116202192, -0.9537953677596704, -0.8928367690926162, -0.6856134351413012, 0.8726202091485011, -0.6032715253372358, -0.23811134824108415, -0.8269192301965033, 0.6012874821522662, -0.4558692355424282, 0.7482540604449501, -0.1367324431580781, 0.6379636660377512, 0.14361948539686864, -0.08722444078981395, 0.3098094391078512, 0.9664969579401466, 0.05100599942284689, 0.6069283367671332, 0.5535520019084157, -0.11491162900146423, -0.3514011808697096, 0.9021637227353267, 0.06331475481410531, 0.5812098429303181, 0.11463793658084498, -0.28652212869328997, -0.9829436832352548, -0.5439669037855729, 0.1060945860893927, -0.45317850400303594, 0.07982548339288176, 0.5365698675959174, 0.9185187646098187, -0.01766609670286623, -0.0760376116835989, 0.4240752049322296]::DOUBLE[]) > 0 THEN 2 ELSE 0 END + CASE WHEN list_dot_product(e.embedding::DOUBLE[], [-0.6499284577764484, 0.33705104657199936, -0.14333173271761435, -0.13991598196156818, 0.5685144575764227, -0.7412759940719901, -0.07383320853083086, 0.7901949163164914, 0.6834762108349157, 0.08038956545095033, -0.14738723738948956, 0.7616294221150608, -0.40377707170535526, -0.3347177823724715, 0.514225319962192, -0.012718406262890225, -0.02388336851917905, -0.1542274972554667, -0.3622990883824405, 0.909786619278312, -0.8960627509573769, 0.09289149586500711, -0.07844642675425328, 0.6375534643356451, 0.33210294244256167, -0.6996489210299097, -0.26239928737058615, 0.8203317739071216, -0.03412072457332527, 0.5795928567701722, 0.8623676117839807, 0.41724921623296085, 0.859469250967581, -0.862958113428626, -0.2115950488419407, 0.3160660134946276, 0.9175522295683594, 0.9656579373132266, 0.596972270757608, -0.7286280777529445, -0.8148859083278956, 0.3605037273531946, 0.9187728838016314, 0.5714485199609591, 0.6348078772091419, 0.9037100454373592, -0.10434824750489391, -0.13296079060827437, -0.08164610628094271, 0.3322563384437309, -0.6130687208892049, 0.41306184098626497, 0.5707853580594184, 0.20324002003942132, 0.49657637060454984, 0.5431881606302142, 0.8721895724430182, -0.08567412261181384, -0.6941304014863972, -0.5451931899840543, 0.35814561304561154, -0.3140274952887644, 0.2720651882430838, 0.32532185326953034]::DOUBLE[]) > 0 THEN 4 ELSE 0 END + CASE WHEN list_dot_product(e.embedding::DOUBLE[], [-0.5632604432387706, -0.25755037381583124, -0.09484284722179492, -0.7648627151170629, -0.28397056568805346, 0.2955987693397162, -0.9357432012215477, -0.6405574140930851, 0.6484828107685543, 0.31940211964793463, -0.6427318726268021, 0.06854157722714693, 0.8025808071936615, 0.264535339674862, 0.2560252837982093, 0.7890237268862175, 0.7591628821459899, 0.7913997156077224, -0.2512706095097976, -0.9909989855239582, 0.9705134061770186, -0.07494711053296721, -0.6541132794615323, 0.5020098606950103, 0.3019995121981649, -0.6066384617879332, -0.023572437546250047, -0.19584725551084103, -0.25748953762017757, -0.33036528959504996, -0.8410096071334163, 0.1625387685393176, -0.8093007017435703, 0.01469090127344952, -0.6498368582090543, 0.683402976469222, -0.6531690233945275, 0.2593843245098457, -0.9528393935077645, -0.0700628656218355, 0.5795033596219121, -0.44358995880280294, 0.928173383398935, 0.5550307918098341, -0.5304167271748816, -0.9078487104846424, -0.3463021353697786, 0.7980962218909682, -0.41609940104145227, 0.21322766882840272, 0.6505305650631734, -0.8716529784093547, 0.7360956603075071, -0.5224450572566075, -0.5526241055728098, 0.7935787500933884, 0.5608032728608152, 0.15331702164208538, 0.6297423420751362, -0.21011383514830417, -0.49132038817413815, 0.15185783072949466, -0.25883697837528397, 0.8346915595178359]::DOUBLE[]) > 0 THEN 8 ELSE 0 END + CASE WHEN list_dot_product(e.embedding::DOUBLE[], [0.36095111399598756, -0.8778165777399438, 0.7007357829056511, -0.8067262700144184, -0.19499989129314765, 0.4156021030135164, -0.8342023093061572, 0.17468128593969645, 0.8324957335373955, 0.3705346114582968, -0.7430882661592454, 0.7623916619854025, 0.9800380142296685, -0.846170443251149, -0.37513083542725156, 0.7055261484656754, -0.6265763476552774, 0.4351422337872928, -0.40815766578790014, -0.6434712627155791, 0.6241885033146364, -0.023356223247616326, 0.6846718817007278, 0.599313242312798, -0.22260013670900314, -0.4855151531790045, -0.31980162161526515, -0.1251778430738174, -0.5590336881580302, -0.1552464790260809, 0.03925749279953661, -0.071332342298294, -0.6436592589350802, 0.7607558610341154, 0.7978970030327786, -0.21085463578216468, -0.2951978884066213, 0.6047008767643849, -0.3359902346614778, 0.21735070387228883, 0.11753244047276623, 0.5574461815385667, -0.37746829953061023, -0.21094720374927356, -0.9061254700063855, -0.5652053935771492, 0.5021874743641384, 0.13513600520956381, 0.10026633550752617, -0.8519085744556908, 0.09667937793271197, -0.14296458387264988, 0.1953297058268635, 0.7397354839595842, 0.25045786390864966, 0.7650238837493766, 0.33902485002549776, -0.14959403439616858, 0.4204821807954202, 0.3454551558185839, -0.8272640838045368, -0.10223860351775438, 0.32598265804833026, 0.785339002823138]::DOUBLE[]) > 0 THEN 16 ELSE 0 END + CASE WHEN list_dot_product(e.embedding::DOUBLE[], [-0.8426318574465639, -0.7405126413906515, 0.33629978169336594, 0.9595986446961566, -0.9055135355430532, -0.18659123424885093, -0.4016100556104949, 0.5882995992047353, -0.9006159166761478, 0.8102197492936676, -0.31143886041016433, 0.2715107473486753, 0.4300220470011902, -0.13493521408646647, -0.15849581014740066, 0.7412277797471687, -0.7726990231165949, 0.15866649479589423, 0.25106930983738285, 0.7120295527015543, -0.2197427932063284, -0.9259184551277445, -0.5016855513687608, 0.6671214320476453, 0.48344533932077405, 0.2739315788479284, -0.15719967959970116, -0.4001572638719074, -0.746832153105179, 0.8498758968274767, -0.023095620343404843, -0.6397854489359526, 0.6488671610971946, 0.07957553047330479, -0.8889253724111956, 0.3857199735669794, -0.747027644049622, -0.5919862950929797, 0.15827952532785594, 0.3062525937291387, 0.34675452541624874, -0.8613381820773993, 0.6482700589622259, 0.23234976305692157, 0.3562025532148496, 0.13946762312837668, 0.8998055592092054, 0.6202943453778158, -0.03378911617925995, 0.5104294640556313, 0.028906898514023283, -0.21137282903186416, 0.5538378813008007, 0.4140659088690821, 0.6206796573731961, -0.48983365587656735, -0.7235449839651527, -0.06643954032378951, 0.5279029518877876, 0.745710358959387, -0.46916682617791594, 0.5384659482186362, 0.6911251806212266, 0.5364379160979313]::DOUBLE[]) > 0 THEN 32 ELSE 0 END) AS bucket_2
+        FROM embeddings e WHERE e.vec_id <> 0
+    )
+    SELECT c.vec_id,
+           round(list_dot_product(c.v, q.qv)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+    FROM c, q
+    WHERE bit_count(xor(c.bucket_0, q.qb_0)) <= 2 OR bit_count(xor(c.bucket_1, q.qb_1)) <= 2 OR bit_count(xor(c.bucket_2, q.qb_2)) <= 2
+    ORDER BY cos_sim DESC, c.vec_id ASC LIMIT 10
+    """,
     doc="Sign-random-projection LSH top-k (6 bits × 3 tables, multi-probe "
     "radius 2): near-boundary sign flips are recovered by probing adjacent "
-    "buckets instead of adding tables. pytest asserts recall ≥ 0.6 vs "
-    "brute force on the fixture (tests/test_llm_ops.py); tuned to 1.0 "
-    "there — random-ish fixture vectors are LSH's worst case.",
+    "buckets instead of adding tables. The buckets are DETERMINISTIC "
+    "(fixed LCG hyperplanes, sign tests), so the oracle replays the "
+    "projections with the plane literals inlined and the driver "
+    "value-hashes the result; pytest additionally asserts recall vs "
+    "brute force (tests/test_llm_ops.py).",
 )
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vec(spark, sf_dir, 0)
@@ -479,11 +503,43 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "knn_ivf",
-    None,  # centroid pruning drops true neighbours by design → rows-only
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = 0),
+    cent AS (
+        SELECT label, list(m ORDER BY pos) AS centroid
+        FROM (
+            SELECT e.label, u.pos, avg(e.embedding[u.pos]::DOUBLE) AS m
+            FROM embeddings e
+            CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) u
+            WHERE e.vec_id <> 0
+            GROUP BY e.label, u.pos
+        ) GROUP BY label
+    ),
+    best AS (
+        SELECT c.label
+        FROM cent c, q
+        ORDER BY list_dot_product(c.centroid, q.qv)
+                 / (sqrt(list_dot_product(c.centroid, c.centroid))
+                    * sqrt(list_dot_product(q.qv, q.qv))) DESC
+        LIMIT 2
+    )
+    SELECT e.vec_id,
+           round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+    FROM embeddings e JOIN best b ON e.label = b.label, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
+    """,
     doc="IVF-flat search: label column as the coarse quantizer cell, "
-    "centroids from elementwise aggregation, probe the best 2 cells only. "
-    "pytest asserts the probed-cell results equal brute force restricted "
-    "to those cells.",
+    "centroids from elementwise aggregation, probe the best 2 cells "
+    "only. The whole pipeline is deterministic on real data (centroid "
+    "cosines separate cells by far more than float-fold ulps), so the "
+    "oracle replays quantizer construction + probing + scoring in SQL; "
+    "pytest additionally asserts the probed-cell results equal brute "
+    "force restricted to those cells.",
 )
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vec(spark, sf_dir, 0)
