@@ -799,12 +799,44 @@ def corpus_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_clusters",
-    None,  # iterative label propagation — not single-query SQL; pytest gates
+    f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    shl AS (SELECT doc_id, unnest({_SHINGLES3}) AS s FROM toks),
+    p AS (SELECT DISTINCT doc_id, {stable_hash64_sql("s")} AS h FROM shl),
+    sizes AS (SELECT doc_id, count(*) AS n FROM p GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes na ON na.doc_id = common.id_a
+        JOIN sizes nb ON nb.doc_id = common.id_b
+        WHERE round(c / (na.n + nb.n - c), 6) >= 0.8
+    ),
+    sym AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(s, d) AS (
+        SELECT s, d FROM sym
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+    )
+    SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+    FROM reach GROUP BY s
+    """,
     doc="Near-dup clustering: exact-Jaccard pairs (J≥0.8) → connected "
     "components via iterative min-label propagation (O(diameter) join "
-    "rounds) → (doc_id, cluster_id). The canonical-doc selection step of "
-    "a production dedup pipeline; union-find equivalence tested in "
-    "tests/test_llm_ops.py.",
+    "rounds) → (doc_id, cluster_id). The fixpoint itself is "
+    "SQL-expressible as a recursive transitive closure (min reachable "
+    "id ≡ min-label fixpoint), so even this iterative operator carries "
+    "a full value-hash oracle; union-find equivalence is additionally "
+    "tested in tests/test_llm_ops.py. The closure is O(component²) "
+    "rows — fine for an oracle at sf0.01, not the 100 TB plan (label "
+    "propagation is).",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(
