@@ -1193,12 +1193,33 @@ def doc_metadata_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_features",
-    None,  # mapInPandas decode path — not SQL-expressible; pytest checks shape
+    """
+    WITH f AS (
+        SELECT (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT]
+                   AS modality,
+               CASE WHEN text IS NULL THEN 0 ELSE strlen(text) END
+                   AS n_bytes,
+               CASE WHEN text IS NULL THEN NULL ELSE
+                   round(list_sum(list_transform(range(0, 16),
+                         i -> ('0x' || substr(sha256(text),
+                                              (i * 2 + 1)::INT, 2))::BIGINT))
+                         / 16.0 / 255.0, 6) END AS feature_mean,
+               CASE WHEN text IS NULL THEN 1 ELSE 0 END AS err
+        FROM documents
+    )
+    SELECT modality, count(*) AS n_assets, sum(n_bytes) AS total_bytes,
+           round(avg(feature_mean), 6) AS avg_feature,
+           sum(err) AS n_errors
+    FROM f GROUP BY modality
+    """,
     doc="Binary-column multimodal pipeline: documents → synthetic assets "
     "(binary payload + typed metadata) → Arrow-batched mapInPandas feature "
     "extraction with per-asset error isolation → per-modality stats. The "
-    "decode step is a deterministic stub (no media libs in container); the "
-    "Spark plumbing (schema, batching, one-to-many expansion) is real.",
+    "decode step is a deterministic stub (no media libs in container) "
+    "derived from the payload's sha256 digest — which DuckDB can replay "
+    "byte-for-byte, so even the mapInPandas path carries a value-hash "
+    "oracle; the Spark plumbing (schema, batching, error isolation) is "
+    "the part under test.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
