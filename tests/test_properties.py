@@ -403,3 +403,36 @@ def test_twap_shape_matches_bruteforce(spark, rows):
             continue
         assert got[u][0] == den
         assert abs(got[u][1] - num / den) < 1e-9
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-50, 50)),
+        min_size=2,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=19),
+)
+def test_grouped_exact_quantiles_scalable_property(spark, rows, p20):
+    """Property: per-group bracketed quantiles equal grouped
+    percentile() bit-for-bit on any grouped multiset."""
+    from rearc_data_engineer_takehome_spark.operators.quality import (
+        grouped_exact_quantiles_scalable,
+    )
+
+    prob = p20 / 20.0
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "g long, x double"
+    )
+    ref = {
+        r.g: r.q
+        for r in df.groupBy("g")
+        .agg(F.expr(f"percentile(x, {prob})").alias("q"))
+        .collect()
+    }
+    got = {
+        r.g: r.q_0
+        for r in grouped_exact_quantiles_scalable(df, "g", "x", [prob]).collect()
+    }
+    assert got == ref
