@@ -48,13 +48,17 @@ def main() -> None:
     ).count()
 
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for name in names:
         q = REGISTRY[name]
         start = time.perf_counter()
-        df = q.spark(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - start, 4)
-        _ = n
+        try:
+            n = q.spark(spark, SF_DIR).count()
+            timings[name] = round(time.perf_counter() - start, 4)
+            _ = n
+        except Exception as e:  # one broken query must not void the run
+            failures[name] = str(e).splitlines()[0][:200]
+            print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -64,6 +68,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
     }
+    if failures:
+        out["failed"] = failures
     print(json.dumps(out))
     spark.stop()
 
