@@ -17,7 +17,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from .functions.hashing import MERSENNE_31, _affine_params, stable_hash64_sql
+from .functions.hashing import (
+    MERSENNE_31,
+    _affine_params,
+    stable_hash64,
+    stable_hash64_sql,
+)
 from .functions.text import BPE_PATTERN, PUNCT_PATTERN, WS_PATTERN, word_shingles_sql
 from .operators import dedup, multimodal, similarity
 from .operators import text as text_ops
@@ -1702,5 +1707,110 @@ def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_anomalies"),
             F.round(F.min("value"), 2).alias("min_anomalous_value"),
             F.round(F.max("value"), 2).alias("max_anomalous_value"),
+        )
+    )
+
+
+@query(
+    "doc_repetition_scores",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, lang, {_SHINGLES3} AS s
+        FROM (SELECT doc_id, lang, {_TOKS} AS t FROM documents)
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(1.0 - len(list_distinct(s)) / len(s)), 6)
+               AS avg_repetition,
+           sum(CASE WHEN 1.0 - len(list_distinct(s)) / len(s) > 0.2
+                    THEN 1 ELSE 0 END) AS n_repetitive
+    FROM sh GROUP BY lang
+    """,
+    doc="Gopher-style repetition scoring: 1 − distinct/total 3-gram "
+    "shingles per document (high ratio ⇒ looping/boilerplate text, a "
+    "standard pre-training quality filter), aggregated per language "
+    "with a >0.2 flag count. Pure array projections — size + "
+    "array_distinct on the in-row shingle list, no explode, no "
+    "shuffle before the final groupBy.",
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import word_shingles, ws_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    s = word_shingles(ws_tokens(F.col("text")), 3)
+    rep = 1.0 - F.size(F.array_distinct(s)) / F.size(s)
+    return (
+        docs.select("lang", rep.alias("rep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("rep"), 6).alias("avg_repetition"),
+            F.sum((F.col("rep") > 0.2).cast("long")).alias("n_repetitive"),
+        )
+    )
+
+
+@query(
+    "eval_contamination",
+    f"""
+    WITH bucketed AS (
+        SELECT doc_id, text,
+               ({stable_hash64_sql("'split:' || doc_id::VARCHAR")}) % 10000
+                   AS bucket
+        FROM documents
+    ),
+    train_sh AS (
+        SELECT DISTINCT {stable_hash64_sql("s")} AS h
+        FROM (SELECT unnest({_SHINGLES3}) AS s
+              FROM (SELECT {_TOKS} AS t FROM bucketed WHERE bucket < 8000))
+    ),
+    eval_sh AS (
+        SELECT DISTINCT doc_id, {stable_hash64_sql("s")} AS h
+        FROM (SELECT doc_id, unnest({_SHINGLES3}) AS s
+              FROM (SELECT doc_id, {_TOKS} AS t FROM bucketed
+                    WHERE bucket >= 8000))
+    )
+    SELECT e.doc_id,
+           count(*) AS n_shingles,
+           sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap,
+           round(sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*), 6) AS contamination
+    FROM eval_sh e LEFT JOIN train_sh t ON e.h = t.h
+    GROUP BY e.doc_id
+    """,
+    doc="Benchmark decontamination: the held-out split's documents "
+    "scored by the fraction of their 3-gram shingles that appear "
+    "ANYWHERE in the training split — the standard n-gram-overlap "
+    "contamination check run before evaluating on a benchmark. The "
+    "split is the content-deterministic hash_split (so both engines "
+    "and any re-ingestion agree on membership); the join runs on "
+    "distinct shingle HASHES per side (bounded by vocabulary, not "
+    "corpus size).",
+)
+def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import word_shingles, ws_tokens
+    from .operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train, eval_ = hash_split(docs, "doc_id", [0.8, 0.2])
+    sh = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(word_shingles(ws_tokens(F.col("text")), 3)).alias("s"),
+    ).select("doc_id", stable_hash64(F.col("s")).alias("h"))
+    train_sh = sh(train).select("h").distinct()
+    eval_sh = sh(eval_).distinct()
+    return (
+        eval_sh.join(
+            train_sh.withColumn("hit", F.lit(1)).withColumnRenamed("h", "th"),
+            eval_sh.h == F.col("th"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1)), 6
+            ).alias("contamination"),
         )
     )
