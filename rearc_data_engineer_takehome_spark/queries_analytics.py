@@ -24,6 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from .functions.timeops import epoch_micros, epoch_seconds
 from .queries import _t, query
 from .queries_llm import _events
 
@@ -60,7 +61,7 @@ from .queries_llm import _events
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         "user_id",
-        F.floor(F.col("ts").cast("long") / 604800).cast("long").alias("wk"),
+        F.floor(epoch_seconds("ts") / 604800).cast("long").alias("wk"),
     )
     first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
     activity = (
@@ -93,12 +94,11 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="First-order Markov transition counts over per-user event "
     "sequences: lead() over (user, time) then a bigram groupBy. Ordering "
-    "uses RAW nanosecond longs + event_id tie-break — converting to "
-    "microseconds first could merge two distinct nano instants and flip "
-    "a bigram vs the oracle's full-precision order.",
+    "uses the raw µs timestamps + event_id tie-break, the full storage "
+    "precision on both engines, so no two distinct instants can merge "
+    "and flip a bigram vs the oracle's order.",
 )
 def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -446,7 +446,7 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events(spark, sf_dir)
         .select(
             "user_id",
-            F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("d"),
+            F.floor(epoch_seconds("ts") / 86400).cast("long").alias("d"),
         )
         .distinct()
     )
@@ -741,17 +741,15 @@ def brand_type_rollup_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Time-weighted average (TWAP): each observation weighted by its "
     "holding duration to the next event — the correct mean for "
     "irregularly-sampled series where the arithmetic mean over-weights "
-    "bursts. Ordering uses raw nanos but durations are exact MICROsecond "
-    "longs (ts div 1000 — DuckDB's TIMESTAMP truncates parquet nanos to "
-    "µs, so µs is the precision both engines share); only the final "
+    "bursts. Durations are exact MICROsecond longs (naive-epoch µs — "
+    "the parquet storage precision both engines share); only the final "
     "ratio is rounded since the value×duration sum is order-sensitive "
     "in the last bits.",
 )
 def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value", "ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.expr("ts div 1000")
+    us = epoch_micros("ts")
     seq = ev.select(
         "user_id",
         "value",
@@ -795,7 +793,7 @@ def events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events(spark, sf_dir)
         .groupBy(F.window("ts", "7 days", "1 day").alias("w"))
         .agg(F.countDistinct("user_id").alias("wau"))
-        .select(F.col("w.start").cast("long").alias("window_start"), "wau")
+        .select(epoch_seconds(F.col("w.start")).alias("window_start"), "wau")
     )
 
 
@@ -821,7 +819,6 @@ def events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user, never raw events.",
 )
 def modal_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     c = (
         _t(spark, sf_dir, "events")
         .groupBy("user_id", "event_type")
@@ -951,7 +948,7 @@ def events_wau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "7 days", "1 day").alias("w"))
         .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("wau_approx"))
         .select(
-            F.col("w.start").cast("long").alias("window_start"), "wau_approx"
+            epoch_seconds(F.col("w.start")).alias("window_start"), "wau_approx"
         )
     )
 
@@ -989,7 +986,7 @@ def events_daily_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFram
         _events(spark, sf_dir)
         .select(
             "user_id",
-            F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("d"),
+            F.floor(epoch_seconds("ts") / 86400).cast("long").alias("d"),
         )
         .distinct()
     )
@@ -1034,7 +1031,6 @@ def events_daily_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFram
     "NULL, not an error, on malformed input — the 100 TB-safe default.",
 )
 def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events").select("props")
     v = ev.where(F.col("props").isNotNull()).select(
         F.try_parse_json("props").alias("v")
@@ -1258,7 +1254,6 @@ def returnflag_price_deciles_scalable(
     "one groupBy folds them to a row per user.",
 )
 def user_value_window_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
         "ts",

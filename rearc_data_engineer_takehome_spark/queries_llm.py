@@ -24,6 +24,7 @@ from .functions.hashing import (
     stable_hash64_sql,
 )
 from .functions.text import BPE_PATTERN, PUNCT_PATTERN, WS_PATTERN, word_shingles_sql
+from .functions.timeops import epoch_seconds
 from .operators import dedup, multimodal, similarity
 from .operators import text as text_ops
 from .queries import _t, query
@@ -559,19 +560,12 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events fixture, whose parquet timestamps are NANOS —
-    Spark rejects those outright (PARQUET_TYPE_ILLEGAL), so they are read
-    as raw int64 via the nanosAsLong conf (runtime-settable, works in the
-    driver's default session too) and converted to a proper event-time
-    timestamp with timestamp_micros. All downstream window bounds are
-    emitted as absolute epoch seconds — tz-independent in both engines."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = _t(spark, sf_dir, "events")
-    # integer division (div), NOT / 1000: Divide casts int64 nanos to
-    # double whose ULP at ~1.7e18 is 256 ns, so a value within 128 ns of
-    # a boundary could round into the wrong microsecond/bucket while the
-    # DuckDB oracle keeps exact nanos.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """Load the events fixture. ``ts`` is parquet TIMESTAMP (µs), which
+    Spark reads as TIMESTAMP_NTZ and DuckDB as naive TIMESTAMP —
+    identical wall-clock values on both sides. All downstream window
+    bounds are emitted as absolute naive-epoch seconds
+    (functions/timeops.py) — tz-independent in both engines."""
+    return _t(spark, sf_dir, "events")
 
 
 @query(
@@ -721,7 +715,7 @@ def events_range_join_errors_signups(spark: SparkSession, sf_dir: str) -> DataFr
 
     ev = _events(spark, sf_dir)
     base = ev.select(
-        "event_id", "user_id", F.col("ts").cast("long").alias("tsec"), "event_type"
+        "event_id", "user_id", epoch_seconds("ts").alias("tsec"), "event_type"
     )
     errors = base.where(F.col("event_type") == "error").drop("event_type")
     signups = base.where(F.col("event_type") == "signup").drop("event_type")
@@ -926,14 +920,13 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "union-and-carry — tag both sides, one shuffle on the key, sort "
     "within partitions, last(ignorenulls) over an unbounded-preceding "
     "window. Same cost as one sort-merge join; never a range cross-join. "
-    "Verified against DuckDB's native ASOF LEFT JOIN on raw nanosecond "
-    "timestamps (no truncation on either side).",
+    "Verified against DuckDB's native ASOF LEFT JOIN on the raw "
+    "microsecond timestamps (no truncation on either side).",
 )
 def events_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.joins import asof_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = _t(spark, sf_dir, "events")  # ts stays raw int64 nanos: exact
+    raw = _t(spark, sf_dir, "events")  # naive µs timestamps: exact order
     errors = raw.where(F.col("event_type") == "error").select(
         "event_id", "user_id", F.col("ts").alias("tns")
     )
@@ -1037,7 +1030,7 @@ def iqr_outliers_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_user_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    epoch_day = F.floor(F.col("ts").cast("long") / 86400)
+    epoch_day = F.floor(epoch_seconds("ts") / 86400)
     return ev.groupBy("user_id").agg(
         F.countDistinct(epoch_day).alias("n_active_days"),
         (F.countDistinct(epoch_day) >= 30).alias("is_complete"),
@@ -1578,7 +1571,7 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("day_value"),
         )
         .select(
-            F.col("w.start").cast("long").alias("day_start"), "event_type", "n",
+            epoch_seconds(F.col("w.start")).alias("day_start"), "event_type", "n",
             "day_value",
         )
     )
@@ -1623,11 +1616,10 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "purchase with strictly increasing event times. Each stage is a "
     "conditional min-aggregate joined to the previous stage's completion "
     "times — stage tables shrink monotonically, so every join after the "
-    "first runs on survivors only. Raw nanos compare exactly; no "
+    "first runs on survivors only. Raw µs timestamps compare exactly; no "
     "timestamp arithmetic.",
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     # each stage table feeds BOTH the next stage's join and its own
     # count; materialized once per stage or stage N re-runs stages 1..N
@@ -1692,7 +1684,6 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "standard distributed anomaly sweep — no per-row window needed.",
 )
 def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
     stats = ev.groupBy("event_type").agg(
         F.round(F.avg("value"), 6).alias("mu"),

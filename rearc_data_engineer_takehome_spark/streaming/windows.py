@@ -18,6 +18,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import DataStreamWriter
 
+from ..functions.timeops import epoch_seconds
+
 
 def tumbling_agg(
     df: DataFrame,
@@ -28,11 +30,10 @@ def tumbling_agg(
 ) -> DataFrame:
     """Tumbling event-time windows: count + sum per window (and keys).
 
-    Expects an LTZ timestamp column (see queries_llm._events — the
-    fixture's nanosecond timestamps load as long and convert via
-    timestamp_micros). Window bounds are emitted as ABSOLUTE epoch
-    seconds: tz-independent in both engines, unlike wall-time strings
-    which depend on the session zone for LTZ values."""
+    Expects a timestamp column (the fixtures read as TIMESTAMP_NTZ).
+    Window bounds are emitted as ABSOLUTE naive-epoch seconds
+    (functions/timeops.py): tz-independent in both engines, unlike
+    wall-time strings which depend on the session zone for LTZ values."""
     keys = keys or []
     return (
         df.groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys)
@@ -41,7 +42,7 @@ def tumbling_agg(
             F.round(F.sum(value_col), 2).alias("sum_value"),
         )
         .select(
-            F.col("w.start").cast("long").alias("window_start"),
+            epoch_seconds(F.col("w.start")).alias("window_start"),
             *keys,
             "n_events",
             "sum_value",
@@ -66,7 +67,7 @@ def sliding_agg(
             F.round(F.sum(value_col), 2).alias("sum_value"),
         )
         .select(
-            F.col("w.start").cast("long").alias("window_start"),
+            epoch_seconds(F.col("w.start")).alias("window_start"),
             *keys,
             "n_events",
             "sum_value",
@@ -92,12 +93,11 @@ def sessionize(
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    # Gap measured on second-truncated epochs: LTZ→long truncates to
-    # seconds, exactly floor(epoch(ts)) in DuckDB. (timestampdiff/date_diff
-    # disagree across engines on sub-second offsets — floor vs boundary
-    # count — so they are deliberately avoided.)
+    # Gap measured on second-truncated naive epochs — exactly
+    # floor(epoch(ts)) in DuckDB, so sub-second offsets can never flip a
+    # session boundary differently across the two engines.
     with_prev = df.withColumn("__prev_ts", F.lag(F.col(ts_col)).over(w))
-    gap = F.col(ts_col).cast("long") - F.col("__prev_ts").cast("long")
+    gap = epoch_seconds(ts_col) - epoch_seconds("__prev_ts")
     with_start = with_prev.withColumn(
         "is_new_session",
         F.when(F.col("__prev_ts").isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
@@ -109,8 +109,8 @@ def sessionize(
         with_sid.groupBy(user_col, "session_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.min(ts_col).cast("long").alias("session_start"),
-            F.max(ts_col).cast("long").alias("session_end"),
+            epoch_seconds(F.min(ts_col)).alias("session_start"),
+            epoch_seconds(F.max(ts_col)).alias("session_end"),
             F.round(F.sum(value_col), 2).alias("sum_value"),
         )
     )
@@ -140,7 +140,7 @@ def hypertable_rollup(
             F.sum(value_col).alias("sum_value"),
         )
         .select(
-            F.col("w.start").cast("long").alias("bucket_start"), *keys,
+            epoch_seconds(F.col("w.start")).alias("bucket_start"), *keys,
             "n_events", "sum_value",
         )
     )
@@ -215,7 +215,7 @@ def gapfill_daily(
     rows; leading gaps stay null — there is nothing to carry).
 
     Day buckets come from ``F.window(ts, '1 day')`` and are emitted as
-    absolute epoch seconds (``day_start``) — epoch-aligned and
+    absolute naive-epoch seconds (``day_start``) — epoch-aligned and
     tz-independent in every engine, unlike date_trunc/date_format on LTZ
     values which shift with the session zone. The densification grid is
     then a plain long sequence stepping 86400 — no timestamp arithmetic
@@ -232,7 +232,7 @@ def gapfill_daily(
     daily = df.groupBy(
         F.window(F.col(ts_col), "1 day").alias("w"), F.col(key_col)
     ).agg(F.round(F.avg(val_col), round_to).alias("val")).select(
-        F.col("w.start").cast("long").alias("day_start"), key_col, "val"
+        epoch_seconds(F.col("w.start")).alias("day_start"), key_col, "val"
     )
     lo, hi = daily.agg(F.min("day_start"), F.max("day_start")).first()
     grid = (
@@ -281,7 +281,7 @@ def gapfill_daily_interpolate(
     daily = df.groupBy(
         F.window(F.col(ts_col), "1 day").alias("w"), F.col(key_col)
     ).agg(F.round(F.avg(val_col), round_to).alias("val")).select(
-        F.col("w.start").cast("long").alias("day_start"), key_col, "val"
+        epoch_seconds(F.col("w.start")).alias("day_start"), key_col, "val"
     )
     lo, hi = daily.agg(F.min("day_start"), F.max("day_start")).first()
     grid = (

@@ -188,11 +188,7 @@ def test_hypertable_rollup_consistency(spark, sf_smoke):
         hypertable_rollup,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(f"{sf_smoke}/events.parquet")
-        .withColumn("ts", FF.timestamp_micros(FF.expr("ts div 1000")))
-    )
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
     roll = hypertable_rollup(ev, "ts").cache()
     by_gran = {
         g: {r.bucket_start: r.n_events

@@ -38,8 +38,6 @@ def test_sql_and_dataframe_paths_agree(spark, sf_smoke):
 def test_views_cover_all_tables(spark, sf_smoke):
     readers.register_testdata_views(spark, sf_smoke)
     for t in readers.TESTDATA_TABLES:
-        if t == "events":
-            continue  # nanosecond timestamps need the nanosAsLong session conf
         assert spark.sql(f"SELECT count(*) FROM {t}").collect()[0][0] > 0
 
 

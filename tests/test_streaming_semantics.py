@@ -69,11 +69,8 @@ def test_native_session_window_matches_lag_sessionizer(spark, sf_smoke):
     """Spark's built-in session_window must produce the same sessions
     (count + bounds) as the lag+cumsum batch formulation for completed
     sessions."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(f"{sf_smoke}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("user_id", "ts", "value")
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet").select(
+        "user_id", "ts", "value"
     )
     lag_based = win.sessionize(ev, "ts", "user_id", gap_minutes=30)
     native = (
