@@ -1282,3 +1282,147 @@ def user_value_window_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max("n_nonnull").alias("n_nonnull"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic sketches with exact oracles (operators/sketch.py)
+# ---------------------------------------------------------------------------
+
+from .operators import sketch as _sk  # noqa: E402
+
+_CMS_W, _CMS_D = 1024, 4
+_CMS_BUILD = _sk.count_min_sql("lineitem", "l_partkey::VARCHAR", _CMS_W, _CMS_D)
+_CMS_PROBE_ARMS = " UNION ALL ".join(
+    f"SELECT l_partkey, {i} AS d, "
+    f"{_sk._bucket_sql('l_partkey::VARCHAR', a, b, _CMS_W)} AS bucket FROM probes"
+    for i, (a, b) in enumerate(_sk._affine_params(_CMS_D, seed=_sk.SKETCH_SEED))
+)
+
+
+@query(
+    "cms_partkey_frequencies",
+    f"""
+    WITH cms AS ({_CMS_BUILD}),
+    probes AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey <= 25),
+    probe_cells AS ({_CMS_PROBE_ARMS}),
+    est AS (
+        SELECT pc.l_partkey, min(coalesce(c.cnt, 0)) AS est
+        FROM probe_cells pc LEFT JOIN cms c USING (d, bucket)
+        GROUP BY pc.l_partkey
+    ),
+    tru AS (
+        SELECT l_partkey, count(*) AS true_cnt FROM lineitem
+        WHERE l_partkey <= 25 GROUP BY l_partkey
+    )
+    SELECT e.l_partkey, e.est, t.true_cnt
+    FROM est e JOIN tru t USING (l_partkey)
+    """,
+    doc="Count-Min sketch frequency estimation (operators/sketch.py): "
+    "the fact column folds into a depth×width counter grid (4×1024 — "
+    "KBs at ANY scale) in one pass + one tiny shuffle; point estimates "
+    "are a broadcast join against the sketch. Estimates only ever "
+    "over-count (est ≥ true, asserted in tests). The md5-affine hash "
+    "family is engine-portable, so unlike approx_count_distinct's "
+    "HLL internals this sketch is value-hash oracled bit-for-bit.",
+)
+def cms_partkey_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("k"), "l_partkey"
+    )
+    cms = _sk.count_min_build(li, "k", width=_CMS_W, depth=_CMS_D)
+    probes = (
+        li.where(F.col("l_partkey") <= 25)
+        .select("l_partkey", "k")
+        .distinct()
+    )
+    est = _sk.count_min_estimate(
+        cms, probes.select(F.col("k")), "k", width=_CMS_W, depth=_CMS_D
+    )
+    tru = (
+        li.where(F.col("l_partkey") <= 25)
+        .groupBy("l_partkey", "k")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    return (
+        est.join(tru, "k")
+        .select("l_partkey", "est", "true_cnt")
+    )
+
+
+_BLOOM_BITS, _BLOOM_K = 1 << 16, 3
+_BLOOM_BUILD = _sk.bloom_bits_sql("build", "k", _BLOOM_BITS, _BLOOM_K)
+_BLOOM_PROBE_ARMS = " UNION ALL ".join(
+    f"SELECT l_orderkey, {p} AS bit FROM probes"
+    for p in _sk.bloom_positions_sql("l_orderkey::VARCHAR", _BLOOM_BITS, _BLOOM_K)
+)
+
+
+@query(
+    "bloom_prefilter_urgent_orders",
+    f"""
+    WITH build AS (
+        SELECT DISTINCT o_orderkey::VARCHAR AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ),
+    bits AS ({_BLOOM_BUILD}),
+    probes AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    probe_cells AS ({_BLOOM_PROBE_ARMS}),
+    maybe AS (
+        SELECT l_orderkey FROM probe_cells JOIN bits USING (bit)
+        GROUP BY l_orderkey HAVING count(*) = {_BLOOM_K}
+    ),
+    truth AS (
+        SELECT DISTINCT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT count(*) AS n_probe_keys,
+           sum(CASE WHEN m.l_orderkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_maybe,
+           sum(CASE WHEN t.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_true_match,
+           sum(CASE WHEN m.l_orderkey IS NOT NULL AND t.o_orderkey IS NULL
+               THEN 1 ELSE 0 END)::BIGINT AS n_false_positives
+    FROM probes p
+    LEFT JOIN maybe m USING (l_orderkey)
+    LEFT JOIN truth t ON p.l_orderkey = t.o_orderkey
+    """,
+    doc="Bloom-filter semi-join pre-filter (operators/sketch.py): the "
+    "build side's keys (urgent orders) become a 64 Ki-bit set, broadcast "
+    "to tag every probe key map-side BEFORE any fact shuffle — at "
+    "100 TB the non-matching fraction never moves. No false negatives "
+    "(asserted in tests); false positives are bounded and COUNTED here. "
+    "Same md5-affine hash family as the Count-Min sketch, so the whole "
+    "filter replays bit-for-bit in the DuckDB oracle — covering the "
+    "pre-aggregation/Python-stage cases AQE's automatic runtime bloom "
+    "filter (also gate-tested in test_plans.py) does not reach.",
+)
+def bloom_prefilter_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").cast("string").alias("k"), "o_orderkey")
+        .distinct()
+    )
+    bits = _sk.bloom_bits(orders, "k", n_bits=_BLOOM_BITS, n_hashes=_BLOOM_K)
+    probes = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", F.col("l_orderkey").cast("string").alias("k"))
+        .distinct()
+    )
+    tagged = _sk.bloom_probe(
+        probes, bits, "k", n_bits=_BLOOM_BITS, n_hashes=_BLOOM_K
+    )
+    truth = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"), F.lit(True).alias("is_true")
+    )
+    flagged = tagged.join(F.broadcast(truth), "l_orderkey", "left").fillna(
+        {"is_true": False}
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        F.sum(F.col("maybe_member").cast("long")).alias("n_maybe"),
+        F.sum(F.col("is_true").cast("long")).alias("n_true_match"),
+        F.sum(
+            (F.col("maybe_member") & ~F.col("is_true")).cast("long")
+        ).alias("n_false_positives"),
+    )

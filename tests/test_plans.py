@@ -159,3 +159,45 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_smoke):
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
     assert not offenders, offenders
+
+
+def test_runtime_bloom_filter_injection(spark, sf_smoke):
+    """Spark's automatic runtime Bloom filter (InjectRuntimeFilter) must
+    fire on a selective-build-side shuffle join once broadcast is off —
+    the planner-level twin of the explicit operators/sketch.py
+    pre-filter. At 100 TB this is what keeps the fact side's shuffle
+    proportional to the MATCHING rows."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        o = (
+            spark.read.parquet(f"{sf_smoke}/orders.parquet")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+        )
+        li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = explain.formatted_plan(j)
+        assert "bloom_filter_agg" in plan, "runtime bloom filter not injected"
+        assert "might_contain" in plan, "fact side not pre-filtered"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
