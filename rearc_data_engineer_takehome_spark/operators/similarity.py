@@ -328,3 +328,114 @@ def all_pairs_topk_vectorized(
     return df.select(block_col, id_col, vec_col).groupBy(block_col).applyInPandas(
         block_topk, schema="id_a bigint, id_b bigint, cos_sim double"
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means as pure DataFrame transformations: deterministic
+    init (the ``k`` lowest-id vectors), then ``iters`` rounds of
+    assign (broadcast centroids × squared-L2 argmin) + update
+    (elementwise mean via posexplode, the ivf_centroids shape).
+
+    Determinism contract (what makes this oracle-able when nothing
+    else about distributed k-means is): distances are ROUNDED to 6dp
+    with a cluster-id tie-break before the argmin, and centroid
+    components are rounded to 6dp after every mean — so both engines
+    rank identical operands even though their double-summation orders
+    differ. Returns (id, cluster) after the final assignment.
+
+    Scale shape: centroids are k×dim scalars — always broadcast; each
+    iteration is one fact pass + one (cluster, pos) shuffle of
+    k×dim×partitions partial sums. Iteration count is fixed and small
+    (mini-batch or k-means|| init are the knobs past that); the fact
+    table is never shuffled.
+    """
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    w_init = Window.orderBy("id")
+    cents = (
+        v.orderBy("id")
+        .limit(k)
+        .select((F.row_number().over(w_init) - 1).alias("cluster"), F.col("v").alias("c"))
+    )
+    # exact same arithmetic string as the DuckDB oracle: sequential
+    # left-fold of (x-y)*(x-y) — NOT pow(), whose libm path may differ
+    dist = F.expr(
+        "round(aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
+        " 0.0D, (acc, x) -> acc + x), 6)"
+    )
+    assign = None
+    for _ in range(iters):
+        scored = v.crossJoin(F.broadcast(cents)).select(
+            "id", "v", "cluster", dist.alias("dist")
+        )
+        w = Window.partitionBy("id").orderBy("dist", "cluster")
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", "cluster", "v")
+        )
+        means = (
+            assign.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+        )
+        cents = (
+            means.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cluster",
+                F.transform(F.col("pm"), lambda s: s.getField("m")).alias("c"),
+            )
+        )
+    return assign.select(F.col("id").alias(id_col), "cluster")
+
+
+def kmeans_oracle_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB SQL replaying :func:`kmeans_lloyd` — the iterations
+    unrolled as CTE pairs (assign_i, cents_i). Same rounded distances,
+    same tie-break, same rounded means, so the final (id, cluster)
+    assignment value-hashes identically."""
+    sq = f"list_sum(list_transform(range(1, {dim + 1}), i -> (a.v[i] - c.c[i]) * (a.v[i] - c.c[i])))"
+    parts = [
+        f"v AS (SELECT {id_col} AS id, list_transform({vec_col}, x -> x::DOUBLE) AS v FROM {table})",
+        f"cents0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, v AS c"
+        f" FROM v ORDER BY id LIMIT {k})",
+    ]
+    prev = "cents0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"assign{i} AS (SELECT id, cluster, v FROM ("
+            f" SELECT a.id, a.v, c.cluster,"
+            f" row_number() OVER (PARTITION BY a.id"
+            f" ORDER BY round({sq}, 6), c.cluster) AS rn"
+            f" FROM v a CROSS JOIN {prev} c) WHERE rn = 1)"
+        )
+        if i < iters:
+            parts.append(
+                f"means{i} AS (SELECT cluster, i AS pos, round(avg(v[i]), 6) AS m"
+                f" FROM assign{i} CROSS JOIN unnest(range(1, {dim + 1})) AS t(i)"
+                f" GROUP BY cluster, i)"
+            )
+            parts.append(
+                f"cents{i} AS (SELECT cluster, list(m ORDER BY pos) AS c"
+                f" FROM means{i} GROUP BY cluster)"
+            )
+            prev = f"cents{i}"
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id AS {id_col}, cluster FROM assign{iters}"
+    )

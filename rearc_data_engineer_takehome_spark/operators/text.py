@@ -11,7 +11,7 @@ correctness is oracle-gated.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from ..functions import hashing
 from ..functions.text import (
@@ -182,3 +182,40 @@ def redact_pii(col: Column | str) -> Column:
     for pattern, token in PII_PATTERNS:
         out = F.regexp_replace(out, pattern, token)
     return out
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """One round of BPE merge-candidate counting — the inner loop of
+    tokenizer training: frequency of every adjacent character pair
+    inside pre-tokenized words, ranked; the argmax is the pair a BPE
+    trainer would merge next.
+
+    Scale shape (the part that matters at 100 TB): the corpus is first
+    folded to its VOCABULARY ``(word, count)`` — natural-language vocab
+    grows ~O(corpus^0.5) (Heaps' law), so pair explosion runs over
+    millions of distinct words, not trillions of tokens, and every
+    later merge round would reuse the same vocab table. Pair counts are
+    then word-count-weighted sums. All codegen expressions; the only
+    shuffles are the two groupBys (vocab, pairs).
+    """
+    vocab = (
+        df.select(F.explode(bpe_tokens(text_col)).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = vocab.select(
+        "wc",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("wc").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("pair", "n", "rank")
+    )

@@ -1805,3 +1805,56 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination"),
         )
     )
+
+
+@query(
+    "bpe_merge_candidates",
+    f"""
+    WITH vocab AS (
+        SELECT w, count(*) AS wc FROM (
+            SELECT unnest(regexp_extract_all(text, '{BPE_PATTERN}')) AS w
+            FROM documents
+        ) WHERE length(w) >= 2 GROUP BY w
+    ), pairs AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                                     i -> substr(w, i::INT, 2))) AS pair,
+               wc
+        FROM vocab
+    ), c AS (SELECT pair, sum(wc)::BIGINT AS n FROM pairs GROUP BY pair)
+    SELECT pair, n, rank FROM (
+        SELECT pair, n,
+               row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
+        FROM c
+    ) WHERE rank <= 20
+    """,
+    doc="One round of BPE tokenizer training (text_ops.bpe_pair_counts): "
+    "adjacent-character-pair frequencies inside pre-tokenized words, "
+    "top-20 merge candidates. Scale-correct shape: the corpus folds to "
+    "its (word, count) VOCABULARY first (Heaps' law: vocab ~ sqrt of "
+    "corpus), so the pair explosion and every subsequent merge round "
+    "run over distinct words, never raw tokens. The final ranking "
+    "windows the tiny pair-count table with a (count, pair) tie-break "
+    "so both engines pick identical top-20 sets.",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.bpe_pair_counts(
+        _t(spark, sf_dir, "documents"), "text", top_n=20
+    )
+
+
+@query(
+    "kmeans_embeddings",
+    similarity.kmeans_oracle_sql(table="embeddings", k=8, iters=3, dim=64),
+    doc="Distributed k-means (Lloyd, 3 iterations, k=8) over the "
+    "embedding column as pure DataFrame ops (similarity.kmeans_lloyd): "
+    "deterministic lowest-id init, broadcast centroids, rounded-distance "
+    "argmin with cluster-id tie-break, elementwise-mean update rounded "
+    "6dp. The rounding contract makes even an ITERATIVE clustering "
+    "algorithm value-hash oracle-able — the DuckDB side replays all "
+    "three iterations as unrolled CTEs. At 100 TB the fact table is "
+    "never shuffled: each iteration broadcasts k×dim scalars and "
+    "shuffles only k×dim×partitions partial sums.",
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_lloyd(emb, k=8, iters=3)

@@ -327,3 +327,19 @@ def test_lsh_index_vectorized_matches_srp_bucket_spec(emb):
         r.vec_id: (r.bucket_0, r.bucket_1, r.bucket_2) for r in ref.collect()
     }
     assert fast == slow
+
+
+def test_bpe_pair_counts_known_corpus(spark):
+    """Known tiny corpus: pair counts are word-frequency weighted and
+    the top merge candidate is the most frequent adjacent pair."""
+    from rearc_data_engineer_takehome_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "lowest low")],
+        ["doc_id", "text"],
+    )
+    got = {r.pair: r.n for r in bpe_pair_counts(df, "text", top_n=50).collect()}
+    # "low" x4, "lower" x1, "lowest" x1  →  "lo"/"ow" appear in all 6
+    assert got["lo"] == 6 and got["ow"] == 6
+    assert got["we"] == 2  # lower + lowest
+    assert got["er"] == 1 and got["st"] == 1

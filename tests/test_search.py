@@ -77,3 +77,89 @@ def test_rrf_fuse_combines_overlapping_and_disjoint_rankers(spark):
     # score (symmetric ranks) and 30/40 tie — id breaks both ties
     ranked = sorted(got.values(), key=lambda r: (-r.rrf_score, r.doc_id))
     assert [r.doc_id for r in ranked] == [10, 20, 30, 40]
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    """kmeans_lloyd must reproduce a straight numpy implementation of
+    the same spec (lowest-id init, 6dp-rounded distances and means,
+    cluster-id tie-break) on a small synthetic set."""
+    import numpy as np
+
+    from rearc_data_engineer_takehome_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+
+    rng = np.random.RandomState(7)
+    X = np.round(rng.randn(40, 5) + rng.choice([0, 6], size=(40, 1)), 3)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    k, iters = 3, 3
+    cents = X[:k].astype(float)
+    assign = None
+    for _ in range(iters):
+        d = np.round(((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1), 6)
+        assign = d.argmin(axis=1)  # argmin takes lowest index on ties
+        cents = np.array(
+            [
+                np.round(X[assign == c].mean(axis=0), 6)
+                if (assign == c).any()
+                else cents[c]
+                for c in range(k)
+            ]
+        )
+        cents = cents[sorted(set(assign))]  # drop emptied clusters like the op
+        k = len(cents)
+
+    got = {
+        r.vec_id: r.cluster
+        for r in kmeans_lloyd(df, k=3, iters=iters).collect()
+    }
+    # cluster IDS can differ if clusters emptied mid-run (none do here);
+    # compare the PARTITION, which is label-invariant
+    by_label_got = {}
+    for vid, c in got.items():
+        by_label_got.setdefault(c, set()).add(vid)
+    by_label_ref = {}
+    for vid, c in enumerate(assign):
+        by_label_ref.setdefault(int(c), set()).add(vid)
+    assert sorted(map(sorted, by_label_got.values())) == sorted(
+        map(sorted, by_label_ref.values())
+    )
+
+
+def test_kmeans_iterations_do_not_increase_sse(spark, sf_correctness):
+    """Lloyd's invariant: total within-cluster squared error is
+    non-increasing across iterations (on the real embeddings table)."""
+    import pyspark.sql.functions as F
+
+    from rearc_data_engineer_takehome_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+
+    emb = spark.read.parquet(f"{sf_correctness}/embeddings.parquet")
+
+    def sse(iters: int) -> float:
+        a = kmeans_lloyd(emb, k=8, iters=iters)
+        v = emb.select(
+            F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+        )
+        cents = (
+            a.join(v, "vec_id")
+            .select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        joined = (
+            a.join(v, "vec_id")
+            .select("cluster", F.posexplode("v").alias("pos", "x"))
+            .join(cents, ["cluster", "pos"])
+        )
+        return (
+            joined.select(((F.col("x") - F.col("m")) ** 2).alias("e"))
+            .agg(F.sum("e"))
+            .first()[0]
+        )
+
+    s1, s3 = sse(1), sse(3)
+    assert s3 <= s1 + 1e-6, f"SSE increased: {s1} -> {s3}"
