@@ -1,8 +1,8 @@
 """Advanced-analytics parity queries: cohort retention, sequence
 transitions, regression aggregates, multidimensional cubes, skew
 profiling, a contingency-table independence statistic, and the
-remaining classic TPC-H decision-support shapes (Q18/Q21/Q22) adapted
-to this star schema.
+remaining classic TPC-H decision-support shapes (Q2/Q15/Q16/Q18/
+Q20/Q21/Q22) adapted to this star schema.
 
 Plus sequence islands (streaks), robust stats (MAD), equi-width
 histograms, month-over-month growth, tie-inclusive top-N, join-derived
@@ -1425,4 +1425,178 @@ def bloom_prefilter_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(
             (F.col("maybe_member") & ~F.col("is_true")).cast("long")
         ).alias("n_false_positives"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Remaining classic decision-support shapes (TPC-H Q2 / Q15 / Q16 / Q20)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cheapest_supplier_per_part",
+    """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, ps.unit_cost
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE p.p_size <= 5
+      AND ps.unit_cost = (SELECT min(ps2.unit_cost) FROM ps ps2
+                          WHERE ps2.l_partkey = ps.l_partkey)
+    """,
+    doc="TPC-H Q2 shape (min-cost supplier): a correlated scalar-MIN "
+    "subquery selects, per part, every supplier achieving the minimum "
+    "unit cost (ties kept, like the real Q2). Spark expresses the "
+    "correlation as a broadcast of the per-part min re-joined to the "
+    "supplier-level aggregate — no correlated execution, two small "
+    "aggregates + broadcast dims. Unit costs round to 4dp on both "
+    "sides BEFORE the min/equality so the tie set is identical.",
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            "unit_cost"
+        )
+    )
+    min_cost = ps.groupBy("l_partkey").agg(F.min("unit_cost").alias("mc"))
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_size") <= 5)
+        .select("p_partkey", "p_brand")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ps.join(min_cost, "l_partkey")
+        .where(F.col("unit_cost") == F.col("mc"))
+        .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        .select("p_partkey", "p_brand", "s_name", "unit_cost")
+    )
+
+
+@query(
+    "top_revenue_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    doc="TPC-H Q15 shape (top supplier): revenue-per-supplier over one "
+    "quarter, then equality against the MAX of that derived view — all "
+    "co-leaders survive, unlike an ORDER BY/LIMIT 1 which would drop "
+    "ties arbitrarily. The view aggregate is computed once (tiny: one "
+    "row per supplier); its max broadcasts back as a scalar filter. "
+    "Revenue rounds to 2dp before the max/equality on both engines.",
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_rev"
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "supplier_counts_by_part_attrs",
+    """
+    SELECT p.p_brand, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    GROUP BY p.p_brand, p.p_size
+    """,
+    doc="TPC-H Q16 shape (supplier diversity): distinct-supplier counts "
+    "per part attribute pair, EXCLUDING a complaint list (here: "
+    "negative-balance suppliers) via NOT IN. Spark plans the NOT IN as "
+    "a broadcast anti-join on the fact BEFORE the part join and the "
+    "distinct aggregate — the exclusion list is rows-of-keys, never a "
+    "per-row subquery. (The exclusion list contains no NULLs by "
+    "construction; a nullable NOT IN would need the null-safe anti "
+    "form.)",
+)
+def supplier_counts_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    excluded = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(excluded), "l_suppkey", "left_anti"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "excess_recent_shippers",
+    """
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                   THEN l_quantity ELSE 0 END) AS qty_recent,
+               sum(l_quantity) AS qty_all
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           count(*) AS n_excess_parts
+    FROM shipped sh JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    WHERE sh.qty_recent > 0.5 * sh.qty_all
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    doc="TPC-H Q20 shape (excess availability): per (part, supplier), "
+    "the recent-window share of shipped quantity against a correlated "
+    "0.5×total threshold, folded to the suppliers holding excess "
+    "positions. One conditional aggregate computes both the window and "
+    "the lifetime quantity in a single fact pass — the correlated "
+    "subquery of the original decorrelates to CASE inside the same "
+    "groupBy. Quantities are integer-valued doubles, so the 0.5× "
+    "comparison is exact in both engines, no rounding needed.",
+)
+def excess_recent_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    recent = F.when(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"),
+        F.col("l_quantity"),
+    ).otherwise(F.lit(0.0))
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(recent).alias("qty_recent"), F.sum("l_quantity").alias("qty_all")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        shipped.where(F.col("qty_recent") > 0.5 * F.col("qty_all"))
+        .join(F.broadcast(supp), shipped.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_excess_parts"))
     )
