@@ -1600,3 +1600,39 @@ def excess_recent_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_excess_parts"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+from .operators.graph import (  # noqa: E402
+    copurchase_edges,
+    pagerank,
+    pagerank_oracle_sql,
+)
+
+_EDGES_CTE = (
+    "SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
+    "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a "
+    "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b "
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"
+)
+
+
+@query(
+    "part_pagerank",
+    pagerank_oracle_sql(_EDGES_CTE, iters=3, node_alias="p_partkey"),
+    doc="PageRank centrality over the part co-purchase graph "
+    "(operators/graph.py): DISTINCT co-occurrence edges built with an "
+    "order-keyed self-join (pair fan-out bounded by order size, never "
+    "catalog size), then 3 power iterations — one edge join + one dst "
+    "aggregate per round. Ranks round to 8dp every iteration on both "
+    "engines, so even this iterative fixpoint carries a full value-hash "
+    "oracle (unrolled CTEs), like kmeans_embeddings and dedup_clusters.",
+)
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    return pagerank(edges, iters=3).select(
+        F.col("node").alias("p_partkey"), "rank"
+    )

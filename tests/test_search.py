@@ -163,3 +163,59 @@ def test_kmeans_iterations_do_not_increase_sse(spark, sf_correctness):
 
     s1, s3 = sse(1), sse(3)
     assert s3 <= s1 + 1e-6, f"SSE increased: {s1} -> {s3}"
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """pagerank must equal a dense numpy power iteration with the same
+    damping/rounding spec on a small directed graph."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from rearc_data_engineer_takehome_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (1, 3), (3, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(df, iters=4).collect()}
+
+    n, d = 4, 0.85
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[s] += 1
+    r = np.full(n, round(1.0 / n, 8))
+    for _ in range(4):
+        c = np.zeros(n)
+        for s, t in edges:
+            c[t] += r[s] / deg[s]
+        r = np.round((1 - d) / n + d * c, 8)
+    assert got == {i: r[i] for i in range(n)}
+    # rank mass is conserved up to per-round rounding (no dangling nodes)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    """A symmetric star: the hub holds more rank than any leaf."""
+    from rearc_data_engineer_takehome_spark.operators.graph import pagerank
+
+    star = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    got = {r.node: r.rank for r in pagerank(
+        spark.createDataFrame(star, ["src", "dst"]), iters=5
+    ).collect()}
+    hub = got.pop(0)
+    assert all(hub > v for v in got.values())
+
+
+def test_copurchase_edges_symmetric_simple(spark):
+    """Edges are a simple symmetric relation: no self-loops, both
+    directions present, repeated co-purchases folded."""
+    import pyspark.sql.functions as F
+
+    from rearc_data_engineer_takehome_spark.operators.graph import (
+        copurchase_edges,
+    )
+
+    li = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 10), (2, 10), (2, 11), (3, 12)],
+        ["l_orderkey", "l_partkey"],
+    )
+    got = {(r.src, r.dst) for r in copurchase_edges(li).collect()}
+    assert got == {(10, 11), (11, 10)}

@@ -279,3 +279,58 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
     # watermark (~14:50), so its null row MUST have been emitted/evicted
     assert (1, 101) in got
     assert (2, None) in got
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a re-delivered event (same
+    event_id, timestamp within the watermark window) is emitted once;
+    the dedup state is then dropped once the watermark passes, so the
+    operator runs with BOUNDED state — the 100 TB requirement exactly
+    (plain dropDuplicates on a stream keeps every key forever)."""
+    src = str(tmp_path / "dedup_src")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    schema = "event_id long, ts timestamp, value double"
+
+    # batch 1: two events + a duplicate of the first
+    _write_batch(
+        spark,
+        [
+            (1, "2024-01-01 10:00:05", 1.0),
+            (1, "2024-01-01 10:00:05", 1.0),  # same-batch duplicate
+            (2, "2024-01-01 10:10:00", 2.0),
+        ],
+        schema,
+        src,
+    )
+    # batch 2: a cross-batch re-delivery of event 1 (still inside the
+    # 30 min watermark) + a fresh event advancing time
+    _write_batch(
+        spark,
+        [
+            (1, "2024-01-01 10:00:05", 1.0),
+            (3, "2024-01-01 10:20:00", 3.0),
+        ],
+        schema,
+        src,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.table("dedup_test").collect()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2, 3], f"duplicate leaked or event lost: {rows}"
