@@ -219,3 +219,51 @@ def bpe_pair_counts(
         .where(F.col("rank") <= top_n)
         .select("pair", "n", "rank")
     )
+
+
+def unigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Statistical quality scoring: per-document perplexity under a
+    unigram language model trained on the corpus itself — the classic
+    two-pass signal for surfacing out-of-distribution documents
+    (gibberish, boilerplate, wrong language) that heuristic ratios
+    (quality_features) miss.
+
+    Pass 1 aggregates the corpus token distribution (vocab-sized, like
+    BPE's vocab fold); pass 2 joins token log-probs back and folds a
+    per-doc mean. MLE probabilities — train and score corpora are the
+    same, so every token is in-vocab and no smoothing mass is needed.
+    Output: (doc_id, n_tok, avg_logp, ppl); higher ppl = less typical.
+
+    Scale shape: two shuffles (token counts, doc fold) + one join keyed
+    on the token — at 100 TB the vocab side is Zipf-bounded and the
+    join benefits from the skew handling AQE provides (stop words are
+    the heavy keys). Rounding contract: avg_logp rounds to 6dp (libm
+    ln() may differ in the last ulp across engines) and ppl derives
+    from the ROUNDED mean, so both engines expose identical values.
+    """
+    from ..functions.text import ws_tokens
+
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(ws_tokens(text_col), lambda x: F.lower(x))
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").cast("double").alias("t"))
+    logp = F.log(F.col("c") / F.col("t"))
+    avg_logp = F.round(F.avg(logp), 6)
+    return (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            avg_logp.alias("avg_logp"),
+            F.round(F.exp(-avg_logp), 4).alias("ppl"),
+        )
+    )

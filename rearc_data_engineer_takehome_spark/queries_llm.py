@@ -1858,3 +1858,52 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.kmeans_lloyd(emb, k=8, iters=3)
+
+
+@query(
+    "doc_lm_perplexity",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(list_transform({_TOKS}, x -> lower(x))) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ) WHERE tok <> ''
+    ),
+    c AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT sum(c)::DOUBLE AS t FROM c)
+    SELECT doc_id, count(*) AS n_tok,
+           round(avg(ln(c.c / tot.t)), 6) AS avg_logp,
+           round(exp(-round(avg(ln(c.c / tot.t)), 6)), 4) AS ppl
+    FROM toks JOIN c USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="Per-document perplexity under a corpus-trained unigram LM "
+    "(text_ops.unigram_lm_scores): the statistical quality signal next "
+    "to the heuristic doc_quality_scores. Two passes — Zipf-bounded "
+    "token distribution, then a token-keyed join folding mean log-prob "
+    "per doc. avg_logp rounds 6dp (cross-engine libm ulps) and ppl "
+    "derives from the rounded mean, so the oracle hashes exactly.",
+)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.unigram_lm_scores(_t(spark, sf_dir, "documents"), "text")
+
+
+@query(
+    "knn_pq",
+    None,  # engine-internal codebooks (keyed k-means over floats) → rows-only;
+    # recall vs brute force + determinism are pytest-gated (test_search)
+    doc="Product-quantization ANN (similarity.pq_train_encode/pq_topk): "
+    "vectors compress to m=8 one-byte centroid codes (32x smaller than "
+    "raw floats), queries scan the CODES with an asymmetric-distance "
+    "table — m x k lookups broadcast, one groupBy, heap top-k; raw "
+    "vectors never touched at query time. Codebooks train as a KEYED "
+    "Lloyd iteration: all m subspaces cluster in the same Spark jobs. "
+    "The scale tier below IVF: at 100 TB PQ codes of a 64-dim corpus "
+    "fit in ~1/32 the scan budget.",
+)
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf_dir, 0)
+    codes, cents = similarity.pq_train_encode(emb, m=8, k=16, iters=2, dim=64)
+    return similarity.pq_topk(codes, cents, q, k=10, m=8)

@@ -219,3 +219,47 @@ def test_copurchase_edges_symmetric_simple(spark):
     )
     got = {(r.src, r.dst) for r in copurchase_edges(li).collect()}
     assert got == {(10, 11), (11, 10)}
+
+
+def test_pq_adc_recall_vs_bruteforce(spark, sf_correctness):
+    """PQ/ADC top-10 must be deterministic and overlap the exact L2
+    top-10 well on the clustered embeddings fixture."""
+    import pyspark.sql.functions as F
+
+    from rearc_data_engineer_takehome_spark.operators.similarity import (
+        pq_topk,
+        pq_train_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_correctness}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    base = emb.where(F.col("vec_id") != 0)
+
+    codes, cents = pq_train_encode(base, m=8, k=16, iters=2, dim=64)
+    got1 = [r.id for r in pq_topk(codes, cents, q, k=10).collect()]
+    # codes are complete and in range
+    assert codes.count() == base.count() * 8
+    assert codes.agg(F.max("cluster")).first()[0] < 16
+
+    # determinism: a fresh train+search run returns the same ranking
+    codes2, cents2 = pq_train_encode(base, m=8, k=16, iters=2, dim=64)
+    got2 = [r.id for r in pq_topk(codes2, cents2, q, k=10).collect()]
+    assert got1 == got2
+
+    # recall@10 against exact squared-L2
+    qlit = F.array(*[F.lit(x) for x in q])
+    base2 = base.withColumn("qv", qlit).withColumn(
+        "d",
+        F.expr(
+            "aggregate(zip_with(cast(embedding as array<double>), qv,"
+            " (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+        ),
+    )
+    exact = [
+        r.vec_id
+        for r in base2.orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    ]
+    recall = len(set(got1) & set(exact)) / 10
+    assert recall >= 0.5, f"PQ recall@10 too low: {recall} ({got1} vs {exact})"
