@@ -355,6 +355,8 @@ def kmeans_lloyd(
     (mini-batch or k-means|| init are the knobs past that); the fact
     table is never shuffled.
     """
+    if iters < 1:
+        raise ValueError(f"kmeans_lloyd needs iters >= 1, got {iters}")
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -468,6 +470,8 @@ def pq_train_encode(
     fixture), while the stride spreads seeds across the corpus."""
     sub_len = dim // m
     assert m * sub_len == dim, f"dim {dim} not divisible by m {m}"
+    if iters < 1:
+        raise ValueError(f"pq_train_encode needs iters >= 1, got {iters}")
     subs = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -575,14 +579,25 @@ def pq_topk(
     dtable = cents.join(F.broadcast(qsubs), "sub").select(
         "sub", "cluster", dist.alias("d")
     )
+    # Per-id ADC distance as an INTEGER sum of micro-unit lookups: each
+    # 6dp-rounded table entry becomes an exact BIGINT, so the m-way sum
+    # is order-insensitive — float summation order across shuffle
+    # partitions can never flip a candidate ranking, which keeps the
+    # whole search value-hash oracle-able (see pq_oracle_sql).
     adc = (
         codes.join(F.broadcast(dtable), ["sub", "cluster"])
         .groupBy("id")
-        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+        .agg(F.sum(F.round(F.col("d") * 1e6).cast("long")).alias("adc_micro"))
     )
     if rerank_with is None:
-        return adc.orderBy(F.col("adc_dist").asc(), F.col("id").asc()).limit(k)
-    cand = adc.orderBy(F.col("adc_dist").asc(), F.col("id").asc()).limit(candidates)
+        return (
+            adc.orderBy(F.col("adc_micro").asc(), F.col("id").asc())
+            .limit(k)
+            .select(
+                "id", F.round(F.col("adc_micro") / 1e6, 6).alias("adc_dist")
+            )
+        )
+    cand = adc.orderBy(F.col("adc_micro").asc(), F.col("id").asc()).limit(candidates)
     qlit = F.array(*[F.lit(float(x)) for x in query])
     exact = (
         rerank_with.join(
@@ -605,3 +620,103 @@ def pq_topk(
         )
     )
     return exact.orderBy(F.col("dist").asc(), F.col("id").asc()).limit(k)
+
+
+def pq_oracle_sql(
+    table: str = "embeddings",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    query_id: int = 0,
+    candidates: int = 50,
+    topk: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebook_only: bool = False,
+) -> str:
+    """DuckDB SQL replaying :func:`pq_train_encode` + :func:`pq_topk`
+    (rerank path) end to end — subvector explode, deterministic stride
+    init, ``iters`` unrolled Lloyd iterations per subspace, the ADC
+    distance table in integer micro-units, candidate top-``candidates``
+    and the exact re-rank top-``topk``. Every float the two engines
+    compare is rounded 6dp at the same point, every cross-row sum is
+    integer, and every ordering carries an id tie-break, so the final
+    (id, dist) rows value-hash identically.
+
+    NOTE ``//`` (floor div) everywhere — DuckDB ``/`` on integers is
+    float division and ``::INT`` on a float ROUNDS, while Spark's
+    ``cast("int")`` truncates; floor-div sidesteps both."""
+    sub_len = dim // m
+    sq = (
+        f"round(list_sum(list_transform(range(1, {sub_len + 1}),"
+        f" i -> (a.v[i] - c.c[i]) * (a.v[i] - c.c[i]))), 6)"
+    )
+    parts = [
+        f"base AS (SELECT {id_col} AS id,"
+        f" list_transform({vec_col}, x -> x::DOUBLE) AS v"
+        f" FROM {table} WHERE {id_col} <> {query_id})",
+        f"params AS (SELECT greatest(count(*) // {k}, 1) AS stride FROM base)",
+        "ids AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS rn FROM base)",
+        f"init AS (SELECT i.id, (i.rn // p.stride) AS cluster FROM ids i, params p"
+        f" WHERE i.rn % p.stride = 0 AND i.rn < p.stride * {k})",
+        f"subs AS (SELECT b.id, t.sub, b.v[t.sub * {sub_len} + 1 :"
+        f" t.sub * {sub_len} + {sub_len}] AS v"
+        f" FROM base b CROSS JOIN unnest(range(0, {m})) AS t(sub))",
+        "cents0 AS (SELECT s.sub, i.cluster, s.v AS c"
+        " FROM subs s JOIN init i ON s.id = i.id)",
+    ]
+    prev = "cents0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f"assign{it} AS (SELECT id, sub, cluster, v FROM ("
+            f" SELECT a.id, a.sub, a.v, c.cluster,"
+            f" row_number() OVER (PARTITION BY a.id, a.sub"
+            f" ORDER BY {sq}, c.cluster) AS rn"
+            f" FROM subs a JOIN {prev} c ON a.sub = c.sub) WHERE rn = 1)"
+        )
+        if it < iters:
+            parts.append(
+                f"means{it} AS (SELECT sub, cluster, i AS pos,"
+                f" round(avg(v[i]), 6) AS mval"
+                f" FROM assign{it} CROSS JOIN"
+                f" unnest(range(1, {sub_len + 1})) AS t(i)"
+                f" GROUP BY sub, cluster, i)"
+            )
+            parts.append(
+                f"cents{it} AS (SELECT sub, cluster, list(mval ORDER BY pos)"
+                f" AS c FROM means{it} GROUP BY sub, cluster)"
+            )
+            prev = f"cents{it}"
+    final_assign = f"assign{iters}"
+    if codebook_only:
+        # Training replay only: the (sub, cluster) code histogram —
+        # the oracle for the offline pq_codebook build step.
+        return (
+            "WITH " + ", ".join(parts)
+            + f" SELECT sub, cluster, count(*)::BIGINT AS n_codes"
+            f" FROM {final_assign} GROUP BY sub, cluster"
+        )
+    parts += [
+        f"q AS (SELECT list_transform({vec_col}, x -> x::DOUBLE) AS v"
+        f" FROM {table} WHERE {id_col} = {query_id})",
+        f"qsubs AS (SELECT t.sub, q.v[t.sub * {sub_len} + 1 :"
+        f" t.sub * {sub_len} + {sub_len}] AS qv"
+        f" FROM q CROSS JOIN unnest(range(0, {m})) AS t(sub))",
+        "dtable AS (SELECT c.sub, c.cluster,"
+        " CAST(round(round(list_sum(list_transform("
+        f"range(1, {sub_len + 1}),"
+        " i -> (c.c[i] - s.qv[i]) * (c.c[i] - s.qv[i]))), 6) * 1000000)"
+        f" AS BIGINT) AS dmic FROM {prev} c JOIN qsubs s ON c.sub = s.sub)",
+        f"adc AS (SELECT a.id, sum(d.dmic)::BIGINT AS adc_micro"
+        f" FROM {final_assign} a JOIN dtable d"
+        f" ON a.sub = d.sub AND a.cluster = d.cluster GROUP BY a.id)",
+        f"cand AS (SELECT id FROM adc ORDER BY adc_micro, id LIMIT {candidates})",
+        f"exact AS (SELECT b.id, round(list_sum(list_transform("
+        f"range(1, {dim + 1}), i -> (b.v[i] - q.v[i]) * (b.v[i] - q.v[i]))),"
+        f" 6) AS dist FROM base b JOIN cand USING (id) CROSS JOIN q)",
+    ]
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, dist FROM exact ORDER BY dist, id LIMIT {topk}"
+    )

@@ -733,7 +733,7 @@ def brand_type_rollup_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            count(*) AS n_intervals,
-           sum(dt_us) AS total_us,
+           sum(dt_us)::BIGINT AS total_us,
            round(sum(value * dt_us) / sum(dt_us), 6) AS twap
     FROM seq WHERE dt_us IS NOT NULL
     GROUP BY user_id
@@ -964,14 +964,15 @@ def events_wau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), daily AS (
         SELECT days.d,
                count(*) AS active_users,
-               sum(CASE WHEN days.d = first.fd THEN 1 ELSE 0 END) AS new_users,
-               sum(CASE WHEN days.d > first.fd THEN 1 ELSE 0 END)
+               sum(CASE WHEN days.d = first.fd THEN 1 ELSE 0 END)::BIGINT
+                   AS new_users,
+               sum(CASE WHEN days.d > first.fd THEN 1 ELSE 0 END)::BIGINT
                    AS returning_users
         FROM days JOIN first USING (user_id)
         GROUP BY days.d
     )
     SELECT d, active_users, new_users, returning_users,
-           sum(new_users) OVER (ORDER BY d) AS cumulative_users
+           (sum(new_users) OVER (ORDER BY d))::BIGINT AS cumulative_users
     FROM daily
     """,
     doc="Growth accounting: per-day active users split into new vs "
@@ -1134,33 +1135,45 @@ def price_quantiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN part_freq fb ON fb.l_partkey = p.part_b
     CROSS JOIN n_orders o
     """,
-    doc="Market-basket co-occurrence with lift: distinct (order, part) "
-    "baskets self-joined on the order key — pair blow-up is bounded by "
-    "per-order line count (≤ C(lines,2) per order), never corpus-wide — "
-    "then support-filtered pairs scored by lift = P(ab)/(P(a)P(b)). "
-    "Counts are integer-exact; only lift is rounded. The basket "
-    "deduplication shuffle is shared by the pair join and the "
-    "single-part frequencies.",
+    doc="Market-basket co-occurrence with lift: one groupBy folds each "
+    "order into a sorted DISTINCT part set (collect_set — the dedup "
+    "rides the same exchange), pairs are generated IN-ROW from the "
+    "sorted array (C(k,2) per order, k = order line count, single "
+    "digits — never corpus-wide), then support-filtered and scored by "
+    "lift = P(ab)/(P(a)P(b)). Replaces round 1's basket self-join: one "
+    "order-key exchange instead of distinct + two-sided join shuffle "
+    "(6.3 s -> ~2 s at sf0.1). Part frequencies are bounded by the part "
+    "catalog, so they broadcast; counts are integer-exact and only lift "
+    "is rounded.",
 )
 def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
-    n_orders = baskets.agg(
-        F.countDistinct("l_orderkey").cast("double").alias("n")
+    order_sets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint()
     )
-    part_freq = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
-    a = baskets.alias("a")
-    b = baskets.alias("b")
+    n_orders = order_sets.agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    # checkpointed: fa and fb below each build a broadcast from this
+    # relation — without materialization the explode+agg runs twice
+    part_freq = (
+        order_sets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .localCheckpoint()
+    )
+    # sorted array ⇒ generated pairs already satisfy part_a < part_b
+    pair_expr = (
+        "flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts)),"
+        " y -> struct(x AS part_a, y AS part_b))))"
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        order_sets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_together"))
         .where(F.col("n_together") >= 3)
     )
@@ -1171,8 +1184,8 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part_b"), F.col("f").alias("fb")
     )
     return (
-        pairs.join(fa, "part_a")
-        .join(fb, "part_b")
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
         .join(F.broadcast(n_orders))
         .select(
             "part_a",

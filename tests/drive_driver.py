@@ -23,11 +23,13 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
 def norm(v):
+    # STRICT: int and float are different (driver hashes them differently;
+    # DuckDB HUGEINT materializes as float on the driver's hash path).
+    if isinstance(v, bool): return v
     if isinstance(v, float):
         if math.isnan(v): return "NaN"
-        if v == int(v) and abs(v) < 2**52: return int(v)
-        return round(v, 9)
-    if isinstance(v, bool) or isinstance(v, int): return v
+        return ("f", round(v, 9))
+    if isinstance(v, int): return ("i", v)
     return None if v is None else str(v)
 
 qs, oracles = e.queries(), e.oracle_sql()
