@@ -81,6 +81,9 @@ def main() -> None:
     spark.range(64).withColumn("g", F.col("id") % 2).groupBy("g").applyInPandas(
         lambda pdf: pdf, schema="id long, g long"
     ).count()
+    # mapInPandas (MAP_PANDAS_ITER) spawns yet another worker type —
+    # cold it adds ~2.5 s to the first multimodal query's timing
+    spark.range(64).mapInPandas(lambda it: it, schema="id long").count()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
