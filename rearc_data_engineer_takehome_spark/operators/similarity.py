@@ -377,11 +377,19 @@ def kmeans_lloyd(
         scored = v.crossJoin(F.broadcast(cents)).select(
             "id", "v", "cluster", dist.alias("dist")
         )
-        w = Window.partitionBy("id").orderBy("dist", "cluster")
+        # argmin as min(struct(dist, cluster)) — identical tie-break to
+        # ORDER BY dist, cluster (lexicographic struct compare), but a
+        # partial-aggregating hash agg instead of a per-id sort window:
+        # the k-way scored fan-out combines map-side back to one row per
+        # id before the exchange. first(v) is deterministic here: every
+        # candidate row of an id carries the same v.
         assign = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("id", "cluster", "v")
+            scored.groupBy("id")
+            .agg(
+                F.min(F.struct("dist", "cluster")).alias("m"),
+                F.first("v").alias("v"),
+            )
+            .select("id", F.col("m.cluster").alias("cluster"), "v")
         )
         means = (
             assign.select("cluster", F.posexplode("v").alias("pos", "x"))
@@ -512,11 +520,17 @@ def pq_train_encode(
         scored = subs.join(F.broadcast(cents), "sub").select(
             "id", "sub", "v", "cluster", dist.alias("dist")
         )
-        w = Window.partitionBy("id", "sub").orderBy("dist", "cluster")
+        # argmin via min(struct(dist, cluster)): same tie-break as the
+        # ORDER BY dist, cluster window (lexicographic struct compare)
+        # with map-side partial aggregation instead of a per-(id, sub)
+        # sort — see kmeans_lloyd. v is constant within the group.
         assign = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("id", "sub", "cluster", "v")
+            scored.groupBy("id", "sub")
+            .agg(
+                F.min(F.struct("dist", "cluster")).alias("m"),
+                F.first("v").alias("v"),
+            )
+            .select("id", "sub", F.col("m.cluster").alias("cluster"), "v")
         )
         if it < iters - 1:
             means = (

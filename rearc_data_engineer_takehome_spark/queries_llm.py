@@ -1896,9 +1896,11 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_CODEBOOK_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
-def _pq_codebook(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _pq_codebook(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> tuple[DataFrame, DataFrame]:
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _PQ_CODEBOOK_CACHE:
+    if rebuild or key not in _PQ_CODEBOOK_CACHE:
         emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
         codes, cents = similarity.pq_train_encode(
             emb, m=8, k=16, iters=2, dim=64
@@ -1922,11 +1924,13 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     "vector encoded as its per-subspace nearest-centroid id. Output is "
     "the (sub, cluster) code histogram — the full 2-iteration training "
     "replayed by the DuckDB oracle, so codebook determinism is hash-"
-    "gated, not just pytest-gated. Refreshes the codebook cache that "
-    "knn_pq searches against.",
+    "gated, not just pytest-gated. Always trains FRESH and then "
+    "refreshes the cache knn_pq searches against — a benched run of "
+    "this query reports the honest offline build cost, never a cache "
+    "hit.",
 )
 def pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
-    codes, cents = _pq_codebook(spark, sf_dir)
+    codes, cents = _pq_codebook(spark, sf_dir, rebuild=True)
     return codes.groupBy("sub", "cluster").agg(
         F.count(F.lit(1)).alias("n_codes")
     )
