@@ -29,6 +29,9 @@ from rearc_data_engineer_takehome_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+DETAIL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+)
 
 # Representative subset inlined into the compact stdout line (the full
 # map goes to BENCH_DETAIL.json).  One per operator family: classic agg,
@@ -85,6 +88,21 @@ def main() -> None:
     # cold it adds ~2.5 s to the first multimodal query's timing
     spark.range(64).mapInPandas(lambda it: it, schema="id long").count()
 
+    # Checkpoint-block hygiene: iterative operators localCheckpoint
+    # intermediates, and 117 queries on one JVM accumulate those blocks
+    # until late queries pay GC/eviction for early queries' state.
+    # Between queries, unpersist every RDD persisted AFTER the warm
+    # phase; warm-era blocks (the PQ codebook cache knn_pq reads) are
+    # protected. A locally-checkpointed RDD cannot recompute once
+    # unpersisted, but nothing re-reads a finished query's blocks.
+    jsc = spark.sparkContext._jsc
+    protected = set(jsc.getPersistentRDDs().keys())
+
+    def _free_query_blocks() -> None:
+        for rid, rdd in jsc.getPersistentRDDs().items():
+            if rid not in protected:
+                rdd.unpersist()
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in names:
@@ -97,6 +115,11 @@ def main() -> None:
         except Exception as e:  # one broken query must not void the run
             failures[name] = str(e).splitlines()[0][:200]
             print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
+        if name == "pq_codebook":
+            # it just REBUILT the codebook cache — protect the fresh
+            # blocks before the sweep below
+            protected |= set(jsc.getPersistentRDDs().keys())
+        _free_query_blocks()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else SF_DIR
@@ -110,10 +133,7 @@ def main() -> None:
     }
     if failures:
         detail["failed"] = failures
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as f:
+    with open(DETAIL_PATH, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
     # Compact final line (< 1 KB): headline subset only, so the driver's
