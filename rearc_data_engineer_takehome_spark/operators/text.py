@@ -267,3 +267,53 @@ def unigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.exp(-avg_logp), 4).alias("ppl"),
         )
     )
+
+
+def seq_packing(
+    df: DataFrame,
+    budget: int = 512,
+    part_col: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign every document its span
+    of fixed-``budget`` training sequences.
+
+    Semantics are the standard GPT-style pretraining packer: within each
+    ``part_col`` shard, documents are concatenated in ``order_col`` order
+    and the token stream is chunked into sequences of exactly ``budget``
+    tokens (documents straddle boundaries rather than padding). Output is
+    one row per document: token count, stream start offset, and the first/
+    last sequence ids it occupies — downstream aggregation or an explode
+    over ``F.sequence(seq_first, seq_last)`` yields per-sequence manifests.
+
+    Scale shape: the cumulative token sum is a window partitioned by
+    ``part_col`` — each shard sorts independently, so parallelism equals
+    the shard count. At 100 TB you shard by (source, bucket) rather than
+    bare language so no single window partition exceeds a task (the
+    packer is agnostic: pass any composite key as ``part_col``). Tokens
+    are counted, never materialized — the packer shuffles (key, int)
+    pairs only; the sort is the one inherent to deterministic packing.
+
+    The reference has no packing surface (extension tier next to
+    chunk_fixed, text.py:134); oracle replays the same window arithmetic
+    in DuckDB (queries_llm.doc_seq_packing).
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = token_count_ws(text_col)
+    base = df.where(F.col(text_col).isNotNull()).select(
+        part_col, order_col, n_tok.cast("bigint").alias("n_tok")
+    )
+    return base.withColumn("end_tok", F.sum("n_tok").over(w)).select(
+        part_col,
+        order_col,
+        "n_tok",
+        (F.col("end_tok") - F.col("n_tok")).alias("start_tok"),
+        # integer `div`, not floor(double /): exact at any stream length
+        F.expr(f"(end_tok - n_tok) div {budget}").alias("seq_first"),
+        F.expr(f"(end_tok - 1) div {budget}").alias("seq_last"),
+    )

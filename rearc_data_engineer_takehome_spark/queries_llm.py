@@ -1966,3 +1966,168 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(
         codes, cents, q, k=10, m=8, rerank_with=emb, candidates=50
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing + data-mixture planning (pretraining batch assembly)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+@query(
+    "doc_seq_packing",
+    f"""
+    WITH f AS (
+        SELECT lang, doc_id, len({_TOKS})::BIGINT AS n_tok
+        FROM documents WHERE text IS NOT NULL
+    ), c AS (
+        SELECT lang, n_tok,
+               sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS end_tok
+        FROM f
+    ), spans AS (
+        SELECT lang, n_tok, end_tok - n_tok AS start_tok,
+               (end_tok - n_tok) // {_PACK_BUDGET} AS seq_first,
+               (end_tok - 1) // {_PACK_BUDGET} AS seq_last
+        FROM c
+    ), x AS (
+        SELECT lang, start_tok, n_tok,
+               unnest(generate_series(seq_first, seq_last)) AS seq_id
+        FROM spans
+    ), per_seq AS (
+        SELECT lang, seq_id,
+               count(*) AS n_docs_in_seq,
+               sum(least(start_tok + n_tok, (seq_id + 1) * {_PACK_BUDGET})
+                   - greatest(start_tok, seq_id * {_PACK_BUDGET}))::BIGINT
+                   AS n_tok_in_seq
+        FROM x GROUP BY lang, seq_id
+    ), b AS (
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN seq_last > seq_first THEN 1 ELSE 0 END)::BIGINT
+                   AS n_boundary_docs
+        FROM spans GROUP BY lang
+    )
+    SELECT s.lang, n_docs, n_boundary_docs,
+           count(*)::BIGINT AS n_seqs,
+           sum(n_tok_in_seq)::BIGINT AS total_tokens,
+           max(n_docs_in_seq)::BIGINT AS max_docs_per_seq,
+           round(avg(n_docs_in_seq), 4) AS avg_docs_per_seq,
+           sum(CASE WHEN n_tok_in_seq = {_PACK_BUDGET} THEN 1 ELSE 0 END)::BIGINT
+               AS n_full_seqs
+    FROM per_seq s JOIN b USING (lang)
+    GROUP BY s.lang, n_docs, n_boundary_docs
+    """,
+    doc="Concat-and-chunk sequence packing (text.seq_packing): per "
+    "language the document token stream is chunked into 512-token "
+    "training sequences (GPT-style packing, docs straddle boundaries). "
+    "Each doc's sequence span explodes via F.sequence (fan-out bounded "
+    "by doc length / budget), then per-sequence manifests aggregate to "
+    "a per-language packing report: sequence count, full-sequence "
+    "count, boundary-straddling docs, docs-per-sequence stats. The "
+    "cumulative-sum window partitions by language, so parallelism is "
+    "the shard count — at 100 TB the part_col becomes (source, bucket) "
+    "so no window partition exceeds a task.",
+)
+def doc_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    spans = text_ops.seq_packing(docs, budget=_PACK_BUDGET)
+    b = _PACK_BUDGET
+    exploded = spans.select(
+        "lang",
+        "start_tok",
+        "n_tok",
+        F.explode(F.sequence("seq_first", "seq_last")).alias("seq_id"),
+    )
+    tok_in = F.least(
+        F.col("start_tok") + F.col("n_tok"), (F.col("seq_id") + 1) * b
+    ) - F.greatest(F.col("start_tok"), F.col("seq_id") * b)
+    per_seq = exploded.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs_in_seq"),
+        F.sum(tok_in).alias("n_tok_in_seq"),
+    )
+    bounds = spans.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("seq_last") > F.col("seq_first"), 1).otherwise(0)
+        ).alias("n_boundary_docs"),
+    )
+    return (
+        per_seq.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("n_tok_in_seq").alias("total_tokens"),
+            F.max("n_docs_in_seq").alias("max_docs_per_seq"),
+            F.round(F.avg("n_docs_in_seq"), 4).alias("avg_docs_per_seq"),
+            F.sum(
+                F.when(F.col("n_tok_in_seq") == b, 1).otherwise(0)
+            ).alias("n_full_seqs"),
+        )
+        .join(F.broadcast(bounds), "lang")
+    )
+
+
+#: Target corpus mixture for the sampling plan — the public data-mixing
+#: recipe shape (weights sum to 1.0; en upweighted). Fixed so the oracle
+#: replays the identical plan.
+_MIXTURE_WEIGHTS: dict[str, float] = {
+    "en": 0.40, "zh": 0.15, "es": 0.15, "fr": 0.15, "de": 0.15,
+}
+_MIXTURE_BUDGET = 20_000
+
+
+@query(
+    "corpus_mixture_plan",
+    f"""
+    WITH avail AS (
+        SELECT lang, sum(len({_TOKS}))::BIGINT AS avail_tokens
+        FROM documents WHERE text IS NOT NULL GROUP BY lang
+    ), w AS (
+        -- weight must be DOUBLE, not the DECIMAL a bare literal parses
+        -- to: the driver stringifies Decimal('0.40') != float 0.4, and
+        -- decimal arithmetic downstream diverges from Spark's doubles
+        SELECT lang, weight::DOUBLE AS weight
+        FROM (VALUES {", ".join(f"('{k}', {v!r})" for k, v in _MIXTURE_WEIGHTS.items())})
+             t(lang, weight)
+    )
+    SELECT a.lang, weight, avail_tokens,
+           round({_MIXTURE_BUDGET} * weight)::BIGINT AS target_tokens,
+           round(least(1.0, round({_MIXTURE_BUDGET} * weight) / avail_tokens), 6)
+               AS sampling_rate,
+           round(round({_MIXTURE_BUDGET} * weight) / avail_tokens, 4) AS epochs,
+           greatest(round({_MIXTURE_BUDGET} * weight)::BIGINT - avail_tokens, 0)
+               AS deficit_tokens
+    FROM avail a JOIN w USING (lang)
+    """,
+    doc="Data-mixture sampling plan (LLaMA/Pile-style domain "
+    "reweighting): per-language available tokens vs a fixed target "
+    "mixture over a global token budget -> sampling rate (capped at "
+    "1.0), epoch multiplier (>1 means upsampling), and the deficit the "
+    "budget cannot fill. One hash agg over documents plus a broadcast "
+    "join against the 5-row weight dim; at 100 TB the plan costs one "
+    "pass regardless of corpus size.",
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    avail = (
+        docs.where(F.col("text").isNotNull())
+        .groupBy("lang")
+        .agg(F.sum(text_ops.token_count_ws("text")).alias("avail_tokens"))
+    )
+    weights = docs.sparkSession.createDataFrame(
+        list(_MIXTURE_WEIGHTS.items()), "lang string, weight double"
+    )
+    target = F.round(F.lit(float(_MIXTURE_BUDGET)) * F.col("weight"))
+    return avail.join(F.broadcast(weights), "lang").select(
+        "lang",
+        "weight",
+        "avail_tokens",
+        target.cast("bigint").alias("target_tokens"),
+        F.round(
+            F.least(F.lit(1.0), target / F.col("avail_tokens")), 6
+        ).alias("sampling_rate"),
+        F.round(target / F.col("avail_tokens"), 4).alias("epochs"),
+        F.greatest(
+            target.cast("bigint") - F.col("avail_tokens"), F.lit(0).cast("bigint")
+        ).alias("deficit_tokens"),
+    )

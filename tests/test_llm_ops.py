@@ -343,3 +343,70 @@ def test_bpe_pair_counts_known_corpus(spark):
     assert got["lo"] == 6 and got["ow"] == 6
     assert got["we"] == 2  # lower + lowest
     assert got["er"] == 1 and got["st"] == 1
+
+
+def test_seq_packing_known_stream(spark):
+    """Budget-512 packing of a known token stream: spans, boundary
+    straddling, and token conservation are exact."""
+    from rearc_data_engineer_takehome_spark.operators.text import seq_packing
+
+    def doc(n):  # text with exactly n whitespace tokens
+        return " ".join(["a"] * n)
+
+    df = spark.createDataFrame(
+        [(1, "x", doc(300)), (2, "x", doc(300)), (3, "x", doc(512)),
+         (4, "x", doc(100)), (5, "y", doc(700))],
+        ["doc_id", "lang", "text"],
+    )
+    got = {
+        r.doc_id: (r.start_tok, r.seq_first, r.seq_last)
+        for r in seq_packing(df, budget=512).collect()
+    }
+    # stream x: [0,300) [300,600) [600,1112) [1112,1212)
+    assert got[1] == (0, 0, 0)
+    assert got[2] == (300, 0, 1)      # straddles the 512 boundary
+    assert got[3] == (600, 1, 2)      # straddles 1024
+    assert got[4] == (1112, 2, 2)
+    # stream y restarts at 0: one doc spanning seqs 0-1
+    assert got[5] == (0, 0, 1)
+
+
+def test_seq_packing_conserves_tokens(spark, sf_correctness):
+    """Exploded per-sequence token counts sum back to the raw stream
+    length per language, and every sequence except the last is full."""
+    from rearc_data_engineer_takehome_spark.operators.text import (
+        seq_packing,
+        token_count_ws,
+    )
+
+    docs = spark.read.parquet(f"{sf_correctness}/documents.parquet")
+    spans = seq_packing(docs, budget=512)
+    b = 512
+    exploded = spans.select(
+        "lang", "start_tok", "n_tok",
+        F.explode(F.sequence("seq_first", "seq_last")).alias("seq_id"),
+    )
+    tok_in = F.least(
+        F.col("start_tok") + F.col("n_tok"), (F.col("seq_id") + 1) * b
+    ) - F.greatest(F.col("start_tok"), F.col("seq_id") * b)
+    per_seq = (
+        exploded.groupBy("lang", "seq_id")
+        .agg(F.sum(tok_in).alias("n_tok_in_seq"))
+        .collect()
+    )
+    raw = {
+        r.lang: r.total
+        for r in docs.where(F.col("text").isNotNull())
+        .groupBy("lang")
+        .agg(F.sum(token_count_ws("text")).alias("total"))
+        .collect()
+    }
+    packed = {}
+    last_seq = {}
+    for r in per_seq:
+        packed[r.lang] = packed.get(r.lang, 0) + r.n_tok_in_seq
+        last_seq[r.lang] = max(last_seq.get(r.lang, -1), r.seq_id)
+    assert packed == raw
+    for r in per_seq:
+        if r.seq_id < last_seq[r.lang]:
+            assert r.n_tok_in_seq == 512, (r.lang, r.seq_id, r.n_tok_in_seq)
