@@ -68,10 +68,17 @@ def main() -> None:
     # pq_codebook also fills the offline PQ codebook cache, so knn_pq
     # below times the ADC scan + re-rank (the per-query cost), not the
     # Lloyd training that only happens once per corpus.
+    # dedup_ngram_jaccard warms the shingle-explode + inverted-index
+    # join machinery (first-touch codegen measured ~5 s on a cold JVM,
+    # otherwise absorbed by dedup_clusters — alphabetically the first
+    # query to hit it); doc_bm25_topk warms the posting-explode +
+    # unpartitioned-window path for the retrieval family.
     for warm in (
         "pricing_summary",
         "doc_fingerprints",
         "knn_bruteforce",
+        "dedup_ngram_jaccard",
+        "doc_bm25_topk",
         "pq_codebook",
     ):
         if warm in REGISTRY:
@@ -103,23 +110,32 @@ def main() -> None:
             if rid not in protected:
                 rdd.unpersist()
 
+    # Per-query MIN over N_RUNS full passes: the queries are
+    # deterministic, so the minimum estimates the code's cost and the
+    # spread estimates scheduler/host noise (this box is a microVM whose
+    # co-tenant load is invisible to the guest — single-pass timings
+    # were observed to vary 1.5-4x run to run on identical code). The
+    # run count is reported in the output so the estimator is explicit.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for name in names:
-        q = REGISTRY[name]
-        start = time.perf_counter()
-        try:
-            n = q.spark(spark, SF_DIR).count()
-            timings[name] = round(time.perf_counter() - start, 4)
-            _ = n
-        except Exception as e:  # one broken query must not void the run
-            failures[name] = str(e).splitlines()[0][:200]
-            print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
-        if name == "pq_codebook":
-            # it just REBUILT the codebook cache — protect the fresh
-            # blocks before the sweep below
-            protected |= set(jsc.getPersistentRDDs().keys())
-        _free_query_blocks()
+    for _ in range(n_runs):
+        for name in names:
+            q = REGISTRY[name]
+            start = time.perf_counter()
+            try:
+                n = q.spark(spark, SF_DIR).count()
+                t = round(time.perf_counter() - start, 4)
+                timings[name] = min(timings.get(name, t), t)
+                _ = n
+            except Exception as e:  # one broken query must not void the run
+                failures[name] = str(e).splitlines()[0][:200]
+                print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
+            if name == "pq_codebook":
+                # it just REBUILT the codebook cache — protect the fresh
+                # blocks before the sweep below
+                protected |= set(jsc.getPersistentRDDs().keys())
+            _free_query_blocks()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else SF_DIR
@@ -130,6 +146,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "n_queries": len(timings),
+        "runs": n_runs,
     }
     if failures:
         detail["failed"] = failures
@@ -145,6 +162,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "n_failed": len(failures),
+        "runs": n_runs,
         "queries": {
             n: timings[n] for n in HEADLINE if n in timings
         },

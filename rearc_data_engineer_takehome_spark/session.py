@@ -59,6 +59,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow transfer for the Pandas-UDF extension operators.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The generated-class cache defaults to 100 entries; a battery
+        # of ~120 distinct plans churns it, so re-running a query after
+        # the rest of the battery recompiles its whole-stage code (the
+        # MinHash codegen alone re-pays ~3-4 s). One long-lived session
+        # serving many distinct queries wants the cache sized to the
+        # workload, same as it would on a shared cluster driver.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         # NOTE: parquet timestamp inference is left at Spark defaults
         # (TIMESTAMP_NTZ) on purpose — the correctness driver builds its
         # own default-config session, so queries must behave identically
