@@ -68,6 +68,7 @@ PROBE_QUERIES = [
     "multimodal_features",  # Arrow-batched mapInPandas decode
     "part_pagerank",  # graph build + power iteration
     "part_pair_affinity",  # in-row basket pairing
+    "doc_seq_packing",  # partitioned cumulative-sum window + span explode
 ]
 
 
@@ -125,15 +126,24 @@ def main() -> None:
     ).count()
     spark.range(64).mapInPandas(lambda it: it, schema="id long").count()
 
+    # min over N passes per (query, scale): same estimator as bench.py —
+    # deterministic queries on a microVM whose co-tenant noise is
+    # invisible to the guest, so the minimum measures the code
+    n_runs = int(os.environ.get("SCALE_PROBE_RUNS", "2"))
+
+    def _best(q, path: str) -> float:
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            q.spark(spark, path).count()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     rows = []
     for name in PROBE_QUERIES:
         q = REGISTRY[name]
-        t0 = time.perf_counter()
-        q.spark(spark, BASE_SF).count()
-        t_base = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        q.spark(spark, PROBE_DIR).count()
-        t_big = time.perf_counter() - t0
+        t_base = _best(q, BASE_SF)
+        t_big = _best(q, PROBE_DIR)
         ratio = t_big / t_base if t_base > 0 else float("inf")
         rows.append((name, t_base, t_big, ratio))
         print(
@@ -161,6 +171,19 @@ def main() -> None:
             "a 10-way exact duplicate, so candidate PAIRS grow ~100x "
             "(quadratic in copies), not 10x — a dup-heavy worst case, "
             "not a linear-scaling failure.\n\n"
+            "## Full-battery run at 10x\n\n"
+            "`SPARK_GRAFT_SF_DIR=/tmp/spark_graft_scale_probe python "
+            "bench.py` runs ALL registered queries at ~sf1 — per-query "
+            "detail in `BENCH_DETAIL_10x.json` (all pass; total ~2.4x "
+            "the sf0.1 wall-clock for 10x rows). The tail is the "
+            "near-dup tier: with every document 10-way duplicated, "
+            "candidate pairs grow ~100x by construction. The production "
+            "ordering defends against exactly this — exact dedup "
+            "(digest groupBy; the quality->exact staging "
+            "`curation_pipeline` demonstrates) collapses identical "
+            "copies BEFORE any near-dup join runs; the probe "
+            "deliberately skips that defense to measure the worst "
+            "case.\n\n"
             "| query | t(sf0.1) s | t(10x) s | ratio | verdict |\n"
             "|---|---|---|---|---|\n"
         )
