@@ -93,8 +93,29 @@ def ngram_jaccard_pairs(
     jaccard rounded to 6dp for cross-engine comparison.
     """
     posting = _shingle_posting(df, text_col, id_col, k, max_df).cache()
-    sizes = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    return _jaccard_from_posting(posting, id_col, threshold)
 
+
+def _digest_groups(df: DataFrame, text_col: str, id_col: str):
+    """(members, reps, rep_docs) for exact-dedup staging: ``members`` is
+    (g, id, rep) — every doc with its content digest and the digest
+    group's min-id representative; ``rep_docs`` keeps one physical row
+    per DISTINCT content. The groupBy shuffles 40-byte digests only."""
+    digests = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("__g"))
+    reps = digests.groupBy("__g").agg(F.min(id_col).alias("__rep"))
+    members = digests.join(reps, "__g")
+    rep_docs = df.join(
+        reps.select(F.col("__rep").alias(id_col)), id_col
+    )
+    return members, reps, rep_docs
+
+
+def _jaccard_from_posting(
+    posting: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """(id_a, id_b, jaccard) from a (id, shingle-hash) posting list —
+    the shared verify tail of the exact and staged operators."""
+    sizes = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = posting.select(F.col(id_col).alias("id_a"), "sh")
     b = posting.select(F.col(id_col).alias("id_b"), "sh")
     common = (
@@ -103,7 +124,7 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    out = (
+    return (
         common.join(
             sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
             "id_a",
@@ -123,7 +144,107 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return out
+
+
+def ngram_jaccard_pairs_staged(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 64,
+) -> DataFrame:
+    """Exact-dedup-STAGED n-gram Jaccard near-dup pairs — the corpus-
+    scale form of :func:`ngram_jaccard_pairs`.
+
+    Duplicate-heavy corpora (the normal case for web crawl) make the
+    naive shingle self-join quadratic in copy count: every exact copy
+    re-shingles and re-joins identical content. Staging collapses exact
+    copies FIRST (digest groupBy — 40-byte shuffle rows), runs the
+    shingle join on DISTINCT CONTENT only, then expands pairs back to
+    members with two cheap equi-joins:
+
+      * within a digest group every member pair is a J=1.0 pair
+        (identical shingle sets), emitted directly — no shingle work;
+      * a rep-level near-dup pair (ra, rb, J) expands to every cross
+        pair (a ∈ group(ra), b ∈ group(rb)) with the same J, because
+        Jaccard is content-determined.
+
+    Groups whose representative has no post-cap shingles (text shorter
+    than ``k`` words, or all shingles df-capped) emit nothing — the
+    same behavior as the unstaged operator, which never pairs docs with
+    empty posting lists. Note ``max_df`` counts document frequency over
+    DISTINCT CONTENTS here (the better-defined semantics; the unstaged
+    operator counts copies). Output is otherwise identical to the
+    unstaged operator on any corpus, and IS identical when no exact
+    duplicates exist.
+    """
+    members, _, rep_docs = _digest_groups(df, text_col, id_col)
+    posting = _shingle_posting(rep_docs, text_col, id_col, k, max_df).persist()
+    rpairs = _jaccard_from_posting(posting, id_col, threshold)
+    # reps with >=1 post-cap shingle — gate for within-group emission
+    valid = posting.select(F.col(id_col).alias("__rep")).distinct()
+    m = members.select("__g", F.col(id_col).alias("__m"), "__rep")
+    within = (
+        m.alias("m1")
+        .join(m.alias("m2"), "__g")
+        .where(F.col("m1.__m") < F.col("m2.__m"))
+        .join(valid, F.col("m1.__rep") == valid["__rep"], "left_semi")
+        .select(
+            F.col("m1.__m").alias("id_a"),
+            F.col("m2.__m").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    cross = (
+        rpairs.join(
+            m.select(F.col("__rep").alias("id_a"), F.col("__m").alias("__ma")),
+            "id_a",
+        )
+        .join(
+            m.select(F.col("__rep").alias("id_b"), F.col("__m").alias("__mb")),
+            "id_b",
+        )
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross)
+
+
+def staged_near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 64,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup connected components with exact-dedup staging: Jaccard
+    pairs among DISTINCT CONTENTS (see :func:`ngram_jaccard_pairs_staged`)
+    plus STAR edges (rep → member) per digest group, then min-label
+    propagation. Star edges give the same components as expanding all
+    within/cross member pairs — the edge count is linear in corpus size
+    instead of quadratic in duplicate-cluster size, which is the
+    difference between a bounded and an unbounded shuffle at 100 TB.
+    Output (doc_id, cluster_id) is identical to
+    ``cluster_pairs(ngram_jaccard_pairs(...))`` whenever df-cap
+    semantics agree (cluster_id = min member id either way)."""
+    members, _, rep_docs = _digest_groups(df, text_col, id_col)
+    posting = _shingle_posting(rep_docs, text_col, id_col, k, max_df).persist()
+    rpairs = _jaccard_from_posting(posting, id_col, threshold).select(
+        "id_a", "id_b"
+    )
+    valid = posting.select(F.col(id_col).alias("__rep")).distinct()
+    star = (
+        members.where(F.col(id_col) != F.col("__rep"))
+        .join(valid, "__rep", "left_semi")
+        .select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return cluster_pairs(rpairs.unionByName(star), max_iter=max_iter)
 
 
 def minhash_signatures(
@@ -164,6 +285,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     seed: int = 7,
+    max_bucket: int | None = 16,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
 
@@ -172,6 +294,17 @@ def minhash_lsh_pairs(
     candidates (one shuffle on band key — never all-pairs). Verification
     computes exact Jaccard on the candidates only. Probabilistic recall
     (1-(1-s^r)^b), exact precision.
+
+    ``max_bucket`` caps the quadratic term: a band bucket with more than
+    ``max_bucket`` members (boilerplate pages, giant duplicate clusters —
+    the normal case on web-scale corpora) switches from all-pairs to
+    STAR pairing against the bucket's minimum id, so candidates per
+    bucket are O(n) instead of O(n²). Star pairs preserve connected-
+    component connectivity for duplicate clusters (every copy verifies
+    J=1 against the representative) while bounding the candidate join;
+    the recall loss is limited to non-min pairs inside oversized mixed
+    buckets. Deterministic, so the DuckDB oracle replays it exactly.
+    ``None`` disables the cap (exact all-pairs candidates).
     """
     rows = n_perm // bands
     sig = minhash_signatures(df, text_col, id_col, k, n_perm, seed)
@@ -210,8 +343,28 @@ def minhash_lsh_pairs(
         .persist()
     )
 
+    if max_bucket is not None:
+        # Bucket stats ride the persisted band rows (one extra hash-agg on
+        # the SAME (band, bh) key as the self-join). The LEFT side of the
+        # join is pre-filtered: in an oversized bucket only the min-id row
+        # survives, so the join emits n-1 star pairs instead of C(n,2) —
+        # the left side of a hot bucket is ONE row, which also removes the
+        # skewed-key quadratic task that would straggle a real cluster.
+        bstats = banded.groupBy("band", "bh").agg(
+            F.count(F.lit(1)).alias("__bn"), F.min(id_col).alias("__bmin")
+        )
+        left = (
+            banded.join(bstats, ["band", "bh"])
+            .where(
+                (F.col("__bn") <= F.lit(max_bucket))
+                | (F.col(id_col) == F.col("__bmin"))
+            )
+            .select(id_col, "band", "bh")
+        )
+    else:
+        left = banded
     cand = (
-        banded.alias("x")
+        left.alias("x")
         .join(banded.alias("y"), ["band", "bh"])
         .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
         .select(
@@ -425,37 +578,68 @@ def dedup_by_pairs(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def _salt_block(
+    df: DataFrame, block_col: str, id_col: str, max_block: int
+) -> DataFrame:
+    """Append a deterministic ``__salt`` column splitting any block with
+    more than ``max_block`` rows into ceil(n/max_block) shards: salt =
+    stable_hash64(id) % n_shards. Pairs are then generated within
+    (block, salt) only, so per-key candidate volume is bounded at
+    O(max_block²) regardless of block skew. The recall trade (cross-
+    shard pairs inside an oversized block are not compared) is the
+    documented price of bounding the quadratic; salts are md5-derived,
+    so a DuckDB oracle replays the sharding exactly."""
+    counts = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("__bn"))
+    return (
+        df.join(counts, block_col)
+        .withColumn(
+            "__salt",
+            hashing.stable_hash64(F.col(id_col).cast("string"))
+            % F.ceil(F.col("__bn") / F.lit(max_block)).cast("bigint"),
+        )
+        .drop("__bn")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_col: str | None = None,
     threshold: float = 0.95,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
     With ``block_col`` (cluster/label/LSH bucket) the join is equi on the
     block — each block's pairs compute locally after one shuffle. Without
     it this is a cartesian product: correct, but only acceptable for
-    small n (the brute-force baseline).
+    small n (the brute-force baseline). ``max_block`` salt-shards
+    oversized blocks (see :func:`_salt_block`) so a skewed block key
+    can't go quadratic.
     """
+    if block_col is not None and max_block is not None:
+        df = _salt_block(df, block_col, id_col, max_block)
+        block_cols = [block_col, "__salt"]
+    else:
+        block_cols = [block_col] if block_col else []
     # Norms are projected BEFORE the join: the join shuffle is a barrier,
     # so each side's norm folds once per input row instead of once per
     # PAIR — per-pair work is then a single dot + divide (3× fewer array
     # folds; same double expression sqrt(dot(v,v)) as the oracle).
     a = df.select(
-        *( [F.col(block_col)] if block_col else [] ),
+        *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
         vectors.norm(F.col(vec_col)).alias("na"),
     )
     b = df.select(
-        *( [F.col(block_col)] if block_col else [] ),
+        *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
         vectors.norm(F.col(vec_col)).alias("nb"),
     )
-    joined = a.join(b, on=block_col) if block_col else a.crossJoin(b)
+    joined = a.join(b, on=block_cols) if block_cols else a.crossJoin(b)
     return (
         joined.where(F.col("id_a") < F.col("id_b"))
         .select(
@@ -476,6 +660,7 @@ def embedding_near_dup_pairs_vectorized(
     id_col: str = "vec_id",
     block_col: str = "label",
     threshold: float = 0.95,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Arrow-vectorized twin of :func:`embedding_near_dup_pairs`
     (blocked form): one shuffle on the block key, then each block
@@ -519,6 +704,20 @@ def embedding_near_dup_pairs_vectorized(
             }
         )
 
+    if max_block is not None:
+        # Salt-shard oversized blocks BEFORE the groupBy shuffle: bounds
+        # both the O(block²) BLAS matrix and the per-group Arrow batch
+        # an executor must hold (the memory bound, not just the compute
+        # bound). Same deterministic salt as the JVM twin, so the
+        # equivalence test covers the capped path too.
+        df = _salt_block(df, block_col, id_col, max_block)
+        return (
+            df.select(block_col, "__salt", id_col, vec_col)
+            .groupBy(block_col, "__salt")
+            .applyInPandas(
+                block_pairs, schema="id_a bigint, id_b bigint, cos_sim double"
+            )
+        )
     return (
         df.select(block_col, id_col, vec_col)
         .groupBy(block_col)

@@ -204,32 +204,72 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
-@query(
-    "dedup_ngram_jaccard",
-    f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+# Shared oracle staging CTEs: exact-dedup-first (digest groupBy -> one
+# row per distinct content), shingle/Jaccard on representatives only
+# with a df<=64 cap over distinct contents, then member expansion —
+# replaying dedup.ngram_jaccard_pairs_staged exactly.
+_STAGED_JACCARD_CTES = f"""
+    dg AS (SELECT doc_id, md5(text) AS g FROM documents),
+    reps AS (SELECT g, min(doc_id) AS rep FROM dg GROUP BY g),
+    rdocs AS (SELECT d.doc_id, d.text FROM documents d
+              JOIN reps r ON d.doc_id = r.rep),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM rdocs),
     sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS s FROM toks),
-    p AS (SELECT DISTINCT doc_id, {stable_hash64_sql("s")} AS h FROM sh),
+    p0 AS (SELECT DISTINCT doc_id, {stable_hash64_sql("s")} AS h FROM sh),
+    keep AS (SELECT h FROM (SELECT h, count(*) AS c FROM p0 GROUP BY h)
+             WHERE c <= 64),
+    p AS (SELECT p0.doc_id, p0.h FROM p0 JOIN keep USING (h)),
     sizes AS (SELECT doc_id, count(*) AS n FROM p GROUP BY doc_id),
     common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
         FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2
+    ),
+    rpairs AS (
+        SELECT id_a, id_b, round(c / (na.n + nb.n - c), 6) AS jaccard
+        FROM common
+        JOIN sizes na ON na.doc_id = common.id_a
+        JOIN sizes nb ON nb.doc_id = common.id_b
+        WHERE round(c / (na.n + nb.n - c), 6) >= 0.8
+    ),
+    mem AS (SELECT dg.g, dg.doc_id, r.rep FROM dg JOIN reps r ON dg.g = r.g)
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_STAGED_JACCARD_CTES},
+    within AS (
+        SELECT m1.doc_id AS id_a, m2.doc_id AS id_b,
+               CAST(1.0 AS DOUBLE) AS jaccard
+        FROM mem m1 JOIN mem m2 ON m1.g = m2.g AND m1.doc_id < m2.doc_id
+        WHERE m1.rep IN (SELECT doc_id FROM sizes)
+    ),
+    crossg AS (
+        SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+               greatest(ma.doc_id, mb.doc_id) AS id_b, rp.jaccard
+        FROM rpairs rp
+        JOIN mem ma ON ma.rep = rp.id_a
+        JOIN mem mb ON mb.rep = rp.id_b
     )
-    SELECT id_a, id_b, round(c / (na.n + nb.n - c), 6) AS jaccard
-    FROM common
-    JOIN sizes na ON na.doc_id = common.id_a
-    JOIN sizes nb ON nb.doc_id = common.id_b
-    WHERE round(c / (na.n + nb.n - c), 6) >= 0.8
+    SELECT * FROM within UNION ALL SELECT * FROM crossg
     """,
-    doc="EXACT n-gram (3-word shingle) Jaccard near-dup pairs via "
-    "inverted-index self-join — the ground truth the LSH variant is "
-    "recall-tested against. The fixtures contain planted near-dups "
-    "(J≈0.98), so the result is non-trivial.",
+    doc="EXACT n-gram (3-word shingle) Jaccard near-dup pairs, exact-"
+    "dedup-STAGED: digest groupBy collapses exact copies first, the "
+    "inverted-index self-join runs on distinct content only (df<=64 "
+    "posting cap over distinct contents), and pairs expand back to "
+    "members via equi-joins — within-group pairs are J=1.0 by "
+    "identity, cross pairs inherit the rep pair's Jaccard. Identical "
+    "output to the unstaged ground-truth operator (which the LSH "
+    "variant is recall-tested against in pytest) when duplicate "
+    "semantics agree; linear instead of quadratic in duplicate-cluster "
+    "size. The fixtures contain planted near-dups (J≈0.98), so the "
+    "result is non-trivial.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), k=3, threshold=0.8
+    return dedup.ngram_jaccard_pairs_staged(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.8, max_df=64
     )
 
 
@@ -308,10 +348,17 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                            md5(m6::VARCHAR || ',' || m7::VARCHAR)]) AS bh
         ) u
     ),
+    bsz AS (
+        SELECT band, bh, count(*) AS n, min(doc_id) AS mn
+        FROM bands GROUP BY band, bh
+    ),
     cand AS (
         SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        FROM bands x JOIN bands y
+        FROM bands x
+        JOIN bsz s ON s.band = x.band AND s.bh = x.bh
+        JOIN bands y
           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+        WHERE s.n <= 16 OR x.doc_id = s.mn
     ),
     p AS (SELECT DISTINCT doc_id, {stable_hash64_sql("s")} AS h
           FROM (SELECT doc_id, unnest(sh) AS s FROM shl)),
@@ -335,11 +382,19 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hashes, exact verification) so the oracle replays banding + "
     "verification in SQL and value-hashes must match; "
     "tests/test_llm_ops.py additionally gates recall ≥ 0.95 against "
-    "the exact operator at J≥0.8.",
+    "the exact operator at J≥0.8. Band buckets over max_bucket=16 "
+    "members fall back to star pairing against the bucket min "
+    "(O(n) candidates per bucket, replayed in the oracle's bsz CTE) "
+    "— the guardrail against boilerplate/dup-cluster quadratic "
+    "candidate blowup at corpus scale.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), n_perm=_N_PERM, bands=4, threshold=0.8
+        _t(spark, sf_dir, "documents"),
+        n_perm=_N_PERM,
+        bands=4,
+        threshold=0.8,
+        max_bucket=16,
     )
 
 
@@ -384,23 +439,37 @@ _COS_SQL = cosine_sql("a.embedding", "b.embedding")
 @query(
     "dedup_embedding_cosine",
     f"""
+    WITH cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    s AS (
+        SELECT e.*,
+               {stable_hash64_sql("e.vec_id::VARCHAR")}
+                 % CAST(ceil(n / 256.0) AS BIGINT) AS salt
+        FROM embeddings e JOIN cnt USING (label)
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({_COS_SQL}, 6) AS cos_sim
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM s a
+    JOIN s b ON a.label = b.label AND a.salt = b.salt
+            AND a.vec_id < b.vec_id
     WHERE round({_COS_SQL}, 6) >= 0.4
     """,
     doc="Embedding-cosine near-dup pairs BLOCKED by label: one shuffle "
     "on the block key, per-block BLAS cosine matrix + 6dp-rounded "
     "threshold inside applyInPandas (the O(block²) candidates never "
-    "become Spark rows). Threshold 0.4 chosen to be non-trivial on the "
+    "become Spark rows). Blocks over max_block=256 rows are salt-"
+    "sharded with a deterministic md5 salt (replayed in the oracle) so "
+    "a skewed block key bounds both the BLAS matrix and the per-group "
+    "Arrow batch. Threshold 0.4 chosen to be non-trivial on the "
     "fixture distribution (max within-label cosine ≈ 0.47). The "
     "pure-JVM twin (dedup.embedding_near_dup_pairs) is "
-    "equivalence-tested against this one.",
+    "equivalence-tested against this one, capped path included.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs_vectorized(
-        _t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.4
+        _t(spark, sf_dir, "embeddings"),
+        block_col="label",
+        threshold=0.4,
+        max_block=256,
     )
 
 
@@ -799,21 +868,14 @@ def corpus_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_clusters",
     f"""
-    WITH RECURSIVE
-    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-    shl AS (SELECT doc_id, unnest({_SHINGLES3}) AS s FROM toks),
-    p AS (SELECT DISTINCT doc_id, {stable_hash64_sql("s")} AS h FROM shl),
-    sizes AS (SELECT doc_id, count(*) AS n FROM p GROUP BY doc_id),
-    common AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
+    WITH RECURSIVE {_STAGED_JACCARD_CTES},
+    star AS (
+        SELECT rep AS id_a, doc_id AS id_b FROM mem
+        WHERE doc_id <> rep AND rep IN (SELECT doc_id FROM sizes)
     ),
     pairs AS (
-        SELECT id_a, id_b FROM common
-        JOIN sizes na ON na.doc_id = common.id_a
-        JOIN sizes nb ON nb.doc_id = common.id_b
-        WHERE round(c / (na.n + nb.n - c), 6) >= 0.8
+        SELECT id_a, id_b FROM rpairs
+        UNION ALL SELECT id_a, id_b FROM star
     ),
     sym AS (
         SELECT id_a AS s, id_b AS d FROM pairs
@@ -827,21 +889,25 @@ def corpus_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s AS doc_id, least(s, min(d)) AS cluster_id
     FROM reach GROUP BY s
     """,
-    doc="Near-dup clustering: exact-Jaccard pairs (J≥0.8) → connected "
-    "components via iterative min-label propagation (O(diameter) join "
-    "rounds) → (doc_id, cluster_id). The fixpoint itself is "
-    "SQL-expressible as a recursive transitive closure (min reachable "
-    "id ≡ min-label fixpoint), so even this iterative operator carries "
-    "a full value-hash oracle; union-find equivalence is additionally "
-    "tested in tests/test_llm_ops.py. The closure is O(component²) "
-    "rows — fine for an oracle at sf0.01, not the 100 TB plan (label "
+    doc="Near-dup clustering, exact-dedup-STAGED: digest groupBy "
+    "collapses exact copies, exact-Jaccard pairs (J≥0.8, df<=64 cap) "
+    "run over distinct content only, STAR edges (rep→member) re-attach "
+    "copies — then connected components via iterative min-label "
+    "propagation (O(diameter) join rounds) → (doc_id, cluster_id). "
+    "Star edges give the same components as quadratic member-pair "
+    "expansion with linear edge count — the 100 TB defense against "
+    "duplicate-heavy corpora. The fixpoint is SQL-expressible as a "
+    "recursive transitive closure (min reachable id ≡ min-label "
+    "fixpoint), so even this iterative operator carries a full "
+    "value-hash oracle; union-find equivalence is additionally tested "
+    "in tests/test_llm_ops.py. The closure is O(component²) rows — "
+    "fine for an oracle at sf0.01, not the 100 TB plan (label "
     "propagation is).",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), k=3, threshold=0.8
+    return dedup.staged_near_dup_clusters(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.8, max_df=64
     )
-    return dedup.cluster_pairs(pairs)
 
 
 @query(

@@ -48,6 +48,107 @@ def test_minhash_lsh_recall_and_precision(docs):
     assert recall >= 0.95, f"LSH recall {recall:.2f} below gate (found {len(lsh)}/{len(exact)})"
 
 
+@pytest.fixture(scope="module")
+def dup_heavy(spark, docs):
+    """docs plus 4 exact copies of the first 20 documents (offset ids) —
+    the duplicate-heavy shape that breaks uncapped quadratic dedup."""
+    base = docs.select("doc_id", "text")
+    copies = [
+        base.limit(20).withColumn(
+            "doc_id", F.col("doc_id") + F.lit((r + 1) * 1_000_000)
+        )
+        for r in range(4)
+    ]
+    out = base
+    for c in copies:
+        out = out.unionByName(c)
+    return out.localCheckpoint()
+
+
+def test_staged_jaccard_matches_unstaged_on_dup_heavy(dup_heavy):
+    """Exact-dedup staging must reproduce the unstaged pair set exactly
+    (ids and 6dp jaccard) on a corpus with real exact duplicates."""
+    unstaged = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            dup_heavy, k=3, threshold=0.8, max_df=None
+        ).collect()
+    )
+    staged = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs_staged(
+            dup_heavy, k=3, threshold=0.8, max_df=None
+        ).collect()
+    )
+    assert unstaged and staged == unstaged
+
+
+def test_staged_clusters_match_direct(dup_heavy):
+    """staged_near_dup_clusters (rep pairs + star edges) must produce the
+    same (doc_id, cluster_id) assignment as clustering the full
+    quadratic pair expansion."""
+    direct = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_pairs(
+            dedup.ngram_jaccard_pairs(
+                dup_heavy, k=3, threshold=0.8, max_df=None
+            )
+        ).collect()
+    }
+    staged = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.staged_near_dup_clusters(
+            dup_heavy, k=3, threshold=0.8, max_df=None
+        ).collect()
+    }
+    assert direct and staged == direct
+
+
+def test_lsh_max_bucket_star_caps_candidates(spark):
+    """A hot LSH bucket (many identical docs) must produce O(n) star
+    pairs under max_bucket, not C(n,2) — and every star pair must link
+    the bucket min to a member with J=1."""
+    n = 40
+    rows = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.minhash_lsh_pairs(
+        df, k=3, n_perm=8, bands=4, threshold=0.8, max_bucket=8
+    ).collect()
+    # star shape: exactly n-1 pairs, all anchored at the min id
+    assert len(capped) == n - 1
+    assert all(r.id_a == 0 and r.jaccard == 1.0 for r in capped)
+    uncapped = dedup.minhash_lsh_pairs(
+        df, k=3, n_perm=8, bands=4, threshold=0.8, max_bucket=None
+    ).count()
+    assert uncapped == n * (n - 1) // 2
+
+
+def test_embedding_salt_shard_bounds_hot_block(spark, emb):
+    """With a block key funneling everything into one block, max_block
+    salt-sharding must bound per-shard pair volume and the JVM/BLAS
+    twins must still agree exactly on the capped path."""
+    one_block = emb.withColumn("label", F.lit(1))
+    jvm = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in dedup.embedding_near_dup_pairs(
+            one_block, block_col="label", threshold=0.2, max_block=64
+        ).collect()
+    )
+    vec = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in dedup.embedding_near_dup_pairs_vectorized(
+            one_block, block_col="label", threshold=0.2, max_block=64
+        ).collect()
+    )
+    assert jvm == vec
+    # capped candidate volume: every emitted pair lives inside one shard,
+    # and the uncapped single-block run compares strictly more pairs
+    uncapped = dedup.embedding_near_dup_pairs(
+        one_block, block_col="label", threshold=0.2
+    ).count()
+    assert len(jvm) <= uncapped
+
+
 def test_simhash_pairs_within_hamming(docs):
     pairs = dedup.simhash_pairs(
         docs, bits=32, max_hamming=3, n_bands=4
