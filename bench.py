@@ -37,6 +37,13 @@ DETAIL_PATH = os.path.join(
 # map goes to BENCH_DETAIL.json).  One per operator family: classic agg,
 # window, broadcast join, top-k, dedup (exact + LSH), ANN (IVF), k-means,
 # streaming-twin windows/sessions, text quality, graph.
+# Offline BUILD steps (run once per corpus in production, not per
+# query): timed and reported separately under "builds" so
+# total_query_seconds measures query latency only. pq_codebook
+# deliberately rebuilds its cache every pass (rebuild=True) — honest
+# build-cost accounting, but it is not a query.
+BUILDS = {"pq_codebook"}
+
 HEADLINE = [
     "pricing_summary",
     "best_part_by_supplier",
@@ -127,6 +134,9 @@ def main() -> None:
                 n = q.spark(spark, SF_DIR).count()
                 t = round(time.perf_counter() - start, 4)
                 timings[name] = min(timings.get(name, t), t)
+                # a query that failed in an earlier pass but succeeded in
+                # this one is timed, not failed — keep the sets disjoint
+                failures.pop(name, None)
                 _ = n
             except Exception as e:  # one broken query must not void the run
                 failures[name] = str(e).splitlines()[0][:200]
@@ -139,13 +149,17 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else SF_DIR
+    builds = {n: t for n, t in timings.items() if n in BUILDS}
+    query_timings = {n: t for n, t in timings.items() if n not in BUILDS}
     detail = {
         "metric": "total_query_seconds",
-        "value": round(sum(timings.values()), 4),
+        "value": round(sum(query_timings.values()), 4),
         "unit": "sec",
-        "queries": timings,
+        "queries": query_timings,
+        "builds": builds,
+        "build_seconds": round(sum(builds.values()), 4),
         "sf": sf_val,
-        "n_queries": len(timings),
+        "n_queries": len(query_timings),
         "runs": n_runs,
     }
     if failures:
@@ -160,11 +174,13 @@ def main() -> None:
         "value": detail["value"],
         "unit": "sec",
         "sf": sf_val,
-        "n_queries": len(timings),
+        "n_queries": len(query_timings),
         "n_failed": len(failures),
         "runs": n_runs,
+        "build_seconds": detail["build_seconds"],
+        "n_builds": len(builds),
         "queries": {
-            n: timings[n] for n in HEADLINE if n in timings
+            n: query_timings[n] for n in HEADLINE if n in query_timings
         },
         "detail": "BENCH_DETAIL.json",
     }

@@ -295,6 +295,13 @@ def seq_packing(
     are counted, never materialized — the packer shuffles (key, int)
     pairs only; the sort is the one inherent to deterministic packing.
 
+    PRECONDITION: ``(part_col, order_col)`` must be a unique key.
+    Deterministic packing (and Spark/DuckDB oracle agreement) depends on
+    a total order within each shard; with duplicate order keys the
+    cumulative-sum window order is engine-nondeterministic. Holds for
+    the fixtures (doc_id is unique); pass a composite order key if
+    yours is not.
+
     The reference has no packing surface (extension tier next to
     chunk_fixed, text.py:134); oracle replays the same window arithmetic
     in DuckDB (queries_llm.doc_seq_packing).

@@ -25,7 +25,7 @@ from .functions.hashing import (
 )
 from .functions.text import BPE_PATTERN, PUNCT_PATTERN, WS_PATTERN, word_shingles_sql
 from .functions.timeops import epoch_seconds
-from .operators import dedup, multimodal, similarity
+from .operators import dedup, multimodal, quality, similarity
 from .operators import text as text_ops
 from .queries import _t, query
 from .streaming import windows as win
@@ -975,11 +975,11 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_asof_last_signup",
     """
     SELECT e.event_id, e.user_id, s.event_id AS signup_event_id
-    FROM (SELECT event_id, user_id, epoch_ns(ts) AS tns
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS tus
           FROM events WHERE event_type = 'error') e
-    ASOF LEFT JOIN (SELECT event_id, user_id, epoch_ns(ts) AS tns
+    ASOF LEFT JOIN (SELECT event_id, user_id, epoch_us(ts) AS tus
                     FROM events WHERE event_type = 'signup') s
-      ON e.user_id = s.user_id AND e.tns >= s.tns
+      ON e.user_id = s.user_id AND e.tus >= s.tus
     """,
     doc="As-of join (Spark lacks the primitive): for each error event, "
     "the user's most recent signup at or before it. Implemented as "
@@ -1044,28 +1044,22 @@ def cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
        OR l.l_extendedprice > b.q3 + 1.5 * (b.q3 - b.q1)
     """,
     doc="V9/A10: IQR outlier detection with quantiles computed IN-PLAN "
-    "(exact percentile, verified bit-identical to DuckDB quantile_cont) "
-    "and broadcast back — one job, no driver round-trip, unlike the "
-    "reference's collected approxQuantile (21_EDA.ipynb:2309-2319). "
-    "operators/quality.iqr_outliers is the percentile_approx variant for "
-    "100 TB (single-pass sketch).",
+    "(EXACT, bit-identical to DuckDB quantile_cont) via sketch-"
+    "bracketed distributed selection: a GK sketch brackets each rank, "
+    "one codegen scan counts below-bracket rows and collects only the "
+    "~6n/accuracy in-bracket values, exact rank arithmetic reads the "
+    "answer out — never an O(distinct) value-count map, no driver "
+    "round-trip, unlike the reference's collected approxQuantile "
+    "(21_EDA.ipynb:2309-2319). operators/quality.iqr_outliers is the "
+    "pure-sketch variant when exactness isn't required.",
 )
 def iqr_outliers_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.relational import spread_compute
-
     li = _t(spark, sf_dir, "lineitem")
-    # exact percentile merges per-partition count maps, so spreading the
-    # AGG input parallelizes the partial phase (merge is order-invariant).
-    # Only the bounds branch is repartitioned — the outlier filter branch
-    # parallelizes by file splits and must not pay a full-table shuffle.
-    bounds = spread_compute(li).agg(
-        F.expr("percentile(l_extendedprice, array(0.25, 0.75))").alias("q13"),
+    bounds = quality.exact_quantiles_bracketed(
+        li, "l_extendedprice", [0.25, 0.75], accuracy=1000
     ).select(
-        F.col("q13").getItem(0).alias("q1"),
-        F.col("q13").getItem(1).alias("q3"),
-    ).select(
-        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lower"),
-        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("upper"),
+        (F.col("q0") - 1.5 * (F.col("q1") - F.col("q0"))).alias("lower"),
+        (F.col("q1") + 1.5 * (F.col("q1") - F.col("q0"))).alias("upper"),
     )
     return (
         li.join(F.broadcast(bounds))

@@ -25,7 +25,12 @@ def test_bench_final_line_is_compact_parseable_json(
 ):
     small = {
         n: REGISTRY[n]
-        for n in ("pricing_summary", "best_part_by_supplier", "knn_bruteforce")
+        for n in (
+            "pricing_summary",
+            "best_part_by_supplier",
+            "knn_bruteforce",
+            "pq_codebook",
+        )
     }
     monkeypatch.setattr(bench, "REGISTRY", small)
     monkeypatch.setattr(bench, "SF_DIR", sf_smoke)
@@ -51,8 +56,14 @@ def test_bench_final_line_is_compact_parseable_json(
     assert out["n_failed"] == 0
     assert isinstance(out["value"], float)
     assert set(out["queries"]) <= set(bench.HEADLINE)
+    # offline builds are accounted separately: total_query_seconds is
+    # query latency only, build cost goes under builds/build_seconds
+    assert out["n_builds"] == 1
+    assert isinstance(out["build_seconds"], float)
     detail = json.load(open(tmp_path / "BENCH_DETAIL.json"))
-    assert set(detail["queries"]) == set(small)
+    assert set(detail["queries"]) == set(small) - bench.BUILDS
+    assert set(detail["builds"]) == {"pq_codebook"}
+    assert detail["value"] == round(sum(detail["queries"].values()), 4)
 
 
 def test_headline_subset_is_registered():

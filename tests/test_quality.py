@@ -149,6 +149,30 @@ def test_exact_quantiles_scalable_matches_single_pass(spark, sf_smoke):
     assert [got2["q_0"], got2["q_1"]] == list(ref2)
 
 
+def test_exact_quantiles_bracketed_matches_single_pass(spark, sf_smoke):
+    """The fast collect-array variant must also be BIT-identical to the
+    single-pass exact percentile — near-continuous and duplicate-heavy
+    columns, extreme probs included."""
+    import pyspark.sql.functions as F
+
+    from rearc_data_engineer_takehome_spark.operators.quality import (
+        exact_quantiles_bracketed,
+    )
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    probs = [0.0, 0.25, 0.5, 0.75, 0.99, 1.0]
+    ref = li.agg(
+        F.expr(f"percentile(l_extendedprice, array({','.join(map(str, probs))}))")
+    ).collect()[0][0]
+    got = exact_quantiles_bracketed(li, "l_extendedprice", probs).collect()[0]
+    assert [got[f"q{i}"] for i in range(len(probs))] == list(ref)
+
+    dup = li.select("l_quantity")  # ~50 distinct values, heavy duplicates
+    ref2 = dup.agg(F.expr("percentile(l_quantity, array(0.5, 0.9))")).collect()[0][0]
+    got2 = exact_quantiles_bracketed(dup, "l_quantity", [0.5, 0.9]).collect()[0]
+    assert [got2["q0"], got2["q1"]] == list(ref2)
+
+
 def test_grouped_exact_quantiles_scalable_matches_single_pass(spark, sf_smoke):
     """Per-group bracketed quantiles must be bit-identical to grouped
     percentile(), including on a duplicate-heavy column."""
