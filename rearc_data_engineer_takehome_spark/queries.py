@@ -1040,66 +1040,69 @@ def categorical_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ``tests/test_registry_window.py`` guards this list against silent
 # displacement by future registrations.
 
+# Round-3 window policy (VERDICT r02 item 6): the PINNED set below stays
+# every round (every SURVEY §2 gate without another driver-visible row,
+# one representative per LLM-tier family, one streaming representative);
+# the remaining ~22 slots ROTATE each round toward queries that have
+# never had a driver-green CORRECTNESS row, so hard external signal
+# accumulates across the whole 119-query registry over rounds. Evicted
+# queries stay gated by the strict local parity suite
+# (tests/test_oracle_parity.py, driver-identical hash semantics).
 DRIVER_WINDOW: list[str] = [
-    # core relational parity (§2 P*/J/A/W/O gates)
+    # --- pinned: core relational §2 gates ---
     "pricing_summary",
     "best_part_by_supplier",
-    "order_value_stats",
     "lineitem_part_report",
     "null_profile_orders",
-    "duplicate_keys_lineitem",
-    "cardinality_profile",
-    "order_date_domain",
-    "top_customers_by_revenue",
-    "revenue_by_region",
-    "customers_without_orders",
-    "part_name_analysis",
-    "returnflag_priority_mix",
     "describe_lineitem",  # §2 A9
     "events_value_domain",  # §2 P8 / V7
     "events_user_completeness",  # §2 V8
     "orders_priority_union",  # §2.7 set ops
     "iqr_outliers_price",  # §2 A10 / V9
-    # text / document tier
-    "doc_token_stats",
-    "doc_quality_scores",
-    "doc_language_id",
-    "doc_fingerprints",
-    "doc_chunks",
-    "doc_pii_redaction",
-    # dedup tier
+    # --- pinned: LLM-tier family representatives ---
     "dedup_exact_docs",
-    "dedup_ngram_jaccard",
-    "minhash_signatures",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_clusters",
-    # similarity / ANN tier
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
     "knn_pq",
     "kmeans_embeddings",
     "hybrid_retrieval_rrf",
-    # sketch tier
     "cms_partkey_frequencies",
     "bloom_prefilter_urgent_orders",
-    # multimodal tier
     "multimodal_features",
-    # sampling / splits
+    "doc_chunks",
+    "doc_pii_redaction",
     "corpus_split_sizes",
-    # event-time / streaming twins
-    "events_hourly",
-    "events_sliding",
-    "events_sessionize",
-    "events_props_typed",
-    "events_hypertable_rollup",
-    "events_range_join_errors_signups",
-    "events_json_props",
-    "events_asof_last_signup",
-    # composite flagship
     "curation_pipeline",
+    # --- pinned: streaming representative (§2.9) ---
+    "events_hypertable_rollup",
+    # --- rotating slots, round 3: never-driver-checked first ---
+    "knn_all_pairs_topk",  # named in VERDICT r02 (r1 evictee)
+    "events_funnel",
+    "scd2_customer_orders",  # named in VERDICT r02 (r1 evictee)
+    "revenue_rollup",  # named in VERDICT r02 (r1 evictee)
+    "part_pagerank",
+    "price_quantiles_scalable",
+    "doc_seq_packing",
+    "corpus_mixture_plan",
+    "pq_codebook",
+    "doc_bm25_topk",
+    "eval_contamination",
+    "doc_lm_perplexity",
+    "bpe_merge_candidates",
+    "dedup_ngram_jaccard",  # re-implemented (staged) this round — keep driver-visible
+    "events_gapfill_interpolated",
+    "events_cohort_retention",
+    "user_activity_streaks",
+    "top2_orders_per_customer_lateral",
+    "part_pair_affinity",
+    "cheapest_supplier_per_part",
+    "returnflag_status_grouping_sets",
+    "fuzzy_part_name_pairs",
 ]
 
 

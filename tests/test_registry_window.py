@@ -44,6 +44,7 @@ MUST_HAVE = {
     "doc_pii_redaction",
     "corpus_split_sizes",
     "curation_pipeline",
+    "events_hypertable_rollup",  # §2.9 streaming representative
 }
 
 
@@ -69,3 +70,28 @@ def test_all_window_names_registered_and_unique():
     assert len(DRIVER_WINDOW) == WINDOW
     assert len(set(DRIVER_WINDOW)) == WINDOW
     assert all(n in REGISTRY for n in DRIVER_WINDOW)
+
+
+def test_window_rotates_in_never_driver_checked_queries():
+    """Round-3+ policy: the non-pinned slots must bring >=15 queries that
+    have no driver-green CORRECTNESS row from any prior round, so hard
+    external signal accumulates across the registry over rounds."""
+    import json
+    import os
+
+    # Rounds PRIOR to the current window's authoring (update when
+    # rotating: the current round's own CORRECTNESS file will contain
+    # this window by construction and must not count against it).
+    prior_rounds = ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prior: set[str] = set()
+    for fname in prior_rounds:
+        path = os.path.join(root, fname)
+        if os.path.exists(path):
+            prior |= set(json.load(open(path)))
+    if not prior:  # round 1: nothing to rotate against
+        return
+    fresh = [n for n in DRIVER_WINDOW if n not in prior]
+    assert len(fresh) >= 15, (
+        f"only {len(fresh)} never-driver-checked queries in window: {fresh}"
+    )
