@@ -57,7 +57,9 @@ PROBE_QUERIES = [
     "top_customers_by_revenue",  # join + agg + top-k
     "null_profile_orders",  # full-scan conditional counts
     "dedup_exact_docs",  # digest groupBy dedup
-    "dedup_minhash_lsh",  # shingle -> minhash -> band join
+    "dedup_minhash_lsh",  # shingle -> minhash -> band join (max_bucket star cap)
+    "dedup_ngram_jaccard",  # exact-dedup-staged shingle self-join
+    "dedup_clusters",  # staged pairs + star edges -> label propagation
     "doc_quality_scores",  # pure codegen text battery
     "corpus_split_sizes",  # deterministic hash split
     "events_hourly",  # event-time tumbling windows
@@ -152,8 +154,9 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    out_name = os.environ.get("SCALE_PROBE_OUT", "SCALE_PROBE.md")
     with open(
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.md"),
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), out_name),
         "w",
     ) as f:
         f.write(
@@ -167,10 +170,19 @@ def main() -> None:
             "when the small scale under-utilized cores; super-linear "
             "flags a shuffle/skew/driver bottleneck that a cluster "
             "would amplify.\n\n"
-            "CAVEAT dedup_minhash_lsh: replication makes every document "
-            "a 10-way exact duplicate, so candidate PAIRS grow ~100x "
-            "(quadratic in copies), not 10x — a dup-heavy worst case, "
-            "not a linear-scaling failure.\n\n"
+            "Replication makes every document a 10-way exact duplicate "
+            "— the dup-heavy worst case for near-dup operators, whose "
+            "candidate pairs would grow ~100x (quadratic in copies). "
+            "Since round 3 the operators defend in-plan: "
+            "dedup_ngram_jaccard / dedup_clusters stage exact dedup "
+            "first (digest groupBy, shingle join on distinct content, "
+            "member expansion / star edges), and dedup_minhash_lsh "
+            "caps band buckets at max_bucket=16 with star pairing — "
+            "so dup-heavy ratios should now track the linear "
+            "operators. NOTE dedup_ngram_jaccard's OUTPUT is itself "
+            "quadratic in copy count (every member pair is emitted), "
+            "so perfectly linear runtime is not expected — bounded "
+            "candidate GENERATION is.\n\n"
             "## Full-battery run at 10x\n\n"
             "`SPARK_GRAFT_SF_DIR=/tmp/spark_graft_scale_probe python "
             "bench.py` runs ALL registered queries at ~sf1 — per-query "
