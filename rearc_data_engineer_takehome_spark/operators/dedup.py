@@ -247,6 +247,72 @@ def staged_near_dup_clusters(
     return cluster_pairs(rpairs.unionByName(star), max_iter=max_iter)
 
 
+def incremental_dedup_filter(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 64,
+) -> DataFrame:
+    """Incremental ingest dedup: keep only batch documents that are
+    neither exact nor near (n-gram Jaccard ≥ ``threshold``) duplicates
+    of the EXISTING corpus. The production shape for continuous
+    pretraining-data ingestion — the corpus is never self-paired, so
+    each ingest costs O(batch × matched postings), not O(corpus²).
+
+    Plan shape: one digest left-anti join (exact kills), then an
+    inverted-index join of the batch's shingle posting against the
+    corpus posting restricted to shingle hashes the batch actually
+    contains (a semi-join prefilter keeps the corpus-side shuffle
+    proportional to the batch's vocabulary, not the corpus). ``max_df``
+    caps corpus-side document frequency, computed over the corpus —
+    the boilerplate-shingle guardrail at ingest time.
+
+    Returns the surviving batch rows (all original columns).
+    """
+    c_dig = corpus.select(F.md5(F.col(text_col)).alias("__digest")).distinct()
+    b_dig = batch.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__digest")
+    )
+    exact_alive = b_dig.join(c_dig, "__digest", "left_anti").select(id_col)
+    alive = batch.join(exact_alive, id_col, "left_semi")
+
+    bp = _shingle_posting(alive, text_col, id_col, k, None).persist()
+    b_sizes = bp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_b"))
+    cp = _shingle_posting(corpus, text_col, id_col, k, max_df)
+    # corpus posting restricted to the batch's shingle vocabulary BEFORE
+    # its sizes are computed? NO — sizes must be the corpus documents'
+    # true (capped) posting sizes, or the Jaccard denominator is wrong.
+    c_sizes = cp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_c"))
+    cp_hit = cp.join(bp.select("sh").distinct(), "sh")
+
+    common = (
+        bp.select(F.col(id_col).alias("id_b"), "sh")
+        .join(cp_hit.select(F.col(id_col).alias("id_c"), "sh"), "sh")
+        .groupBy("id_b", "id_c")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    dupes = (
+        common.join(
+            b_sizes.select(F.col(id_col).alias("id_b"), "n_b"), "id_b"
+        )
+        .join(c_sizes.select(F.col(id_col).alias("id_c"), "n_c"), "id_c")
+        .where(
+            F.round(
+                F.col("n_common")
+                / (F.col("n_b") + F.col("n_c") - F.col("n_common")),
+                6,
+            )
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return alive.join(dupes, id_col, "left_anti")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -283,6 +283,7 @@ def all_pairs_topk_vectorized(
     block_col: str = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_block: int | None = None,
 ) -> DataFrame:
     """Arrow-vectorized twin of :func:`all_pairs_topk`: one shuffle on the
     block key, then each block computes its full cosine matrix with a
@@ -292,10 +293,21 @@ def all_pairs_topk_vectorized(
     path: per-task memory is O(block²) floats, so the block key must
     bound block size (an LSH/IVF bucket at 100 TB, a label here).
 
+    ``max_block`` enforces that bound when the block key can't: blocks
+    over the cap are salt-shard split (dedup._salt_block, deterministic
+    md5 salt) and each row's top-k is found within its shard only — the
+    same recall trade as multi-probe LSH bucketing, in exchange for a
+    hard per-task memory/compute ceiling. Leave ``None`` when the block
+    key is already bounded (the fixture labels are).
+
     Similarities are rounded to 6dp before ranking (same contract as the
     JVM twin, whose left-fold summation also differs from other engines
     in the last ulps); ties break on ascending neighbour id.
     """
+    if max_block is not None:
+        from .dedup import _salt_block
+
+        df = _salt_block(df, block_col, id_col, max_block)
     import numpy as np
     import pandas as pd
 
@@ -325,6 +337,14 @@ def all_pairs_topk_vectorized(
             {"id_a": ids[rows], "id_b": ids[cols], "cos_sim": sims[rows, cols]}
         )
 
+    if max_block is not None:
+        return (
+            df.select(block_col, "__salt", id_col, vec_col)
+            .groupBy(block_col, "__salt")
+            .applyInPandas(
+                block_topk, schema="id_a bigint, id_b bigint, cos_sim double"
+            )
+        )
     return df.select(block_col, id_col, vec_col).groupBy(block_col).applyInPandas(
         block_topk, schema="id_a bigint, id_b bigint, cos_sim double"
     )

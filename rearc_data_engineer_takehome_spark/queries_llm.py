@@ -204,6 +204,57 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "dedup_incremental_batch",
+    f"""
+    WITH batch AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+    corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+    cdig AS (SELECT DISTINCT md5(text) AS g FROM corpus),
+    alive AS (
+        SELECT b.* FROM batch b
+        WHERE md5(b.text) NOT IN (SELECT g FROM cdig)
+    ),
+    bt AS (SELECT doc_id, {_TOKS} AS t FROM alive),
+    bs AS (SELECT doc_id, unnest({_SHINGLES3}) AS s FROM bt),
+    bp AS (SELECT DISTINCT doc_id, {stable_hash64_sql("s")} AS h FROM bs),
+    ct AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+    cs AS (SELECT doc_id, unnest({_SHINGLES3}) AS s FROM ct),
+    cp0 AS (SELECT DISTINCT doc_id, {stable_hash64_sql("s")} AS h FROM cs),
+    ckeep AS (SELECT h FROM (SELECT h, count(*) AS c FROM cp0 GROUP BY h)
+              WHERE c <= 64),
+    cp AS (SELECT cp0.doc_id, cp0.h FROM cp0 JOIN ckeep USING (h)),
+    bsizes AS (SELECT doc_id, count(*) AS n_b FROM bp GROUP BY doc_id),
+    csizes AS (SELECT doc_id, count(*) AS n_c FROM cp GROUP BY doc_id),
+    common AS (
+        SELECT bp.doc_id AS id_b, cp.doc_id AS id_c, count(*) AS cmn
+        FROM bp JOIN cp ON bp.h = cp.h GROUP BY 1, 2
+    ),
+    dup AS (
+        SELECT DISTINCT id_b FROM common
+        JOIN bsizes nb ON nb.doc_id = common.id_b
+        JOIN csizes nc ON nc.doc_id = common.id_c
+        WHERE round(cmn / (nb.n_b + nc.n_c - cmn), 6) >= 0.8
+    )
+    SELECT a.doc_id, a.lang FROM alive a
+    WHERE a.doc_id NOT IN (SELECT id_b FROM dup)
+    """,
+    doc="Incremental ingest dedup — the production shape for continuous "
+    "pretraining-data ingestion: a new batch (doc_id % 10 = 0 split) is "
+    "deduped against the EXISTING corpus only (digest anti-join for "
+    "exact kills, inverted-index batch-vs-corpus Jaccard >= 0.8 for "
+    "near kills, corpus-side df<=64 cap) — the corpus is never "
+    "self-paired, so each ingest costs O(batch x matched postings), "
+    "not O(corpus^2). Returns surviving batch documents.",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return dedup.incremental_dedup_filter(
+        batch, corpus, k=3, threshold=0.8, max_df=64
+    ).select("doc_id", "lang")
+
+
 # Shared oracle staging CTEs: exact-dedup-first (digest groupBy -> one
 # row per distinct content), shingle/Jaccard on representatives only
 # with a df<=64 cap over distinct contents, then member expansion —

@@ -65,7 +65,11 @@ def get_spark(
         # MinHash codegen alone re-pays ~3-4 s). One long-lived session
         # serving many distinct queries wants the cache sized to the
         # workload, same as it would on a shared cluster driver.
-        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # 8000 (round 3): the dedup guardrail stages pushed the battery
+        # past 2000 generated classes — measured 2.3 s back on
+        # dedup_minhash_lsh alone in battery state; classes are KB-sized
+        # so the cache is noise against the 8g heap.
+        .config("spark.sql.codegen.cache.maxEntries", "8000")
         # NOTE: parquet timestamp inference is left at Spark defaults
         # (TIMESTAMP_NTZ) on purpose — the correctness driver builds its
         # own default-config session, so queries must behave identically

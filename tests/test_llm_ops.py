@@ -149,6 +149,33 @@ def test_embedding_salt_shard_bounds_hot_block(spark, emb):
     assert len(jvm) <= uncapped
 
 
+def test_incremental_dedup_filter_kills_exact_and_near(spark, docs):
+    """A batch doc identical to a corpus doc dies at the digest stage; a
+    near-dup (one word changed) dies at the Jaccard stage; a fresh doc
+    survives with its columns intact."""
+    corpus = docs.select("doc_id", "text")
+    rows = corpus.orderBy("doc_id").limit(1).collect()
+    base_text = rows[0].text
+    near = base_text.rsplit(" ", 1)[0] + " zzzzz"
+    batch = spark.createDataFrame(
+        [
+            (9_000_001, base_text),  # exact dup of corpus
+            (9_000_002, near),  # near dup (J >= 0.8 for long docs)
+            (9_000_003, "utterly fresh words never seen in this corpus at all"),
+        ],
+        "doc_id long, text string",
+    )
+    survivors = {
+        r.doc_id
+        for r in dedup.incremental_dedup_filter(
+            batch, corpus, k=3, threshold=0.8, max_df=None
+        ).collect()
+    }
+    assert 9_000_001 not in survivors
+    assert 9_000_002 not in survivors
+    assert 9_000_003 in survivors
+
+
 def test_simhash_pairs_within_hamming(docs):
     pairs = dedup.simhash_pairs(
         docs, bits=32, max_hamming=3, n_bands=4
@@ -387,6 +414,67 @@ def test_all_pairs_vectorized_matches_jvm_window(emb):
         ).collect()
     )
     assert jvm == vec
+
+
+def test_all_pairs_topk_max_block_matches_sharded_jvm(spark, emb):
+    """all_pairs_topk_vectorized with max_block must equal the JVM
+    operator run over the explicit salt-sharded composite key — the cap
+    is a deterministic re-blocking, not a different algorithm."""
+    one_block = emb.withColumn("label", F.lit(7))
+    salted = dedup._salt_block(one_block, "label", "vec_id", 64).withColumn(
+        "blk", F.concat_ws("_", F.col("label"), F.col("__salt"))
+    )
+    expected = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in similarity.all_pairs_topk(salted, k=3, block_col="blk").collect()
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in similarity.all_pairs_topk_vectorized(
+            one_block, k=3, block_col="label", max_block=64
+        ).collect()
+    )
+    assert expected and got == expected
+
+
+def test_embedding_salt_shard_sql_replay_matches(spark, sf_correctness):
+    """The DuckDB rendering of the salt-shard (cnt -> ceil(n/max_block)
+    -> md5 salt) must reproduce the Spark operator exactly when the cap
+    BITES (max_block=16 splits the sf0.01 label blocks into up to 4
+    shards) — guards the oracle replay of dedup_embedding_cosine for
+    corpora where blocks actually exceed the registered cap."""
+    from rearc_data_engineer_takehome_spark.functions.hashing import (
+        stable_hash64_sql,
+    )
+    from rearc_data_engineer_takehome_spark.functions.vectors import cosine_sql
+
+    from .oracle import compare, duckdb_conn
+
+    emb01 = spark.read.parquet(f"{sf_correctness}/embeddings.parquet")
+    got = dedup.embedding_near_dup_pairs_vectorized(
+        emb01, block_col="label", threshold=0.3, max_block=16
+    )
+    cos = cosine_sql("a.embedding", "b.embedding")
+    sql = f"""
+    WITH cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    s AS (
+        SELECT e.*,
+               {stable_hash64_sql("e.vec_id::VARCHAR")}
+                 % CAST(ceil(n / 16.0) AS BIGINT) AS salt
+        FROM embeddings e JOIN cnt USING (label)
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos_sim
+    FROM s a
+    JOIN s b ON a.label = b.label AND a.salt = b.salt AND a.vec_id < b.vec_id
+    WHERE round({cos}, 6) >= 0.3
+    """
+    con = duckdb_conn(sf_correctness)
+    try:
+        result = compare(got, con, sql)
+    finally:
+        con.close()
+    assert result["schema_match"] and result["rowcount_match"], result
+    assert result["values_match"], result
 
 
 def test_embedding_near_dup_vectorized_matches_jvm(emb):

@@ -170,9 +170,10 @@ def main() -> None:
             "when the small scale under-utilized cores; super-linear "
             "flags a shuffle/skew/driver bottleneck that a cluster "
             "would amplify.\n\n"
-            "Replication makes every document a 10-way exact duplicate "
-            "— the dup-heavy worst case for near-dup operators, whose "
-            "candidate pairs would grow ~100x (quadratic in copies). "
+            f"Replication makes every document a {REPLICAS}-way exact "
+            "duplicate — the dup-heavy worst case for near-dup "
+            "operators, whose candidate pairs would grow "
+            f"~{REPLICAS * REPLICAS}x (quadratic in copies). "
             "Since round 3 the operators defend in-plan: "
             "dedup_ngram_jaccard / dedup_clusters stage exact dedup "
             "first (digest groupBy, shingle join on distinct content, "
@@ -183,20 +184,12 @@ def main() -> None:
             "quadratic in copy count (every member pair is emitted), "
             "so perfectly linear runtime is not expected — bounded "
             "candidate GENERATION is.\n\n"
-            "## Full-battery run at 10x\n\n"
-            "`SPARK_GRAFT_SF_DIR=/tmp/spark_graft_scale_probe python "
-            "bench.py` runs ALL registered queries at ~sf1 — per-query "
-            "detail in `BENCH_DETAIL_10x.json` (all pass; total ~2.4x "
-            "the sf0.1 wall-clock for 10x rows). The tail is the "
-            "near-dup tier: with every document 10-way duplicated, "
-            "candidate pairs grow ~100x by construction. The production "
-            "ordering defends against exactly this — exact dedup "
-            "(digest groupBy; the quality->exact staging "
-            "`curation_pipeline` demonstrates) collapses identical "
-            "copies BEFORE any near-dup join runs; the probe "
-            "deliberately skips that defense to measure the worst "
-            "case.\n\n"
-            "| query | t(sf0.1) s | t(10x) s | ratio | verdict |\n"
+            f"## Full-battery run at {REPLICAS}x\n\n"
+            f"`SPARK_GRAFT_SF_DIR={PROBE_DIR} python "
+            "bench.py` runs ALL registered queries at this scale — "
+            f"per-query detail in `BENCH_DETAIL_{REPLICAS}x.json` when "
+            "recorded.\n\n"
+            f"| query | t(sf0.1) s | t({REPLICAS}x) s | ratio | verdict |\n"
             "|---|---|---|---|---|\n"
         )
         for name, tb, tg, r in rows:
