@@ -313,6 +313,49 @@ def incremental_dedup_filter(
     return alive.join(dupes, id_col, "left_anti")
 
 
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_block: int | None = None,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: k-means the embedding
+    space (deterministic Lloyd, :func:`similarity.kmeans_lloyd`), then
+    within each cluster drop every vector that has a LOWER-id neighbour
+    at cosine ≥ ``threshold`` (keep-first-by-id — the deterministic,
+    parallel variant of SemDeDup's greedy keep-one-per-group; unlike
+    the sequential greedy it needs no iteration order, so it stays one
+    shuffle + one Arrow-batched pair pass).
+
+    Scale shape: clustering never shuffles the fact table (broadcast
+    centroids); the pair pass is the blocked BLAS operator keyed on the
+    LEARNED cluster — exactly the "block key that bounds block size"
+    the all-pairs operators require, with ``max_block`` salt-sharding
+    as the guardrail when a cluster goes hot.
+
+    Returns surviving (id_col, cluster) rows.
+    """
+    from .similarity import kmeans_lloyd
+
+    assign = kmeans_lloyd(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    emb = df.select(id_col, vec_col).join(
+        assign.select(id_col, "cluster"), id_col
+    )
+    pairs = embedding_near_dup_pairs_vectorized(
+        emb,
+        vec_col=vec_col,
+        id_col=id_col,
+        block_col="cluster",
+        threshold=threshold,
+        max_block=max_block,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return emb.select(id_col, "cluster").join(losers, id_col, "left_anti")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -427,18 +427,18 @@ def kmeans_lloyd(
     return assign.select(F.col("id").alias(id_col), "cluster")
 
 
-def kmeans_oracle_sql(
+def kmeans_oracle_ctes(
     table: str = "embeddings",
     k: int = 8,
     iters: int = 3,
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> str:
-    """DuckDB SQL replaying :func:`kmeans_lloyd` — the iterations
-    unrolled as CTE pairs (assign_i, cents_i). Same rounded distances,
-    same tie-break, same rounded means, so the final (id, cluster)
-    assignment value-hashes identically."""
+) -> tuple[str, str]:
+    """The unrolled-CTE body behind :func:`kmeans_oracle_sql`, for
+    composition into larger oracles (e.g. semantic dedup). Returns
+    (comma-joined CTE definitions, name of the final assignment CTE
+    whose schema is (id, cluster, v))."""
     sq = f"list_sum(list_transform(range(1, {dim + 1}), i -> (a.v[i] - c.c[i]) * (a.v[i] - c.c[i])))"
     parts = [
         f"v AS (SELECT {id_col} AS id, list_transform({vec_col}, x -> x::DOUBLE) AS v FROM {table})",
@@ -465,10 +465,23 @@ def kmeans_oracle_sql(
                 f" FROM means{i} GROUP BY cluster)"
             )
             prev = f"cents{i}"
-    return (
-        "WITH " + ", ".join(parts)
-        + f" SELECT id AS {id_col}, cluster FROM assign{iters}"
-    )
+    return ", ".join(parts), f"assign{iters}"
+
+
+def kmeans_oracle_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB SQL replaying :func:`kmeans_lloyd` — the iterations
+    unrolled as CTE pairs (assign_i, cents_i). Same rounded distances,
+    same tie-break, same rounded means, so the final (id, cluster)
+    assignment value-hashes identically."""
+    ctes, final = kmeans_oracle_ctes(table, k, iters, dim, vec_col, id_col)
+    return f"WITH {ctes} SELECT id AS {id_col}, cluster FROM {final}"
 
 
 def pq_train_encode(

@@ -1102,7 +1102,7 @@ DRIVER_WINDOW: list[str] = [
     "part_pair_affinity",
     "cheapest_supplier_per_part",
     "returnflag_status_grouping_sets",
-    "fuzzy_part_name_pairs",
+    "dedup_incremental_batch",  # new this round — driver-green from day one
 ]
 
 

@@ -1953,6 +1953,56 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SD_CTES, _SD_FINAL = similarity.kmeans_oracle_ctes(
+    table="embeddings", k=8, iters=2, dim=64
+)
+
+
+@query(
+    "semantic_dedup_embeddings",
+    f"""
+    WITH {_SD_CTES},
+    e AS (
+        SELECT em.vec_id, em.embedding, a.cluster
+        FROM embeddings em JOIN {_SD_FINAL} a ON a.id = em.vec_id
+    ),
+    cnt AS (SELECT cluster, count(*) AS n FROM e GROUP BY cluster),
+    es AS (
+        SELECT e.*,
+               {stable_hash64_sql("e.vec_id::VARCHAR")}
+                 % CAST(ceil(n / 256.0) AS BIGINT) AS salt
+        FROM e JOIN cnt USING (cluster)
+    ),
+    losers AS (
+        SELECT DISTINCT b.vec_id
+        FROM es a JOIN es b
+          ON a.cluster = b.cluster AND a.salt = b.salt
+         AND a.vec_id < b.vec_id
+        WHERE round({_COS_SQL}, 6) >= 0.4
+    )
+    SELECT e.vec_id, e.cluster FROM e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM losers)
+    """,
+    doc="SemDeDup-shaped semantic dedup: k-means the embedding space "
+    "(deterministic Lloyd, 2 iterations, k=8 — unrolled in the "
+    "oracle's CTEs), then within each LEARNED cluster drop every "
+    "vector with a lower-id neighbour at cosine >= 0.4 "
+    "(keep-first-by-id, the deterministic parallel variant of "
+    "SemDeDup's greedy keep). The pair pass is the blocked BLAS "
+    "operator keyed on the cluster with max_block=256 salt-sharding "
+    "(salt replayed in the oracle), so a hot cluster bounds both "
+    "compute and Arrow batch. Returns surviving (vec_id, cluster).",
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        k=8,
+        iters=2,
+        threshold=0.4,
+        max_block=256,
+    )
+
+
 @query(
     "kmeans_embeddings",
     similarity.kmeans_oracle_sql(table="embeddings", k=8, iters=3, dim=64),

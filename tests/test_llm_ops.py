@@ -176,6 +176,22 @@ def test_incremental_dedup_filter_kills_exact_and_near(spark, docs):
     assert 9_000_003 in survivors
 
 
+def test_semantic_dedup_keeps_min_id_per_duplicate_group(spark):
+    """Identical vectors always share a cluster (same distances, same
+    tie-break), and only the minimum id of each near-dup group
+    survives; dissimilar vectors are untouched."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),  # dup of 1 -> dies
+        (3, [0.0, 1.0]),
+        (4, [0.0, 1.0]),  # dup of 3 -> dies
+        (5, [0.7, 0.7]),  # cos 0.707 to both axes -> survives at 0.95
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.semantic_dedup(df, k=2, iters=1, threshold=0.95)
+    assert {r.vec_id for r in out.collect()} == {1, 3, 5}
+
+
 def test_simhash_pairs_within_hamming(docs):
     pairs = dedup.simhash_pairs(
         docs, bits=32, max_hamming=3, n_bands=4
