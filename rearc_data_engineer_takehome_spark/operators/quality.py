@@ -135,15 +135,18 @@ def exact_quantiles_bracketed(
     broadcasts and one bounded array — never an O(distinct) map.
 
     Returns a 1-row DataFrame with columns ``q0..q{len(qs)-1}``
-    (doubles), interpolated as v[floor(p)] + (p-floor(p)) *
-    (v[ceil(p)]-v[floor(p)]) with p = (n-1)*q — the same arithmetic as
-    DuckDB ``quantile_cont`` and Spark ``percentile``.
+    (doubles), interpolated with Spark ``percentile``'s two-sided
+    weighted form (ceil-pos)·v[floor(p)] + (pos-floor)·v[ceil(p)],
+    p = (n-1)·q — bit-identical to ``percentile`` (property-tested)
+    and within-ulp of DuckDB ``quantile_cont``.
 
     Sibling: :func:`exact_quantiles_scalable` trades ~1.7× speed for a
-    distinct-count walk that never materializes a value array (the
+    distinct-count walk that never materializes a value array — the
     safer choice on duplicate-heavy columns where a single value could
-    straddle the whole bracket) and a ±1-rank fallback instead of a
-    hard assert. This one is the fast path for near-continuous columns.
+    straddle the whole bracket. Both carry ±1-rank adjacent-value
+    fallbacks for the small-n case where the fractional pad is narrower
+    than one rank; this one is the fast path for near-continuous
+    columns.
     """
     pad = 3.0 / accuracy
     plist = [max(0.0, q - pad) for q in qs] + [min(1.0, q + pad) for q in qs]
@@ -180,6 +183,21 @@ def exact_quantiles_bracketed(
                 )
             ).alias(f"a{i}")
         )
+        # ±1-rank fallbacks (same trick as exact_quantiles_scalable):
+        # when n is small the fractional pad can be narrower than one
+        # rank, so a bracket may miss the floor/ceil order statistic by
+        # at most ONE rank — the adjacent values just outside the
+        # bracket are exactly those fallbacks.
+        aggs.append(
+            F.max(F.when(F.col(col) < F.col(f"lo{i}"), F.col(col))).alias(
+                f"mb{i}"
+            )
+        )
+        aggs.append(
+            F.min(F.when(F.col(col) > F.col(f"hi{i}"), F.col(col))).alias(
+                f"ma{i}"
+            )
+        )
     st = j.agg(*aggs)
     exprs = []
     for i, q in enumerate(qs):
@@ -188,24 +206,37 @@ def exact_quantiles_bracketed(
         frac = p - fk
         ilo = (fk - F.col(f"c{i}") + 1).cast("int")
         ihi = (ck - F.col(f"c{i}") + 1).cast("int")
-        lo = F.element_at(F.col(f"a{i}"), ilo)
-        hi = F.element_at(F.col(f"a{i}"), ihi)
-        # The guard lives INSIDE the output expression (a dropped side
-        # column would be pruned away, never evaluated): a bracket that
-        # misses its rank raises instead of silently interpolating junk.
+        sz = F.size(f"a{i}")
+        err = F.raise_error(
+            F.lit(
+                "exact_quantiles_bracketed: sketch bracket missed rank "
+                f"for q={q} by more than one rank; raise accuracy"
+            )
+        ).cast("double")
+        # CaseWhen branches are lazy, so the ±1 fallbacks / the error
+        # only evaluate on their branch; the guard lives INSIDE the
+        # output expression (a dropped side column would be pruned away,
+        # never evaluated) — a bracket off by >1 rank raises instead of
+        # silently interpolating junk.
+        lo = (
+            F.when(ilo >= F.lit(1), F.element_at(F.col(f"a{i}"), ilo))
+            .when(ilo == F.lit(0), F.col(f"mb{i}"))
+            .otherwise(err)
+        )
+        hi = (
+            F.when(ihi <= sz, F.element_at(F.col(f"a{i}"), ihi))
+            .when(ihi == sz + F.lit(1), F.col(f"ma{i}"))
+            .otherwise(err)
+        )
+        # Spark's percentile interpolates with the two-sided weighted
+        # form (ceil-pos)·lower + (pos-floor)·higher; reproduce it
+        # operand-for-operand (same as exact_quantiles_scalable) so
+        # results are BIT-identical to percentile(), not just within
+        # an ulp.
+        fkd = fk.cast("double")
         exprs.append(
-            F.when(
-                (ilo >= F.lit(1)) & (ihi <= F.size(f"a{i}")),
-                lo + (hi - lo) * frac,
-            )
-            .otherwise(
-                F.raise_error(
-                    F.lit(
-                        "exact_quantiles_bracketed: sketch bracket missed "
-                        f"rank for q={q}; raise accuracy"
-                    )
-                ).cast("double")
-            )
+            F.when(frac == F.lit(0.0), lo)
+            .otherwise((fkd + F.lit(1.0) - p) * lo + (p - fkd) * hi)
             .alias(f"q{i}")
         )
     return st.select(*exprs)

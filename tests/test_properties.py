@@ -436,3 +436,25 @@ def test_grouped_exact_quantiles_scalable_property(spark, rows, p20):
         for r in grouped_exact_quantiles_scalable(df, "g", "x", [prob]).collect()
     }
     assert got == ref
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.integers(min_value=-100, max_value=100), min_size=2, max_size=60
+    ),
+    st.integers(min_value=0, max_value=20),
+)
+def test_exact_quantiles_bracketed_matches_percentile(spark, vals, p20):
+    """Property: the sketch-bracketed fast path equals the single-pass
+    exact percentile for any value multiset (duplicates included) and
+    any probability, boundary 0.0/1.0 included."""
+    from rearc_data_engineer_takehome_spark.operators.quality import (
+        exact_quantiles_bracketed,
+    )
+
+    prob = p20 / 20.0
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    ref = df.agg(F.expr(f"percentile(x, {prob})")).collect()[0][0]
+    got = exact_quantiles_bracketed(df, "x", [prob]).collect()[0]["q0"]
+    assert got == ref
