@@ -281,7 +281,12 @@ def incremental_dedup_filter(
 
     bp = _shingle_posting(alive, text_col, id_col, k, None).persist()
     b_sizes = bp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_b"))
-    cp = _shingle_posting(corpus, text_col, id_col, k, max_df)
+    # The corpus posting feeds both the size table and the vocabulary-
+    # restricted join side; persist so the corpus text is shingled ONCE
+    # per ingest. In production this is the materialized posting INDEX —
+    # built once, reused across every batch — so the persist models the
+    # index, not a per-query cache.
+    cp = _shingle_posting(corpus, text_col, id_col, k, max_df).persist()
     # corpus posting restricted to the batch's shingle vocabulary BEFORE
     # its sizes are computed? NO — sizes must be the corpus documents'
     # true (capped) posting sizes, or the Jaccard denominator is wrong.
