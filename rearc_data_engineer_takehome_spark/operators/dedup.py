@@ -536,10 +536,22 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     n_bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share at least one of
     ``n_bands`` byte-bands (pigeonhole: hamming ≤ n_bands-1 guarantees a
-    shared band), verified with exact Hamming distance ≤ max_hamming."""
+    shared band), verified with exact Hamming distance ≤ max_hamming.
+
+    ``max_bucket`` (opt-in) applies the same star-pairing guardrail as
+    :func:`minhash_lsh_pairs`: byte-band buckets bigger than the cap
+    (boilerplate / duplicate clusters) pair only against the bucket
+    min, keeping candidates O(n) per bucket. It defaults to ``None``
+    because capping SACRIFICES the pigeonhole completeness guarantee
+    inside oversized buckets — but SimHash byte-bands are especially
+    collision-prone (an 8-bit band has only 256 values, so bucket size
+    grows linearly with corpus size), so at corpus scale set a cap (or
+    raise ``n_bands``/band width) or the self-join is infeasible.
+    """
     width = bits // n_bands
     fp = simhash_fingerprints(df, text_col, id_col, bits)
     banded = fp.select(
@@ -559,7 +571,22 @@ def simhash_pairs(
             )
         ).alias("bd"),
     ).select(id_col, "simhash", "bd.band", "bd.bh")
-    x, y = banded.alias("x"), banded.alias("y")
+    if max_bucket is not None:
+        banded = banded.persist()
+        bstats = banded.groupBy("band", "bh").agg(
+            F.count(F.lit(1)).alias("__bn"), F.min(id_col).alias("__bmin")
+        )
+        left = (
+            banded.join(bstats, ["band", "bh"])
+            .where(
+                (F.col("__bn") <= F.lit(max_bucket))
+                | (F.col(id_col) == F.col("__bmin"))
+            )
+            .select(id_col, "simhash", "band", "bh")
+        )
+    else:
+        left = banded
+    x, y = left.alias("x"), banded.alias("y")
     return (
         x.join(y, ["band", "bh"])
         .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))

@@ -564,26 +564,37 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "knn_all_pairs_topk",
     f"""
-    WITH scored AS (
+    WITH cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    s AS (
+        SELECT e.*,
+               {stable_hash64_sql("e.vec_id::VARCHAR")}
+                 % CAST(ceil(n / 256.0) AS BIGINT) AS salt
+        FROM embeddings e JOIN cnt USING (label)
+    ),
+    scored AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round({_COS_SQL}, 6) AS cos_sim,
                row_number() OVER (PARTITION BY a.vec_id
                                   ORDER BY round({_COS_SQL}, 6) DESC, b.vec_id ASC) AS rn
-        FROM embeddings a
-        JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+        FROM s a
+        JOIN s b ON a.label = b.label AND a.salt = b.salt
+                AND a.vec_id <> b.vec_id
     )
     SELECT id_a, id_b, cos_sim FROM scored WHERE rn <= 3
     """,
     doc="k-NN for EVERY vector (k=3), blocked by label: one shuffle on "
     "the block key, then each block computes its cosine matrix with one "
     "BLAS matmul and keeps top-k in-block (applyInPandas) — the O(block²) "
-    "pair rows never reach a Spark shuffle or window. Swap the block key "
-    "for an LSH/IVF bucket at 100 TB. The pure-JVM twin "
-    "(similarity.all_pairs_topk) is equivalence-tested against this one.",
+    "pair rows never reach a Spark shuffle or window. Blocks over "
+    "max_block=256 are salt-shard split (md5 salt, replayed in the "
+    "oracle) so per-task compute and memory are hard-bounded even when "
+    "the block key goes hot; swap the block key for an LSH/IVF bucket "
+    "at 100 TB. The pure-JVM twin (similarity.all_pairs_topk) is "
+    "equivalence-tested against this one, capped path included.",
 )
 def knn_all_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.all_pairs_topk_vectorized(
-        _t(spark, sf_dir, "embeddings"), k=3, block_col="label"
+        _t(spark, sf_dir, "embeddings"), k=3, block_col="label", max_block=256
     )
 
 

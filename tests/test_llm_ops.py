@@ -213,6 +213,22 @@ def test_simhash_pairs_within_hamming(docs):
             assert (a, b) in found, f"missed guaranteed pair ({a},{b})"
 
 
+def test_simhash_max_bucket_star_caps(spark):
+    """Opt-in simhash bucket cap: a hot band bucket (identical docs)
+    collapses to n-1 star pairs anchored at the min id instead of
+    C(n,2); uncapped keeps the full pair set."""
+    n = 30
+    df = spark.createDataFrame(
+        [(i, "same exact boilerplate text for every single document") for i in range(n)],
+        "doc_id long, text string",
+    )
+    capped = dedup.simhash_pairs(df, bits=32, max_hamming=3, n_bands=4, max_bucket=8).collect()
+    assert len(capped) == n - 1
+    assert all(r.id_a == 0 and r.hamming == 0 for r in capped)
+    uncapped = dedup.simhash_pairs(df, bits=32, max_hamming=3, n_bands=4).count()
+    assert uncapped == n * (n - 1) // 2
+
+
 def test_exact_dedup_counts(spark, docs):
     base = docs.limit(50)
     dup = base.union(base.limit(10))  # 10 exact copies
