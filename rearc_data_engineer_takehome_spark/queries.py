@@ -815,6 +815,7 @@ def brand_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and `_t` from this module, which are already bound by this point.
 from . import queries_llm  # noqa: E402,F401  (registration side effect)
 from . import queries_analytics  # noqa: E402,F401  (registration side effect)
+from . import queries_curation  # noqa: E402,F401  (registration side effect)
 
 
 @query(
@@ -1086,7 +1087,6 @@ DRIVER_WINDOW: list[str] = [
     "scd2_customer_orders",  # named in VERDICT r02 (r1 evictee)
     "revenue_rollup",  # named in VERDICT r02 (r1 evictee)
     "part_pagerank",
-    "price_quantiles_scalable",
     "doc_seq_packing",
     "corpus_mixture_plan",
     "pq_codebook",
@@ -1098,11 +1098,13 @@ DRIVER_WINDOW: list[str] = [
     "events_gapfill_interpolated",
     "events_cohort_retention",
     "user_activity_streaks",
-    "top2_orders_per_customer_lateral",
     "part_pair_affinity",
-    "cheapest_supplier_per_part",
-    "returnflag_status_grouping_sets",
     "dedup_incremental_batch",  # new this round — driver-green from day one
+    # --- curation tier (new this round) — driver-green from day one ---
+    "doc_clf_quality",
+    "dsir_importance_weights",
+    "source_cap_balancing",
+    "source_similarity_minhash",
 ]
 
 

@@ -1,0 +1,214 @@
+"""Corpus-curation parity queries: the selection/balancing tier of a
+pretraining-data pipeline (model-based quality filtering, DSIR
+importance weighting, per-source caps, batch shaping, corpus-level
+source similarity).
+
+Registered after queries_llm / queries_analytics; the per-source-cap
+and perplexity-band oracles COMPOSE the already-registered
+``doc_quality_scores`` / ``doc_lm_perplexity`` oracle SQL as CTEs, so
+the scoring formula is single-sourced and cannot drift between the
+base query and its consumers.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .functions.hashing import MERSENNE_31, _affine_params, stable_hash64_sql
+from .functions.text import WS_PATTERN, word_shingles_sql
+from .operators import curation
+from .operators import text as text_ops
+from .queries import REGISTRY, _t, query
+
+_TOKS = f"regexp_split_to_array(trim(text), '{WS_PATTERN}')"
+
+
+@query(
+    "doc_clf_quality",
+    curation.classifier_scores_sql(n_buckets=4096),
+    doc="fasttext-style hash-bucketed linear quality classifier "
+    "(curation.classifier_scores): tokens hash into 4096 weight slots, "
+    "score = sigmoid(mean slot weight). Slot weights are exact dyadic "
+    "rationals (m/4096 - 1/2), so the fold is order-independent and "
+    "bit-identical across engines. Map-only projection — no shuffle; "
+    "swap the deterministic weight mix for a broadcast array to serve "
+    "a trained model.",
+)
+def doc_clf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.classifier_scores(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dsir_importance_weights",
+    curation.dsir_weights_sql("lang = 'en'", n_buckets=1024, k=2),
+    doc="DSIR importance weights (Xie et al. 2023, curation.dsir_weights): "
+    "hashed-bigram bag-of-words models for the target slice (lang='en') "
+    "vs the raw corpus; per-doc weight = mean log(p_target/p_raw) over "
+    "its bigram slots. The n-gram explode folds straight into a "
+    "1024-row slot table that broadcasts back — two bounded shuffles "
+    "regardless of corpus size.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return curation.dsir_weights(docs, F.col("lang") == "en")
+
+
+@query(
+    "doc_length_buckets",
+    curation.length_buckets_sql(),
+    doc="Padding-bucket histogram for batch shaping "
+    "(curation.length_buckets): smallest power-of-two bucket >= token "
+    "count, with per-bucket padding-waste accounting. Bucket assignment "
+    "is exact integer arithmetic (array-min over a literal bucket "
+    "list), never floating log2 — engines cannot disagree at bucket "
+    "boundaries. Map-side projection + one |buckets|-row agg.",
+)
+def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.length_buckets(_t(spark, sf_dir, "documents"))
+
+
+_CAP = 10
+
+
+@query(
+    "source_cap_balancing",
+    f"""
+    WITH q AS ({{quality_oracle}}),
+    j AS (
+        SELECT d.source, q.doc_id, q.quality_score
+        FROM q JOIN documents d USING (doc_id)
+    ),
+    r AS (
+        SELECT source, doc_id, quality_score,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY quality_score DESC, doc_id ASC
+               ) AS rn
+        FROM j
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_total,
+           sum((rn <= {_CAP})::INT)::BIGINT AS n_kept,
+           sum((rn > {_CAP})::INT)::BIGINT AS n_dropped,
+           min(CASE WHEN rn <= {_CAP} THEN quality_score END)
+               AS admit_threshold
+    FROM r GROUP BY source
+    """,
+    doc="Per-source corpus caps (curation.source_caps): keep each "
+    "source's top-10 documents by quality_score (deterministic doc_id "
+    "tie-break) and account kept/dropped plus the admission threshold "
+    "actually applied — the standard balancing defense against crawl-"
+    "domain domination. Oracle composes the registered "
+    "doc_quality_scores SQL as a CTE so the scoring formula is "
+    "single-sourced.",
+)
+def source_cap_balancing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feat = text_ops.quality_features(docs)
+    return curation.source_caps(feat, cap=_CAP)
+
+
+_SS_PERM = 16
+
+
+def _source_similarity_sql(k: int = 3, n_perm: int = _SS_PERM, seed: int = 7) -> str:
+    shingles = word_shingles_sql("t", k)
+    base = f"{stable_hash64_sql('s')} % {MERSENNE_31}"
+    mins = ", ".join(
+        f"min(({a} * hm + {b}) % {MERSENNE_31}) AS m{j}"
+        for j, (a, b) in enumerate(_affine_params(n_perm, seed))
+    )
+    matches = " + ".join(f"(a.m{j} = b.m{j})::INT" for j in range(n_perm))
+    return f"""
+    WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+    sh AS (SELECT source, unnest({shingles}) AS s FROM toks),
+    hs AS (SELECT source, {base} AS hm FROM sh),
+    sig AS (SELECT source, {mins} FROM hs GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           ({matches})::BIGINT AS n_matches,
+           round(({matches}) / {float(n_perm)}, 6) AS est_jaccard
+    FROM sig a JOIN sig b ON a.source < b.source
+    """
+
+
+@query(
+    "source_similarity_minhash",
+    _source_similarity_sql(),
+    doc="Corpus-level source-vocabulary similarity via union-MinHash "
+    "(curation.source_similarity): min-of-mins per permutation gives "
+    "each source the exact MinHash signature of its combined shingle "
+    "set, so signature agreement estimates vocabulary Jaccard between "
+    "sources. Every source reduces to one fixed-width row before the "
+    "pairwise stage — a broadcast nested-loop over kilobytes at any "
+    "corpus size. Signatures are md5-affine, bit-identical to the "
+    "DuckDB replay.",
+)
+def source_similarity_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return curation.source_similarity(docs, n_perm=_SS_PERM)
+
+
+@query(
+    "perplexity_bands",
+    """
+    WITH p AS ({ppl_oracle}),
+    b AS (
+        SELECT doc_id, n_tok, ppl,
+               ntile(3) OVER (ORDER BY ppl ASC, doc_id ASC) AS t3
+        FROM p
+    )
+    SELECT CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+               AS band,
+           count(*)::BIGINT AS n_docs,
+           round(min(ppl), 4) AS min_ppl,
+           round(max(ppl), 4) AS max_ppl,
+           round(avg(n_tok), 4) AS avg_n_tok
+    FROM b GROUP BY band
+    """,
+    doc="CCNet-style perplexity banding: split the corpus into "
+    "head/middle/tail terciles of unigram-LM perplexity (ties broken "
+    "by doc_id) and profile each band — the standard staging signal "
+    "for perplexity-filtered pretraining mixes. Oracle composes the "
+    "registered doc_lm_perplexity SQL as a CTE. The global ntile is a "
+    "single-partition sort over per-doc scores — fine for bounded "
+    "outputs; at 100 TB band against approx-quantile cutpoints "
+    "instead.",
+)
+def perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ppl = text_ops.unigram_lm_scores(_t(spark, sf_dir, "documents"), "text")
+    w = Window.orderBy(F.col("ppl").asc(), F.col("doc_id").asc())
+    banded = ppl.select(
+        "doc_id", "n_tok", "ppl", F.ntile(3).over(w).alias("t3")
+    )
+    band = (
+        F.when(F.col("t3") == 1, "head")
+        .when(F.col("t3") == 2, "middle")
+        .otherwise("tail")
+    )
+    return banded.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.min("ppl"), 4).alias("min_ppl"),
+        F.round(F.max("ppl"), 4).alias("max_ppl"),
+        F.round(F.avg("n_tok"), 4).alias("avg_n_tok"),
+    )
+
+
+# Late-bind the composed oracles now that the base queries are
+# guaranteed registered (this module imports after queries_llm).
+def _compose_oracles() -> None:
+    for name, base in (
+        ("source_cap_balancing", "doc_quality_scores"),
+        ("perplexity_bands", "doc_lm_perplexity"),
+    ):
+        q = REGISTRY[name]
+        key = "quality_oracle" if base == "doc_quality_scores" else "ppl_oracle"
+        REGISTRY[name] = type(q)(
+            name=q.name,
+            spark=q.spark,
+            oracle=q.oracle.format(**{key: REGISTRY[base].oracle}),
+            doc=q.doc,
+        )
+
+
+_compose_oracles()

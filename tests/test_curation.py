@@ -1,0 +1,117 @@
+"""Semantic tests for the corpus-curation tier (operators/curation.py).
+
+Oracle parity (tests/test_oracle_parity.py) already hash-gates the six
+registered queries; these tests pin the operator-level INVARIANTS that
+a hash can't express: the union-MinHash identity, DSIR's separation of
+the target slice, cap accounting, and bucket-boundary exactness.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from rearc_data_engineer_takehome_spark.operators import curation
+from rearc_data_engineer_takehome_spark.operators import text as text_ops
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_correctness):
+    return spark.read.parquet(f"{sf_correctness}/documents.parquet")
+
+
+def test_classifier_scores_bounded_and_deterministic(docs):
+    out = curation.classifier_scores(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0.0 <= r.clf_score <= 1.0
+        assert -0.5 <= r.mean_weight <= 0.5
+    # dyadic weights ⇒ the fold is exact ⇒ re-running is bit-identical
+    again = {r.doc_id: r.mean_weight for r in curation.classifier_scores(docs).collect()}
+    assert all(again[r.doc_id] == r.mean_weight for r in rows)
+
+
+def test_dsir_separates_target_slice(docs):
+    """Mean importance weight of target-language docs must exceed the
+    non-target mean — DSIR's whole point is upweighting the target
+    distribution."""
+    w = curation.dsir_weights(docs, F.col("lang") == "en")
+    joined = w.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r.is_en: r.m
+        for r in joined.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("dsir_logweight").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
+
+
+def test_length_buckets_exact_boundaries(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([1, 8, 9, 16, 17, 500])],
+        "doc_id int, text string",
+    )
+    out = {
+        r.bucket: r for r in curation.length_buckets(df).collect()
+    }
+    # n=8 lands IN the 8-bucket (boundary inclusive), n=9 spills to 16,
+    # n=500 overflows into the catch-all last bucket
+    assert out[8].n_docs == 2  # n=1, n=8
+    assert out[16].n_docs == 2  # n=9, n=16
+    assert out[32].n_docs == 1  # n=17
+    assert out[1024].n_docs == 1  # n=500 overflow
+    for r in out.values():
+        assert r.padded_tokens >= r.real_tokens
+
+
+def test_source_caps_accounting(docs):
+    feat = text_ops.quality_features(docs)
+    out = curation.source_caps(feat, cap=10).collect()
+    per_source = docs.groupBy("source").count().collect()
+    totals = {r.source: r["count"] for r in per_source}
+    assert {r.source for r in out} == set(totals)
+    for r in out:
+        assert r.n_kept + r.n_dropped == r.n_total == totals[r.source]
+        assert r.n_kept <= 10
+        assert r.admit_threshold is not None
+
+
+def test_union_minhash_identity(spark):
+    """Grouped min-of-mins must equal the MinHash of the union: a group
+    holding two docs has the same signature as one doc holding their
+    concatenated text's shingle multiset union."""
+    two = spark.createDataFrame(
+        [("g", 1, "alpha beta gamma delta epsilon"),
+         ("g", 2, "zeta eta theta iota kappa")],
+        "source string, doc_id int, text string",
+    )
+    merged = spark.createDataFrame(
+        [("g", 1, "alpha beta gamma delta epsilon"),
+         ("g", 2, "zeta eta theta iota kappa"),
+         ("h", 3, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "source string, doc_id int, text string",
+    )
+    sig_two = curation.source_signatures(two, n_perm=8).collect()[0]
+    sigs = {r.source: r for r in curation.source_signatures(merged, n_perm=8).collect()}
+    # g's union signature from two docs
+    assert [sig_two[f"m{j}"] for j in range(8)] == [
+        sigs["g"][f"m{j}"] for j in range(8)
+    ]
+    # h is the concatenation BUT 3-shingles cross the doc boundary, so
+    # h ⊇ g's shingles — every permutation min can only stay or shrink
+    for j in range(8):
+        assert sigs["h"][f"m{j}"] <= sigs["g"][f"m{j}"]
+
+
+def test_source_similarity_identical_sources(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "the quick brown fox jumps over the lazy dog"),
+         ("b", 2, "the quick brown fox jumps over the lazy dog"),
+         ("c", 3, "completely different vocabulary in this source here")],
+        "source string, doc_id int, text string",
+    )
+    out = {(r.source_a, r.source_b): r.est_jaccard
+           for r in curation.source_similarity(df).collect()}
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] < 1.0
