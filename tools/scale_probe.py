@@ -71,6 +71,11 @@ PROBE_QUERIES = [
     "part_pagerank",  # graph build + power iteration
     "part_pair_affinity",  # in-row basket pairing
     "doc_seq_packing",  # partitioned cumulative-sum window + span explode
+    "doc_clf_quality",  # map-only hashed linear classifier
+    "dsir_importance_weights",  # two-pass bounded slot-table model
+    "source_cap_balancing",  # per-source rank window + cap accounting
+    "source_similarity_minhash",  # union-minhash source signatures
+    "perplexity_bands",  # unigram LM + global tercile banding
 ]
 
 
