@@ -669,6 +669,65 @@ def pq_topk(
     return exact.orderBy(F.col("dist").asc(), F.col("id").asc()).limit(k)
 
 
+def ivf_pq_topk(
+    df: DataFrame,
+    codes: DataFrame,
+    cents: DataFrame,
+    query: list[float],
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    candidates: int = 50,
+    m: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """IVF-PQ search — the production ANN architecture at corpus scale
+    (FAISS ``IVFPQ``): IVF cell pruning picks ``n_probe`` cells by
+    centroid similarity, the PQ ADC scan ranks ONLY those cells'
+    codes, and the exact re-rank touches only the ``candidates`` ADC
+    survivors. Composition of :func:`ivf_topk`'s pruning with
+    :func:`pq_topk`'s scan: at 100 TB the ADC pass reads
+    n_probe/n_cells of a 32×-compressed table and the exact pass reads
+    a few hundred raw vectors.
+
+    Cell ranking rounds the cosine to 6dp with a cell-id tie-break so
+    both engines probe identical cells. The member restriction joins
+    codes on id — in production, store the cell id IN the codes table
+    (it is known at encode time) so the restriction is a partition
+    prune instead of a join; here the join keeps the offline codebook
+    artifact identical for plain-PQ and IVF-PQ search."""
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    best = (
+        centroids.select(
+            F.col(cell_col),
+            F.round(
+                vectors.cosine(F.col(centroid_vec_col), qcol), 6
+            ).alias("c_sim"),
+        )
+        .orderBy(F.col("c_sim").desc(), F.col(cell_col).asc())
+        .limit(n_probe)
+        .select(cell_col)
+    )
+    members = df.join(F.broadcast(best), cell_col)
+    codes_r = codes.join(
+        members.select(F.col(id_col).alias("id")), "id"
+    )
+    return pq_topk(
+        codes_r,
+        cents,
+        query,
+        k=k,
+        m=m,
+        rerank_with=members,
+        candidates=candidates,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+
+
 def pq_oracle_sql(
     table: str = "embeddings",
     m: int = 8,
@@ -694,6 +753,46 @@ def pq_oracle_sql(
     NOTE ``//`` (floor div) everywhere — DuckDB ``/`` on integers is
     float division and ``::INT`` on a float ROUNDS, while Spark's
     ``cast("int")`` truncates; floor-div sidesteps both."""
+    sub_len = dim // m
+    parts, final_assign, prev = _pq_train_parts(
+        table, m, k, iters, dim, query_id, vec_col, id_col
+    )
+    if codebook_only:
+        # Training replay only: the (sub, cluster) code histogram —
+        # the oracle for the offline pq_codebook build step.
+        return (
+            "WITH " + ", ".join(parts)
+            + f" SELECT sub, cluster, count(*)::BIGINT AS n_codes"
+            f" FROM {final_assign} GROUP BY sub, cluster"
+        )
+    parts += _pq_search_parts(
+        table, m, dim, query_id, vec_col, id_col, prev, final_assign
+    )
+    parts += [
+        f"cand AS (SELECT id FROM adc ORDER BY adc_micro, id LIMIT {candidates})",
+        f"exact AS (SELECT b.id, round(list_sum(list_transform("
+        f"range(1, {dim + 1}), i -> (b.v[i] - q.v[i]) * (b.v[i] - q.v[i]))),"
+        f" 6) AS dist FROM base b JOIN cand USING (id) CROSS JOIN q)",
+    ]
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, dist FROM exact ORDER BY dist, id LIMIT {topk}"
+    )
+
+
+def _pq_train_parts(
+    table: str,
+    m: int,
+    k: int,
+    iters: int,
+    dim: int,
+    query_id: int,
+    vec_col: str,
+    id_col: str,
+) -> tuple[list[str], str, str]:
+    """The training-replay CTE list shared by :func:`pq_oracle_sql` and
+    :func:`ivf_pq_oracle_sql`. Returns (parts, final_assign_name,
+    final_centroids_name)."""
     sub_len = dim // m
     sq = (
         f"round(list_sum(list_transform(range(1, {sub_len + 1}),"
@@ -735,16 +834,23 @@ def pq_oracle_sql(
                 f" AS c FROM means{it} GROUP BY sub, cluster)"
             )
             prev = f"cents{it}"
-    final_assign = f"assign{iters}"
-    if codebook_only:
-        # Training replay only: the (sub, cluster) code histogram —
-        # the oracle for the offline pq_codebook build step.
-        return (
-            "WITH " + ", ".join(parts)
-            + f" SELECT sub, cluster, count(*)::BIGINT AS n_codes"
-            f" FROM {final_assign} GROUP BY sub, cluster"
-        )
-    parts += [
+    return parts, f"assign{iters}", prev
+
+
+def _pq_search_parts(
+    table: str,
+    m: int,
+    dim: int,
+    query_id: int,
+    vec_col: str,
+    id_col: str,
+    cents_name: str,
+    assign_name: str,
+) -> list[str]:
+    """Query slicing + ADC distance-table CTEs (q, qsubs, dtable, adc)
+    shared by the plain-PQ and IVF-PQ oracles."""
+    sub_len = dim // m
+    return [
         f"q AS (SELECT list_transform({vec_col}, x -> x::DOUBLE) AS v"
         f" FROM {table} WHERE {id_col} = {query_id})",
         f"qsubs AS (SELECT t.sub, q.v[t.sub * {sub_len} + 1 :"
@@ -754,11 +860,56 @@ def pq_oracle_sql(
         " CAST(round(round(list_sum(list_transform("
         f"range(1, {sub_len + 1}),"
         " i -> (c.c[i] - s.qv[i]) * (c.c[i] - s.qv[i]))), 6) * 1000000)"
-        f" AS BIGINT) AS dmic FROM {prev} c JOIN qsubs s ON c.sub = s.sub)",
+        f" AS BIGINT) AS dmic FROM {cents_name} c JOIN qsubs s ON c.sub = s.sub)",
         f"adc AS (SELECT a.id, sum(d.dmic)::BIGINT AS adc_micro"
-        f" FROM {final_assign} a JOIN dtable d"
+        f" FROM {assign_name} a JOIN dtable d"
         f" ON a.sub = d.sub AND a.cluster = d.cluster GROUP BY a.id)",
-        f"cand AS (SELECT id FROM adc ORDER BY adc_micro, id LIMIT {candidates})",
+    ]
+
+
+def ivf_pq_oracle_sql(
+    table: str = "embeddings",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    query_id: int = 0,
+    n_probe: int = 2,
+    candidates: int = 50,
+    topk: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+) -> str:
+    """DuckDB replay of :func:`ivf_pq_topk`: the PQ training CTEs
+    (shared verbatim with :func:`pq_oracle_sql`), IVF cell centroids as
+    per-cell coordinate means, cell ranking by 6dp-rounded cosine with
+    a cell-id tie-break, then the ADC sum and exact re-rank both
+    restricted to members of the probed cells."""
+    parts, final_assign, prev = _pq_train_parts(
+        table, m, k, iters, dim, query_id, vec_col, id_col
+    )
+    parts += _pq_search_parts(
+        table, m, dim, query_id, vec_col, id_col, prev, final_assign
+    )
+    cos = (
+        "list_dot_product(c.centroid, q.v)"
+        " / (sqrt(list_dot_product(c.centroid, c.centroid))"
+        " * sqrt(list_dot_product(q.v, q.v)))"
+    )
+    parts += [
+        f"cells AS (SELECT {id_col} AS id, {cell_col} AS cell"
+        f" FROM {table} WHERE {id_col} <> {query_id})",
+        f"cent AS (SELECT cell, list(mval ORDER BY pos) AS centroid FROM ("
+        f" SELECT s.cell, t.pos, avg(b.v[t.pos]) AS mval"
+        f" FROM base b JOIN cells s USING (id)"
+        f" CROSS JOIN unnest(range(1, {dim + 1})) AS t(pos)"
+        f" GROUP BY s.cell, t.pos) GROUP BY cell)",
+        f"best AS (SELECT c.cell FROM cent c CROSS JOIN q"
+        f" ORDER BY round({cos}, 6) DESC, c.cell ASC LIMIT {n_probe})",
+        "members AS (SELECT s.id FROM cells s JOIN best b ON s.cell = b.cell)",
+        f"cand AS (SELECT id FROM adc JOIN members USING (id)"
+        f" ORDER BY adc_micro, id LIMIT {candidates})",
         f"exact AS (SELECT b.id, round(list_sum(list_transform("
         f"range(1, {dim + 1}), i -> (b.v[i] - q.v[i]) * (b.v[i] - q.v[i]))),"
         f" 6) AS dist FROM base b JOIN cand USING (id) CROSS JOIN q)",

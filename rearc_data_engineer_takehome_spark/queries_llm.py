@@ -2140,6 +2140,39 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_ivf_pq",
+    similarity.ivf_pq_oracle_sql(
+        table="embeddings",
+        m=8,
+        k=16,
+        iters=2,
+        dim=64,
+        query_id=0,
+        n_probe=2,
+        candidates=50,
+        topk=10,
+    ),
+    doc="IVF-PQ fused ANN (similarity.ivf_pq_topk) — the FAISS-IVFPQ "
+    "architecture that serves billion-vector search: IVF cell pruning "
+    "(6dp-rounded centroid cosine, cell tie-break) restricts the "
+    "corpus to n_probe=2 cells, the PQ ADC scan ranks only those "
+    "cells' 32x-compressed codes, exact re-rank touches 50 raw "
+    "vectors. Shares the offline pq_codebook cache with knn_pq — one "
+    "encode artifact serves both search modes. The DuckDB oracle "
+    "replays training, centroid means, cell probe, restricted ADC, "
+    "and re-rank end to end.",
+)
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf_dir, 0)
+    codes, cents = _pq_codebook(spark, sf_dir)
+    centroids = similarity.ivf_centroids(emb, cell_col="label")
+    return similarity.ivf_pq_topk(
+        emb, codes, cents, q, centroids, k=10, n_probe=2, candidates=50
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing + data-mixture planning (pretraining batch assembly)
 # ---------------------------------------------------------------------------

@@ -290,6 +290,45 @@ def test_centroids_shape(emb):
     assert all(len(r.centroid) == 64 for r in cents)
 
 
+def test_ivf_pq_recall_within_probed_cells(emb):
+    """IVF-PQ's re-ranked top-k must recover >=0.9 of the EXACT top-k
+    restricted to the probed cells (the candidate pool ADC draws from):
+    quantization may only lose candidates at the ADC stage, and the
+    50-candidate rerank should recover nearly all of a top-10."""
+    q = _qvec(emb)
+    rest = emb.where(F.col("vec_id") != 0)
+    cents_ivf = similarity.ivf_centroids(rest, cell_col="label")
+    codes, cents_pq = similarity.pq_train_encode(rest, m=8, k=16, iters=2, dim=64)
+    got = [
+        r.id
+        for r in similarity.ivf_pq_topk(
+            rest, codes, cents_pq, q, cents_ivf, k=10, n_probe=2, candidates=50
+        ).collect()
+    ]
+    from rearc_data_engineer_takehome_spark.functions import vectors
+
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    cell_sims = cents_ivf.select(
+        "label", vectors.cosine(F.col("centroid"), qcol).alias("s")
+    ).collect()
+    probed = [r.label for r in sorted(cell_sims, key=lambda r: -r.s)[:2]]
+    # exact L2 top-10 inside the probed cells (IVF-PQ ranks by L2)
+    import numpy as np
+
+    rows = rest.where(F.col("label").isin(probed)).select(
+        "vec_id", "embedding"
+    ).collect()
+    qa = np.array(q)
+    exact = [
+        r.vec_id
+        for r in sorted(
+            rows, key=lambda r: (float(((np.array(r.embedding) - qa) ** 2).sum()), r.vec_id)
+        )[:10]
+    ]
+    recall = len(set(got) & set(exact)) / 10
+    assert recall >= 0.9, f"IVF-PQ rerank recall {recall} below gate"
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
