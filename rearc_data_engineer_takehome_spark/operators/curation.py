@@ -144,8 +144,11 @@ def dsir_weights(
     (``n_buckets`` rows), which is localCheckpoint'ed — it is the
     trained model, kilobytes at any corpus size, and checkpointing it
     keeps the totals/log-ratio derivations (two more consumers) from
-    re-running the explode. Pass 2 re-explodes and folds mean log-ratio
-    per doc under a broadcast of the slot table. The input is
+    re-running the explode. Pass 2 never shuffles at all: the log-ratio
+    table folds into a ONE-ROW slot→ratio map, broadcasts, and each
+    document's mean weight is an in-row array lookup + fold over its
+    own slot array — scoring is a map-only stage, the shape a scorer
+    should have when the model is kilobytes. The input is
     compute-spread first (hashing is CPU-bound, and a fresh parquet
     scan of a small table may arrive single-partition).
     """
@@ -156,8 +159,8 @@ def dsir_weights(
     slot_arr = F.transform(
         grams, lambda g: F.pmod(stable_hash64(g), F.lit(n_buckets))
     )
-    pairs = spread_compute(df).select(
-        id_col,
+    spread = spread_compute(df)
+    pairs = spread.select(
         target_pred.cast("int").alias("is_target"),
         F.explode(slot_arr).alias("slot"),
     )
@@ -170,22 +173,40 @@ def dsir_weights(
     totals = slots.agg(
         F.sum("t_b").alias("t_tot"), F.sum("c_b").alias("c_tot")
     )
-    logr = (
+    logr_map = (
         slots.join(F.broadcast(totals))
-        .select(
-            "slot",
-            (
-                F.log((F.col("t_b") + 1) / (F.col("t_tot") + n_buckets))
-                - F.log((F.col("c_b") + 1) / (F.col("c_tot") + n_buckets))
-            ).alias("logr"),
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.col("slot"),
+                        (
+                            F.log(
+                                (F.col("t_b") + 1) / (F.col("t_tot") + n_buckets)
+                            )
+                            - F.log(
+                                (F.col("c_b") + 1) / (F.col("c_tot") + n_buckets)
+                            )
+                        ).alias("logr"),
+                    )
+                )
+            ).alias("lmap")
         )
     )
+    slot_ratios = F.transform(
+        F.col("slots"), lambda s: F.element_at(F.col("lmap"), s)
+    )
     return (
-        pairs.join(F.broadcast(logr), "slot")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.round(F.avg("logr"), 6).alias("dsir_logweight"),
+        spread.select(id_col, slot_arr.alias("slots"))
+        .join(F.broadcast(logr_map))
+        .select(
+            id_col,
+            F.size("slots").cast("bigint").alias("n_grams"),
+            F.round(
+                F.aggregate(slot_ratios, F.lit(0.0), lambda a, x: a + x)
+                / F.size("slots"),
+                6,
+            ).alias("dsir_logweight"),
         )
     )
 

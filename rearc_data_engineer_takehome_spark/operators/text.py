@@ -269,6 +269,55 @@ def unigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean bigram surprisal under a corpus-trained bigram
+    LM — one order up from :func:`unigram_lm_scores`: p(w2|w1) =
+    count(w1 w2) / count(w1 as a bigram context), MLE (train == score
+    corpus, so every bigram is in-vocab). Documents shorter than two
+    tokens have no bigrams and are excluded — a bigram model has
+    nothing to say about them.
+
+    Scale shape mirrors the unigram scorer: the bigram vocabulary is
+    the Zipf-bounded join key (heavier-tailed than unigrams but still
+    sublinear in corpus size), the context counts derive from the SAME
+    bigram relation (one extra bounded agg, no second corpus pass),
+    and the per-doc fold keys on doc_id. Rounding contract: avg
+    surprisal rounds 6dp before the exp, like the unigram twin.
+
+    Output: (doc_id, n_bigrams, avg_surprisal, ppl2)."""
+    from ..functions.text import word_shingles, ws_tokens
+
+    toks = F.transform(ws_tokens(text_col), lambda x: F.lower(x))
+    grams = (
+        df.where(F.col(text_col).isNotNull())
+        .where(F.size(ws_tokens(text_col)) >= 2)
+        .select("doc_id", F.explode(word_shingles(toks, 2)).alias("bg"))
+    )
+    c2 = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    # context count = how often w1 opens a bigram — derived from the
+    # bigram relation itself (split on the joining space), so both
+    # counts come from one explode
+    c1 = (
+        c2.select(F.split(F.col("bg"), " ").getItem(0).alias("w1"), "c2")
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    probs = c2.select(
+        "bg", F.split(F.col("bg"), " ").getItem(0).alias("w1"), "c2"
+    ).join(c1, "w1")
+    surprisal = -F.log(F.col("c2") / F.col("c1"))
+    avg_s = F.round(F.avg(surprisal), 6)
+    return (
+        grams.join(probs.select("bg", "c2", "c1"), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            avg_s.alias("avg_surprisal"),
+            F.round(F.exp(avg_s), 4).alias("ppl2"),
+        )
+    )
+
+
 def seq_packing(
     df: DataFrame,
     budget: int = 512,

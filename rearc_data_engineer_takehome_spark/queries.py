@@ -1095,9 +1095,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_lm_perplexity",
     "bpe_merge_candidates",
     "dedup_ngram_jaccard",  # re-implemented (staged) this round — keep driver-visible
-    "events_gapfill_interpolated",
     "events_cohort_retention",
-    "user_activity_streaks",
     "part_pair_affinity",
     "dedup_incremental_batch",  # new this round — driver-green from day one
     # --- curation tier (new this round) — driver-green from day one ---
@@ -1105,6 +1103,8 @@ DRIVER_WINDOW: list[str] = [
     "dsir_importance_weights",
     "source_cap_balancing",
     "source_similarity_minhash",
+    "selection_pipeline",
+    "knn_ivf_pq",
 ]
 
 

@@ -1,8 +1,10 @@
 """Advanced-analytics parity queries: cohort retention, sequence
 transitions, regression aggregates, multidimensional cubes, skew
 profiling, a contingency-table independence statistic, and the
-remaining classic TPC-H decision-support shapes (Q2/Q15/Q16/Q18/
-Q20/Q21/Q22) adapted to this star schema.
+remaining classic TPC-H decision-support shapes (Q2/Q3/Q4/Q7/Q8/Q10/
+Q13/Q15/Q16/Q18/Q20/Q21/Q22) adapted to this star schema — with the
+rest of the battery (Q1/Q5/Q6/Q11/Q12/Q14/Q17/Q19 shapes) in
+queries.py, every classic shape the schema can express is covered.
 
 Plus sequence islands (streaks), robust stats (MAD), equi-width
 histograms, month-over-month growth, tie-inclusive top-N, join-derived
@@ -1648,4 +1650,308 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(_t(spark, sf_dir, "lineitem"))
     return pagerank(edges, iters=3).select(
         F.col("node").alias("p_partkey"), "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Remaining classic decision-support shapes: Q3 / Q4 / Q7 / Q8 / Q10 / Q13
+# (adapted to this star schema: no shippriority/commitdate/partsupp columns)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ship_priority_revenue_topk",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (shipping priority): segment-filtered customers "
+    "x date-bracketed orders x late-shipping lineitems, revenue per "
+    "order, top-10. Both date filters push to their scans; customer is "
+    "a broadcast dim so only the orders->lineitem equi-join shuffles; "
+    "the top-k is TakeOrderedAndProject on the rounded revenue.",
+)
+def ship_priority_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "late_shipment_priority_check",
+    """
+    SELECT o.o_orderpriority, count(*)::BIGINT AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order priority checking), adapted: EXISTS on a "
+    "correlated non-equi predicate — at least one lineitem shipped more "
+    "than 60 days after the order date (the schema has no "
+    "commit/receipt dates). Spark plans a LEFT SEMI hash join on the "
+    "order key with the date comparison as a join residual: the quarter "
+    "filter pushes to the orders scan and each order is emitted at most "
+    "once regardless of matching lineitem count.",
+)
+def late_shipment_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+
+
+@query(
+    "nation_pair_trade_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS ship_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+    doc="TPC-H Q7 shape (volume shipping): revenue flowing between a "
+    "nation PAIR in both directions, by ship year. The disjunctive "
+    "cross-side nation predicate cannot push to either scan alone, but "
+    "every dim (supplier, customer, both nation roles) broadcasts, so "
+    "the only shuffle is lineitem->orders; the pair filter prunes "
+    "rows the moment both nation joins have resolved.",
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume")
+        )
+    )
+
+
+@query(
+    "nation_market_share",
+    """
+    WITH base AS (
+        SELECT year(o.o_orderdate) AS order_year,
+               l.l_extendedprice * (1 - l.l_discount) AS rev,
+               n1.n_name AS supp_nation
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+        WHERE n2.n_regionkey = 1
+    )
+    SELECT order_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev ELSE 0 END)
+                 / sum(rev), 6) AS mkt_share,
+           round(sum(rev), 2) AS total_rev
+    FROM base GROUP BY order_year
+    """,
+    doc="TPC-H Q8 shape (national market share): NATION_1's share of "
+    "revenue sold into region 1's customers, by order year — the "
+    "conditional-fraction-of-aggregate pattern. All dims broadcast; "
+    "one lineitem->orders shuffle then one year-keyed agg; the share "
+    "divides two sums from the SAME aggregation, no second pass.",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cust_r1 = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.where(F.col("n_regionkey") == 1).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_r1), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").alias("order_year"),
+            rev.alias("rev"),
+            F.col("supp_nation"),
+        )
+    )
+    return base.groupBy("order_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("rev")).otherwise(0.0))
+            / F.sum("rev"),
+            6,
+        ).alias("mkt_share"),
+        F.round(F.sum("rev"), 2).alias("total_rev"),
+    )
+
+
+@query(
+    "returned_items_by_customer",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS lost_revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue DESC, c.c_custkey ASC LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned item reporting): revenue lost to "
+    "returns per customer over a half-year window, top-20 with their "
+    "nation. Return-flag and date filters push to the lineitem/orders "
+    "scans before the join; customer+nation broadcast; "
+    "TakeOrderedAndProject top-k on the rounded revenue with custkey "
+    "tie-break.",
+)
+def returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("lost_revenue")
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "customer_order_count_distribution",
+    """
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape (customer order distribution): LEFT join with "
+    "a join-side filter (the filter lives in the ON clause, so "
+    "customers with zero qualifying orders survive with count 0), then "
+    "a second aggregation over the counts. Two integer-only hash aggs; "
+    "the orders-side predicate prunes before the join build.",
+)
+def customer_order_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )

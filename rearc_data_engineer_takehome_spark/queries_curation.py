@@ -194,15 +194,247 @@ def perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEL_CAP = 8
+_SEL_THRESHOLD = 0.5
+
+
+@query(
+    "selection_pipeline",
+    f"""
+    WITH c AS ({{clf_oracle}}),
+    j AS (
+        SELECT d.source, c.doc_id, c.n_tokens, c.clf_score
+        FROM c JOIN documents d USING (doc_id)
+        WHERE c.clf_score >= {_SEL_THRESHOLD}
+    ),
+    r AS (
+        SELECT source, doc_id, n_tokens, clf_score,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY clf_score DESC, doc_id ASC
+               ) AS rn
+        FROM j
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_pass,
+           sum((rn <= {_SEL_CAP})::INT)::BIGINT AS n_kept,
+           sum(CASE WHEN rn <= {_SEL_CAP} THEN n_tokens ELSE 0 END)::BIGINT
+               AS kept_tokens,
+           min(CASE WHEN rn <= {_SEL_CAP} THEN clf_score END)
+               AS admit_score
+    FROM r GROUP BY source
+    """,
+    doc="Composed selection pipeline — the end-to-end shape of the "
+    "model-based selection stage: classifier scoring (map-only fold) → "
+    "threshold filter → per-source cap ranked on classifier score → "
+    "per-source yield and token-budget accounting. One plan: Catalyst "
+    "fuses scoring into the scan, the filter prunes before the window "
+    "shuffle, and the only exchange keys on source. Oracle composes "
+    "the registered doc_clf_quality SQL as a CTE.",
+)
+def selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    clf = curation.classifier_scores(docs)
+    passing = (
+        clf.join(docs.select("doc_id", "source"), "doc_id")
+        .where(F.col("clf_score") >= _SEL_THRESHOLD)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("clf_score").desc(), F.col("doc_id").asc()
+    )
+    ranked = passing.select(
+        "source", "doc_id", "n_tokens", "clf_score",
+        F.row_number().over(w).alias("rn"),
+    )
+    kept = F.col("rn") <= _SEL_CAP
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pass"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.min(F.when(kept, F.col("clf_score"))).alias("admit_score"),
+    )
+
+
+_BIGRAMS = word_shingles_sql("toks", 2)
+
+
+@query(
+    "doc_bigram_surprisal",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform({_TOKS}, x -> lower(x)) AS toks
+        FROM documents
+        WHERE text IS NOT NULL AND len({_TOKS}) >= 2
+    ),
+    g AS (SELECT doc_id, unnest({_BIGRAMS}) AS bg FROM t),
+    c2 AS (SELECT bg, count(*) AS c2 FROM g GROUP BY bg),
+    c1 AS (
+        SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1
+        FROM c2 GROUP BY w1
+    ),
+    p AS (
+        SELECT bg, c2, c1
+        FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(-ln(c2 / c1)), 6) AS avg_surprisal,
+           round(exp(round(avg(-ln(c2 / c1)), 6)), 4) AS ppl2
+    FROM g JOIN p USING (bg)
+    GROUP BY doc_id
+    """,
+    doc="Per-document bigram surprisal under a corpus-trained bigram LM "
+    "(text_ops.bigram_lm_scores) — one conditioning order above "
+    "doc_lm_perplexity: p(w2|w1) = count(w1 w2)/count(w1 as context), "
+    "context counts derived from the bigram relation itself so one "
+    "explode feeds both vocab aggs. Sub-2-token documents are excluded "
+    "(a bigram model has nothing to say about them). Rounding contract "
+    "matches the unigram twin: 6dp mean before the exp.",
+)
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.bigram_lm_scores(_t(spark, sf_dir, "documents"), "text")
+
+
+_ALPHA = 0.3
+_TEMP_BUDGET = 500_000
+
+
+@query(
+    "temperature_mixture_plan",
+    f"""
+    WITH avail AS (
+        SELECT lang, sum(len({_TOKS}))::BIGINT AS avail_tokens
+        FROM documents WHERE text IS NOT NULL GROUP BY lang
+    ),
+    tot AS (
+        SELECT sum(avail_tokens)::DOUBLE AS n,
+               sum(pow(avail_tokens, {_ALPHA})) AS z
+        FROM avail
+    )
+    SELECT lang, avail_tokens,
+           round(avail_tokens / tot.n, 6) AS p_raw,
+           round(pow(avail_tokens, {_ALPHA}) / tot.z, 6) AS p_alpha,
+           round((pow(avail_tokens, {_ALPHA}) / tot.z)
+                 / (avail_tokens / tot.n), 4) AS boost,
+           round({_TEMP_BUDGET} * round(pow(avail_tokens, {_ALPHA}) / tot.z, 6))
+               ::BIGINT AS target_tokens
+    FROM avail CROSS JOIN tot
+    """,
+    doc="Temperature-based mixture plan (mBERT/XLM-R alpha-sampling, "
+    "alpha=0.3): sampling probabilities proportional to "
+    "available_tokens^alpha flatten the language distribution — "
+    "low-resource languages get boost > 1, high-resource < 1 — the "
+    "standard alternative to corpus_mixture_plan's FIXED target "
+    "weights. One hash agg to per-language counts, a 1-row broadcast "
+    "of the normalizers; cost independent of corpus size past the "
+    "first pass. target_tokens derives from the 6dp-ROUNDED p_alpha "
+    "so both engines compute the identical integer.",
+)
+def temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    avail = (
+        docs.where(F.col("text").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.sum(text_ops.token_count_ws("text"))
+            .cast("bigint")
+            .alias("avail_tokens")
+        )
+    )
+    tot = avail.agg(
+        F.sum("avail_tokens").cast("double").alias("n"),
+        F.sum(F.pow("avail_tokens", F.lit(_ALPHA))).alias("z"),
+    )
+    p_alpha = F.round(F.pow("avail_tokens", F.lit(_ALPHA)) / F.col("z"), 6)
+    p_raw = F.round(F.col("avail_tokens") / F.col("n"), 6)
+    return avail.join(F.broadcast(tot)).select(
+        "lang",
+        "avail_tokens",
+        p_raw.alias("p_raw"),
+        p_alpha.alias("p_alpha"),
+        F.round(
+            (F.pow("avail_tokens", F.lit(_ALPHA)) / F.col("z"))
+            / (F.col("avail_tokens") / F.col("n")),
+            4,
+        ).alias("boost"),
+        F.round(F.lit(_TEMP_BUDGET) * p_alpha).cast("bigint").alias("target_tokens"),
+    )
+
+
+_BAND_P1 = "0.3333333333333333"
+_BAND_P2 = "0.6666666666666666"
+
+
+@query(
+    "perplexity_bands_scalable",
+    f"""
+    WITH p AS ({{ppl_oracle}}),
+    cuts AS (
+        SELECT round(quantile_cont(ppl, {_BAND_P1}), 4) AS c1,
+               round(quantile_cont(ppl, {_BAND_P2}), 4) AS c2
+        FROM p
+    ),
+    b AS (
+        SELECT CASE WHEN ppl <= c1 THEN 'head'
+                    WHEN ppl <= c2 THEN 'middle'
+                    ELSE 'tail' END AS band,
+               n_tok, ppl
+        FROM p CROSS JOIN cuts
+    )
+    SELECT band,
+           count(*)::BIGINT AS n_docs,
+           round(min(ppl), 4) AS min_ppl,
+           round(max(ppl), 4) AS max_ppl,
+           round(avg(n_tok), 4) AS avg_n_tok
+    FROM b GROUP BY band
+    """,
+    doc="The 100 TB-shaped twin of perplexity_bands: instead of a "
+    "global ntile sort, compute the two tercile CUTPOINTS (exact "
+    "interpolated percentile — Spark percentile() and DuckDB "
+    "quantile_cont share the (n-1)*p definition, rounded 4dp), "
+    "broadcast them as a 1-row bound, and band by comparison — the "
+    "same two-pass replace-the-global-sort pattern as "
+    "iqr_outliers_price. Band populations may differ from ntile's "
+    "row-balanced thirds when duplicate ppl values straddle a cut; "
+    "that is the documented, deterministic semantics of value-based "
+    "banding.",
+)
+def perplexity_bands_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ppl = text_ops.unigram_lm_scores(_t(spark, sf_dir, "documents"), "text")
+    cuts = ppl.agg(
+        F.round(F.expr(f"percentile(ppl, {_BAND_P1})"), 4).alias("c1"),
+        F.round(F.expr(f"percentile(ppl, {_BAND_P2})"), 4).alias("c2"),
+    )
+    band = (
+        F.when(F.col("ppl") <= F.col("c1"), "head")
+        .when(F.col("ppl") <= F.col("c2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        ppl.join(F.broadcast(cuts))
+        .groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.min("ppl"), 4).alias("min_ppl"),
+            F.round(F.max("ppl"), 4).alias("max_ppl"),
+            F.round(F.avg("n_tok"), 4).alias("avg_n_tok"),
+        )
+    )
+
+
 # Late-bind the composed oracles now that the base queries are
 # guaranteed registered (this module imports after queries_llm).
 def _compose_oracles() -> None:
-    for name, base in (
-        ("source_cap_balancing", "doc_quality_scores"),
-        ("perplexity_bands", "doc_lm_perplexity"),
+    for name, base, key in (
+        ("source_cap_balancing", "doc_quality_scores", "quality_oracle"),
+        ("perplexity_bands", "doc_lm_perplexity", "ppl_oracle"),
+        ("perplexity_bands_scalable", "doc_lm_perplexity", "ppl_oracle"),
+        ("selection_pipeline", "doc_clf_quality", "clf_oracle"),
     ):
         q = REGISTRY[name]
-        key = "quality_oracle" if base == "doc_quality_scores" else "ppl_oracle"
         REGISTRY[name] = type(q)(
             name=q.name,
             spark=q.spark,

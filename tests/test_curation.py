@@ -47,6 +47,13 @@ def test_dsir_separates_target_slice(docs):
     assert means[True] > means[False]
 
 
+def test_dsir_degenerate_target_is_flat(docs):
+    """When the target IS the whole corpus, p_target == p_raw exactly
+    (same counts, same smoothing), so every document's log-ratio is 0."""
+    w = curation.dsir_weights(docs, F.lit(True))
+    assert w.where(F.col("dsir_logweight") != 0.0).count() == 0
+
+
 def test_length_buckets_exact_boundaries(spark):
     df = spark.createDataFrame(
         [(i, " ".join(["w"] * n)) for i, n in enumerate([1, 8, 9, 16, 17, 500])],
