@@ -42,15 +42,24 @@ def bpe_tokens(text: Column | str) -> Column:
 def word_shingles(tokens: Column, k: int = 3) -> Column:
     """k-word shingles: array of space-joined k-grams.
 
-    ``transform(sequence(0, size-k), i -> concat_ws(' ', slice))`` — one
-    projection, no explode. Documents shorter than k tokens yield a
-    single shingle of the whole text (so they still participate in
-    dedup rather than silently vanishing).
+    ``arrays_zip`` of ``k`` shifted slices of the token array, then a
+    ``transform`` that concatenates each zipped struct — one projection,
+    no explode. The zip shape matters for cost: each slice evaluates
+    ``tokens`` once PER ROW, and the concat lambda touches only the
+    materialized struct element. The earlier formulation
+    (``transform(sequence(0, n-k), i -> concat_ws(slice(tokens, ...)))``)
+    referenced ``tokens`` inside the lambda, which Catalyst inlines and
+    re-evaluates per shingle POSITION — O(tokens**2) work per document
+    when ``tokens`` is itself ``transform(split(text))``. Documents
+    shorter than k tokens yield a single shingle of the whole text (so
+    they still participate in dedup rather than silently vanishing).
     """
     n = F.size(tokens)
+    zipped = F.arrays_zip(
+        *[F.slice(tokens, j + 1, n - F.lit(k) + 1) for j in range(k)]
+    )
     grams = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)),
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
     )
     whole = F.array(F.concat_ws(" ", tokens))
     return F.when(n >= k, grams).otherwise(whole)
