@@ -864,3 +864,81 @@ def embedding_near_dup_pairs_vectorized(
         .groupBy(block_col)
         .applyInPandas(block_pairs, schema="id_a bigint, id_b bigint, cos_sim double")
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    min_docs: int = 2,
+    top_k: int = 100,
+) -> DataFrame:
+    """Cross-document repeated-span detection — the substring-level
+    dedup family (public "exact substring deduplication" of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", 2022):
+    surface ``w``-token windows recurring across >= ``min_docs``
+    documents — the signature of boilerplate (licence headers,
+    navigation chrome, templated intros) that document-level dedup
+    cannot collapse because the surrounding text differs.
+
+    Scale shape: posexplode the w-token windows (linear in tokens),
+    hash each span to the portable 60-bit digest, aggregate per digest
+    (occurrences, distinct docs, packed argmin exemplar), keep
+    cross-document spans, TakeOrderedAndProject the top_k — and only
+    THEN recover span text, by re-slicing the top_k exemplar documents
+    through a broadcast join. Span strings never enter the wide
+    shuffle: per-window shuffle payload is (id, pos, 8-byte hash)
+    regardless of w. The exemplar is the lexicographic min (doc, pos),
+    packed into one BIGINT as doc*2^20+pos so both engines take an
+    exact integer min (assumes positions < 2^20 and ids < 2^43;
+    pre-chunk longer token streams).
+
+    Output: (span, n_docs, n_occ, first_doc, first_pos), pos 1-based,
+    ordered by (n_occ desc, first_doc, first_pos) — a total order, so
+    the top_k cut is deterministic and oracle-stable.
+    """
+    pos_bits = 1 << 20
+    toks = F.transform(ws_tokens(F.col(text_col)), lambda x: F.lower(x))
+    windows = (
+        spread_compute(df.where(F.col(text_col).isNotNull()))
+        .where(F.size(ws_tokens(F.col(text_col))) >= w)
+        .select(
+            F.col(id_col),
+            F.posexplode(word_shingles(toks, w)).alias("pos0", "span"),
+        )
+    )
+    hashed = windows.select(
+        F.col(id_col),
+        (F.col("pos0") + 1).alias("pos"),
+        hashing.stable_hash64(F.col("span")).alias("sh"),
+    )
+    packed = F.col(id_col) * F.lit(pos_bits) + F.col("pos")
+    spans = (
+        hashed.groupBy("sh")
+        .agg(
+            F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+            F.min(packed).alias("fk"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_occ").desc(), F.col("sh").asc())
+        .limit(top_k)
+    )
+    exemplar_toks = F.transform(ws_tokens(F.col("__t")), lambda x: F.lower(x))
+    docs = df.select(F.col(id_col).alias("__d"), F.col(text_col).alias("__t"))
+    return (
+        docs.join(
+            F.broadcast(spans), F.col("__d") == F.expr(f"fk DIV {pos_bits}")
+        )
+        .select(
+            F.concat_ws(
+                " ", F.slice(exemplar_toks, F.pmod(F.col("fk"), F.lit(pos_bits)), w)
+            ).alias("span"),
+            "n_docs",
+            "n_occ",
+            F.expr(f"fk DIV {pos_bits}").alias("first_doc"),
+            F.pmod(F.col("fk"), F.lit(pos_bits)).alias("first_pos"),
+        )
+        .orderBy(F.col("n_occ").desc(), "first_doc", "first_pos")
+    )

@@ -918,3 +918,145 @@ def ivf_pq_oracle_sql(
         "WITH " + ", ".join(parts)
         + f" SELECT id, dist FROM exact ORDER BY dist, id LIMIT {topk}"
     )
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 12,
+    extra_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Project every vector onto the corpus's top principal component —
+    the embedding-hygiene primitive behind whitening, drift monitoring,
+    and SemDeDup-style "dominant direction" removal.
+
+    Distributed shape (one fact pass, nothing wide): each partition
+    accumulates its raw moments with BLAS — count, per-dimension sum,
+    and the d×d Gram X'X flattened to d² doubles — via an Arrow-batched
+    ``mapInPandas``; the driver reduces the per-partition partials
+    (bounded: partitions × (d²+d) doubles, the k-means-centroid
+    precedent for dimension-sized driver state), forms the covariance
+    C = (G - S·S'/n)/n, and runs ``iters`` power-iteration steps on the
+    d×d matrix. The resulting component is broadcast back as a literal
+    and the projection is a JVM-side fold — the fact table is read
+    exactly twice and never shuffled.
+
+    Determinism contract (kmeans_lloyd:360 pattern): C rounds to 6dp
+    and each normalized iterate to 9dp, so engine-specific double
+    summation orders cannot drift the iteration; the sign is fixed by
+    the largest-|u| component (first index on ties, matching both
+    numpy argmax and ORDER BY abs DESC, i); projections round to 4dp.
+    The DuckDB oracle replays the identical arithmetic with the Gram
+    built by self-join and the power steps unrolled
+    (:func:`pca_oracle_sql`).
+
+    Output: (id_col, *extra_cols, pc1). Requires iters >= 1.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if iters < 1:
+        raise ValueError(f"pca_top_component needs iters >= 1, got {iters}")
+    first = df.select(vec_col).first()
+    d = len(first[0])
+    v = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+
+    def gram_parts(batches):
+        n = 0
+        s = np.zeros(d, dtype=np.float64)
+        g = np.zeros((d, d), dtype=np.float64)
+        for pdf in batches:
+            if len(pdf):
+                X = np.stack(pdf["v"].to_numpy())
+                n += X.shape[0]
+                s += X.sum(axis=0)
+                g += X.T @ X
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+        )
+
+    parts = v.mapInPandas(
+        gram_parts, schema="n bigint, s array<double>, g array<double>"
+    ).collect()
+    n = sum(r["n"] for r in parts)
+    S = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    G = np.sum([np.asarray(r["g"]).reshape(d, d) for r in parts], axis=0)
+    C = np.round((G - np.outer(S, S) / n) / n, 6)
+
+    u = np.ones(d, dtype=np.float64)
+    for _ in range(iters):
+        u = C @ u
+        u = np.round(u / np.sqrt((u * u).sum()), 9)
+    k = int(np.argmax(np.abs(u)))
+    if u[k] < 0:
+        u = -u
+    mean = S / n
+    bias = float(np.dot(mean, u))
+
+    u_lit = F.array(*[F.lit(float(x)) for x in u])
+    return df.select(
+        id_col,
+        *extra_cols,
+        F.round(
+            vectors.dot(F.col(vec_col), u_lit) - F.lit(bias), 4
+        ).alias("pc1"),
+    )
+
+
+def pca_oracle_sql(
+    dim: int = 64,
+    iters: int = 12,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    extra_cols: tuple[str, ...] = ("label",),
+) -> str:
+    """DuckDB replay of :func:`pca_top_component`: explode the vectors,
+    build the Gram by self-join, form the 6dp-rounded covariance, unroll
+    ``iters`` power steps (9dp-rounded normalized iterates), fix the
+    sign on the largest-|u| component, and project. Purely mechanical —
+    the unrolled-iteration oracle pattern established for PQ/k-means."""
+    steps = []
+    prev = "p0"
+    for t in range(1, iters + 1):
+        steps.append(
+            f"r{t} AS (SELECT c.i, sum(c.cv * {prev}.u) AS u "
+            f"FROM cov c JOIN {prev} ON c.j = {prev}.i GROUP BY c.i), "
+            f"p{t} AS (SELECT i, round(u / sqrt(sum(u * u) OVER ()), 9) AS u "
+            f"FROM r{t})"
+        )
+        prev = f"p{t}"
+    unrolled = ",\n    ".join(steps)
+    extras = "".join(f"e.{c}, " for c in extra_cols)
+    return f"""
+    WITH x AS (
+        SELECT {id_col}, i, {vec_col}[i]::DOUBLE AS v
+        FROM {table} CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i)
+    ),
+    stats AS (SELECT count(DISTINCT {id_col}) AS n FROM x),
+    s AS (SELECT i, sum(v) AS s FROM x GROUP BY i),
+    g AS (
+        SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS g
+        FROM x a JOIN x b USING ({id_col}) GROUP BY a.i, b.i
+    ),
+    cov AS (
+        SELECT g.i, g.j,
+               round((g.g - si.s * sj.s / stats.n) / stats.n, 6) AS cv
+        FROM g JOIN s si ON g.i = si.i JOIN s sj ON g.j = sj.i, stats
+    ),
+    p0 AS (SELECT unnest(generate_series(1, {dim})) AS i, 1.0 AS u),
+    {unrolled},
+    sgn AS (SELECT CASE WHEN u < 0 THEN -1.0 ELSE 1.0 END AS s
+            FROM {prev} ORDER BY abs(u) DESC, i LIMIT 1),
+    vf AS (SELECT i, u * sgn.s AS u FROM {prev}, sgn),
+    m AS (SELECT s.i, s.s / stats.n AS m FROM s, stats),
+    bias AS (SELECT sum(m.m * vf.u) AS b FROM m JOIN vf USING (i))
+    SELECT e.{id_col}, {extras}
+           round(sum(x.v * vf.u) - any_value(bias.b), 4) AS pc1
+    FROM {table} e
+    JOIN x ON x.{id_col} = e.{id_col}
+    JOIN vf ON vf.i = x.i
+    CROSS JOIN bias
+    GROUP BY e.{id_col}{''.join(f', e.{c}' for c in extra_cols)}
+    """

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from .functions.hashing import MERSENNE_31, _affine_params, stable_hash64_sql
 from .functions.text import WS_PATTERN, word_shingles_sql
 from .operators import curation
+from .operators import dedup as dedup_ops
+from .operators import similarity
 from .operators import text as text_ops
 from .queries import REGISTRY, _t, query
 
@@ -422,6 +424,74 @@ def perplexity_bands_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("ppl"), 4).alias("max_ppl"),
             F.round(F.avg("n_tok"), 4).alias("avg_n_tok"),
         )
+    )
+
+
+_SPAN_W = 8
+_SPAN_POS_BITS = 1 << 20
+
+
+@query(
+    "repeated_span_boilerplate",
+    f"""
+    WITH t AS (
+        SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+        SELECT doc_id, pos,
+               {stable_hash64_sql(f"array_to_string(toks[pos:pos+{_SPAN_W - 1}], ' ')")} AS sh
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - {_SPAN_W - 1})) AS pos
+              FROM t WHERE len(toks) >= {_SPAN_W})
+    ),
+    agg AS (
+        SELECT sh,
+               count(DISTINCT doc_id)::BIGINT AS n_docs,
+               count(*)::BIGINT AS n_occ,
+               min(doc_id * {_SPAN_POS_BITS} + pos) AS fk
+        FROM g GROUP BY sh
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    top AS (SELECT * FROM agg ORDER BY n_occ DESC, sh ASC LIMIT 100)
+    SELECT array_to_string(
+               t.toks[(fk % {_SPAN_POS_BITS})::BIGINT
+                      :(fk % {_SPAN_POS_BITS})::BIGINT + {_SPAN_W - 1}],
+               ' ') AS span,
+           n_docs, n_occ,
+           (fk // {_SPAN_POS_BITS})::BIGINT AS first_doc,
+           (fk % {_SPAN_POS_BITS})::BIGINT AS first_pos
+    FROM top JOIN t ON t.doc_id = fk // {_SPAN_POS_BITS}
+    ORDER BY n_occ DESC, first_doc, first_pos
+    """,
+    doc="Substring-level dedup (dedup.repeated_spans): top-100 8-token "
+    "windows recurring across >= 2 documents — the Lee et al. 2022 "
+    "exact-substring family, catching boilerplate that document-level "
+    "dedup can't. Hash-only wide shuffle (span text recovered from the "
+    "top-k exemplars via broadcast re-slice), packed-BIGINT argmin "
+    "exemplar so both engines take an exact integer min.",
+)
+def repeated_span_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.repeated_spans(
+        _t(spark, sf_dir, "documents"), w=_SPAN_W, min_docs=2, top_k=100
+    )
+
+
+@query(
+    "embedding_pca_projection",
+    similarity.pca_oracle_sql(dim=64, iters=12),
+    doc="Per-vector projection onto the corpus top principal component "
+    "(similarity.pca_top_component) — the whitening/drift-monitoring "
+    "primitive. One Arrow-batched fact pass accumulates per-partition "
+    "raw moments (count, sums, d*d Gram); the driver reduces bounded "
+    "partials and power-iterates the 64x64 covariance (12 steps); the "
+    "component broadcasts back as a literal fold. Determinism: 6dp "
+    "covariance, 9dp iterates, 4dp projections — the kmeans_lloyd "
+    "contract; oracle unrolls the identical arithmetic in SQL.",
+)
+def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pca_top_component(
+        _t(spark, sf_dir, "embeddings"), iters=12
     )
 
 

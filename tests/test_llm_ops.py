@@ -670,3 +670,55 @@ def test_seq_packing_conserves_tokens(spark, sf_correctness):
     for r in per_seq:
         if r.seq_id < last_seq[r.lang]:
             assert r.n_tok_in_seq == 512, (r.lang, r.seq_id, r.n_tok_in_seq)
+
+
+def test_repeated_spans_finds_planted_boilerplate(spark):
+    """A planted 8-token licence header shared by three docs (with
+    distinct bodies, so document-level dedup sees three unique docs)
+    must surface as the top repeated span; a unique body span must
+    not appear."""
+    header = "licensed under the apache license version two zero"
+    rows = [
+        (1, f"{header} alpha beta gamma delta"),
+        (2, f"{header} epsilon zeta eta theta"),
+        (3, f"intro words first {header} iota kappa"),
+        (4, "totally unrelated body with eight distinct tokens here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.repeated_spans(df, w=8, min_docs=2, top_k=10).collect()
+    assert out, "planted boilerplate not detected"
+    top = out[0]
+    assert top.span == header
+    assert top.n_docs == 3 and top.n_occ == 3
+    # exemplar = lexicographic min (doc, pos): doc 1, position 1
+    assert (top.first_doc, top.first_pos) == (1, 1)
+    spans = {r.span for r in out}
+    assert "totally unrelated body with eight distinct tokens here" not in spans
+
+
+def test_repeated_spans_short_docs_excluded(spark):
+    """Documents under w tokens contribute no windows (no whole-doc
+    fallback here, unlike shingle dedup): two identical 3-token docs
+    produce zero spans."""
+    df = spark.createDataFrame(
+        [(1, "tiny dup doc"), (2, "tiny dup doc")], ["doc_id", "text"]
+    )
+    assert dedup.repeated_spans(df, w=8).count() == 0
+
+
+def test_pca_top_component_recovers_planted_direction(spark):
+    """Vectors spread along axis 0 with tiny noise on axis 1: pc1 must
+    recover the axis-0 coordinate (centered), with the positive-sign
+    convention making large axis-0 values map to positive projections."""
+    rows = [(i, [float(i), 0.01 * (i % 3), 0.0, 0.0], 0) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r.vec_id: r.pc1 for r in similarity.pca_top_component(df).collect()}
+    # centered axis-0 coordinate: i - mean(i) = i - 9.5
+    for i in (0, 10, 19):
+        assert abs(out[i] - (i - 9.5)) < 0.05, (i, out[i])
+
+
+def test_pca_top_component_rejects_zero_iters(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0], 0)], ["vec_id", "embedding", "label"])
+    with pytest.raises(ValueError):
+        similarity.pca_top_component(df, iters=0)
