@@ -1060,3 +1060,60 @@ def pca_oracle_sql(
     CROSS JOIN bias
     GROUP BY e.{id_col}{''.join(f', e.{c}' for c in extra_cols)}
     """
+
+
+def hard_negatives(
+    df: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training-pair construction:
+    for every anchor vector, the ``k`` most-similar vectors carrying a
+    DIFFERENT label — the negatives that sit closest to the decision
+    boundary, the standard recipe for dense-retriever / embedding
+    fine-tuning data.
+
+    Scale shape: the anchor set is the broadcast side (a training batch
+    or query sample — bounded by construction); candidates stream
+    through a BroadcastNestedLoopJoin with the label-mismatch predicate
+    applied before any shuffle, then one exchange keyed on anchor_id
+    ranks the per-anchor top-k. The fact table is scanned once and
+    never shuffled in full — only (anchor, candidate, sim) survivors.
+    For anchor sets beyond broadcast size, shard the anchors and union
+    the runs (each shard is this same plan).
+
+    Determinism: cosine rounds to 6dp with candidate-id tie-break
+    before ranking (the knn contract). Output: (anchor_id, rank,
+    neg_id, neg_label, cos_sim).
+    """
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__alabel"),
+    )
+    c = df.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("neg_label"),
+    )
+    sim = F.round(vectors.cosine(F.col("__cv"), F.col("__qv")), 6)
+    scored = (
+        c.join(F.broadcast(a), F.col("neg_label") != F.col("__alabel"))
+        .select("anchor_id", "neg_id", "neg_label", sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.select(
+            "anchor_id",
+            F.row_number().over(w).alias("rank"),
+            "neg_id",
+            "neg_label",
+            "cos_sim",
+        )
+        .where(F.col("rank") <= k)
+    )

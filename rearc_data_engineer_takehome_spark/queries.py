@@ -1090,13 +1090,16 @@ DRIVER_WINDOW: list[str] = [
     "doc_seq_packing",
     "corpus_mixture_plan",
     "pq_codebook",
-    "doc_bm25_topk",
+    "hard_negative_mining",  # contrastive-pair construction (new family)
     "eval_contamination",
     "doc_lm_perplexity",
     "bpe_merge_candidates",
     "dedup_ngram_jaccard",  # re-implemented (staged) this round — keep driver-visible
-    "events_cohort_retention",
-    "part_pair_affinity",
+    # new operator FAMILIES this round take driver slots over analytics
+    # variants of already-proven families (evicted to strict parity:
+    # events_cohort_retention, part_pair_affinity, doc_bm25_topk)
+    "repeated_span_boilerplate",  # substring-level dedup (new family)
+    "embedding_pca_projection",  # decomposition tier (new family)
     "dedup_incremental_batch",  # new this round — driver-green from day one
     # --- curation tier (new this round) — driver-green from day one ---
     "doc_clf_quality",

@@ -495,6 +495,44 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HN_MOD = 100
+_HN_K = 5
+
+
+@query(
+    "hard_negative_mining",
+    f"""
+    WITH a AS (
+        SELECT vec_id AS anchor_id, embedding AS qv, label AS alabel
+        FROM embeddings WHERE vec_id % {_HN_MOD} = 0
+    ),
+    scored AS (
+        SELECT a.anchor_id, e.vec_id AS neg_id, e.label AS neg_label,
+               round(list_dot_product(e.embedding::DOUBLE[], a.qv::DOUBLE[]) /
+                     (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(a.qv::DOUBLE[], a.qv::DOUBLE[]))), 6) AS cos_sim
+        FROM embeddings e JOIN a ON e.label <> a.alabel
+    )
+    SELECT anchor_id, rank, neg_id, neg_label, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY cos_sim DESC, neg_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {_HN_K}
+    """,
+    doc="Contrastive training-pair construction "
+    "(similarity.hard_negatives): per-anchor top-5 nearest vectors with "
+    "a DIFFERENT label — boundary-hugging negatives for dense-retriever "
+    "fine-tuning. Anchors (id % 100 = 0) broadcast through a "
+    "BroadcastNestedLoopJoin with the label-mismatch predicate applied "
+    "pre-shuffle; one anchor-keyed exchange ranks top-k. 6dp cosine + "
+    "id tie-break (the knn determinism contract).",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") % _HN_MOD == 0)
+    return similarity.hard_negatives(emb, anchors, k=_HN_K)
+
+
 # Late-bind the composed oracles now that the base queries are
 # guaranteed registered (this module imports after queries_llm).
 def _compose_oracles() -> None:

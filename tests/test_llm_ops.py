@@ -722,3 +722,23 @@ def test_pca_top_component_rejects_zero_iters(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0], 0)], ["vec_id", "embedding", "label"])
     with pytest.raises(ValueError):
         similarity.pca_top_component(df, iters=0)
+
+
+def test_hard_negatives_exclude_anchor_label(spark):
+    """Negatives must carry a different label than their anchor, ranks
+    are contiguous from 1, and per-anchor result count respects k."""
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 0),   # same label: never a negative for anchor 0
+        (2, [0.98, 0.2], 1),
+        (3, [0.0, 1.0], 1),
+        (4, [0.5, 0.5], 2),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    anchors = df.where(F.col("vec_id") == 0)
+    out = similarity.hard_negatives(df, anchors, k=2).collect()
+    assert len(out) == 2
+    assert all(r.neg_label != 0 for r in out)
+    assert [r.rank for r in out] == [1, 2] or sorted(r.rank for r in out) == [1, 2]
+    # nearest different-label vector to [1,0] is vec 2
+    assert min(out, key=lambda r: r.rank).neg_id == 2
