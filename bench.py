@@ -29,8 +29,12 @@ from rearc_data_engineer_takehome_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-DETAIL_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+# SPARK_GRAFT_DETAIL redirects the per-query detail file so off-scale
+# probe runs (e.g. sf0.001 smoke) don't clobber the canonical sf0.1
+# artifact the driver records.
+DETAIL_PATH = os.environ.get(
+    "SPARK_GRAFT_DETAIL",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
 )
 
 # Representative subset inlined into the compact stdout line (the full
@@ -41,8 +45,9 @@ DETAIL_PATH = os.path.join(
 # query): timed and reported separately under "builds" so
 # total_query_seconds measures query latency only. pq_codebook
 # deliberately rebuilds its cache every pass (rebuild=True) — honest
-# build-cost accounting, but it is not a query.
-BUILDS = {"pq_codebook"}
+# build-cost accounting, but it is not a query. bpe_train_merge_table
+# trains a tokenizer merge table — likewise a per-corpus artifact.
+BUILDS = {"pq_codebook", "bpe_train_merge_table"}
 
 HEADLINE = [
     "pricing_summary",
@@ -182,7 +187,7 @@ def main() -> None:
         "queries": {
             n: query_timings[n] for n in HEADLINE if n in query_timings
         },
-        "detail": "BENCH_DETAIL.json",
+        "detail": os.path.basename(DETAIL_PATH),
     }
     print(json.dumps(out))
     spark.stop()

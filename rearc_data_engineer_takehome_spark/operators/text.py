@@ -373,3 +373,138 @@ def seq_packing(
         F.expr(f"(end_tok - n_tok) div {budget}").alias("seq_first"),
         F.expr(f"(end_tok - 1) div {budget}").alias("seq_last"),
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> DataFrame:
+    """Full iterative BPE tokenizer training (Sennrich et al. 2016):
+    ``n_merges`` rounds of count-adjacent-pairs → pick the most frequent
+    → merge it everywhere — the complete trainer, where
+    :func:`bpe_pair_counts` is one round's candidate table.
+
+    Scale shape (the standard trainer trick): the corpus is touched
+    exactly ONCE — the first pass folds it into the distinct-word
+    relation (word, count), which is Zipf-bounded (vocabulary grows
+    ~O(corpus^0.5), not linearly), and every merge round runs on that
+    vocab-sized relation: one pair-count aggregation + a 1-row argmax
+    to the driver (the kmeans-centroid bound) + a literal string
+    replace, lineage truncated per round. At 100 TB the rounds cost the
+    same as at 100 GB; only the first fold scales with the corpus.
+
+    Segmentations are sentinel-framed strings ("\\x1f" + tok + "\\x1f"
+    + ... + "\\x1f"): merging pair (a,b) is then a literal replace of
+    "\\x1fa\\x1fb\\x1f" with "\\x1fab\\x1f", which both Spark and
+    DuckDB apply left-to-right non-overlapping — exactly BPE's
+    within-round merge semantics ("aaa" + merge(a,a) → ["aa","a"]).
+    Words containing the sentinel byte are dropped (documented edge;
+    0x1f never occurs in text corpora that survive quality filtering).
+
+    Determinism: ties on pair count break lexicographically on (lhs,
+    rhs) — both engines compare ASCII strings identically. Rounds
+    after the pair space is exhausted emit nothing (loop breaks; the
+    unrolled oracle's LEFT JOIN replay preserves the same tail).
+
+    Output: (rank, lhs, rhs, merged, n) — the merge table, one row per
+    learned merge, rank 1-based in learning order.
+    """
+    from ..functions.text import bpe_tokens
+
+    sep = "\x1f"
+    words = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(bpe_tokens(text_col)).alias("w"))
+        .where((F.length("w") >= 2) & (~F.col("w").contains(sep)))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.concat(
+                F.lit(sep), F.regexp_replace("w", "(.)", "$1" + sep)
+            ).alias("s"),
+            "c",
+        )
+        .localCheckpoint()
+    )
+    toks = F.filter(F.split("s", sep), lambda x: x != "")
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        t = words.select("c", toks.alias("t")).where(F.size("t") >= 2)
+        n = F.size("t")
+        zipped = F.arrays_zip(
+            F.slice("t", 1, n - 1), F.slice("t", 2, n - 1)
+        )
+        best = (
+            t.select("c", F.explode(zipped).alias("p"))
+            .select(F.col("p.0").alias("lhs"), F.col("p.1").alias("rhs"), "c")
+            .groupBy("lhs", "rhs")
+            .agg(F.sum("c").cast("bigint").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("lhs").asc(), F.col("rhs").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["lhs"], best[0]["rhs"], best[0]["n"]
+        merges.append((rank, a, b, a + b, cnt))
+        words = words.select(
+            F.replace(
+                F.col("s"), F.lit(sep + a + sep + b + sep), F.lit(sep + a + b + sep)
+            ).alias("s"),
+            "c",
+        ).localCheckpoint()
+    return df.sparkSession.createDataFrame(
+        merges, "rank int, lhs string, rhs string, merged string, n bigint"
+    )
+
+
+def bpe_train_merges_oracle_sql(n_merges: int = 6, pattern: str | None = None) -> str:
+    """DuckDB replay of :func:`bpe_train_merges` with the merge rounds
+    unrolled: w0 folds the corpus to the word relation, each round r
+    derives pair counts p{r}, the 1-row argmax b{r}, and the merged
+    segmentation s{r} (LEFT JOIN ON TRUE so an exhausted pair space
+    leaves segmentations unchanged instead of deleting them)."""
+    from ..functions.text import BPE_PATTERN
+
+    pat = pattern or BPE_PATTERN
+    rounds = []
+    for r in range(1, n_merges + 1):
+        prev = f"s{r - 1}"
+        rounds.append(
+            f"""p{r} AS (
+        SELECT t[i] AS lhs, t[i+1] AS rhs, sum(c)::BIGINT AS n
+        FROM (SELECT t, c, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM (SELECT list_filter(string_split(s, chr(31)), x -> x <> '') AS t, c
+                    FROM {prev}) WHERE len(t) >= 2)
+        GROUP BY 1, 2
+    ),
+    b{r} AS (SELECT lhs, rhs, n FROM p{r}
+             ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1),
+    s{r} AS (
+        SELECT replace(s, chr(31) || coalesce(lhs, '') || chr(31) ||
+                          coalesce(rhs, '') || chr(31),
+                       chr(31) || coalesce(lhs, '') ||
+                          coalesce(rhs, '') || chr(31)) AS s, c
+        FROM {prev} LEFT JOIN b{r} ON TRUE
+    )"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {r} AS rank, lhs, rhs, lhs || rhs AS merged, n FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH w0 AS (
+        SELECT w, count(*)::BIGINT AS c FROM (
+            SELECT unnest(regexp_extract_all(text, '{pat}')) AS w
+            FROM documents WHERE text IS NOT NULL
+        ) WHERE length(w) >= 2 AND NOT contains(w, chr(31))
+        GROUP BY w
+    ),
+    s0 AS (
+        SELECT chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g') AS s, c
+        FROM w0
+    ),
+    {','.join(rounds)}
+    {unions}
+    """

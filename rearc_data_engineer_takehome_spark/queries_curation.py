@@ -533,6 +533,23 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives(emb, anchors, k=_HN_K)
 
 
+@query(
+    "bpe_train_merge_table",
+    text_ops.bpe_train_merges_oracle_sql(n_merges=6),
+    doc="Full iterative BPE tokenizer training "
+    "(text_ops.bpe_train_merges, Sennrich et al. 2016): 6 rounds of "
+    "count-pairs -> argmax -> merge-everywhere, completing the story "
+    "bpe_merge_candidates (one round's candidates) starts. The corpus "
+    "folds ONCE into the Zipf-bounded distinct-word relation; every "
+    "round then runs at vocab scale with a 1-row argmax to the driver "
+    "(kmeans-centroid bound). Sentinel-framed segmentations make the "
+    "merge a literal left-to-right replace with identical semantics in "
+    "both engines; oracle unrolls all 6 rounds.",
+)
+def bpe_train_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.bpe_train_merges(_t(spark, sf_dir, "documents"), n_merges=6)
+
+
 # Late-bind the composed oracles now that the base queries are
 # guaranteed registered (this module imports after queries_llm).
 def _compose_oracles() -> None:

@@ -742,3 +742,33 @@ def test_hard_negatives_exclude_anchor_label(spark):
     assert [r.rank for r in out] == [1, 2] or sorted(r.rank for r in out) == [1, 2]
     # nearest different-label vector to [1,0] is vec 2
     assert min(out, key=lambda r: r.rank).neg_id == 2
+
+
+def test_bpe_train_merges_known_corpus(spark):
+    """'low lower lowest' ×(3,2,1): round 1 must merge the most frequent
+    adjacent pair ('l','o': 6 occurrences), and a later round must build
+    on a previous merge (compositionality — the property one-round pair
+    counting cannot show)."""
+    df = spark.createDataFrame(
+        [(1, "low low low lower lower lowest")], ["doc_id", "text"]
+    )
+    from rearc_data_engineer_takehome_spark.operators import text as text_ops
+
+    out = text_ops.bpe_train_merges(df, n_merges=4).collect()
+    assert out[0].lhs == "l" and out[0].rhs == "o" and out[0].n == 6
+    merged_tokens = {r.merged for r in out}
+    # 'low' must be assembled from the 'lo' merge within 4 rounds
+    assert "low" in merged_tokens
+    # ranks contiguous from 1
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+
+
+def test_bpe_train_merges_exhausted_pairs_stop_early(spark):
+    """Single repeated 2-char word: after merging its one pair the pair
+    space is empty — the trainer must emit exactly one merge, not n."""
+    df = spark.createDataFrame([(1, "ab ab ab")], ["doc_id", "text"])
+    from rearc_data_engineer_takehome_spark.operators import text as text_ops
+
+    out = text_ops.bpe_train_merges(df, n_merges=5).collect()
+    assert len(out) == 1
+    assert (out[0].lhs, out[0].rhs, out[0].n) == ("a", "b", 3)
