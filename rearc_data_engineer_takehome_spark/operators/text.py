@@ -394,11 +394,16 @@ def bpe_train_merges(
     replace, lineage truncated per round. At 100 TB the rounds cost the
     same as at 100 GB; only the first fold scales with the corpus.
 
-    Segmentations are sentinel-framed strings ("\\x1f" + tok + "\\x1f"
-    + ... + "\\x1f"): merging pair (a,b) is then a literal replace of
-    "\\x1fa\\x1fb\\x1f" with "\\x1fab\\x1f", which both Spark and
-    DuckDB apply left-to-right non-overlapping — exactly BPE's
-    within-round merge semantics ("aaa" + merge(a,a) → ["aa","a"]).
+    Segmentations are strings of individually sentinel-wrapped tokens
+    ("\\x1f" + tok + "\\x1f" per token, concatenated): merging pair
+    (a,b) is then a literal replace of "\\x1fa\\x1f\\x1fb\\x1f" with
+    "\\x1fab\\x1f", which both Spark and DuckDB apply left-to-right
+    non-overlapping — exactly BPE's within-round merge semantics
+    ("aaa" + merge(a,a) → ["aa","a"], while "abab" + merge(a,b) →
+    ["ab","ab"]). Each token owning BOTH its sentinels is load-bearing:
+    with tokens SHARING one sentinel, two adjacent disjoint pair
+    occurrences overlap in string space and the second one is skipped
+    (the property test's 'abab' counterexample).
     Words containing the sentinel byte are dropped (documented edge;
     0x1f never occurs in text corpora that survive quality filtering).
 
@@ -420,9 +425,7 @@ def bpe_train_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
         .select(
-            F.concat(
-                F.lit(sep), F.regexp_replace("w", "(.)", "$1" + sep)
-            ).alias("s"),
+            F.regexp_replace("w", "(.)", sep + "$1" + sep).alias("s"),
             "c",
         )
         .localCheckpoint()
@@ -450,7 +453,9 @@ def bpe_train_merges(
         merges.append((rank, a, b, a + b, cnt))
         words = words.select(
             F.replace(
-                F.col("s"), F.lit(sep + a + sep + b + sep), F.lit(sep + a + b + sep)
+                F.col("s"),
+                F.lit(sep + a + sep + sep + b + sep),
+                F.lit(sep + a + b + sep),
             ).alias("s"),
             "c",
         ).localCheckpoint()
@@ -483,7 +488,7 @@ def bpe_train_merges_oracle_sql(n_merges: int = 6, pattern: str | None = None) -
              ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1),
     s{r} AS (
         SELECT replace(s, chr(31) || coalesce(lhs, '') || chr(31) ||
-                          coalesce(rhs, '') || chr(31),
+                          chr(31) || coalesce(rhs, '') || chr(31),
                        chr(31) || coalesce(lhs, '') ||
                           coalesce(rhs, '') || chr(31)) AS s, c
         FROM {prev} LEFT JOIN b{r} ON TRUE
@@ -502,7 +507,7 @@ def bpe_train_merges_oracle_sql(n_merges: int = 6, pattern: str | None = None) -
         GROUP BY w
     ),
     s0 AS (
-        SELECT chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g') AS s, c
+        SELECT regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s, c
         FROM w0
     ),
     {','.join(rounds)}

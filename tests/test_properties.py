@@ -458,3 +458,120 @@ def test_exact_quantiles_bracketed_matches_percentile(spark, vals, p20):
     ref = df.agg(F.expr(f"percentile(x, {prob})")).collect()[0][0]
     got = exact_quantiles_bracketed(df, "x", [prob]).collect()[0]["q0"]
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer vs a pure-Python reference implementation
+# ---------------------------------------------------------------------------
+
+
+def py_bpe_merges(texts, n_merges):
+    """Textbook BPE trainer (Sennrich et al.): the spec
+    operators.text.bpe_train_merges must match — including the
+    left-to-right non-overlapping within-round merge and the
+    (count desc, pair lexicographic asc) tie-break."""
+    import collections
+    import re
+
+    from rearc_data_engineer_takehome_spark.functions.text import BPE_PATTERN
+
+    words: collections.Counter = collections.Counter()
+    for t in texts:
+        for w in re.findall(BPE_PATTERN, t):
+            if len(w) >= 2:
+                words[w] += 1
+    segs = {w: list(w) for w in words}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc: collections.Counter = collections.Counter()
+        for w, c in words.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, a + b, cnt))
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+bpe_words = st.sampled_from(
+    ["ab", "aba", "abab", "bab", "bb", "aabb", "low", "lower", "lowest", "a1b"]
+)
+bpe_texts = st.lists(bpe_words, min_size=1, max_size=20).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(bpe_texts)
+def test_bpe_trainer_matches_python_spec(spark_session_holder, text):
+    spark = spark_session_holder
+    from rearc_data_engineer_takehome_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = [
+        (r.rank, r.lhs, r.rhs, r.merged, r.n)
+        for r in bpe_train_merges(df, n_merges=3).collect()
+    ]
+    assert got == py_bpe_merges([text], 3)
+
+
+# ---------------------------------------------------------------------------
+# Repeated spans vs brute force
+# ---------------------------------------------------------------------------
+
+
+def py_repeated_spans(docs, w, min_docs, top_k):
+    spans: dict = {}
+    for doc_id, text in docs:
+        toks = [t.lower() for t in text.split()]
+        if len(toks) < w:
+            continue
+        for pos in range(len(toks) - w + 1):
+            sp = " ".join(toks[pos : pos + w])
+            e = spans.setdefault(sp, [0, set(), None])
+            e[0] += 1
+            e[1].add(doc_id)
+            key = (doc_id, pos + 1)
+            if e[2] is None or key < e[2]:
+                e[2] = key
+    rows = [
+        (sp, len(ds), occ, fk[0], fk[1])
+        for sp, (occ, ds, fk) in spans.items()
+        if len(ds) >= min_docs
+    ]
+    # top-k cut uses (n_occ desc, span-hash asc) — replicate with the
+    # portable hash, then present in (n_occ desc, first_doc, first_pos)
+    rows.sort(key=lambda r: (-r[2], py_stable_hash64(r[0])))
+    rows = rows[:top_k]
+    rows.sort(key=lambda r: (-r[2], r[3], r[4]))
+    return rows
+
+
+span_words = st.sampled_from("red green blue cat dog run".split())
+span_doc = st.lists(span_words, min_size=0, max_size=10).map(" ".join)
+span_corpus = st.lists(span_doc, min_size=2, max_size=5)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(span_corpus)
+def test_repeated_spans_matches_bruteforce(spark_session_holder, texts):
+    spark = spark_session_holder
+    from rearc_data_engineer_takehome_spark.operators.dedup import repeated_spans
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = [
+        (r.span, r.n_docs, r.n_occ, r.first_doc, r.first_pos)
+        for r in repeated_spans(df, w=3, min_docs=2, top_k=5).collect()
+    ]
+    assert got == py_repeated_spans(docs, 3, 2, 5)

@@ -76,6 +76,11 @@ PROBE_QUERIES = [
     "source_cap_balancing",  # per-source rank window + cap accounting
     "source_similarity_minhash",  # union-minhash source signatures
     "perplexity_bands",  # unigram LM + global tercile banding
+    "doc_bigram_surprisal",  # bigram LM (zip-sliced shingler)
+    "repeated_span_boilerplate",  # substring-level dedup, hash-only shuffle
+    "embedding_pca_projection",  # moment fold + driver power iteration
+    "hard_negative_mining",  # broadcast anchors + anchor-keyed top-k
+    "bpe_train_merge_table",  # corpus fold once + vocab-scale rounds
 ]
 
 
