@@ -986,8 +986,14 @@ def pca_top_component(
 
     u = np.ones(d, dtype=np.float64)
     for _ in range(iters):
-        u = C @ u
-        u = np.round(u / np.sqrt((u * u).sum()), 9)
+        v = C @ u
+        n2 = float((v * v).sum())
+        if n2 == 0.0:
+            # degenerate covariance (all vectors identical, or u in its
+            # null space): keep the previous iterate instead of dividing
+            # by zero — the oracle replays the same keep-previous branch
+            break
+        u = np.round(v / np.sqrt(n2), 9)
     k = int(np.argmax(np.abs(u)))
     if u[k] < 0:
         u = -u
@@ -1020,11 +1026,19 @@ def pca_oracle_sql(
     steps = []
     prev = "p0"
     for t in range(1, iters + 1):
+        # MATERIALIZED is load-bearing: r{t} is referenced twice (matvec
+        # + its norm) and p{t} feeds the next round twice — DuckDB
+        # re-inlines unmaterialized CTEs, which doubles the plan per
+        # round (2^iters scans = file-handle exhaustion at 12 rounds)
         steps.append(
-            f"r{t} AS (SELECT c.i, sum(c.cv * {prev}.u) AS u "
+            f"r{t} AS MATERIALIZED (SELECT c.i, sum(c.cv * {prev}.u) AS u "
             f"FROM cov c JOIN {prev} ON c.j = {prev}.i GROUP BY c.i), "
-            f"p{t} AS (SELECT i, round(u / sqrt(sum(u * u) OVER ()), 9) AS u "
-            f"FROM r{t})"
+            # degenerate covariance: zero matvec norm keeps the previous
+            # iterate (the operator's keep-previous break, replayed)
+            f"p{t} AS MATERIALIZED (SELECT r.i, CASE WHEN t.s = 0 THEN p.u "
+            f"ELSE round(r.u / sqrt(t.s), 9) END AS u "
+            f"FROM r{t} r JOIN {prev} p ON r.i = p.i "
+            f"CROSS JOIN (SELECT sum(u * u) AS s FROM r{t}) t)"
         )
         prev = f"p{t}"
     unrolled = ",\n    ".join(steps)

@@ -464,12 +464,13 @@ def bpe_train_merges(
     )
 
 
-def bpe_train_merges_oracle_sql(n_merges: int = 6, pattern: str | None = None) -> str:
-    """DuckDB replay of :func:`bpe_train_merges` with the merge rounds
-    unrolled: w0 folds the corpus to the word relation, each round r
-    derives pair counts p{r}, the 1-row argmax b{r}, and the merged
-    segmentation s{r} (LEFT JOIN ON TRUE so an exhausted pair space
-    leaves segmentations unchanged instead of deleting them)."""
+def bpe_merge_ctes(n_merges: int = 6, pattern: str | None = None) -> str:
+    """The shared unrolled-training CTE block (w0, s0, then p{r}/b{r}/
+    s{r} per round) used by both the merge-table oracle and any oracle
+    that APPLIES the learned merges (tokenizer fertility). All CTEs are
+    MATERIALIZED: s{r} and b{r} are each referenced more than once, and
+    DuckDB re-inlines plain CTEs — doubling the plan per round
+    (2^n_merges corpus scans by round n otherwise)."""
     from ..functions.text import BPE_PATTERN
 
     pat = pattern or BPE_PATTERN
@@ -477,16 +478,16 @@ def bpe_train_merges_oracle_sql(n_merges: int = 6, pattern: str | None = None) -
     for r in range(1, n_merges + 1):
         prev = f"s{r - 1}"
         rounds.append(
-            f"""p{r} AS (
+            f"""p{r} AS MATERIALIZED (
         SELECT t[i] AS lhs, t[i+1] AS rhs, sum(c)::BIGINT AS n
         FROM (SELECT t, c, unnest(generate_series(1, len(t) - 1)) AS i
               FROM (SELECT list_filter(string_split(s, chr(31)), x -> x <> '') AS t, c
                     FROM {prev}) WHERE len(t) >= 2)
         GROUP BY 1, 2
     ),
-    b{r} AS (SELECT lhs, rhs, n FROM p{r}
+    b{r} AS MATERIALIZED (SELECT lhs, rhs, n FROM p{r}
              ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1),
-    s{r} AS (
+    s{r} AS MATERIALIZED (
         SELECT replace(s, chr(31) || coalesce(lhs, '') || chr(31) ||
                           chr(31) || coalesce(rhs, '') || chr(31),
                        chr(31) || coalesce(lhs, '') ||
@@ -494,22 +495,127 @@ def bpe_train_merges_oracle_sql(n_merges: int = 6, pattern: str | None = None) -
         FROM {prev} LEFT JOIN b{r} ON TRUE
     )"""
         )
-    unions = "\n    UNION ALL ".join(
-        f"SELECT {r} AS rank, lhs, rhs, lhs || rhs AS merged, n FROM b{r}"
-        for r in range(1, n_merges + 1)
-    )
-    return f"""
-    WITH w0 AS (
+    return f"""w0 AS MATERIALIZED (
         SELECT w, count(*)::BIGINT AS c FROM (
             SELECT unnest(regexp_extract_all(text, '{pat}')) AS w
             FROM documents WHERE text IS NOT NULL
         ) WHERE length(w) >= 2 AND NOT contains(w, chr(31))
         GROUP BY w
     ),
-    s0 AS (
+    s0 AS MATERIALIZED (
         SELECT regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s, c
         FROM w0
     ),
-    {','.join(rounds)}
+    {','.join(rounds)}"""
+
+
+def bpe_train_merges_oracle_sql(n_merges: int = 6, pattern: str | None = None) -> str:
+    """DuckDB replay of :func:`bpe_train_merges` with the merge rounds
+    unrolled: w0 folds the corpus to the word relation, each round r
+    derives pair counts p{r}, the 1-row argmax b{r}, and the merged
+    segmentation s{r} (LEFT JOIN ON TRUE so an exhausted pair space
+    leaves segmentations unchanged instead of deleting them)."""
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {r} AS rank, lhs, rhs, lhs || rhs AS merged, n FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH {bpe_merge_ctes(n_merges, pattern)}
     {unions}
+    """
+
+
+def bpe_segmentation_stats(
+    df: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY a learned merge table (:func:`bpe_train_merges` output
+    rows) to every document and report per-document segmentation
+    stats — the second half of the tokenizer lifecycle (train once,
+    encode the corpus many times).
+
+    Pure codegen: per document, pre-tokenize, wrap every word's chars
+    in their own sentinel pairs, join words with a DIFFERENT boundary
+    byte (0x1e — merges must never cross word boundaries), then chain
+    one literal replace per merge in rank order. Token count falls out
+    arithmetically (each surviving token owns exactly two sentinel
+    bytes), so segmented text is never exploded or re-split: count =
+    (len(s) - len(strip-sentinels(s))) / 2. No shuffle — encoding is
+    embarrassingly parallel, like chunking.
+
+    Adds (seg_words, seg_chars, seg_tokens) — seg-prefixed so they
+    never collide with source-table columns (documents already carries
+    n_chars); words containing the sentinel byte are excluded (the
+    trainer's documented edge).
+    """
+    sep, us = "\x1f", "\x1e"
+    words = F.filter(
+        bpe_tokens(F.col(text_col)), lambda w: ~w.contains(sep)
+    )
+    wrapped = F.transform(
+        words, lambda w: F.regexp_replace(w, "(.)", sep + "$1" + sep)
+    )
+    s = F.array_join(wrapped, us)
+    for _rank, a, b, _merged, _n in merges:
+        s = F.replace(
+            s, F.lit(sep + a + sep + sep + b + sep), F.lit(sep + a + b + sep)
+        )
+    n_tok = (
+        (F.length(s) - F.length(F.replace(s, F.lit(sep), F.lit("")))) / 2
+    ).cast("bigint")
+    return df.select(
+        "*",
+        F.size(words).cast("bigint").alias("seg_words"),
+        F.length(F.array_join(words, "")).cast("bigint").alias("seg_chars"),
+        n_tok.alias("seg_tokens"),
+    )
+
+
+def bpe_fertility_oracle_sql(n_merges: int = 6, pattern: str | None = None) -> str:
+    """DuckDB replay of train-then-apply: the shared
+    :func:`bpe_merge_ctes` training block, then an a{r} apply chain
+    (one replace per learned merge, LEFT JOIN ON TRUE so missing
+    merges no-op) and the per-language fertility fold."""
+    from ..functions.text import BPE_PATTERN
+
+    pat = pattern or BPE_PATTERN
+    chain = []
+    for r in range(1, n_merges + 1):
+        chain.append(
+            f"""a{r} AS MATERIALIZED (
+        SELECT lang, n_words, n_chars,
+               replace(s, chr(31) || coalesce(lhs, '') || chr(31) ||
+                          chr(31) || coalesce(rhs, '') || chr(31),
+                       chr(31) || coalesce(lhs, '') ||
+                          coalesce(rhs, '') || chr(31)) AS s
+        FROM a{r - 1} LEFT JOIN b{r} ON TRUE
+    )"""
+        )
+    return f"""
+    WITH {bpe_merge_ctes(n_merges, pattern)},
+    a0 AS MATERIALIZED (
+        SELECT lang,
+               len(ws)::BIGINT AS n_words,
+               length(array_to_string(ws, ''))::BIGINT AS n_chars,
+               array_to_string(list_transform(ws,
+                   w -> regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')),
+                   chr(30)) AS s
+        FROM (SELECT lang,
+                     list_filter(regexp_extract_all(text, '{pat}'),
+                                 w -> NOT contains(w, chr(31))) AS ws
+              FROM documents WHERE text IS NOT NULL)
+    ),
+    {','.join(chain)},
+    f AS (
+        SELECT lang, n_words, n_chars,
+               ((length(s) - length(replace(s, chr(31), ''))) // 2)::BIGINT AS n_tok
+        FROM a{n_merges}
+    )
+    SELECT lang,
+           sum(n_words)::BIGINT AS n_words,
+           sum(n_tok)::BIGINT AS n_tokens,
+           round(sum(n_tok)::DOUBLE / sum(n_words), 6) AS fertility,
+           round(sum(n_chars)::DOUBLE / sum(n_tok), 6) AS chars_per_token
+    FROM f GROUP BY lang
     """

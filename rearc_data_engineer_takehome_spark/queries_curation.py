@@ -533,6 +533,28 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives(emb, anchors, k=_HN_K)
 
 
+# (appId, sf_dir) → learned merge rows. The merge table is an OFFLINE
+# artifact (train once, encode many) — the pq_codebook pattern: the
+# build query retrains every call (honest build-cost accounting under
+# bench's BUILDS section) while consumers encode with the cached table.
+_BPE_MERGE_CACHE: dict[tuple[str, str], list[tuple]] = {}
+_BPE_N_MERGES = 6
+
+
+def _bpe_merges(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> list[tuple]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if rebuild or key not in _BPE_MERGE_CACHE:
+        _BPE_MERGE_CACHE[key] = [
+            (r.rank, r.lhs, r.rhs, r.merged, r.n)
+            for r in text_ops.bpe_train_merges(
+                _t(spark, sf_dir, "documents"), n_merges=_BPE_N_MERGES
+            ).collect()
+        ]
+    return _BPE_MERGE_CACHE[key]
+
+
 @query(
     "bpe_train_merge_table",
     text_ops.bpe_train_merges_oracle_sql(n_merges=6),
@@ -547,7 +569,41 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     "both engines; oracle unrolls all 6 rounds.",
 )
 def bpe_train_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_ops.bpe_train_merges(_t(spark, sf_dir, "documents"), n_merges=6)
+    rows = _bpe_merges(spark, sf_dir, rebuild=True)
+    return spark.createDataFrame(
+        rows, "rank int, lhs string, rhs string, merged string, n bigint"
+    )
+
+
+@query(
+    "tokenizer_fertility",
+    text_ops.bpe_fertility_oracle_sql(n_merges=6),
+    doc="Tokenizer APPLICATION at corpus scale "
+    "(text_ops.bpe_segmentation_stats): encode every document with the "
+    "learned merge table (cached offline artifact, the pq_codebook "
+    "pattern) and fold per-language fertility (tokens/word) and "
+    "chars/token — the standard multilingual tokenizer-budget metric. "
+    "Encoding is chained literal replaces over sentinel-framed words "
+    "(merges never cross the 0x1e word boundary); token counts fall "
+    "out of sentinel arithmetic without re-splitting. Map-only until "
+    "the per-language fold. Oracle replays train-then-apply unrolled.",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _bpe_merges(spark, sf_dir)
+    stats = text_ops.bpe_segmentation_stats(
+        _t(spark, sf_dir, "documents").where(F.col("text").isNotNull()),
+        merges,
+    )
+    return stats.groupBy("lang").agg(
+        F.sum("seg_words").cast("bigint").alias("n_words"),
+        F.sum("seg_tokens").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum("seg_tokens").cast("double") / F.sum("seg_words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("seg_chars").cast("double") / F.sum("seg_tokens"), 6
+        ).alias("chars_per_token"),
+    )
 
 
 # Late-bind the composed oracles now that the base queries are

@@ -772,3 +772,24 @@ def test_bpe_train_merges_exhausted_pairs_stop_early(spark):
     out = text_ops.bpe_train_merges(df, n_merges=5).collect()
     assert len(out) == 1
     assert (out[0].lhs, out[0].rhs, out[0].n) == ("a", "b", 3)
+
+
+def test_pca_degenerate_covariance_is_finite(spark):
+    """All-identical vectors: zero covariance must not NaN the
+    projections (keep-previous-iterate guard); every projection is 0."""
+    rows = [(i, [1.0, 2.0, 3.0], 0) for i in range(5)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = similarity.pca_top_component(df, iters=3).collect()
+    assert len(out) == 5
+    assert all(r.pc1 == 0.0 for r in out)
+
+
+def test_bpe_segmentation_stats_known_merges(spark):
+    """Applying [(l,o)->lo, (lo,w)->low] to 'low lower': 'low' collapses
+    to 1 token (chained merges), 'lower' to 3 (low,e,r)."""
+    from rearc_data_engineer_takehome_spark.operators import text as text_ops
+
+    df = spark.createDataFrame([(1, "low lower")], ["doc_id", "text"])
+    merges = [(1, "l", "o", "lo", 2), (2, "lo", "w", "low", 2)]
+    r = text_ops.bpe_segmentation_stats(df, merges).collect()[0]
+    assert (r.seg_words, r.seg_chars, r.seg_tokens) == (2, 8, 4)
