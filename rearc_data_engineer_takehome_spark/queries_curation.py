@@ -497,6 +497,11 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HN_MOD = 100
 _HN_K = 5
+# Anchor sets are training BATCHES — bounded by construction. The id
+# ceiling makes that contract explicit in the query: anchors stay <=100
+# at ANY corpus size (the 30x probe showed the unbounded modulo set
+# growing with the corpus, paying quadratic pair work).
+_HN_MAX_ID = 10_000
 
 
 @query(
@@ -504,7 +509,7 @@ _HN_K = 5
     f"""
     WITH a AS (
         SELECT vec_id AS anchor_id, embedding AS qv, label AS alabel
-        FROM embeddings WHERE vec_id % {_HN_MOD} = 0
+        FROM embeddings WHERE vec_id % {_HN_MOD} = 0 AND vec_id < {_HN_MAX_ID}
     ),
     scored AS (
         SELECT a.anchor_id, e.vec_id AS neg_id, e.label AS neg_label,
@@ -522,14 +527,16 @@ _HN_K = 5
     doc="Contrastive training-pair construction "
     "(similarity.hard_negatives): per-anchor top-5 nearest vectors with "
     "a DIFFERENT label — boundary-hugging negatives for dense-retriever "
-    "fine-tuning. Anchors (id % 100 = 0) broadcast through a "
+    "fine-tuning. Anchors (id % 100 = 0, id < 10000 -- a bounded batch at any corpus size) broadcast through a "
     "BroadcastNestedLoopJoin with the label-mismatch predicate applied "
     "pre-shuffle; one anchor-keyed exchange ranks top-k. 6dp cosine + "
     "id tie-break (the knn determinism contract).",
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    anchors = emb.where(F.col("vec_id") % _HN_MOD == 0)
+    anchors = emb.where(
+        (F.col("vec_id") % _HN_MOD == 0) & (F.col("vec_id") < _HN_MAX_ID)
+    )
     return similarity.hard_negatives(emb, anchors, k=_HN_K)
 
 
