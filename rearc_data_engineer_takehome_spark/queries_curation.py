@@ -15,7 +15,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from .functions.hashing import MERSENNE_31, _affine_params, stable_hash64_sql
+from .functions.hashing import (
+    MERSENNE_31,
+    _affine_params,
+    stable_hash64,
+    stable_hash64_sql,
+)
 from .functions.text import WS_PATTERN, word_shingles_sql
 from .operators import curation
 from .operators import dedup as dedup_ops
@@ -613,6 +618,73 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mixture_sample_manifest",
+    f"""
+    WITH plan AS ({{tmix_oracle}}),
+    d AS (
+        SELECT lang, doc_id, len({_TOKS})::BIGINT AS n_tok,
+               {stable_hash64_sql("doc_id::VARCHAR")} AS h
+        FROM documents WHERE text IS NOT NULL
+    ),
+    r AS (
+        SELECT lang, doc_id, n_tok,
+               sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d
+    ),
+    sel AS (
+        SELECT r.lang, n_tok, plan.target_tokens
+        FROM r JOIN plan ON r.lang = plan.lang
+        WHERE cum - n_tok < plan.target_tokens
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS sampled_tokens,
+           min(target_tokens) AS target_tokens,
+           round(sum(n_tok)::DOUBLE / min(target_tokens), 6) AS fill_ratio
+    FROM sel GROUP BY lang
+    """,
+    doc="Plan -> manifest: materialize the alpha-sampling targets "
+    "(temperature_mixture_plan, whose oracle SQL composes in as a CTE) "
+    "into an actual deterministic document selection — per language, "
+    "docs are ordered by a portable content-independent hash (md5 of "
+    "the id: a reshuffleable, seedable permutation) and admitted while "
+    "the token budget is unexhausted; the last admitted doc may "
+    "straddle the budget (greedy fill, identical in both engines). "
+    "One lang-keyed window + a 5-row broadcast of targets. At 100 TB "
+    "the per-language cumulative window becomes per-(lang, hash-range) "
+    "buckets with sub-budgets — the seq_packing sharding note applies.",
+)
+def mixture_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plan = temperature_mixture_plan(spark, sf_dir).select(
+        "lang", "target_tokens"
+    )
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    d = docs.select(
+        "lang",
+        "doc_id",
+        text_ops.token_count_ws("text").cast("bigint").alias("n_tok"),
+        stable_hash64(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = d.select("lang", "n_tok", F.sum("n_tok").over(w).alias("cum"))
+    sel = r.join(F.broadcast(plan), "lang").where(
+        F.col("cum") - F.col("n_tok") < F.col("target_tokens")
+    )
+    return sel.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sampled_tokens"),
+        F.min("target_tokens").alias("target_tokens"),
+        F.round(
+            F.sum("n_tok").cast("double") / F.min("target_tokens"), 6
+        ).alias("fill_ratio"),
+    )
+
+
 # Late-bind the composed oracles now that the base queries are
 # guaranteed registered (this module imports after queries_llm).
 def _compose_oracles() -> None:
@@ -621,6 +693,7 @@ def _compose_oracles() -> None:
         ("perplexity_bands", "doc_lm_perplexity", "ppl_oracle"),
         ("perplexity_bands_scalable", "doc_lm_perplexity", "ppl_oracle"),
         ("selection_pipeline", "doc_clf_quality", "clf_oracle"),
+        ("mixture_sample_manifest", "temperature_mixture_plan", "tmix_oracle"),
     ):
         q = REGISTRY[name]
         REGISTRY[name] = type(q)(
