@@ -873,6 +873,7 @@ def repeated_spans(
     w: int = 8,
     min_docs: int = 2,
     top_k: int = 100,
+    sample_mod: int = 1,
 ) -> DataFrame:
     """Cross-document repeated-span detection — the substring-level
     dedup family (public "exact substring deduplication" of Lee et al.,
@@ -894,6 +895,17 @@ def repeated_spans(
     exact integer min (assumes positions < 2^20 and ids < 2^43;
     pre-chunk longer token streams).
 
+    ``sample_mod`` is the corpus-scale lever: keep only windows whose
+    content hash satisfies ``h % sample_mod == 0`` — CONTENT-defined
+    sampling, so the same window text is kept or dropped consistently
+    in every document (positional striding would sample different
+    offsets per document and never match). Shuffle volume drops by
+    ~sample_mod; detection becomes probabilistic per window but a
+    repeated region of length L >> w still contains a selected window
+    with probability ~1 - (1 - 1/sample_mod)^(L-w+1). ``n_occ``/
+    ``n_docs`` for surviving spans are EXACT (the filter is a function
+    of the span content). Default 1 = exhaustive.
+
     Output: (span, n_docs, n_occ, first_doc, first_pos), pos 1-based,
     ordered by (n_occ desc, first_doc, first_pos) — a total order, so
     the top_k cut is deterministic and oracle-stable.
@@ -913,6 +925,8 @@ def repeated_spans(
         (F.col("pos0") + 1).alias("pos"),
         hashing.stable_hash64(F.col("span")).alias("sh"),
     )
+    if sample_mod > 1:
+        hashed = hashed.where(F.pmod(F.col("sh"), F.lit(sample_mod)) == 0)
     packed = F.col(id_col) * F.lit(pos_bits) + F.col("pos")
     spans = (
         hashed.groupBy("sh")

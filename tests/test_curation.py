@@ -122,3 +122,42 @@ def test_source_similarity_identical_sources(spark):
            for r in curation.source_similarity(df).collect()}
     assert out[("a", "b")] == 1.0
     assert out[("a", "c")] < 1.0
+
+
+def test_mixture_manifest_budget_semantics(spark, sf_correctness):
+    """Greedy fill invariants: every language stops at the first doc
+    that crosses its budget — so sampled_tokens < target + the largest
+    single doc, and removing the last admitted doc would leave the
+    budget unfilled (sampled_tokens - any admitted doc < target ⇒
+    sampled_tokens >= target unless the language ran out of docs)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry
+
+    q = entry.queries()["mixture_sample_manifest"]
+    rows = q(spark, sf_correctness).collect()
+    assert rows, "empty manifest"
+    docs = spark.read.parquet(f"{sf_correctness}/documents.parquet")
+    import pyspark.sql.functions as F
+
+    from rearc_data_engineer_takehome_spark.operators.text import token_count_ws
+
+    max_doc = {
+        r.lang: r.mx
+        for r in docs.where(F.col("text").isNotNull())
+        .groupBy("lang")
+        .agg(F.max(token_count_ws("text")).alias("mx"))
+        .collect()
+    }
+    avail = {
+        r.lang: r.s
+        for r in docs.where(F.col("text").isNotNull())
+        .groupBy("lang")
+        .agg(F.sum(token_count_ws("text")).alias("s"))
+        .collect()
+    }
+    for r in rows:
+        assert r.sampled_tokens < r.target_tokens + max_doc[r.lang]
+        if avail[r.lang] >= r.target_tokens:
+            assert r.sampled_tokens >= r.target_tokens

@@ -793,3 +793,28 @@ def test_bpe_segmentation_stats_known_merges(spark):
     merges = [(1, "l", "o", "lo", 2), (2, "lo", "w", "low", 2)]
     r = text_ops.bpe_segmentation_stats(df, merges).collect()[0]
     assert (r.seg_words, r.seg_chars, r.seg_tokens) == (2, 8, 4)
+
+
+def test_repeated_spans_content_sampling_is_consistent_subset(spark):
+    """sample_mod > 1 keeps a hash-selected SUBSET of the exhaustive
+    result with identical per-span stats (content-defined sampling is
+    a function of span text, so surviving spans keep exact counts)."""
+    rows = [
+        (i, "alpha beta gamma delta epsilon zeta eta theta " + extra)
+        for i, extra in enumerate(["one", "two", "three", "four"])
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = {
+        (r.span): (r.n_docs, r.n_occ, r.first_doc, r.first_pos)
+        for r in dedup.repeated_spans(df, w=4, min_docs=2, top_k=100).collect()
+    }
+    sampled = {
+        (r.span): (r.n_docs, r.n_occ, r.first_doc, r.first_pos)
+        for r in dedup.repeated_spans(
+            df, w=4, min_docs=2, top_k=100, sample_mod=2
+        ).collect()
+    }
+    assert sampled, "sampling killed every span (hash-unlucky fixture?)"
+    assert set(sampled) < set(full) or set(sampled) == set(full)
+    for span, stats in sampled.items():
+        assert stats == full[span]

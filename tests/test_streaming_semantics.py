@@ -334,3 +334,83 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     rows = spark.table("dedup_test").collect()
     ids = sorted(r.event_id for r in rows)
     assert ids == [1, 2, 3], f"duplicate leaked or event lost: {rows}"
+
+
+def test_streaming_curation_pipeline_matches_batch(spark, tmp_path):
+    """End-to-end STREAMING curation: a document stream (ingest
+    timestamps) flows through quality scoring → threshold filter →
+    content-digest dedup within the watermark → parquet sink via
+    foreachBatch. The curated set over two micro-batches (including a
+    cross-batch exact re-delivery) must equal the batch pipeline's
+    keep-one-per-digest result — the bounded-state streaming twin of
+    curation_pipeline's score→filter→dedup stages."""
+    from rearc_data_engineer_takehome_spark.operators.text import (
+        quality_features,
+    )
+
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "cur_ckpt")
+    schema = "doc_id long, text string, ts timestamp"
+
+    def write_docs(rows, path):
+        spark.createDataFrame(rows, "doc_id long, text string, ts_s string").select(
+            "doc_id", "text", F.to_timestamp("ts_s").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and that was it for "
+        "the day in the quiet town where it is always calm"
+    )
+    junk = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+    b1 = [
+        (1, good + " one", "2024-01-01 10:00:00"),
+        (2, good + " one", "2024-01-01 10:00:10"),  # exact dup of 1
+        (3, junk, "2024-01-01 10:01:00"),  # fails quality threshold
+        (4, good + " four", "2024-01-01 10:02:00"),
+    ]
+    b2 = [
+        (5, good + " one", "2024-01-01 10:20:00"),  # cross-batch dup
+        (6, good + " six", "2024-01-01 10:21:00"),
+    ]
+    write_docs(b1, src)
+    write_docs(b2, src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    scored = quality_features(stream).where(F.col("quality_score") >= 0.5)
+    curated = (
+        scored.select("doc_id", "text", "ts", F.md5("text").alias("digest"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["digest"])
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        curated.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(out)
+    # batch twin: same scoring + threshold, keep-first-by-id per digest
+    batch = (
+        quality_features(spark.read.parquet(src))
+        .where(F.col("quality_score") >= 0.5)
+        .groupBy(F.md5("text").alias("digest"))
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    got_digests = {r.digest for r in got.select("digest").collect()}
+    want_digests = {r.digest for r in batch.collect()}
+    assert got_digests == want_digests
+    # the junk doc never reaches the sink; exactly one copy per content
+    ids = sorted(r.doc_id for r in got.collect())
+    assert 3 not in ids
+    assert len(ids) == len(got_digests)
