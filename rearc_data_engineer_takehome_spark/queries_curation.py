@@ -685,6 +685,185 @@ def mixture_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_split_drift",
+    f"""
+    WITH s AS (
+        SELECT CASE WHEN ({stable_hash64_sql("'split:' || vec_id::VARCHAR")}
+                          % 10000) < 5000
+                    THEN 'a' ELSE 'b' END AS split,
+               embedding
+        FROM embeddings
+    ),
+    x AS (
+        SELECT split, i, embedding[i]::DOUBLE AS v
+        FROM s CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    ),
+    m AS (SELECT split, i, round(avg(v), 6) AS m FROM x GROUP BY 1, 2),
+    d AS (
+        SELECT a.i, a.m - b.m AS dr
+        FROM m a JOIN m b ON a.i = b.i AND a.split = 'a' AND b.split = 'b'
+    ),
+    c AS (
+        SELECT sum((split = 'a')::INT)::BIGINT AS n_a,
+               sum((split = 'b')::INT)::BIGINT AS n_b
+        FROM s
+    )
+    SELECT c.n_a, c.n_b,
+           round(sqrt(sum(dr * dr)), 6) AS l2_drift,
+           round(max(abs(dr)), 6) AS max_abs_drift
+    FROM d CROSS JOIN c
+    GROUP BY c.n_a, c.n_b
+    """,
+    doc="Distribution-drift monitor between content-deterministic "
+    "corpus halves (the hash_split convention): per-dimension mean "
+    "deltas fold to an L2 drift norm and a max-|dim| drift — the "
+    "standard train/val embedding-distribution check before a "
+    "contrastive run, and a canary for ingestion skew. Per-dim means "
+    "round 6dp before differencing (the kmeans determinism contract); "
+    "one (split, dim)-keyed agg, everything after is 128 rows.",
+)
+def embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    split = F.when(
+        F.pmod(
+            stable_hash64(
+                F.concat(F.lit("split:"), F.col("vec_id").cast("string"))
+            ),
+            F.lit(10_000),
+        )
+        < 5_000,
+        "a",
+    ).otherwise("b")
+    s = emb.select(split.alias("split"), "embedding")
+    x = s.select(
+        "split",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "v"),
+    ).select("split", (F.col("i0") + 1).alias("i"), "v")
+    m = x.groupBy("split", "i").agg(F.round(F.avg("v"), 6).alias("m"))
+    d = (
+        m.where(F.col("split") == "a")
+        .select("i", F.col("m").alias("ma"))
+        .join(
+            m.where(F.col("split") == "b").select("i", F.col("m").alias("mb")),
+            "i",
+        )
+        .select((F.col("ma") - F.col("mb")).alias("dr"))
+    )
+    c = s.groupBy().agg(
+        F.sum((F.col("split") == "a").cast("int")).cast("bigint").alias("n_a"),
+        F.sum((F.col("split") == "b").cast("int")).cast("bigint").alias("n_b"),
+    )
+    return (
+        d.crossJoin(F.broadcast(c))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("dr") * F.col("dr"))), 6).alias(
+                "l2_drift"
+            ),
+            F.round(F.max(F.abs("dr")), 6).alias("max_abs_drift"),
+        )
+    )
+
+
+_BOOT_B = 200
+#: integer 1e4-scaled CDF of Poisson(1): P(0)=.3679, P(<=1)=.7358,
+#: P(<=2)=.9197, P(<=3)=.9810, P(<=4)=.9963, else 5. Integer thresholds
+#: on the portable hash make the weight a pure cross-engine function.
+_POISSON_CUTS = (3679, 7358, 9197, 9810, 9963)
+
+
+@query(
+    "quality_bootstrap_ci",
+    f"""
+    WITH q AS ({{quality_oracle}}),
+    rep AS (
+        SELECT doc_id, quality_score, unnest(generate_series(1, {_BOOT_B})) AS b
+        FROM q
+    ),
+    w AS (
+        SELECT b, quality_score,
+               CASE WHEN h < {_POISSON_CUTS[0]} THEN 0
+                    WHEN h < {_POISSON_CUTS[1]} THEN 1
+                    WHEN h < {_POISSON_CUTS[2]} THEN 2
+                    WHEN h < {_POISSON_CUTS[3]} THEN 3
+                    WHEN h < {_POISSON_CUTS[4]} THEN 4
+                    ELSE 5 END AS w
+        FROM (SELECT b, quality_score,
+                     ({stable_hash64_sql("'boot:' || b::VARCHAR || ':' || doc_id::VARCHAR")}
+                      % 10000) AS h
+              FROM rep)
+    ),
+    mb AS (
+        SELECT b, round(sum(w * quality_score) / nullif(sum(w), 0), 6) AS mb
+        FROM w GROUP BY b
+    )
+    SELECT (SELECT count(*) FROM q)::BIGINT AS n_docs,
+           (SELECT round(avg(quality_score), 6) FROM q) AS mean_score,
+           round(quantile_cont(mb, 0.025), 6) AS ci_lo,
+           round(quantile_cont(mb, 0.975), 6) AS ci_hi
+    FROM mb
+    """,
+    doc="Poisson bootstrap over the corpus quality score: per replicate "
+    "b, every document draws a deterministic pseudo-Poisson(1) weight "
+    "(integer CDF thresholds on the portable hash of (b, doc_id)), "
+    "replicate means fold per b, and the 2.5/97.5 percentiles give the "
+    "CI — the bootstrap that works at 100 TB because no resample is "
+    "ever materialized per-row beyond a B-way explode with map-side "
+    "partial aggregation (the Poisson approximation to multinomial "
+    "resampling is the published at-scale substitute). Replicate means "
+    "round 6dp before the percentile so both engines rank identical "
+    "operands; oracle composes the registered quality SQL.",
+)
+def quality_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feat = text_ops.quality_features(docs).select("doc_id", "quality_score")
+    rep = feat.select(
+        "doc_id",
+        "quality_score",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+    )
+    h = F.pmod(
+        stable_hash64(
+            F.concat(
+                F.lit("boot:"),
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+        F.lit(10_000),
+    )
+    w = (
+        F.when(h < _POISSON_CUTS[0], 0)
+        .when(h < _POISSON_CUTS[1], 1)
+        .when(h < _POISSON_CUTS[2], 2)
+        .when(h < _POISSON_CUTS[3], 3)
+        .when(h < _POISSON_CUTS[4], 4)
+        .otherwise(5)
+    )
+    mb = (
+        rep.select("b", w.alias("w"), "quality_score")
+        .groupBy("b")
+        .agg(
+            F.round(
+                F.expr("sum(w * quality_score) / nullif(sum(w), 0)"), 6
+            ).alias("mb")
+        )
+    )
+    stats = mb.agg(
+        F.round(F.expr("percentile(mb, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(mb, 0.975)"), 6).alias("ci_hi"),
+    )
+    overall = feat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("quality_score"), 6).alias("mean_score"),
+    )
+    return overall.join(F.broadcast(stats)).select(
+        "n_docs", "mean_score", "ci_lo", "ci_hi"
+    )
+
+
 # Late-bind the composed oracles now that the base queries are
 # guaranteed registered (this module imports after queries_llm).
 def _compose_oracles() -> None:
@@ -694,6 +873,7 @@ def _compose_oracles() -> None:
         ("perplexity_bands_scalable", "doc_lm_perplexity", "ppl_oracle"),
         ("selection_pipeline", "doc_clf_quality", "clf_oracle"),
         ("mixture_sample_manifest", "temperature_mixture_plan", "tmix_oracle"),
+        ("quality_bootstrap_ci", "doc_quality_scores", "quality_oracle"),
     ):
         q = REGISTRY[name]
         REGISTRY[name] = type(q)(

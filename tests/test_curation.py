@@ -161,3 +161,17 @@ def test_mixture_manifest_budget_semantics(spark, sf_correctness):
         assert r.sampled_tokens < r.target_tokens + max_doc[r.lang]
         if avail[r.lang] >= r.target_tokens:
             assert r.sampled_tokens >= r.target_tokens
+
+
+def test_quality_bootstrap_ci_brackets_mean(spark, sf_correctness):
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry
+
+    r = entry.queries()["quality_bootstrap_ci"](spark, sf_correctness).collect()[0]
+    assert r.ci_lo <= r.mean_score <= r.ci_hi
+    assert r.ci_hi > r.ci_lo  # nonzero width
+    # Poisson bootstrap of a mean over n docs: width ~ O(1/sqrt(n)),
+    # far tighter than the score range
+    assert (r.ci_hi - r.ci_lo) < 0.2
