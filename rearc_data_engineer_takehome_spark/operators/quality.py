@@ -676,3 +676,89 @@ def column_entropy(df: DataFrame, col: str) -> DataFrame:
             F.sum("c").alias("n_rows"),
         )
     )
+
+
+def fk_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    relationship: str,
+) -> DataFrame:
+    """Referential-integrity audit for one FK relationship: how many
+    child rows reference a parent key that does not exist (orphans),
+    and how many parent keys have no children (childless) — the
+    reconciliation every warehouse load runs after ingesting related
+    tables independently.
+
+    Scale shape: two left-anti joins on the key. The parent side of
+    the orphan check is key-distinct (dimension-sized → broadcast for
+    catalog tables); the childless check aggregates the child side to
+    distinct keys FIRST so the anti-join compares key sets, never fact
+    rows. Output: one row (relationship, n_child, n_orphans,
+    n_parents, n_childless).
+    """
+    ck = child.select(F.col(child_key).alias("k"))
+    pk = parent.select(F.col(parent_key).alias("k")).distinct()
+    orphans = ck.join(pk, "k", "left_anti")
+    childless = pk.join(ck.distinct(), "k", "left_anti")
+    counts = ck.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+    return (
+        counts.join(F.broadcast(orphans.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orphans"))))
+        .join(F.broadcast(pk.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parents"))))
+        .join(F.broadcast(childless.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_childless"))))
+        .select(
+            F.lit(relationship).alias("relationship"),
+            "n_child",
+            "n_orphans",
+            "n_parents",
+            "n_childless",
+        )
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot reconciliation: classify every key as added / removed /
+    changed / unchanged between two table versions — the audit behind
+    CDC validation, backfill verification, and mirror-sync drift
+    checks (the reference's hash-skip mirror is the file-level cousin).
+
+    Rows compare by md5 over the concatenated compare columns (null-
+    tagged so NULL != ''), so the join carries (key, 32-byte digest)
+    regardless of row width — the same never-shuffle-the-payload
+    discipline as exact dedup. One full-outer join on the key.
+
+    Output: (change_type, n_rows), one row per change class present.
+    """
+    def digest(df: DataFrame) -> DataFrame:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in compare_cols
+        ]
+        return df.select(
+            F.col(key_col).alias("k"),
+            F.md5(F.concat_ws("\x1f", *parts)).alias("d"),
+        )
+
+    o = digest(old).alias("o")
+    n = digest(new).alias("n")
+    joined = o.join(n, F.col("o.k") == F.col("n.k"), "full_outer")
+    change = (
+        F.when(F.col("o.k").isNull(), "added")
+        .when(F.col("n.k").isNull(), "removed")
+        .when(F.col("o.d") != F.col("n.d"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )

@@ -864,6 +864,106 @@ def quality_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "fk_integrity_audit",
+    """
+    SELECT 'lineitem->orders' AS relationship,
+           (SELECT count(*) FROM lineitem)::BIGINT AS n_child,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+               AS n_orphans,
+           (SELECT count(DISTINCT o_orderkey) FROM orders)::BIGINT
+               AS n_parents,
+           (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders) p
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = p.o_orderkey))::BIGINT
+               AS n_childless
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders)::BIGINT,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))::BIGINT,
+           (SELECT count(DISTINCT c_custkey) FROM customer)::BIGINT,
+           (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer) p
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = p.c_custkey))::BIGINT
+    """,
+    doc="Referential-integrity audit (quality.fk_integrity) over the "
+    "schema's two FK chains: orphaned child rows (child key missing "
+    "from the parent) and childless parent keys, per relationship. "
+    "Anti-joins compare key SETS — the childless side aggregates the "
+    "fact to distinct keys first, and catalog-sized parent key sets "
+    "broadcast. The V-tier check the reference's notebook asserts "
+    "implicitly by joining and counting nulls.",
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import fk_integrity
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    a = fk_integrity(li, orders, "l_orderkey", "o_orderkey", "lineitem->orders")
+    b = fk_integrity(orders, cust, "o_custkey", "c_custkey", "orders->customer")
+    return a.unionByName(b)
+
+
+@query(
+    "snapshot_table_diff",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderstatus AS status
+        FROM orders
+    ),
+    old AS (SELECT * FROM base WHERE k % 997 <> 0),
+    new AS (
+        SELECT k,
+               CASE WHEN k % 13 = 0 THEN cents * 2 ELSE cents END AS cents,
+               status
+        FROM base WHERE k % 991 <> 0
+    ),
+    od AS (SELECT k, md5(concat_ws(chr(31), cents::VARCHAR, status)) AS d FROM old),
+    nd AS (SELECT k, md5(concat_ws(chr(31), cents::VARCHAR, status)) AS d FROM new),
+    j AS (
+        SELECT od.k AS ok, nd.k AS nk, od.d AS odig, nd.d AS ndig
+        FROM od FULL OUTER JOIN nd ON od.k = nd.k
+    )
+    SELECT CASE WHEN ok IS NULL THEN 'added'
+                WHEN nk IS NULL THEN 'removed'
+                WHEN odig <> ndig THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           count(*)::BIGINT AS n_rows
+    FROM j GROUP BY 1
+    """,
+    doc="Snapshot reconciliation (quality.snapshot_diff): classify "
+    "every key as added/removed/changed/unchanged between two table "
+    "versions (derived here as deterministic modulo variants of "
+    "orders, with prices integer-cent-encoded so the row digest is "
+    "float-format-independent across engines). The full-outer join "
+    "carries (key, 32-byte md5 digest) regardless of row width — the "
+    "exact-dedup payload discipline applied to CDC validation.",
+)
+def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import snapshot_diff
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    old = base.where(F.col("o_orderkey") % 997 != 0)
+    new = base.where(F.col("o_orderkey") % 991 != 0).withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("cents") * 2
+        ).otherwise(F.col("cents")),
+    )
+    return snapshot_diff(old, new, "o_orderkey", ["cents", "status"])
+
+
 # Late-bind the composed oracles now that the base queries are
 # guaranteed registered (this module imports after queries_llm).
 def _compose_oracles() -> None:

@@ -197,3 +197,37 @@ def test_grouped_exact_quantiles_scalable_matches_single_pass(spark, sf_smoke):
             ).collect()
         }
         assert got == ref, col
+
+
+def test_fk_integrity_detects_planted_orphans(spark):
+    from rearc_data_engineer_takehome_spark.operators.quality import fk_integrity
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    child = spark.createDataFrame([(1,), (1,), (2,), (9,)], ["fk"])
+    r = fk_integrity(child, parent, "fk", "pk", "c->p").collect()[0]
+    assert (r.n_child, r.n_orphans, r.n_parents, r.n_childless) == (4, 1, 3, 1)
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from rearc_data_engineer_takehome_spark.operators.quality import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10, "A"), (2, 20, "B"), (3, 30, "C")], ["k", "v", "s"]
+    )
+    new = spark.createDataFrame(
+        [(1, 10, "A"), (2, 25, "B"), (4, 40, "D")], ["k", "v", "s"]
+    )
+    got = {r.change_type: r.n_rows for r in
+           snapshot_diff(old, new, "k", ["v", "s"]).collect()}
+    assert got == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_snapshot_diff_null_vs_empty_string_differ(spark):
+    """The null tag in the digest must distinguish NULL from ''."""
+    from rearc_data_engineer_takehome_spark.operators.quality import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, s string")
+    new = spark.createDataFrame([(1, "")], "k long, s string")
+    got = {r.change_type: r.n_rows for r in
+           snapshot_diff(old, new, "k", ["s"]).collect()}
+    assert got == {"changed": 1}
