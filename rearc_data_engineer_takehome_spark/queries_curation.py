@@ -964,6 +964,142 @@ def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, "o_orderkey", ["cents", "status"])
 
 
+_NOV_SHINGLES = word_shingles_sql("t", 3)
+
+
+@query(
+    "doc_novelty_scores",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents
+               WHERE text IS NOT NULL),
+    sh AS (SELECT DISTINCT doc_id,
+                  {stable_hash64_sql(f"unnest({_NOV_SHINGLES})")} AS h
+           FROM t),
+    df AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+    j AS (SELECT sh.doc_id, (df.df = 1)::INT AS uniq FROM sh JOIN df USING (h))
+    SELECT doc_id,
+           count(*)::BIGINT AS n_shingles,
+           sum(uniq)::BIGINT AS n_unique,
+           round(sum(uniq) / count(*)::DOUBLE, 6) AS novelty_ratio
+    FROM j GROUP BY doc_id
+    """,
+    doc="Document novelty against the corpus: the fraction of a doc's "
+    "distinct 3-shingles appearing in NO other document — high ratio = "
+    "genuinely novel text, low = syndicated/boilerplate-dominated (the "
+    "inverse signal of repeated_span_boilerplate, at doc granularity). "
+    "Rides the inverted-index shape of the dedup tier: distinct "
+    "(doc, shingle-hash) posting list, document frequencies, one "
+    "hash-keyed join back — raw shingle text never shuffles twice.",
+)
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import _shingle_posting
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    posting = _shingle_posting(docs, "text", "doc_id", 3, None)
+    dfreq = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("dfx"))
+    j = posting.join(dfreq, "sh").select(
+        "doc_id", (F.col("dfx") == 1).cast("int").alias("uniq")
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum("uniq").cast("bigint").alias("n_unique"),
+        F.round(
+            F.sum("uniq") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("novelty_ratio"),
+    )
+
+
+@query(
+    "cross_source_duplication",
+    """
+    WITH d AS (
+        SELECT DISTINCT md5(text) AS g, source
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*)::BIGINT AS n_shared_contents
+    FROM d a JOIN d b ON a.g = b.g AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    doc="Syndication overlap matrix: for every source pair, how many "
+    "distinct CONTENTS (exact digests) appear in both — the signal "
+    "that tells you which crawl sources republish each other, and "
+    "therefore which per-source token counts double-count. Joins "
+    "(digest, source) pairs deduplicated per source first, so the "
+    "self-join compares content SETS — never row pairs — and output "
+    "is bounded by sources² regardless of corpus size.",
+)
+def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(F.md5("text").alias("g"), "source")
+        .distinct()
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_contents"))
+    )
+
+
+_DECAY_HL_S = 86_400  # one-day half-life
+
+
+@query(
+    "events_decayed_user_value",
+    f"""
+    WITH m AS (SELECT max(epoch_us(ts)) AS t_ref FROM events),
+    w AS (
+        SELECT user_id,
+               value * pow(0.5, (m.t_ref - epoch_us(ts))
+                                / ({_DECAY_HL_S} * 1000000.0)) AS wv
+        FROM events CROSS JOIN m
+        WHERE value IS NOT NULL AND value >= 0
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           round(sum(wv), 4) AS decayed_value
+    FROM w GROUP BY user_id
+    """,
+    doc="Exponential time-decay aggregation (one-day half-life): each "
+    "event contributes value * 0.5^(age/half_life) measured from the "
+    "corpus max timestamp — the standard recency-weighted engagement "
+    "score. Age arithmetic is exact integer microseconds (epoch_us / the NTZ-safe timestamp_diff twin) divided once; pow(0.5, x) with x from identical "
+    "integers keeps engines in lockstep, and the sum rounds 4dp. One "
+    "1-row broadcast (t_ref) + one user-keyed agg.",
+)
+def events_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.timeops import epoch_micros
+
+    ev = _t(spark, sf_dir, "events")
+    us = epoch_micros("ts")
+    m = ev.agg(F.max(us).alias("t_ref"))
+    wv = F.col("value") * F.pow(
+        F.lit(0.5),
+        (F.col("t_ref") - us) / F.lit(_DECAY_HL_S * 1_000_000.0),
+    )
+    return (
+        ev.where(F.col("value").isNotNull() & (F.col("value") >= 0))
+        .join(F.broadcast(m))
+        .select("user_id", wv.alias("wv"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("wv"), 4).alias("decayed_value"),
+        )
+    )
+
+
 # Late-bind the composed oracles now that the base queries are
 # guaranteed registered (this module imports after queries_llm).
 def _compose_oracles() -> None:
