@@ -1100,6 +1100,108 @@ def events_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GRID_PS = ", ".join(f"{i / 100.0!r}" for i in range(101))
+
+
+@query(
+    "source_score_calibration",
+    f"""
+    WITH q0 AS ({{quality_oracle}}),
+    q AS (SELECT q0.doc_id, d.source, q0.quality_score AS s
+          FROM q0 JOIN documents d USING (doc_id)),
+    grid0 AS (
+        SELECT quantile_cont(s, [{_GRID_PS}]) AS gs FROM q
+    ),
+    grid AS (
+        SELECT i, round(gs[i + 1], 6) AS g
+        FROM grid0 CROSS JOIN (SELECT unnest(generate_series(0, 100)) AS i)
+    ),
+    r AS (
+        SELECT source, doc_id, s,
+               round(percent_rank() OVER (PARTITION BY source
+                                          ORDER BY s ASC, doc_id ASC), 6) AS p
+        FROM q
+    ),
+    interp AS (
+        SELECT r.source, r.s,
+               round(lo.g + (hi.g - lo.g) * (r.p * 100.0 - floor(r.p * 100.0)),
+                     6) AS cal
+        FROM r
+        JOIN grid lo ON lo.i = CAST(floor(r.p * 100.0) AS INT)
+        JOIN grid hi ON hi.i = least(CAST(floor(r.p * 100.0) AS INT) + 1, 100)
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           round(avg(s), 6) AS avg_raw,
+           round(avg(cal), 6) AS avg_calibrated,
+           round(max(abs(cal - s)), 6) AS max_shift
+    FROM interp GROUP BY source
+    """,
+    doc="Cross-source score calibration (quantile normalization): map "
+    "every document's quality score to the GLOBAL score distribution's "
+    "quantile at that document's within-source percent rank — the "
+    "standard correction when a quality classifier is mis-scaled on "
+    "some sources, so per-source thresholds select comparable mass. "
+    "The global distribution compresses to a bounded 101-point exact "
+    "quantile grid (broadcast), within-source ranks are one window, "
+    "and calibration is linear interpolation between adjacent grid "
+    "points — no global sort of the fact, no per-row percentile call. "
+    "6dp rounding on ranks, grid, and outputs (kmeans contract); "
+    "oracle composes the registered quality SQL.",
+)
+def source_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    q = text_ops.quality_features(docs).select(
+        "doc_id", "source", F.col("quality_score").alias("s")
+    )
+    grid = q.agg(
+        *[
+            F.round(F.expr(f"percentile(s, {i / 100.0})"), 6).alias(f"g{i}")
+            for i in range(101)
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), F.col(f"g{i}").alias("g")
+                    )
+                    for i in range(101)
+                ]
+            )
+        ).alias("e")
+    ).select(F.col("e.i").alias("i"), F.col("e.g").alias("g"))
+    w = Window.partitionBy("source").orderBy(F.col("s").asc(), F.col("doc_id").asc())
+    r = q.select(
+        "source", "s", F.round(F.percent_rank().over(w), 6).alias("p")
+    )
+    lo_i = F.floor(F.col("p") * 100.0).cast("int")
+    r2 = r.select("source", "s", "p", lo_i.alias("lo_i"))
+    lo = grid.select(F.col("i").alias("lo_i"), F.col("g").alias("g_lo"))
+    hi = grid.select(F.col("i").alias("hi_i"), F.col("g").alias("g_hi"))
+    interp = (
+        r2.join(F.broadcast(lo), "lo_i")
+        .withColumn("hi_i", F.least(F.col("lo_i") + 1, F.lit(100)))
+        .join(F.broadcast(hi), "hi_i")
+        .select(
+            "source",
+            "s",
+            F.round(
+                F.col("g_lo")
+                + (F.col("g_hi") - F.col("g_lo"))
+                * (F.col("p") * 100.0 - F.floor(F.col("p") * 100.0)),
+                6,
+            ).alias("cal"),
+        )
+    )
+    return interp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("s"), 6).alias("avg_raw"),
+        F.round(F.avg("cal"), 6).alias("avg_calibrated"),
+        F.round(F.max(F.abs(F.col("cal") - F.col("s"))), 6).alias("max_shift"),
+    )
+
+
 # Late-bind the composed oracles now that the base queries are
 # guaranteed registered (this module imports after queries_llm).
 def _compose_oracles() -> None:
@@ -1110,6 +1212,7 @@ def _compose_oracles() -> None:
         ("selection_pipeline", "doc_clf_quality", "clf_oracle"),
         ("mixture_sample_manifest", "temperature_mixture_plan", "tmix_oracle"),
         ("quality_bootstrap_ci", "doc_quality_scores", "quality_oracle"),
+        ("source_score_calibration", "doc_quality_scores", "quality_oracle"),
     ):
         q = REGISTRY[name]
         REGISTRY[name] = type(q)(
