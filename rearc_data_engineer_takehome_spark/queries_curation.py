@@ -1202,6 +1202,61 @@ def source_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEBOUNCE_S = 60
+
+
+@query(
+    "events_debounced_counts",
+    f"""
+    WITH o AS (
+        SELECT user_id, event_type,
+               epoch_us(ts) AS tus,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts ASC, event_id ASC
+               ) AS prev
+        FROM events
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_raw,
+           sum((prev IS NULL OR tus - prev > {_DEBOUNCE_S} * 1000000)::INT)
+               ::BIGINT AS n_kept,
+           sum((prev IS NOT NULL AND tus - prev <= {_DEBOUNCE_S} * 1000000)::INT)
+               ::BIGINT AS n_bounced
+    FROM o GROUP BY user_id
+    """,
+    doc="Event debouncing: drop repeats of the same (user, type) "
+    "arriving within 60s of the PREVIOUS occurrence — the standard "
+    "double-fire / retry-storm cleanup before engagement metrics. "
+    "Lag-window semantics (each kept event resets nothing: the gap is "
+    "measured to the immediately preceding raw event, the classic "
+    "debounce rather than throttle); exact integer-microsecond gaps, "
+    "event_id tie-break, one (user, type)-keyed window then a "
+    "user-keyed fold.",
+)
+def events_debounced_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.timeops import epoch_micros
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    tus = epoch_micros("ts")
+    o = ev.select(
+        "user_id",
+        tus.alias("tus"),
+        F.lag(tus).over(w).alias("prev"),
+    )
+    kept = F.col("prev").isNull() | (
+        F.col("tus") - F.col("prev") > _DEBOUNCE_S * 1_000_000
+    )
+    return o.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        F.sum((~kept).cast("int")).cast("bigint").alias("n_bounced"),
+    )
+
+
 # Late-bind the composed oracles now that the base queries are
 # guaranteed registered (this module imports after queries_llm).
 def _compose_oracles() -> None:

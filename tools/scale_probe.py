@@ -81,6 +81,8 @@ PROBE_QUERIES = [
     "embedding_pca_projection",  # moment fold + driver power iteration
     "hard_negative_mining",  # broadcast anchors + anchor-keyed top-k
     "bpe_train_merge_table",  # corpus fold once + vocab-scale rounds
+    "doc_novelty_scores",  # inverted index + df join-back
+    "source_score_calibration",  # 101-point grid + per-source rank window
 ]
 
 
