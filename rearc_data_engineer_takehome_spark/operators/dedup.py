@@ -552,17 +552,47 @@ def simhash_pairs(
     grows linearly with corpus size), so at corpus scale set a cap (or
     raise ``n_bands``/band width) or the self-join is infeasible.
     """
-    width = bits // n_bands
     fp = simhash_fingerprints(df, text_col, id_col, bits)
+    return fingerprint_band_pairs(
+        fp,
+        fp_col="simhash",
+        id_col=id_col,
+        bits=bits,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        max_bucket=max_bucket,
+    )
+
+
+def fingerprint_band_pairs(
+    fp: DataFrame,
+    fp_col: str,
+    id_col: str,
+    bits: int,
+    max_hamming: int,
+    n_bands: int,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Generic Hamming near-dup pairing over ANY bigint fingerprint
+    column (SimHash text fingerprints, perceptual image hashes, ...):
+    band the fingerprint into ``n_bands`` equal bit-slices, self-join on
+    shared (band, value) buckets (pigeonhole: hamming <= n_bands-1
+    guarantees a shared band), verify with exact popcount Hamming.
+    ``max_bucket`` opts into the star-pairing cap (see
+    :func:`simhash_pairs` for the completeness trade-off).
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, hamming <= max.
+    """
+    width = bits // n_bands
     banded = fp.select(
         id_col,
-        "simhash",
+        fp_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), i * width)
+                        F.shiftright(F.col(fp_col), i * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("bh"),
                     )
@@ -570,7 +600,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("bd"),
-    ).select(id_col, "simhash", "bd.band", "bd.bh")
+    ).select(id_col, fp_col, "bd.band", "bd.bh")
     if max_bucket is not None:
         banded = banded.persist()
         bstats = banded.groupBy("band", "bh").agg(
@@ -582,7 +612,7 @@ def simhash_pairs(
                 (F.col("__bn") <= F.lit(max_bucket))
                 | (F.col(id_col) == F.col("__bmin"))
             )
-            .select(id_col, "simhash", "band", "bh")
+            .select(id_col, fp_col, "band", "bh")
         )
     else:
         left = banded
@@ -593,7 +623,9 @@ def simhash_pairs(
         .select(
             F.col(f"x.{id_col}").alias("id_a"),
             F.col(f"y.{id_col}").alias("id_b"),
-            hashing.hamming64(F.col("x.simhash"), F.col("y.simhash")).alias("hamming"),
+            hashing.hamming64(F.col(f"x.{fp_col}"), F.col(f"y.{fp_col}")).alias(
+                "hamming"
+            ),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)

@@ -184,3 +184,94 @@ def synthesize_assets(spark, documents: DataFrame, modality_cycle=("image", "aud
         F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
         F.to_json(F.struct(F.col("lang"), F.col("source"))).alias("meta_json"),
     )
+
+
+#: number of pseudo-pixels in the perceptual-hash grid. 63 (not 64) so
+#: the packed hash Σ bit_i << i stays inside a signed BIGINT in both
+#: engines without touching the sign bit.
+PHASH_PIXELS = 63
+
+
+def perceptual_hashes(assets: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Perceptual (average-hash) fingerprints for image assets: decode
+    to a small grayscale grid, threshold each pixel against the grid
+    mean, pack the bits into one BIGINT. Visually-identical images
+    produce identical hashes and small corruptions flip few bits, so
+    Hamming distance ranks near-duplicates — the image-side analogue of
+    SimHash for text.
+
+    Under the stub decoder the "grid" is the deterministic sha256 chain
+    of the payload (digest + sha256(digest), first 63 bytes) — exactly
+    replayable in SQL, so the full mapInPandas path stays oracle-
+    gated; production swaps a real thumbnail via DECODERS without
+    touching the packing or pairing. The mean comparison is the exact
+    integer cross-multiplication p_i * 63 > sum(p) (no float mean, no
+    boundary disagreement).
+
+    Output: (asset_id, phash bigint) for image-modality assets.
+    """
+    if decoder not in DECODERS:
+        raise ValueError(f"unknown decoder {decoder!r}")
+    if decoder == "real":  # pragma: no cover - production hook
+        raise NotImplementedError("real thumbnail decode not available here")
+
+    from .relational import spread_compute
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("phash", LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                if row.modality != "image" or row.payload is None:
+                    continue
+                d1 = hashlib.sha256(row.payload).digest()
+                # second block chains on the lowercase HEX of d1 (not
+                # raw bytes): DuckDB's sha256 only accepts VARCHAR, so
+                # hex-chaining is the form both engines can compute
+                d2 = hashlib.sha256(d1.hex().encode()).digest()
+                grid = (d1 + d2)[:PHASH_PIXELS]
+                total = sum(grid)
+                h = 0
+                for i, p in enumerate(grid):
+                    if p * PHASH_PIXELS > total:
+                        h |= 1 << i
+                rows.append({"asset_id": row.asset_id, "phash": h})
+            yield pd.DataFrame(rows, columns=["asset_id", "phash"])
+
+    return (
+        spread_compute(assets)
+        .select("asset_id", "modality", "payload")
+        .mapInPandas(run, schema=schema)
+    )
+
+
+def phash_near_dup_pairs(
+    assets: DataFrame,
+    decoder: str = "fake",
+    max_hamming: int = 6,
+    n_bands: int = 7,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Image near-dup pairs: perceptual hashes + the generic Hamming
+    band-pairing shared with SimHash (``dedup.fingerprint_band_pairs``)
+    — 63 bits in 7 nine-bit bands, so pigeonhole guarantees every pair
+    within hamming <= 6 shares a band. ``max_bucket`` is the usual
+    star-pairing cap for duplicate-heavy image corpora."""
+    from .dedup import fingerprint_band_pairs
+
+    fp = perceptual_hashes(assets, decoder)
+    return fingerprint_band_pairs(
+        fp,
+        fp_col="phash",
+        id_col="asset_id",
+        bits=PHASH_PIXELS,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        max_bucket=max_bucket,
+    )

@@ -1257,6 +1257,65 @@ def events_debounced_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_phash_dedup",
+    """
+    WITH img AS (
+        SELECT doc_id AS asset_id, text FROM documents
+        WHERE doc_id % 3 = 0 AND text IS NOT NULL
+    ),
+    grids AS (
+        SELECT asset_id, sha256(text) AS h1, sha256(sha256(text)) AS h2
+        FROM img
+    ),
+    pix AS (
+        SELECT asset_id, i,
+               CASE WHEN i < 32
+                    THEN ('0x' || substr(h1, (i * 2 + 1)::INT, 2))::BIGINT
+                    ELSE ('0x' || substr(h2, ((i - 32) * 2 + 1)::INT, 2))::BIGINT
+               END AS p
+        FROM grids CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS i)
+    ),
+    ph AS (
+        SELECT asset_id,
+               sum(CASE WHEN p * 63 > tot THEN (1::BIGINT << i) ELSE 0 END)
+                   ::BIGINT AS phash
+        FROM (SELECT asset_id, i, p,
+                     sum(p) OVER (PARTITION BY asset_id) AS tot
+              FROM pix)
+        GROUP BY asset_id
+    ),
+    banded AS (
+        SELECT asset_id, phash, b,
+               (phash >> (b * 9)) & 511 AS bv
+        FROM ph CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b,
+               bit_count(xor(a.phash, b.phash))::INT AS hamming
+        FROM banded a JOIN banded b
+          ON a.b = b.b AND a.bv = b.bv AND a.asset_id < b.asset_id
+    )
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 6
+    """,
+    doc="Image near-dup pairs via perceptual average-hash "
+    "(multimodal.phash_near_dup_pairs): decode each image asset to a "
+    "63-pseudo-pixel grid (stub codec = sha256 hex-chain, replayed "
+    "byte-for-byte in SQL; production swaps a real thumbnail), "
+    "threshold pixels against the grid mean with exact integer "
+    "cross-multiplication, pack to a BIGINT, and pair via the SAME "
+    "generic Hamming band-join as SimHash (7 nine-bit bands, "
+    "pigeonhole-complete to hamming 6). The whole mapInPandas path "
+    "stays value-hash oracle-gated.",
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    assets = multimodal.synthesize_assets(spark, docs)
+    return multimodal.phash_near_dup_pairs(assets)
+
+
 # Late-bind the composed oracles now that the base queries are
 # guaranteed registered (this module imports after queries_llm).
 def _compose_oracles() -> None:

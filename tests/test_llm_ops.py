@@ -818,3 +818,40 @@ def test_repeated_spans_content_sampling_is_consistent_subset(spark):
     assert set(sampled) < set(full) or set(sampled) == set(full)
     for span, stats in sampled.items():
         assert stats == full[span]
+
+
+def test_phash_identical_images_pair_at_zero(spark):
+    """Identical payloads must produce identical perceptual hashes
+    (hamming 0 pair); unrelated payloads' random 63-bit hashes must
+    not pair within hamming 6."""
+    rows = [
+        (0, "image", "synthetic", b"same-bytes", 10, None),
+        (3, "image", "synthetic", b"same-bytes", 10, None),
+        (6, "image", "synthetic", b"other-bytes", 11, None),
+        (9, "audio", "synthetic", b"same-bytes", 10, None),  # not an image
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    pairs = multimodal.phash_near_dup_pairs(assets).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(0, 3, 0)]
+
+
+def test_phash_grid_matches_reference(spark):
+    """The packed hash must equal a direct Python recomputation of the
+    sha256 hex-chain grid + integer mean threshold."""
+    import hashlib
+
+    payload = b"reference-image"
+    d1 = hashlib.sha256(payload).digest()
+    d2 = hashlib.sha256(d1.hex().encode()).digest()
+    grid = (d1 + d2)[:63]
+    total = sum(grid)
+    want = 0
+    for i, p in enumerate(grid):
+        if p * 63 > total:
+            want |= 1 << i
+    assets = spark.createDataFrame(
+        [(1, "image", "synthetic", payload, len(payload), None)],
+        multimodal.ASSET_SCHEMA,
+    )
+    got = multimodal.perceptual_hashes(assets).collect()[0]
+    assert got.phash == want
