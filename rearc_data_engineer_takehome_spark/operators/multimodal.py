@@ -153,7 +153,12 @@ def sample_frames(
                 if row.modality != "video" or row.payload is None:
                     continue
                 for i in range(0, max_frames * every_n, every_n):
-                    frame = hashlib.sha256(row.payload + i.to_bytes(4, "big")).hexdigest()
+                    # frame-index suffix is an ASCII tag (not raw int
+                    # bytes): NUL bytes are illegal in DuckDB VARCHARs,
+                    # and the ASCII form keeps frame hashes SQL-replayable
+                    frame = hashlib.sha256(
+                        row.payload + f":frame:{i}".encode()
+                    ).hexdigest()
                     rows.append(
                         {"asset_id": row.asset_id, "frame_index": i, "frame_sha256": frame}
                     )

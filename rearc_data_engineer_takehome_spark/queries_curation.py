@@ -1316,6 +1316,53 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_near_dup_pairs(assets)
 
 
+@query(
+    "video_frame_overlap",
+    """
+    WITH vid AS (
+        SELECT doc_id AS asset_id, text FROM documents
+        WHERE doc_id % 3 = 2 AND text IS NOT NULL
+    ),
+    frames AS (
+        SELECT asset_id,
+               sha256(text || ':frame:' || (i * 2)::VARCHAR) AS fh
+        FROM vid CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+    )
+    SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+           count(*)::BIGINT AS n_shared,
+           round(count(*) / 4.0, 6) AS overlap_ratio
+    FROM frames a JOIN frames b
+      ON a.fh = b.fh AND a.asset_id < b.asset_id
+    GROUP BY 1, 2
+    """,
+    doc="Frame-level video near-dup (multimodal.sample_frames): sample "
+    "every video's frames (stub codec = deterministic sha256 of "
+    "payload + ASCII frame tag, SQL-replayable), then join videos on "
+    "shared frame hashes — the standard video-dedup architecture "
+    "(frame fingerprints + set overlap), with the mapInPandas "
+    "one-to-many expansion doing the sampling. The join carries "
+    "64-char digests only; per-video frame count is fixed (4), so "
+    "overlap_ratio is an exact frame-set Jaccard numerator.",
+)
+def video_frame_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    assets = multimodal.synthesize_assets(spark, docs)
+    frames = multimodal.sample_frames(assets, every_n=2, max_frames=4)
+    a = frames.select(F.col("asset_id").alias("id_a"), F.col("frame_sha256").alias("fh"))
+    b = frames.select(F.col("asset_id").alias("id_b"), F.col("frame_sha256").alias("fh"))
+    return (
+        a.join(b, "fh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.round(F.count(F.lit(1)) / 4.0, 6).alias("overlap_ratio"),
+        )
+    )
+
+
 # Late-bind the composed oracles now that the base queries are
 # guaranteed registered (this module imports after queries_llm).
 def _compose_oracles() -> None:
