@@ -1363,6 +1363,93 @@ def video_frame_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_health_dashboard",
+    f"""
+    WITH base AS (
+        SELECT doc_id, text, lang, len({_TOKS}) AS n_tok, md5(text) AS g
+        FROM documents WHERE text IS NOT NULL
+    ),
+    agg AS (
+        SELECT count(*)::BIGINT AS n_docs,
+               count(DISTINCT g)::BIGINT AS n_distinct,
+               count(DISTINCT lang)::BIGINT AS n_langs,
+               sum(n_tok)::BIGINT AS total_tokens,
+               round(avg(n_tok), 4) AS avg_tokens,
+               sum((n_tok < 8)::INT)::BIGINT AS n_short
+        FROM base
+    ),
+    lent AS (
+        SELECT round(-sum(p * ln(p)), 6) AS lang_entropy
+        FROM (SELECT count(*) / sum(count(*)) OVER ()::DOUBLE AS p
+              FROM base GROUP BY lang)
+    ),
+    nulls AS (
+        SELECT count(*)::BIGINT AS n_null
+        FROM documents WHERE text IS NULL
+    )
+    SELECT n_docs, n_distinct,
+           round(1.0 - n_distinct / n_docs::DOUBLE, 6) AS dup_rate,
+           n_langs, lang_entropy, total_tokens, avg_tokens,
+           round(n_short / n_docs::DOUBLE, 6) AS short_doc_rate,
+           n_null
+    FROM agg CROSS JOIN lent CROSS JOIN nulls
+    """,
+    doc="One-row corpus health audit — the dashboard a training-data "
+    "team checks before every run: volume (docs, tokens), exact-dup "
+    "rate (distinct digests over docs), language balance (count + "
+    "Shannon entropy of the language mix), degenerate-document rates "
+    "(sub-8-token shorts, null texts). Two passes over documents "
+    "(the multi-distinct agg and the language fold), everything else "
+    "is 1-row broadcasts; every downstream stage of the curation tier "
+    "keys off one of these numbers.",
+)
+def corpus_health_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.where(F.col("text").isNotNull()).select(
+        "lang",
+        text_ops.token_count_ws("text").alias("n_tok"),
+        F.md5("text").alias("g"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("g").cast("bigint").alias("n_distinct"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        F.sum((F.col("n_tok") < 8).cast("int")).cast("bigint").alias("n_short"),
+    )
+    lang_counts = base.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = lang_counts.agg(F.sum("c").cast("double").alias("t"))
+    p = F.col("c") / F.col("t")
+    lent = (
+        lang_counts.join(F.broadcast(tot))
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"))
+    )
+    nulls = docs.where(F.col("text").isNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_null")
+    )
+    return (
+        agg.join(F.broadcast(lent))
+        .join(F.broadcast(nulls))
+        .select(
+            "n_docs",
+            "n_distinct",
+            F.round(
+                1.0 - F.col("n_distinct") / F.col("n_docs").cast("double"), 6
+            ).alias("dup_rate"),
+            "n_langs",
+            "lang_entropy",
+            "total_tokens",
+            "avg_tokens",
+            F.round(
+                F.col("n_short") / F.col("n_docs").cast("double"), 6
+            ).alias("short_doc_rate"),
+            "n_null",
+        )
+    )
+
+
 # Late-bind the composed oracles now that the base queries are
 # guaranteed registered (this module imports after queries_llm).
 def _compose_oracles() -> None:
