@@ -1450,6 +1450,125 @@ def corpus_health_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUSUM_K = 50.0  # slack per observation
+_CUSUM_H = 200.0  # detection threshold
+
+
+@query(
+    "events_cusum_drift",
+    f"""
+    WITH o AS (
+        SELECT user_id, ts, event_id, value,
+               sum(round(value - {_CUSUM_K}, 6)) OVER w AS p
+        FROM events WHERE value IS NOT NULL AND value >= 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    s AS (
+        SELECT user_id, ts, event_id,
+               round(p - min(p) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC
+                                      ROWS UNBOUNDED PRECEDING), 6) AS cusum
+        FROM o
+    )
+    SELECT user_id,
+           round(max(cusum), 4) AS max_cusum,
+           sum((cusum > {_CUSUM_H})::INT)::BIGINT AS n_over,
+           min(CASE WHEN cusum > {_CUSUM_H}
+                    THEN epoch_us(ts) END)::BIGINT AS first_drift_us
+    FROM s GROUP BY user_id
+    HAVING max(cusum) > {_CUSUM_H}
+    """,
+    doc="One-sided CUSUM drift detection per user (Page 1954): the "
+    "reset-at-zero recurrence S_i = max(0, S_(i-1) + x_i - k) is NOT a "
+    "plain window aggregate, but it equals P_i - running_min(P) for "
+    "P = cumsum(x - k) — two stacked windows on one (user)-keyed "
+    "exchange, no iteration, no UDF. Emits users whose statistic ever "
+    "exceeds h, with exceedance count and first-drift time. Per-step "
+    "increments round 6dp before accumulation so both engines fold "
+    "identical operands (the kmeans contract applied to a recurrence).",
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.timeops import epoch_micros
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    p = F.sum(F.round(F.col("value") - _CUSUM_K, 6)).over(w)
+    o = ev.select("user_id", "ts", "event_id", p.alias("p"))
+    cusum = F.round(F.col("p") - F.min("p").over(w), 6)
+    s = o.select("user_id", "ts", cusum.alias("cusum"))
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.round(F.max("cusum"), 4).alias("max_cusum"),
+            F.sum((F.col("cusum") > _CUSUM_H).cast("int"))
+            .cast("bigint")
+            .alias("n_over"),
+            F.min(
+                F.when(F.col("cusum") > _CUSUM_H, epoch_micros("ts"))
+            )
+            .cast("bigint")
+            .alias("first_drift_us"),
+        )
+        .where(F.col("max_cusum") > _CUSUM_H)
+    )
+
+
+@query(
+    "orders_benford_deviation",
+    """
+    WITH d AS (
+        SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS VARCHAR), 1, 1) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n)::DOUBLE AS tot FROM c)
+    SELECT digit, n,
+           round(n / t.tot, 6) AS p_obs,
+           round(log10(1.0 + 1.0 / digit::INT), 6) AS p_benford,
+           round(abs(n / t.tot - log10(1.0 + 1.0 / digit::INT)), 6)
+               AS abs_dev
+    FROM c CROSS JOIN t
+    """,
+    doc="Benford's-law first-digit audit over order totals — the "
+    "classic forensic data-quality check for fabricated or truncated "
+    "monetary columns. First digits come from the INTEGER-CENT string "
+    "rendering (never float formatting or float log10 near power-of-10 "
+    "boundaries, where engines could disagree); expected mass is "
+    "log10(1 + 1/d). One digit-keyed aggregate + a 1-row total.",
+)
+def orders_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    )
+    c = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = c.agg(F.sum("n").cast("double").alias("tot"))
+    p_benford = F.round(
+        F.log10(1.0 + 1.0 / F.col("digit").cast("int")), 6
+    )
+    return c.join(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 6).alias("p_obs"),
+        p_benford.alias("p_benford"),
+        F.round(
+            F.abs(
+                F.col("n") / F.col("tot")
+                - F.log10(1.0 + 1.0 / F.col("digit").cast("int"))
+            ),
+            6,
+        ).alias("abs_dev"),
+    )
+
+
 # Late-bind the composed oracles now that the base queries are
 # guaranteed registered (this module imports after queries_llm).
 def _compose_oracles() -> None:

@@ -197,3 +197,44 @@ def test_source_score_calibration_shifts_misscaled_source(spark, sf_correctness)
         assert 0.0 <= r.avg_calibrated <= 1.0
         assert r.max_shift >= 0.0
         assert r.n_docs > 0
+
+
+def test_cusum_identity_matches_reset_recurrence(spark):
+    """The cumsum-minus-running-min identity must equal the textbook
+    reset-at-zero recurrence S_i = max(0, S_{i-1} + x_i - k)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    vals = [10.0, 80.0, 90.0, 5.0, 200.0, 300.0, 1.0]
+    k, h = 50.0, 200.0
+    s, mx, n_over, first = 0.0, 0.0, 0, None
+    for i, x in enumerate(vals):
+        s = max(0.0, s + x - k)
+        mx = max(mx, s)
+        if s > h:
+            n_over += 1
+            if first is None:
+                first = i
+    rows = [
+        (i, f"2024-01-01 10:{i:02d}:00", 1, "click", v, None)
+        for i, v in enumerate(vals)
+    ]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double, props string"
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+        "event_type", "value", "props"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/events.parquet")
+        import __spark_entry__ as entry
+
+        out = entry.queries()["events_cusum_drift"](spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert abs(r.max_cusum - round(mx, 4)) < 1e-9
+    assert r.n_over == n_over
