@@ -228,14 +228,20 @@ def exact_quantiles_bracketed(
             .when(ihi == sz + F.lit(1), F.col(f"ma{i}"))
             .otherwise(err)
         )
-        # Spark's percentile interpolates with the two-sided weighted
-        # form (ceil-pos)·lower + (pos-floor)·higher; reproduce it
-        # operand-for-operand (same as exact_quantiles_scalable) so
-        # results are BIT-identical to percentile(), not just within
-        # an ulp.
+        # Spark's percentile aggregates a counts map of DISTINCT values
+        # and RETURNS THE KEY EXACTLY when both bracketing ranks fall on
+        # the same distinct value; only across two distinct values does
+        # it interpolate, with the two-sided weighted form
+        # (ceil-pos)*lo + (pos-floor)*hi. Reproduce BOTH branches
+        # operand-for-operand: the two-sided form alone drifts an ulp
+        # when lo == hi (hypothesis counterexample [0 x6, -25, -25]
+        # @ p=0.05 -> -24.999999999999996), and the one-sided form
+        # lo + frac*(hi-lo) drifts the other way when lo != hi
+        # (counterexample [1, -1] @ p=0.05).
         fkd = fk.cast("double")
         exprs.append(
             F.when(frac == F.lit(0.0), lo)
+            .when(lo == hi, lo)
             .otherwise((fkd + F.lit(1.0) - p) * lo + (p - fkd) * hi)
             .alias(f"q{i}")
         )
@@ -459,14 +465,15 @@ def exact_quantiles_scalable(
         xf = F.coalesce(F.col(f"xf_{i}"), F.col(f"mb_{i}"))
         xc = F.coalesce(F.col(f"xc_{i}"), F.col(f"ma_{i}"))
         frac = F.col(f"frac_{i}")
-        # Spark's percentile interpolates with the two-sided weighted
-        # form (ceil-pos)·lower + (pos-floor)·higher; reproduce it
-        # operand-for-operand so results are BIT-identical, not just
-        # within an ulp
+        # percentile()'s exact branch structure: same-distinct-value
+        # ranks return the value exactly; otherwise two-sided weighted
+        # interpolation (see exact_quantiles_bracketed for the ulp
+        # analysis of why BOTH branches are needed)
         h = F.col(f"h_{i}")
         lo = F.floor(h).cast("double")
         final_cols.append(
             F.when(frac == 0.0, xf)
+            .when(xf == xc, xf)
             .otherwise((lo + 1.0 - h) * xf + (h - lo) * xc)
             .alias(f"q_{i}")
         )
@@ -588,6 +595,7 @@ def grouped_exact_quantiles_scalable(
         lo = F.floor(h).cast("double")
         final_cols.append(
             F.when(frac == 0.0, xf)
+            .when(xf == xc, xf)
             .otherwise((lo + 1.0 - h) * xf + (h - lo) * xc)
             .alias(f"q_{i}")
         )
