@@ -1569,6 +1569,76 @@ def orders_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ab_experiment_readout",
+    f"""
+    WITH assigned AS (
+        SELECT CASE WHEN ({stable_hash64_sql("'exp1:' || user_id::VARCHAR")}
+                          % 100) < 50 THEN 'A' ELSE 'B' END AS variant,
+               value
+        FROM events WHERE value IS NOT NULL AND value >= 0
+    ),
+    s AS (
+        SELECT variant,
+               count(*)::BIGINT AS n,
+               avg(value) AS m,
+               var_samp(value) AS v
+        FROM assigned GROUP BY variant
+    ),
+    w AS (
+        SELECT a.n AS n_a, b.n AS n_b,
+               round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b,
+               round(a.m - b.m, 6) AS lift,
+               round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS z_score
+        FROM s a, s b
+        WHERE a.variant = 'A' AND b.variant = 'B'
+    )
+    SELECT * FROM w
+    """,
+    doc="A/B experiment readout with deterministic exposure: users "
+    "hash-bucket into variants via the portable salted hash (the "
+    "hash_split convention — stable under re-ingestion and engine "
+    "changes, no assignment table to join), then one variant-keyed "
+    "aggregate yields means, sample variances, lift, and the Welch "
+    "z-score. Means round 6dp and z 4dp AFTER the fold (one shuffle "
+    "of 2 keys; the two-row cross join is driver-trivial). The "
+    "product-analytics twin of quality_bootstrap_ci's corpus CI.",
+)
+def ab_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    variant = F.when(
+        F.pmod(
+            stable_hash64(
+                F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))
+            ),
+            F.lit(100),
+        )
+        < 50,
+        "A",
+    ).otherwise("B")
+    s = ev.select(variant.alias("variant"), "value").groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = s.where(F.col("variant") == "A").alias("a")
+    b = s.where(F.col("variant") == "B").alias("b")
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(F.col("a.m"), 6).alias("mean_a"),
+        F.round(F.col("b.m"), 6).alias("mean_b"),
+        F.round(F.col("a.m") - F.col("b.m"), 6).alias("lift"),
+        F.round(
+            (F.col("a.m") - F.col("b.m"))
+            / F.sqrt(F.col("a.v") / F.col("a.n") + F.col("b.v") / F.col("b.n")),
+            4,
+        ).alias("z_score"),
+    )
+
+
 # Late-bind the composed oracles now that the base queries are
 # guaranteed registered (this module imports after queries_llm).
 def _compose_oracles() -> None:
