@@ -988,3 +988,63 @@ def repeated_spans(
         )
         .orderBy(F.col("n_occ").desc(), "first_doc", "first_pos")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 64,
+) -> DataFrame:
+    """ASYMMETRIC containment near-dup pairs (Broder's containment,
+    the counterpart of resemblance/Jaccard): C = |A∩B| / |smaller set|.
+    Symmetric Jaccard under-scores a short document wholly quoted
+    inside a much longer one (|∩|/|∪| shrinks with the big doc);
+    containment flags it at ~1.0 — the signal for quote/excerpt
+    duplication that pretraining dedup needs alongside resemblance.
+
+    Same inverted-index shape (and df cap) as
+    :func:`ngram_jaccard_pairs`; only the normalizer differs. For
+    duplicate-heavy corpora apply the exact-dedup staging of the
+    Jaccard operator first — containment is content-determined, so the
+    member-expansion argument carries over unchanged.
+
+    Output: (id_inner, id_outer, containment) where inner is the doc
+    with the smaller post-cap shingle set (ties: the lower id), and
+    containment = |∩| / |inner| rounded 6dp, >= threshold.
+    """
+    posting = _shingle_posting(df, text_col, id_col, k, max_df).persist()
+    sizes = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = posting.select(F.col(id_col).alias("id_a"), "sh")
+    b = posting.select(F.col(id_col).alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    j = common.join(
+        sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")),
+        "id_a",
+    ).join(
+        sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")),
+        "id_b",
+    )
+    inner_first = F.col("na") <= F.col("nb")
+    containment = F.round(
+        F.col("nc") / F.least("na", "nb").cast("double"), 6
+    )
+    return (
+        j.select(
+            F.when(inner_first, F.col("id_a")).otherwise(F.col("id_b")).alias(
+                "id_inner"
+            ),
+            F.when(inner_first, F.col("id_b")).otherwise(F.col("id_a")).alias(
+                "id_outer"
+            ),
+            containment.alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

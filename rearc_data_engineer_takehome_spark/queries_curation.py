@@ -1639,6 +1639,49 @@ def ab_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONT_SHINGLES = word_shingles_sql("t", 3)
+
+
+@query(
+    "dedup_ngram_containment",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents
+               WHERE text IS NOT NULL),
+    s AS (SELECT doc_id, unnest({_CONT_SHINGLES}) AS sgl FROM t),
+    p0 AS (SELECT DISTINCT doc_id, {stable_hash64_sql("sgl")} AS h FROM s),
+    keep AS (SELECT h FROM (SELECT h, count(*) AS c FROM p0 GROUP BY h)
+             WHERE c <= 64),
+    p AS (SELECT p0.* FROM p0 JOIN keep USING (h)),
+    sz AS (SELECT doc_id, count(*) AS n FROM p GROUP BY doc_id),
+    com AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+        FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT id_a, id_b, nc, sa.n AS na, sb.n AS nb
+        FROM com JOIN sz sa ON sa.doc_id = id_a
+                 JOIN sz sb ON sb.doc_id = id_b
+    )
+    SELECT CASE WHEN na <= nb THEN id_a ELSE id_b END AS id_inner,
+           CASE WHEN na <= nb THEN id_b ELSE id_a END AS id_outer,
+           round(nc / least(na, nb)::DOUBLE, 6) AS containment
+    FROM j WHERE round(nc / least(na, nb)::DOUBLE, 6) >= 0.8
+    """,
+    doc="Asymmetric containment near-dup pairs "
+    "(dedup.ngram_containment_pairs, Broder's containment): "
+    "|shared shingles| / |smaller set| flags a short document wholly "
+    "quoted inside a longer one at ~1.0 where symmetric Jaccard "
+    "under-scores it — the excerpt-duplication signal resemblance "
+    "misses. Same inverted-index + df-cap shape as the Jaccard "
+    "operator; only the normalizer differs.",
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.ngram_containment_pairs(
+        _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    )
+
+
 # Late-bind the composed oracles now that the base queries are
 # guaranteed registered (this module imports after queries_llm).
 def _compose_oracles() -> None:

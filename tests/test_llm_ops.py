@@ -855,3 +855,21 @@ def test_phash_grid_matches_reference(spark):
     )
     got = multimodal.perceptual_hashes(assets).collect()[0]
     assert got.phash == want
+
+
+def test_containment_flags_excerpt_that_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a much longer one: containment
+    ~1.0 while symmetric Jaccard is far below a 0.8 threshold — the
+    semantics gap this operator exists for."""
+    quote = "the five boxing wizards jump quickly over the lazy dog tonight"
+    filler = " ".join(f"filler{i} pad{i} word{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote} {filler}")], ["doc_id", "text"]
+    )
+    cont = dedup.ngram_containment_pairs(df, threshold=0.8).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r.id_inner, r.id_outer) == (1, 2)
+    assert r.containment == 1.0
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.8).collect()
+    assert jac == []  # resemblance misses the excerpt
