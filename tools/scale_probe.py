@@ -83,6 +83,9 @@ PROBE_QUERIES = [
     "bpe_train_merge_table",  # corpus fold once + vocab-scale rounds
     "doc_novelty_scores",  # inverted index + df join-back
     "source_score_calibration",  # 101-point grid + per-source rank window
+    "dedup_ngram_containment",  # asymmetric containment, same index shape
+    "quality_bootstrap_ci",  # B-way explode + map-side partials
+    "events_cusum_drift",  # stacked windows, one user-keyed exchange
 ]
 
 
