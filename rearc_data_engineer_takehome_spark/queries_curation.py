@@ -1682,6 +1682,74 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_rfm_segments",
+    """
+    WITH m AS (SELECT max(o_orderdate) AS ref FROM orders),
+    rfm AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate), m.ref)::BIGINT AS recency_d,
+               count(*)::BIGINT AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders CROSS JOIN m
+        GROUP BY o_custkey, m.ref
+    ),
+    scored AS (
+        SELECT o_custkey,
+               ntile(5) OVER (ORDER BY recency_d ASC, o_custkey ASC) AS r,
+               ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f,
+               ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS mq
+        FROM rfm
+    )
+    SELECT r, f, mq AS m,
+           count(*)::BIGINT AS n_customers
+    FROM scored GROUP BY r, f, mq
+    """,
+    doc="RFM customer segmentation: per-customer recency (days from "
+    "the corpus max order date), frequency, and monetary fold, then "
+    "quintile scores per dimension (ntile with customer-id tie-break "
+    "— deterministic in both engines) and segment population counts. "
+    "One customer-keyed aggregate; the ntiles rank the AGGREGATED "
+    "per-customer rows, not the fact table (the window-over-aggregate "
+    "pattern all ranking queries here use). Monetary rounds 2dp "
+    "before ranking so both engines order identical operands.",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.agg(F.max("o_orderdate").alias("ref"))
+    rfm = (
+        orders.join(F.broadcast(m))
+        .groupBy("o_custkey", "ref")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.col("ref"), F.col("last_d")).cast("bigint").alias(
+                "recency_d"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = rfm.select(
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_d").asc(), F.col("o_custkey").asc()))
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc()))
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc()))
+        .alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+
+
 # Late-bind the composed oracles now that the base queries are
 # guaranteed registered (this module imports after queries_llm).
 def _compose_oracles() -> None:
