@@ -1466,9 +1466,10 @@ _CUSUM_H = 200.0  # detection threshold
     ),
     s AS (
         SELECT user_id, ts, event_id,
-               round(p - min(p) OVER (PARTITION BY user_id
-                                      ORDER BY ts ASC, event_id ASC
-                                      ROWS UNBOUNDED PRECEDING), 6) AS cusum
+               round(p - least(min(p) OVER (PARTITION BY user_id
+                                            ORDER BY ts ASC, event_id ASC
+                                            ROWS UNBOUNDED PRECEDING),
+                               0), 6) AS cusum
         FROM o
     )
     SELECT user_id,
@@ -1481,8 +1482,10 @@ _CUSUM_H = 200.0  # detection threshold
     """,
     doc="One-sided CUSUM drift detection per user (Page 1954): the "
     "reset-at-zero recurrence S_i = max(0, S_(i-1) + x_i - k) is NOT a "
-    "plain window aggregate, but it equals P_i - running_min(P) for "
-    "P = cumsum(x - k) — two stacked windows on one (user)-keyed "
+    "plain window aggregate, but it equals P_i - min(0, running_min(P)) "
+    "for P = cumsum(x - k) (the min is floored at the P_0 = 0 baseline, "
+    "so a prefix sum that starts positive still counts from zero) — two "
+    "stacked windows on one (user)-keyed "
     "exchange, no iteration, no UDF. Emits users whose statistic ever "
     "exceeds h, with exceedance count and first-drift time. Per-step "
     "increments round 6dp before accumulation so both engines fold "
@@ -1499,7 +1502,9 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).rowsBetween(Window.unboundedPreceding, 0)
     p = F.sum(F.round(F.col("value") - _CUSUM_K, 6)).over(w)
     o = ev.select("user_id", "ts", "event_id", p.alias("p"))
-    cusum = F.round(F.col("p") - F.min("p").over(w), 6)
+    cusum = F.round(
+        F.col("p") - F.least(F.min("p").over(w), F.lit(0.0)), 6
+    )
     s = o.select("user_id", "ts", cusum.alias("cusum"))
     return (
         s.groupBy("user_id")

@@ -199,13 +199,28 @@ def test_source_score_calibration_shifts_misscaled_source(spark, sf_correctness)
         assert r.n_docs > 0
 
 
-def test_cusum_identity_matches_reset_recurrence(spark):
-    """The cumsum-minus-running-min identity must equal the textbook
-    reset-at-zero recurrence S_i = max(0, S_{i-1} + x_i - k)."""
+import pytest
+
+
+@pytest.mark.parametrize(
+    "vals",
+    [
+        # first increment negative (10 - 50): running min goes below 0
+        [10.0, 80.0, 90.0, 5.0, 200.0, 300.0, 1.0],
+        # every increment positive: prefix sum never dips below the
+        # P_0 = 0 baseline, so the running min must be floored at 0 —
+        # the Page (1954) identity is S_i = P_i - min(0, min_j P_j).
+        # Without the floor, S is understated by min_j P_j and S_1
+        # is misreported as 0.
+        [60.0, 120.0, 90.0, 210.0, 55.0, 400.0, 70.0],
+    ],
+)
+def test_cusum_identity_matches_reset_recurrence(spark, vals):
+    """The cumsum-minus-floored-running-min identity must equal the
+    textbook reset-at-zero recurrence S_i = max(0, S_{i-1} + x_i - k)."""
     import sys
 
     sys.path.insert(0, ".")
-    vals = [10.0, 80.0, 90.0, 5.0, 200.0, 300.0, 1.0]
     k, h = 50.0, 200.0
     s, mx, n_over, first = 0.0, 0.0, 0, None
     for i, x in enumerate(vals):
