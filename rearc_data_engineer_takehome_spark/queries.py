@@ -1081,33 +1081,35 @@ DRIVER_WINDOW: list[str] = [
     "curation_pipeline",
     # --- pinned: streaming representative (§2.9) ---
     "events_hypertable_rollup",
-    # --- rotating slots, round 3: never-driver-checked first ---
-    "knn_all_pairs_topk",  # named in VERDICT r02 (r1 evictee)
-    "events_funnel",
-    "scd2_customer_orders",  # named in VERDICT r02 (r1 evictee)
-    "revenue_rollup",  # named in VERDICT r02 (r1 evictee)
-    "part_pagerank",
-    "doc_seq_packing",
-    "corpus_mixture_plan",
-    "pq_codebook",
-    "hard_negative_mining",  # contrastive-pair construction (new family)
-    "eval_contamination",
-    "doc_lm_perplexity",
-    "bpe_merge_candidates",
-    "dedup_ngram_jaccard",  # re-implemented (staged) this round — keep driver-visible
-    # new operator FAMILIES this round take driver slots over analytics
-    # variants of already-proven families (evicted to strict parity:
-    # events_cohort_retention, part_pair_affinity, doc_bm25_topk)
-    "repeated_span_boilerplate",  # substring-level dedup (new family)
-    "embedding_pca_projection",  # decomposition tier (new family)
-    "dedup_incremental_batch",  # new this round — driver-green from day one
-    # --- curation tier (new this round) — driver-green from day one ---
-    "doc_clf_quality",
-    "dsir_importance_weights",
-    "source_cap_balancing",
-    "source_similarity_minhash",
-    "selection_pipeline",
-    "knn_ivf_pq",
+    # --- rotating slots, round 4: all 21 never-driver-checked ---
+    # (r3 window occupants evicted to strict local parity; VERDICT r03
+    # item 2 names the round-3 newcomers below as this round's priority)
+    "customer_rfm_segments",
+    "customer_rfm_segments_scalable",  # new this round — green from day one
+    "ab_experiment_readout",
+    "events_cusum_drift",  # identity fix this round — driver-verify it
+    "orders_benford_deviation",
+    "multimodal_phash_dedup",
+    "video_frame_overlap",
+    "dedup_ngram_containment",
+    "quality_bootstrap_ci",
+    "source_score_calibration",
+    "doc_novelty_scores",  # 30x watch item — driver row + probe
+    "semantic_dedup_embeddings",
+    "corpus_health_dashboard",
+    # scalable twins: give the 100 TB variants hard driver rows
+    "perplexity_bands_scalable",
+    "price_quantiles_scalable",
+    # r3 evictees named in the r3 rotation comment
+    "events_cohort_retention",
+    "part_pair_affinity",  # 30x watch item
+    "doc_bm25_topk",
+    # remaining diversity: BPE training flagship, the other 30x watch
+    # item, and the SQL-path lateral join
+    "bpe_train_merge_table",
+    "doc_bigram_surprisal",  # 30x watch item
+    "top2_orders_per_customer_lateral",
+    "fuzzy_part_name_pairs",  # edit-distance blocking family
 ]
 
 

@@ -21,6 +21,7 @@ from .functions.hashing import (
     stable_hash64,
     stable_hash64_sql,
 )
+from .functions.quantiles import spark_percentile_sql
 from .functions.text import WS_PATTERN, word_shingles_sql
 from .operators import curation
 from .operators import dedup as dedup_ops
@@ -797,12 +798,17 @@ _POISSON_CUTS = (3679, 7358, 9197, 9810, 9963)
     mb AS (
         SELECT b, round(sum(w * quality_score) / nullif(sum(w), 0), 6) AS mb
         FROM w GROUP BY b
+    ),
+    mbs AS (
+        SELECT list_sort(list(mb) FILTER (WHERE mb IS NOT NULL)) AS a,
+               count(mb) AS n
+        FROM mb
     )
     SELECT (SELECT count(*) FROM q)::BIGINT AS n_docs,
            (SELECT round(avg(quality_score), 6) FROM q) AS mean_score,
-           round(quantile_cont(mb, 0.025), 6) AS ci_lo,
-           round(quantile_cont(mb, 0.975), 6) AS ci_hi
-    FROM mb
+           round({spark_percentile_sql("a", "n", "0.025")}, 6) AS ci_lo,
+           round({spark_percentile_sql("a", "n", "0.975")}, 6) AS ci_hi
+    FROM mbs
     """,
     doc="Poisson bootstrap over the corpus quality score: per replicate "
     "b, every document draws a deterministic pseudo-Poisson(1) weight "
@@ -813,7 +819,11 @@ _POISSON_CUTS = (3679, 7358, 9197, 9810, 9963)
     "partial aggregation (the Poisson approximation to multinomial "
     "resampling is the published at-scale substitute). Replicate means "
     "round 6dp before the percentile so both engines rank identical "
-    "operands; oracle composes the registered quality SQL.",
+    "operands; the oracle composes the registered quality SQL and reads "
+    "the CI bounds with functions.quantiles.spark_percentile_sql — "
+    "Spark percentile()'s exact branch structure, not quantile_cont, "
+    "whose one-sided interpolation drifts an ulp at rounding "
+    "half-boundaries.",
 )
 def quality_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1100,7 +1110,6 @@ def events_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GRID_PS = ", ".join(f"{i / 100.0!r}" for i in range(101))
 
 
 @query(
@@ -1110,10 +1119,14 @@ _GRID_PS = ", ".join(f"{i / 100.0!r}" for i in range(101))
     q AS (SELECT q0.doc_id, d.source, q0.quality_score AS s
           FROM q0 JOIN documents d USING (doc_id)),
     grid0 AS (
-        SELECT quantile_cont(s, [{_GRID_PS}]) AS gs FROM q
+        SELECT list_sort(list(s) FILTER (WHERE s IS NOT NULL)) AS a,
+               count(s) AS n
+        FROM q
     ),
     grid AS (
-        SELECT i, round(gs[i + 1], 6) AS g
+        SELECT i,
+               round({spark_percentile_sql("a", "n", "i::DOUBLE / 100.0")},
+                     6) AS g
         FROM grid0 CROSS JOIN (SELECT unnest(generate_series(0, 100)) AS i)
     ),
     r AS (
@@ -1146,8 +1159,11 @@ _GRID_PS = ", ".join(f"{i / 100.0!r}" for i in range(101))
     "quantile grid (broadcast), within-source ranks are one window, "
     "and calibration is linear interpolation between adjacent grid "
     "points — no global sort of the fact, no per-row percentile call. "
-    "6dp rounding on ranks, grid, and outputs (kmeans contract); "
-    "oracle composes the registered quality SQL.",
+    "6dp rounding on ranks, grid, and outputs (kmeans contract); the "
+    "oracle composes the registered quality SQL and builds the grid "
+    "with functions.quantiles.spark_percentile_sql (Spark "
+    "percentile()'s branch structure, not quantile_cont — the ulp "
+    "divergence the exact_quantiles operators document).",
 )
 def source_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1687,6 +1703,31 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rfm_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer (recency_d, frequency, monetary) fold shared by the
+    exact and scalable RFM twins: one customer-keyed exchange over
+    orders, reference date = corpus max order date (broadcast 1-row)."""
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.agg(F.max("o_orderdate").alias("ref"))
+    return (
+        orders.join(F.broadcast(m))
+        .groupBy("o_custkey", "ref")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.col("ref"), F.col("last_d")).cast("bigint").alias(
+                "recency_d"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+
+
 @query(
     "customer_rfm_segments",
     """
@@ -1717,28 +1758,15 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "One customer-keyed aggregate; the ntiles rank the AGGREGATED "
     "per-customer rows, not the fact table (the window-over-aggregate "
     "pattern all ranking queries here use). Monetary rounds 2dp "
-    "before ranking so both engines order identical operands.",
+    "before ranking so both engines order identical operands. The "
+    "three ntiles are UNPARTITIONED global sorts over the customer "
+    "aggregate — exact row-balanced quintiles by construction, but a "
+    "single-reducer sort x3 when the customer dimension itself is "
+    "huge; customer_rfm_segments_scalable is the 100 TB twin "
+    "(scalable_twin: customer_rfm_segments_scalable).",
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    m = orders.agg(F.max("o_orderdate").alias("ref"))
-    rfm = (
-        orders.join(F.broadcast(m))
-        .groupBy("o_custkey", "ref")
-        .agg(
-            F.max("o_orderdate").alias("last_d"),
-            F.count(F.lit(1)).cast("bigint").alias("frequency"),
-            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
-        )
-        .select(
-            "o_custkey",
-            F.datediff(F.col("ref"), F.col("last_d")).cast("bigint").alias(
-                "recency_d"
-            ),
-            "frequency",
-            "monetary",
-        )
-    )
+    rfm = _rfm_aggregate(spark, sf_dir)
     scored = rfm.select(
         F.ntile(5)
         .over(Window.orderBy(F.col("recency_d").asc(), F.col("o_custkey").asc()))
@@ -1749,6 +1777,97 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5)
         .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc()))
         .alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+
+
+_RFM_PROBS = (0.2, 0.4, 0.6, 0.8)
+
+
+@query(
+    "customer_rfm_segments_scalable",
+    f"""
+    WITH m AS (SELECT max(o_orderdate) AS ref FROM orders),
+    rfm AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate), m.ref)::BIGINT AS recency_d,
+               count(*)::BIGINT AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders CROSS JOIN m
+        GROUP BY o_custkey, m.ref
+    ),
+    cuts AS (
+        SELECT
+            {", ".join(
+                f"round(quantile_cont({col}, {p}), 4) AS {pre}{i + 1}"
+                for col, pre in (
+                    ("recency_d", "rc"), ("frequency", "fc"), ("monetary", "mc")
+                )
+                for i, p in enumerate(_RFM_PROBS)
+            )}
+        FROM rfm
+    ),
+    scored AS (
+        SELECT 1 + (recency_d > rc1)::INT + (recency_d > rc2)::INT
+                 + (recency_d > rc3)::INT + (recency_d > rc4)::INT AS r,
+               1 + (frequency < fc4)::INT + (frequency < fc3)::INT
+                 + (frequency < fc2)::INT + (frequency < fc1)::INT AS f,
+               1 + (monetary < mc4)::INT + (monetary < mc3)::INT
+                 + (monetary < mc2)::INT + (monetary < mc1)::INT AS m
+        FROM rfm CROSS JOIN cuts
+    )
+    SELECT r, f, m, count(*)::BIGINT AS n_customers
+    FROM scored GROUP BY r, f, m
+    """,
+    doc="The 100 TB twin of customer_rfm_segments: instead of three "
+    "unpartitioned ntile(5) global sorts over the per-customer "
+    "aggregate (a single-reducer sort x3 when customers number in the "
+    "billions), compute the four quintile CUTPOINTS per dimension with "
+    "quality.exact_quantiles_scalable (two bounded passes, "
+    "quantile_cont-identical interpolation, 4dp-rounded — the "
+    "perplexity_bands_scalable / price_quantiles_scalable pattern), "
+    "broadcast the 1-row cut table, and score by comparison: r counts "
+    "cuts the recency EXCEEDS (quintile 1 = most recent), f/m count "
+    "cuts the value falls BELOW (quintile 1 = top 20%%). Segment "
+    "populations may differ from ntile's row-balanced fifths when "
+    "duplicate values straddle a cut — the documented, deterministic "
+    "semantics of value-based banding. The customer aggregate is "
+    "localCheckpointed once so the six quantile passes and the scoring "
+    "scan all read the materialized fold instead of re-aggregating "
+    "orders.",
+)
+def customer_rfm_segments_scalable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.quality import exact_quantiles_scalable
+
+    rfm = _rfm_aggregate(spark, sf_dir).localCheckpoint()
+    probs = list(_RFM_PROBS)
+    cuts = None
+    for col, pre in (
+        ("recency_d", "rc"), ("frequency", "fc"), ("monetary", "mc")
+    ):
+        c = exact_quantiles_scalable(rfm, col, probs).select(
+            *[
+                F.round(f"q_{i}", 4).alias(f"{pre}{i + 1}")
+                for i in range(len(probs))
+            ]
+        )
+        cuts = c if cuts is None else cuts.join(c)
+    above = lambda col, pre: F.lit(1) + sum(  # noqa: E731
+        (F.col(col) > F.col(f"{pre}{i + 1}")).cast("int")
+        for i in range(len(probs))
+    )
+    below = lambda col, pre: F.lit(1) + sum(  # noqa: E731
+        (F.col(col) < F.col(f"{pre}{i + 1}")).cast("int")
+        for i in range(len(probs))
+    )
+    scored = rfm.join(F.broadcast(cuts)).select(
+        above("recency_d", "rc").alias("r"),
+        below("frequency", "fc").alias("f"),
+        below("monetary", "mc").alias("m"),
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers")

@@ -73,16 +73,21 @@ def test_all_window_names_registered_and_unique():
 
 
 def test_window_rotates_in_never_driver_checked_queries():
-    """Round-3+ policy: the non-pinned slots must bring >=15 queries that
-    have no driver-green CORRECTNESS row from any prior round, so hard
-    external signal accumulates across the registry over rounds."""
+    """Round-4 policy (VERDICT r03 item 2): the non-pinned slots must
+    bring >=20 queries that have no driver-green CORRECTNESS row from
+    any prior round, so hard external signal accumulates across the
+    registry over rounds."""
     import json
     import os
 
     # Rounds PRIOR to the current window's authoring (update when
     # rotating: the current round's own CORRECTNESS file will contain
     # this window by construction and must not count against it).
-    prior_rounds = ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json")
+    prior_rounds = (
+        "CORRECTNESS_r01.json",
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+    )
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     prior: set[str] = set()
     for fname in prior_rounds:
@@ -92,6 +97,6 @@ def test_window_rotates_in_never_driver_checked_queries():
     if not prior:  # round 1: nothing to rotate against
         return
     fresh = [n for n in DRIVER_WINDOW if n not in prior]
-    assert len(fresh) >= 15, (
+    assert len(fresh) >= 20, (
         f"only {len(fresh)} never-driver-checked queries in window: {fresh}"
     )
