@@ -934,24 +934,28 @@ def pca_top_component(
     Distributed shape (one fact pass, nothing wide): each partition
     accumulates its raw moments with BLAS — count, per-dimension sum,
     and the d×d Gram X'X flattened to d² doubles — via an Arrow-batched
-    ``mapInPandas``; the driver reduces the per-partition partials
-    (bounded: partitions × (d²+d) doubles, the k-means-centroid
-    precedent for dimension-sized driver state), forms the covariance
-    C = (G - S·S'/n)/n, and runs ``iters`` power-iteration steps on the
+    ``mapInPandas``; the partials are then tree-combined IN-PLAN (a
+    fan-in-32 combine stage, then a final single-task combine), so the
+    driver collects exactly ONE row of d²+d doubles regardless of the
+    partition count — at d=4096 with 2,000 partitions that is 128 MB to
+    the driver instead of ~250 GB. The driver forms the covariance
+    C = (G - S·S'/n)/n and runs ``iters`` power-iteration steps on the
     d×d matrix. The resulting component is broadcast back as a literal
     and the projection is a JVM-side fold — the fact table is read
     exactly twice and never shuffled.
 
-    Determinism contract (kmeans_lloyd:360 pattern): C rounds to 6dp
-    and each normalized iterate to 9dp, so engine-specific double
-    summation orders cannot drift the iteration; the sign is fixed by
-    the largest-|u| component (first index on ties, matching both
+    Determinism contract (kmeans_lloyd:360 pattern): C rounds to 6dp,
+    each normalized iterate to 9dp, and the mean and projection bias to
+    6dp, so engine-specific double summation orders cannot drift the
+    iteration or the projection offset; the sign is fixed by the
+    largest-|u| component (first index on ties, matching both
     numpy argmax and ORDER BY abs DESC, i); projections round to 4dp.
     The DuckDB oracle replays the identical arithmetic with the Gram
     built by self-join and the power steps unrolled
     (:func:`pca_oracle_sql`).
 
-    Output: (id_col, *extra_cols, pc1). Requires iters >= 1.
+    Output: (id_col, *extra_cols, pc1). Requires iters >= 1 and a
+    non-empty input.
     """
     import numpy as np
     import pandas as pd
@@ -959,8 +963,15 @@ def pca_top_component(
     if iters < 1:
         raise ValueError(f"pca_top_component needs iters >= 1, got {iters}")
     first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError(
+            f"pca_top_component: input DataFrame is empty — no '{vec_col}' "
+            "vectors to decompose"
+        )
     d = len(first[0])
     v = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+
+    moment_schema = "n bigint, s array<double>, g array<double>"
 
     def gram_parts(batches):
         n = 0
@@ -976,12 +987,31 @@ def pca_top_component(
             {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
         )
 
-    parts = v.mapInPandas(
-        gram_parts, schema="n bigint, s array<double>, g array<double>"
-    ).collect()
-    n = sum(r["n"] for r in parts)
-    S = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
-    G = np.sum([np.asarray(r["g"]).reshape(d, d) for r in parts], axis=0)
+    def gram_combine(batches):
+        n = 0
+        s = np.zeros(d, dtype=np.float64)
+        g = np.zeros(d * d, dtype=np.float64)
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                n += int(r["n"])
+                s += np.asarray(r["s"], dtype=np.float64)
+                g += np.asarray(r["g"], dtype=np.float64)
+        yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.tolist()]})
+
+    # tree combine: P partition-partials -> <=32 -> 1; sums are
+    # associative and the final covariance rounds 6dp, so the combine
+    # grouping cannot affect the result past the rounding contract
+    parts = v.mapInPandas(gram_parts, schema=moment_schema)
+    mid = parts.repartition(32).mapInPandas(gram_combine, schema=moment_schema)
+    rows = (
+        mid.repartition(1)
+        .mapInPandas(gram_combine, schema=moment_schema)
+        .collect()
+    )
+    assert len(rows) == 1, f"gram tree-combine returned {len(rows)} rows"
+    n = int(rows[0]["n"])
+    S = np.asarray(rows[0]["s"], dtype=np.float64)
+    G = np.asarray(rows[0]["g"], dtype=np.float64).reshape(d, d)
     C = np.round((G - np.outer(S, S) / n) / n, 6)
 
     u = np.ones(d, dtype=np.float64)
@@ -997,8 +1027,12 @@ def pca_top_component(
     k = int(np.argmax(np.abs(u)))
     if u[k] < 0:
         u = -u
-    mean = S / n
-    bias = float(np.dot(mean, u))
+    # 6dp-round the mean and bias (kmeans contract): S carries engine-
+    # specific summation order, and the oracle derives its bias from
+    # DuckDB's own sum order — without the rounds an ulp drift in S can
+    # flip a 4dp projection at a rounding boundary
+    mean = np.round(S / n, 6)
+    bias = round(float(np.dot(mean, u)), 6)
 
     u_lit = F.array(*[F.lit(float(x)) for x in u])
     return df.select(
@@ -1064,8 +1098,8 @@ def pca_oracle_sql(
     sgn AS (SELECT CASE WHEN u < 0 THEN -1.0 ELSE 1.0 END AS s
             FROM {prev} ORDER BY abs(u) DESC, i LIMIT 1),
     vf AS (SELECT i, u * sgn.s AS u FROM {prev}, sgn),
-    m AS (SELECT s.i, s.s / stats.n AS m FROM s, stats),
-    bias AS (SELECT sum(m.m * vf.u) AS b FROM m JOIN vf USING (i))
+    m AS (SELECT s.i, round(s.s / stats.n, 6) AS m FROM s, stats),
+    bias AS (SELECT round(sum(m.m * vf.u), 6) AS b FROM m JOIN vf USING (i))
     SELECT e.{id_col}, {extras}
            round(sum(x.v * vf.u) - any_value(bias.b), 4) AS pc1
     FROM {table} e

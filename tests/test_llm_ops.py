@@ -724,6 +724,30 @@ def test_pca_top_component_rejects_zero_iters(spark):
         similarity.pca_top_component(df, iters=0)
 
 
+def test_pca_top_component_rejects_empty_input(spark):
+    """An empty frame must raise a descriptive error, not TypeError on
+    None[0] from the probe row."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0)], ["vec_id", "embedding", "label"]
+    ).where(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty"):
+        similarity.pca_top_component(df)
+
+
+def test_pca_top_component_many_partitions(spark):
+    """The in-plan Gram tree-combine must be partition-count invariant:
+    the same corpus split over 64 partitions yields the identical
+    projections (one combined row reaches the driver either way)."""
+    rows = [(i, [float(i), 0.01 * (i % 3), 0.0, 0.0], 0) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    base = {r.vec_id: r.pc1 for r in similarity.pca_top_component(df).collect()}
+    wide = {
+        r.vec_id: r.pc1
+        for r in similarity.pca_top_component(df.repartition(64)).collect()
+    }
+    assert base == wide
+
+
 def test_hard_negatives_exclude_anchor_label(spark):
     """Negatives must carry a different label than their anchor, ranks
     are contiguous from 1, and per-anchor result count respects k."""
