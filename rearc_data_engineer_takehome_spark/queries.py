@@ -877,7 +877,8 @@ def top_revenue_share_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Distribution-rank window battery (ntile/percent_rank/cume_dist "
     "over a global order) folded to per-decile stats. A global-order "
     "window is a single-partition sort — fine for bounded outputs; at "
-    "100 TB rank against pre-aggregated or bucketed data instead.",
+    "100 TB band against exact_quantiles_scalable decile cutpoints "
+    "instead (scalable_twin: price_quantiles_scalable).",
 )
 def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")

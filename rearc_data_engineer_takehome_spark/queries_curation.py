@@ -180,8 +180,8 @@ def source_similarity_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "for perplexity-filtered pretraining mixes. Oracle composes the "
     "registered doc_lm_perplexity SQL as a CTE. The global ntile is a "
     "single-partition sort over per-doc scores — fine for bounded "
-    "outputs; at 100 TB band against approx-quantile cutpoints "
-    "instead.",
+    "outputs; at 100 TB band against quantile cutpoints instead "
+    "(scalable_twin: perplexity_bands_scalable).",
 )
 def perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppl = text_ops.unigram_lm_scores(_t(spark, sf_dir, "documents"), "text")
