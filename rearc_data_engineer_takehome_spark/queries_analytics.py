@@ -27,7 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from .functions.timeops import epoch_micros, epoch_seconds
-from .queries import _t, query
+from .queries import REGISTRY, _t, query
 from .queries_llm import _events
 
 
@@ -1440,6 +1440,168 @@ def bloom_prefilter_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(
             (F.col("maybe_member") & ~F.col("is_true")).cast("long")
         ).alias("n_false_positives"),
+    )
+
+
+_HLL_ERR = "round(100.0 * (hll_est - exact_users) / exact_users, 4)"
+
+
+@query(
+    "events_hll_daily_users",
+    f"""
+    WITH ev AS (
+        SELECT ts::DATE AS day, user_id::VARCHAR AS k, user_id
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    regs AS ({{regs}}),
+    day_est AS ({{day_est}}),
+    total_regs AS (SELECT bucket, max(mx) AS mx FROM regs GROUP BY bucket),
+    total_est AS ({{total_est}}),
+    exact_day AS (
+        SELECT day, count(DISTINCT user_id)::BIGINT AS exact_users
+        FROM ev GROUP BY day
+    ),
+    exact_total AS (
+        SELECT count(DISTINCT user_id)::BIGINT AS exact_users FROM ev
+    )
+    SELECT 'day' AS granularity, day::VARCHAR AS bucket_day,
+           hll_est, exact_users, {_HLL_ERR} AS err_pct
+    FROM day_est JOIN exact_day USING (day)
+    UNION ALL
+    SELECT 'total', NULL, hll_est, exact_users, {_HLL_ERR}
+    FROM total_est CROSS JOIN exact_total
+    """,
+    doc="Mergeable HyperLogLog distinct-user rollup "
+    "(operators/sketch.py): unlike approx_count_distinct, whose HLL++ "
+    "sketch lives inside an aggregation buffer, the registers here are "
+    "DATA — a <=2^p-row relation per day that MAX-merges into the "
+    "all-time estimate without rescanning the fact table, the rollup "
+    "property that matters at 100 TB (daily sketch tables feed weekly/"
+    "monthly/total unique counts for free). Portable md5 hash; rho is "
+    "an integer CASE chain and Z sums dyadic rationals (exact in "
+    "double), so the estimate replays bit-for-bit in DuckDB. Exact "
+    "per-day and total distinct counts ride along with the relative "
+    "error, so the sketch's accuracy (~3.25%/sqrt(m)) is itself "
+    "oracle-checked.",
+)
+def events_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.to_date("ts").alias("day"),
+            F.col("user_id").cast("string").alias("k"),
+            "user_id",
+        )
+    )
+    regs = _sk.hll_registers(ev, "k", ("day",))
+    day_est = _sk.hll_estimate(regs, ("day",))
+    total_est = _sk.hll_estimate(_sk.hll_merge(regs))
+    exact_day = ev.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    exact_total = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    err = F.round(
+        F.lit(100.0)
+        * (F.col("hll_est") - F.col("exact_users"))
+        / F.col("exact_users"),
+        4,
+    ).alias("err_pct")
+    day_rows = day_est.join(exact_day, "day").select(
+        F.lit("day").alias("granularity"),
+        F.col("day").cast("string").alias("bucket_day"),
+        "hll_est",
+        "exact_users",
+        err,
+    )
+    total_rows = total_est.join(F.broadcast(exact_total)).select(
+        F.lit("total").alias("granularity"),
+        F.lit(None).cast("string").alias("bucket_day"),
+        "hll_est",
+        "exact_users",
+        err,
+    )
+    return day_rows.unionByName(total_rows)
+
+
+# late-bind the register/estimate CTEs (they need the module-level
+# helpers, and inlining them keeps the sketch arithmetic single-sourced)
+REGISTRY["events_hll_daily_users"] = type(
+    REGISTRY["events_hll_daily_users"]
+)(
+    name="events_hll_daily_users",
+    spark=REGISTRY["events_hll_daily_users"].spark,
+    oracle=REGISTRY["events_hll_daily_users"].oracle.format(
+        regs=_sk.hll_registers_sql("ev", "k", ("day",)),
+        day_est=_sk.hll_estimate_sql("regs", ("day",)),
+        total_est=_sk.hll_estimate_sql("total_regs"),
+    ),
+    doc=REGISTRY["events_hll_daily_users"].doc,
+)
+
+
+_K_ANON = 5
+
+
+@query(
+    "customer_k_anonymity",
+    f"""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               (floor(c_acctbal / 1000))::BIGINT AS bal_band,
+               count(*)::BIGINT AS class_size
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment, bal_band
+    ),
+    tot AS (SELECT sum(class_size)::DOUBLE AS n FROM classes)
+    SELECT count(*)::BIGINT AS n_classes,
+           min(class_size) AS k_anonymity,
+           sum((class_size < {_K_ANON})::INT)::BIGINT AS n_classes_below_k,
+           sum(CASE WHEN class_size < {_K_ANON} THEN class_size
+                    ELSE 0 END)::BIGINT AS n_rows_at_risk,
+           round(sum(CASE WHEN class_size < {_K_ANON} THEN class_size
+                          ELSE 0 END) / any_value(tot.n), 6) AS at_risk_rate
+    FROM classes CROSS JOIN tot
+    """,
+    doc="k-anonymity audit over a quasi-identifier tuple (nation, "
+    "market segment, account-balance band): the privacy-release check "
+    "a training-data pipeline runs before publishing user-derived "
+    "tables. The dataset's k-anonymity is the SMALLEST equivalence "
+    "class; classes below the k={_K_ANON} threshold and the row mass "
+    "at re-identification risk quantify how much generalization or "
+    "suppression a release needs. One grouped aggregate over the "
+    "quasi-identifiers folded to a single summary row — scales as a "
+    "plain groupBy (the QI class table is bounded by the QI domain, "
+    "not the fact).",
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    classes = (
+        cust.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+                "bal_band"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("class_size"))
+    )
+    tot = classes.agg(F.sum("class_size").cast("double").alias("n"))
+    risk_rows = F.sum(
+        F.when(F.col("class_size") < _K_ANON, F.col("class_size")).otherwise(
+            F.lit(0)
+        )
+    )
+    return classes.join(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("class_size").alias("k_anonymity"),
+        F.sum((F.col("class_size") < _K_ANON).cast("int"))
+        .cast("bigint")
+        .alias("n_classes_below_k"),
+        risk_rows.cast("bigint").alias("n_rows_at_risk"),
+        F.round(risk_rows / F.first("n"), 6).alias("at_risk_rate"),
     )
 
 

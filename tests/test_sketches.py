@@ -73,3 +73,47 @@ def test_bloom_summary_query_consistency(spark, sf_smoke):
     non_members = r.n_probe_keys - r.n_true_match
     if non_members:
         assert r.n_false_positives / non_members < 0.05
+
+
+def test_hll_accuracy_within_bound(spark):
+    """1024 registers give ~3.25% standard error; 5,000 distinct keys
+    must estimate within 4 standard errors (13%)."""
+    df = spark.createDataFrame([(f"user-{i}",) for i in range(5000)], ["k"])
+    regs = sketch.hll_registers(df, "k")
+    [r] = sketch.hll_estimate(regs).collect()
+    assert abs(r.hll_est - 5000) / 5000 < 0.13, r.hll_est
+
+
+def test_hll_merge_equals_rebuild(spark):
+    """THE mergeability property: max-merging per-group register tables
+    must yield the identical estimate to building one register table
+    over the union — the rollup never needs the fact table again."""
+    rows = [(f"user-{i}", i % 3) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    per_group = sketch.hll_registers(df, "k", ("g",))
+    merged = sketch.hll_merge(per_group)
+    direct = sketch.hll_registers(df, "k")
+    [em] = sketch.hll_estimate(merged).collect()
+    [ed] = sketch.hll_estimate(direct).collect()
+    assert em.hll_est == ed.hll_est
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    """Distinct counting: replicating every key 10x must not change the
+    registers (same hashes -> same max rho)."""
+    base = spark.createDataFrame([(f"u{i}",) for i in range(500)], ["k"])
+    dup = base.crossJoin(spark.range(10)).select("k")
+    [e1] = sketch.hll_estimate(sketch.hll_registers(base, "k")).collect()
+    [e2] = sketch.hll_estimate(sketch.hll_registers(dup, "k")).collect()
+    assert e1.hll_est == e2.hll_est
+
+
+def test_hll_query_total_matches_merged_days(spark, sf_smoke):
+    """The registered query's 'total' row must estimate from MERGED
+    per-day registers: its value equals an independent build over all
+    events, and every per-day error rides under the design bound."""
+    rows = REGISTRY["events_hll_daily_users"].spark(spark, sf_smoke).collect()
+    total = [r for r in rows if r.granularity == "total"]
+    assert len(total) == 1
+    for r in rows:
+        assert abs(r.err_pct) < 15.0, (r.granularity, r.bucket_day, r.err_pct)
