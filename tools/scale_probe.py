@@ -86,7 +86,21 @@ PROBE_QUERIES = [
     "dedup_ngram_containment",  # asymmetric containment, same index shape
     "quality_bootstrap_ci",  # B-way explode + map-side partials
     "events_cusum_drift",  # stacked windows, one user-keyed exchange
+    # round-4 additions: remaining audit tier + the new families
+    "multimodal_phash_dedup",  # avg-hash banding near-dup
+    "video_frame_overlap",  # sampled frame-fingerprint overlap
+    "orders_benford_deviation",  # first-digit audit
+    "ab_experiment_readout",  # deterministic hash exposure + readout
+    "customer_rfm_segments_scalable",  # quintile cuts + broadcast scoring
+    "corpus_health_dashboard",  # multi-metric corpus fold
+    "events_hll_daily_users",  # mergeable HLL register rollup
+    "customer_k_anonymity",  # QI-class audit
 ]
+
+# Optional override: probe exactly these queries (comma-separated).
+_env_queries = os.environ.get("SCALE_PROBE_QUERIES")
+if _env_queries:
+    PROBE_QUERIES = [q.strip() for q in _env_queries.split(",") if q.strip()]
 
 
 def synthesize(spark) -> int:
