@@ -863,6 +863,60 @@ def events_range_join_errors_signups(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "salted_event_user_deviation",
+    """
+    WITH prof AS (
+        SELECT user_id,
+               round(avg(value), 6) AS avg_v,
+               count(*)::BIGINT AS n_user_events
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT e.event_type,
+           count(*)::BIGINT AS n_events,
+           sum((e.value > p.avg_v)::INT)::BIGINT AS n_above_user_avg,
+           round(sum(e.value - p.avg_v), 4) AS total_deviation
+    FROM (SELECT event_type, user_id, value FROM events
+          WHERE value IS NOT NULL) e
+    JOIN prof p USING (user_id)
+    GROUP BY e.event_type
+    """,
+    doc="Skew-mitigated fact-to-profile enrichment via "
+    "operators/joins.salted_join: each fact row draws a deterministic "
+    "salt in [0, 8), the per-user profile replicates 8x, and the join "
+    "runs on (user_id, salt) — a hot user's events spread over 8 tasks "
+    "instead of one straggler, the standard defense when AQE skew "
+    "splitting can't reach (broadcast-ineligible dim, Python stages "
+    "downstream). Result set is salt-invariant BY CONSTRUCTION, so the "
+    "oracle is the plain unsalted join — driver-gating the claim that "
+    "salting changes the schedule, never the semantics. Profile means "
+    "round 6dp before comparison so both engines compare identical "
+    "operands.",
+)
+def salted_event_user_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import salted_join
+
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    prof = ev.groupBy("user_id").agg(
+        F.round(F.avg("value"), 6).alias("avg_v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_user_events"),
+    )
+    j = salted_join(
+        ev.select("event_type", "user_id", "value"), prof, on="user_id",
+        n_salts=8,
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum((F.col("value") > F.col("avg_v")).cast("int"))
+        .cast("bigint")
+        .alias("n_above_user_avg"),
+        F.round(F.sum(F.col("value") - F.col("avg_v")), 4).alias(
+            "total_deviation"
+        ),
+    )
+
+
+@query(
     "events_json_props",
     """
     SELECT event_type,

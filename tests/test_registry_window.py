@@ -58,12 +58,14 @@ def test_window_contains_priority_set():
     assert not missing, f"priority queries outside driver window: {missing}"
 
 
-def test_window_has_at_most_one_no_oracle_entry():
-    # rows-only checks waste a hash-gated slot; knn_pq is the only
-    # tolerated exception until its unrolled oracle lands.
+def test_window_has_no_no_oracle_entries():
+    # rows-only checks waste a hash-gated slot; since knn_pq's unrolled
+    # training+ADC+rerank oracle landed (round 3) every window slot is
+    # hash-gated — keep it that way. (Registry-wide, only the two
+    # engine-private approx_count_distinct queries are rows-only.)
     window = list(REGISTRY)[:WINDOW]
     no_oracle = [n for n in window if REGISTRY[n].oracle is None]
-    assert no_oracle in ([], ["knn_pq"]), no_oracle
+    assert no_oracle == [], no_oracle
 
 
 def test_all_window_names_registered_and_unique():
