@@ -194,3 +194,123 @@ def pagerank_oracle_sql(
         + ", ".join(parts)
         + f" SELECT node AS {node_alias}, rank FROM r{iters}"
     )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Exact triangle count + global clustering coefficient over an
+    undirected graph given as a (src, dst) edge relation (either or both
+    directions; self-loops ignored).
+
+    Scale shape — the degree-ordered orientation algorithm (node
+    iterator family; the MapReduce formulation is Suri & Vassilvitskii
+    2011): orient every undirected edge from its (degree, id)-smaller
+    endpoint to the larger, which caps every node's OUT-degree at
+    O(sqrt(m)); wedges are then a self-join of the oriented edges on
+    their source (bounded per node by outdeg^2 <= m, never the
+    quadratic in-degree of a hub), and each triangle is counted EXACTLY
+    once where the wedge's closing edge exists in the same orientation.
+    Join keys are node ids — broadcast-ineligible at graph scale but
+    perfectly hash-partitionable; nothing quadratic in the node count
+    is ever materialized.
+
+    Returns one row: n_edges (undirected), n_wedges (oriented, =
+    sum-over-nodes C(outdeg, 2)), n_triangles, and
+    global_clustering = 3 * triangles / open-wedge count computed over
+    ALL wedges (sum C(deg, 2)) — integer-exact operands, one 6dp round.
+    """
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionByName(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    keyed = und.join(da, "a").join(db, "b")
+    a_first = F.struct(F.col("da"), F.col("a")) < F.struct(
+        F.col("db"), F.col("b")
+    )
+    orient = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dt"),
+    )
+    e1 = orient.select(
+        F.col("s"), F.col("t").alias("v"), F.col("dt").alias("dv")
+    )
+    e2 = orient.select(
+        F.col("s"), F.col("t").alias("w"), F.col("dt").alias("dw")
+    )
+    wedges = e1.join(e2, "s").where(
+        F.struct(F.col("dv"), F.col("v")) < F.struct(F.col("dw"), F.col("w"))
+    )
+    closing = orient.select(
+        F.col("s").alias("v"), F.col("t").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"])
+    n_edges = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_wedges_all = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges")
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    return (
+        n_edges.join(F.broadcast(n_wedges_all))
+        .join(F.broadcast(n_tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0)
+                * F.col("n_triangles")
+                / F.greatest(F.col("n_wedges"), F.lit(1)).cast("double"),
+                6,
+            ).alias("global_clustering"),
+        )
+    )
+
+
+def triangle_oracle_sql(edges_cte: str) -> str:
+    """DuckDB replay of :func:`triangle_stats` over an ``edges`` CTE
+    producing (src, dst)."""
+    return f"""
+    WITH edges0 AS ({edges_cte}),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges0 WHERE src <> dst
+    ),
+    deg AS (
+        SELECT n, count(*) AS d FROM (
+            SELECT a AS n FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY n
+    ),
+    orient AS (
+        SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS s,
+               CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS t,
+               CASE WHEN (da.d, u.a) < (db.d, u.b) THEN db.d ELSE da.d END AS dt
+        FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b
+    ),
+    wedges AS (
+        SELECT e1.s, e1.t AS v, e2.t AS w
+        FROM orient e1 JOIN orient e2 ON e1.s = e2.s
+        WHERE (e1.dt, e1.t) < (e2.dt, e2.t)
+    ),
+    tri AS (
+        SELECT count(*)::BIGINT AS n_triangles
+        FROM wedges JOIN orient o ON o.s = wedges.v AND o.t = wedges.w
+    ),
+    ne AS (SELECT count(*)::BIGINT AS n_edges FROM und),
+    nw AS (SELECT sum(d * (d - 1) // 2)::BIGINT AS n_wedges FROM deg)
+    SELECT ne.n_edges, nw.n_wedges, tri.n_triangles,
+           round(3.0 * tri.n_triangles
+                 / greatest(nw.n_wedges, 1)::DOUBLE, 6) AS global_clustering
+    FROM ne CROSS JOIN nw CROSS JOIN tri
+    """

@@ -285,3 +285,36 @@ def test_pq_adc_recall_vs_bruteforce(spark, sf_correctness):
     assert adc_recall >= 0.2, (
         f"PQ ADC recall@10 below sanity bound: {adc_recall}"
     )
+
+
+def test_triangle_stats_known_graph(spark):
+    """K4 on {1,2,3,4} has C(4,3)=4 triangles, 6 edges, 12 wedges, and
+    clustering 3*4/12 = 1.0; adding a pendant node 5-1 keeps triangles
+    at 4, adds one edge, and adds 3 wedges at node 1 (deg 4: C(4,2)=6
+    vs 3 before)."""
+    from rearc_data_engineer_takehome_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    df = spark.createDataFrame(k4, ["src", "dst"])
+    [r] = triangle_stats(df).collect()
+    assert (r.n_edges, r.n_wedges, r.n_triangles) == (6, 12, 4)
+    assert r.global_clustering == 1.0
+
+    df2 = spark.createDataFrame(k4 + [(5, 1), (1, 5)], ["src", "dst"])
+    [r2] = triangle_stats(df2).collect()
+    assert (r2.n_edges, r2.n_triangles) == (7, 4)
+    assert r2.n_wedges == 15  # node1 now deg4: +3 wedges
+
+
+def test_triangle_stats_triangle_free(spark):
+    """A path graph has zero triangles and zero clustering."""
+    from rearc_data_engineer_takehome_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    [r] = triangle_stats(df).collect()
+    assert r.n_triangles == 0
+    assert r.global_clustering == 0.0
