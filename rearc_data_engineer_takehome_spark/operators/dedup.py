@@ -222,17 +222,23 @@ def staged_near_dup_clusters(
     threshold: float = 0.5,
     max_df: int | None = 64,
     max_iter: int = 20,
+    cc: str = "label_prop",
 ) -> DataFrame:
     """Near-dup connected components with exact-dedup staging: Jaccard
     pairs among DISTINCT CONTENTS (see :func:`ngram_jaccard_pairs_staged`)
-    plus STAR edges (rep → member) per digest group, then min-label
-    propagation. Star edges give the same components as expanding all
+    plus STAR edges (rep → member) per digest group, then connected
+    components. Star edges give the same components as expanding all
     within/cross member pairs — the edge count is linear in corpus size
     instead of quadratic in duplicate-cluster size, which is the
     difference between a bounded and an unbounded shuffle at 100 TB.
     Output (doc_id, cluster_id) is identical to
     ``cluster_pairs(ngram_jaccard_pairs(...))`` whenever df-cap
-    semantics agree (cluster_id = min member id either way)."""
+    semantics agree (cluster_id = min member id either way).
+
+    ``cc`` selects the component algorithm: ``label_prop``
+    (:func:`cluster_pairs`, O(diameter) rounds — the default for
+    shallow near-dup graphs) or ``star`` (:func:`cluster_pairs_star`,
+    O(log n) rounds — the choice when components may be deep)."""
     members, _, rep_docs = _digest_groups(df, text_col, id_col)
     posting = _shingle_posting(rep_docs, text_col, id_col, k, max_df).persist()
     rpairs = _jaccard_from_posting(posting, id_col, threshold).select(
@@ -244,7 +250,10 @@ def staged_near_dup_clusters(
         .join(valid, "__rep", "left_semi")
         .select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
     )
-    return cluster_pairs(rpairs.unionByName(star), max_iter=max_iter)
+    edges = rpairs.unionByName(star)
+    if cc == "star":
+        return cluster_pairs_star(edges, max_iter=max_iter)
+    return cluster_pairs(edges, max_iter=max_iter)
 
 
 def incremental_dedup_filter(
@@ -736,6 +745,114 @@ def cluster_pairs(
             stacklevel=2,
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def cluster_pairs_star(
+    pairs: DataFrame, max_iter: int = 12, graph_partitions: int | None = None
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond") — the O(log n)-round alternative to
+    :func:`cluster_pairs`' min-label propagation, whose round count is
+    the component DIAMETER.
+
+    Per round over the symmetric adjacency: large-star connects every
+    strictly-larger neighbor of u to m = min(Γ(u) ∪ {u}); small-star
+    connects u and its ≤-neighbors to the minimum of that set. Both are
+    one groupBy-min plus one join on node ids; each round at most
+    doubles progress toward stars, so chains that would under-merge
+    label propagation at max_iter (a 200-node path needs 199
+    propagation rounds) converge here in ~log2(n) rounds. Same output
+    contract as cluster_pairs: (doc_id, cluster_id = component min),
+    nodes appearing in no pair absent.
+
+    Scale shape: the edge relation never grows beyond the input edge
+    count (large-star emits ≤1 edge per adjacency entry, small-star
+    contracts), every shuffle is keyed on a node id, and per-round
+    lineage is truncated with localCheckpoint exactly like
+    cluster_pairs. Convergence is detected by an empty
+    ``exceptAll`` between consecutive star-edge sets (node-scale
+    relation, cheap); exhausting ``max_iter`` warns rather than
+    silently splitting components.
+    """
+    import warnings
+
+    pairs = pairs.select("id_a", "id_b").localCheckpoint()
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_graph = graph_partitions or max(
+        1,
+        min(
+            pairs.sparkSession.sparkContext.defaultParallelism,
+            edges.count() // 50_000 + 1,
+        ),
+    )
+    edges = edges.coalesce(n_graph)
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+
+    converged = False
+    for _ in range(max_iter):
+        adj = _sym(edges)
+        # large-star: m = min over Γ(u) ∪ {u}; (v, m) for v > u
+        m_all = adj.groupBy("u").agg(
+            F.least(F.first("u"), F.min("v")).alias("m")
+        )
+        large = (
+            adj.join(m_all, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the large result: m = min over Γ≤(u) ∪ {u};
+        # (x, m) for x ∈ Γ≤(u) ∪ {u}, x ≠ m
+        adj2 = _sym(large)
+        le = adj2.where(F.col("v") <= F.col("u"))
+        m_le = le.groupBy("u").agg(
+            F.least(F.first("u"), F.min("v")).alias("m")
+        )
+        small = (
+            le.join(m_le, "u")
+            .select(
+                F.explode(
+                    F.array(F.col("v"), F.col("u"))
+                ).alias("x"),
+                F.col("m"),
+            )
+            .where(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .coalesce(n_graph)
+            .localCheckpoint()
+        )
+        if small.exceptAll(edges).isEmpty() and edges.exceptAll(small).isEmpty():
+            edges = small
+            converged = True
+            break
+        edges = small
+    if not converged:
+        warnings.warn(
+            f"cluster_pairs_star did not converge within {max_iter} "
+            "rounds; labels may be under-merged — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # star edges point member -> root; roots label themselves
+    members = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    )
+    roots = edges.select(F.col("v").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    return members.unionByName(roots)
 
 
 def dedup_by_pairs(

@@ -1027,6 +1027,47 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters_star",
+    f"""
+    WITH RECURSIVE {_STAGED_JACCARD_CTES},
+    star AS (
+        SELECT rep AS id_a, doc_id AS id_b FROM mem
+        WHERE doc_id <> rep AND rep IN (SELECT doc_id FROM sizes)
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM rpairs
+        UNION ALL SELECT id_a, id_b FROM star
+    ),
+    sym AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(s, d) AS (
+        SELECT s, d FROM sym
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+    )
+    SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+    FROM reach GROUP BY s
+    """,
+    doc="Same staged near-dup pipeline as dedup_clusters, but connected "
+    "components run as alternating large-star / small-star contraction "
+    "(dedup.cluster_pairs_star, Kiveris et al. 2014): O(log n) rounds "
+    "on ANY component shape, where min-label propagation needs "
+    "O(diameter) — the algorithm to reach for when duplication chains "
+    "(A~B~C~...~Z with no direct A~Z similarity) make components deep. "
+    "Output contract is identical (cluster_id = component min), so the "
+    "oracle is the same recursive transitive closure, and the two "
+    "algorithms hash-gate each other through it.",
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.staged_near_dup_clusters(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.8, max_df=64,
+        cc="star",
+    )
+
+
+@query(
     "curation_pipeline",
     f"""
     WITH q AS (

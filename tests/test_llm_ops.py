@@ -897,3 +897,47 @@ def test_containment_flags_excerpt_that_jaccard_misses(spark):
     assert r.containment == 1.0
     jac = dedup.ngram_jaccard_pairs(df, threshold=0.8).collect()
     assert jac == []  # resemblance misses the excerpt
+
+
+def test_cluster_pairs_star_matches_label_propagation(spark):
+    """Both component algorithms must produce identical
+    (doc_id, cluster_id) labelings on a multi-component graph."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    a = {(r.doc_id, r.cluster_id) for r in dedup.cluster_pairs(pairs).collect()}
+    b = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_pairs_star(pairs).collect()
+    }
+    assert a == b
+    assert {c for _, c in b} == {1, 10, 20}
+
+
+def test_cluster_pairs_star_deep_chain_converges_fast(spark):
+    """A 200-node path has diameter 199: label propagation at
+    max_iter=20 under-merges (and warns); star contraction converges
+    within ~log2(n) rounds and labels the whole chain with its min."""
+    import warnings
+
+    chain = [(i, i + 1) for i in range(200)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        lp = dedup.cluster_pairs(pairs, max_iter=20).collect()
+        assert any("did not converge" in str(x.message) for x in w)
+    assert len({r.cluster_id for r in lp}) > 1  # under-merged
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        st = dedup.cluster_pairs_star(pairs, max_iter=12).collect()
+        assert not any("did not converge" in str(x.message) for x in w2)
+    assert {r.cluster_id for r in st} == {0}
+    assert len(st) == 201
+
+
+def test_cluster_pairs_star_empty_and_self_loops(spark):
+    """Self-loops are ignored; an input of only self-loops yields no
+    labeled rows (no actual edges)."""
+    pairs = spark.createDataFrame([(5, 5), (7, 7)], ["id_a", "id_b"])
+    assert dedup.cluster_pairs_star(pairs).count() == 0
