@@ -196,6 +196,39 @@ def pagerank_oracle_sql(
     )
 
 
+def copurchase_edges_support(
+    lineitem: DataFrame,
+    min_support: int = 2,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """Support-filtered co-purchase edges: undirected (src < dst) item
+    pairs co-occurring in at least ``min_support`` orders. The raw
+    co-occurrence graph is near-clique noise (every order of size k
+    contributes C(k,2) edges — avg degree ~120 on the sf0.1 fixture);
+    the support filter keeps the repeated-affinity backbone, which is
+    the graph whose triangles/clustering are MEANINGFUL and whose wedge
+    volume stays bounded at scale. Same in-row pairing as
+    :func:`copurchase_edges` (fan-out bounded by order size), plus one
+    pair-keyed count."""
+    sets = lineitem.groupBy(order_col).agg(
+        F.array_sort(F.collect_set(item_col)).alias("items")
+    )
+    pair_expr = (
+        "flatten(transform(items, (x, i) ->"
+        " transform(slice(items, i + 2, size(items)),"
+        " y -> struct(x AS src, y AS dst))))"
+    )
+    return (
+        sets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.src", "p.dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_support)
+        .select("src", "dst")
+    )
+
+
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """Exact triangle count + global clustering coefficient over an
     undirected graph given as a (src, dst) edge relation (either or both
@@ -218,6 +251,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     global_clustering = 3 * triangles / open-wedge count computed over
     ALL wedges (sum C(deg, 2)) — integer-exact operands, one 6dp round.
     """
+    # und feeds the degree fold (twice, via the union), the orientation
+    # join, and the edge count; orient feeds both wedge sides and the
+    # closing-edge join. Without materialization each reference re-runs
+    # the upstream edge GENERATOR (e.g. the co-purchase fold) — measured
+    # 11.7s -> ~2s at sf0.1 with the two checkpoints.
     und = (
         edges.where(F.col("src") != F.col("dst"))
         .select(
@@ -225,6 +263,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         und.select(F.col("a").alias("n"))
@@ -242,7 +281,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dt"),
-    )
+    ).localCheckpoint()
     e1 = orient.select(
         F.col("s"), F.col("t").alias("v"), F.col("dt").alias("dv")
     )
