@@ -1000,11 +1000,18 @@ def pca_top_component(
 
     # tree combine: P partition-partials -> <=32 -> 1; sums are
     # associative and the final covariance rounds 6dp, so the combine
-    # grouping cannot affect the result past the rounding contract
+    # grouping cannot affect the result past the rounding contract.
+    # The fan-in stage only pays for itself when there are many
+    # partials — below 32 partitions a single-task combine already
+    # receives <=32 rows, so skip the extra shuffle+Arrow stage
+    # (measured ~2x on the sf0.1 bench at 32 partitions).
     parts = v.mapInPandas(gram_parts, schema=moment_schema)
-    mid = parts.repartition(32).mapInPandas(gram_combine, schema=moment_schema)
+    if v.rdd.getNumPartitions() > 32:
+        parts = parts.repartition(32).mapInPandas(
+            gram_combine, schema=moment_schema
+        )
     rows = (
-        mid.repartition(1)
+        parts.repartition(1)
         .mapInPandas(gram_combine, schema=moment_schema)
         .collect()
     )
