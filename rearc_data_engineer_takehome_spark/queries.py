@@ -1101,16 +1101,18 @@ DRIVER_WINDOW: list[str] = [
     # scalable twins: give the 100 TB variants hard driver rows
     "perplexity_bands_scalable",
     "price_quantiles_scalable",
-    # r3 evictees named in the r3 rotation comment
-    "events_cohort_retention",
     "part_pair_affinity",  # 30x watch item
-    "doc_bm25_topk",
-    # remaining diversity: BPE training flagship, the other 30x watch
-    # item, and the SQL-path lateral join
+    # remaining diversity: BPE training flagship + the other 30x watch
+    # item
     "bpe_train_merge_table",
     "doc_bigram_surprisal",  # 30x watch item
-    "top2_orders_per_customer_lateral",
-    "fuzzy_part_name_pairs",  # edit-distance blocking family
+    # round-4 new operator families — driver-green from day one
+    # (events_cohort_retention / doc_bm25_topk / lateral / fuzzy stay
+    # gated by the strict local parity suite)
+    "events_hll_daily_users",  # mergeable HLL register rollup
+    "customer_k_anonymity",  # QI release audit
+    "part_triangle_count",  # degree-ordered triangle counting
+    "dedup_clusters_star",  # O(log n) star-contraction components
 ]
 
 
