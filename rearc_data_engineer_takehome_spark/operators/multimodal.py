@@ -280,3 +280,96 @@ def phash_near_dup_pairs(
         n_bands=n_bands,
         max_bucket=max_bucket,
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("out_w", IntegerType(), True),
+        StructField("out_h", IntegerType(), True),
+        StructField("thumb_sha256", StringType(), True),
+        StructField("n_out_bytes", LongType(), True),
+        StructField("resize_error", StringType(), True),
+    ]
+)
+
+
+def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for a real thumbnailer: the resized
+    payload is the sha256 digest of (payload || ':resize:WxH') — 32
+    opaque bytes whose hex DuckDB can replay byte-for-byte. Replace
+    with a Pillow `Image.resize` in production (RESIZERS hook)."""
+    if payload is None:
+        raise ValueError("empty payload")
+    return hashlib.sha256(payload + f":resize:{w}x{h}".encode()).digest()
+
+
+def real_resize(payload: bytes, w: int, h: int) -> bytes:  # pragma: no cover
+    """Production thumbnailer hook — not available in this container."""
+    raise NotImplementedError(
+        "image libs (Pillow) are not installed; register a resizer in "
+        "RESIZERS"
+    )
+
+
+RESIZERS: dict[str, Callable[[bytes, int, int], bytes]] = {
+    "fake": fake_resize,
+    "real": real_resize,
+}
+
+
+def resize_assets(
+    assets: DataFrame, w: int = 64, h: int = 64, decoder: str = "fake"
+) -> DataFrame:
+    """Resize/thumbnail every image asset via Arrow-batched mapInPandas
+    — the third leg of the multimodal battery next to decode
+    (:func:`extract_features`) and frame sampling (:func:`sample_frames`).
+
+    Non-image modalities are tagged ``unsupported modality`` and null
+    payloads ``empty payload`` — per-asset isolation, same contract as
+    the decoder: one corrupt or mistyped asset never kills the job. The
+    resized payload is carried as its sha256 hex (the fake resizer's
+    32-byte stub; production registers a real thumbnailer in RESIZERS
+    and the column becomes the actual thumbnail digest)."""
+    from .relational import spread_compute
+
+    resize = RESIZERS[decoder]
+    assets = spread_compute(assets)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                rec = {
+                    "asset_id": row.asset_id,
+                    "modality": row.modality,
+                    "out_w": None,
+                    "out_h": None,
+                    "thumb_sha256": None,
+                    "n_out_bytes": None,
+                    "resize_error": None,
+                }
+                if row.modality != "image":
+                    rec["resize_error"] = (
+                        f"unsupported modality: {row.modality}"
+                    )
+                else:
+                    try:
+                        thumb = resize(row.payload, w, h)
+                        rec.update(
+                            out_w=w,
+                            out_h=h,
+                            thumb_sha256=thumb.hex(),
+                            n_out_bytes=len(thumb),
+                        )
+                    except Exception as exc:  # noqa: BLE001 — isolate
+                        rec["resize_error"] = repr(exc)
+                out.append(rec)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+
+    return assets.select("asset_id", "modality", "payload").mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )

@@ -1449,6 +1449,67 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize_audit",
+    """
+    WITH a AS (
+        SELECT (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT]
+                   AS modality,
+               text
+        FROM documents
+    ),
+    r AS (
+        SELECT modality,
+               CASE WHEN modality = 'image' AND text IS NOT NULL
+                    THEN sha256(text || ':resize:64x64') END AS thumb,
+               CASE WHEN modality <> 'image' THEN 1 ELSE 0 END AS skipped,
+               CASE WHEN modality = 'image' AND text IS NULL
+                    THEN 1 ELSE 0 END AS err
+        FROM a
+    )
+    SELECT modality,
+           count(*)::BIGINT AS n_assets,
+           count(thumb)::BIGINT AS n_resized,
+           sum(skipped)::BIGINT AS n_skipped_non_image,
+           sum(err)::BIGINT AS n_errors,
+           count(DISTINCT thumb)::BIGINT AS n_distinct_thumbs
+    FROM r GROUP BY modality
+    """,
+    doc="Image resize/thumbnail stage (multimodal.resize_assets) — the "
+    "third leg of the multimodal battery next to decode and frame "
+    "sampling: Arrow-batched mapInPandas over binary payloads, "
+    "non-image modalities and null payloads isolated into "
+    "resize_error rows (one bad asset never kills the job). The fake "
+    "resizer emits the sha256 of (payload || ':resize:WxH') — DuckDB "
+    "replays it byte-for-byte, so the resize plumbing (schema, "
+    "batching, error taxonomy, distinct-thumbnail accounting) is "
+    "value-hash gated; production registers a real Pillow thumbnailer "
+    "in RESIZERS without touching the plan.",
+)
+def multimodal_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_assets(spark, docs)
+    rs = multimodal.resize_assets(assets, w=64, h=64, decoder="fake")
+    return rs.groupBy("modality").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+        F.count("thumb_sha256").cast("bigint").alias("n_resized"),
+        F.sum((F.col("modality") != "image").cast("int"))
+        .cast("bigint")
+        .alias("n_skipped_non_image"),
+        F.sum(
+            (
+                (F.col("modality") == "image")
+                & F.col("resize_error").isNotNull()
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_errors"),
+        F.countDistinct("thumb_sha256").cast("bigint").alias(
+            "n_distinct_thumbs"
+        ),
+    )
+
+
+@query(
     "doc_chunks",
     """
     WITH exploded AS (

@@ -941,3 +941,24 @@ def test_cluster_pairs_star_empty_and_self_loops(spark):
     labeled rows (no actual edges)."""
     pairs = spark.createDataFrame([(5, 5), (7, 7)], ["id_a", "id_b"])
     assert dedup.cluster_pairs_star(pairs).count() == 0
+
+
+def test_resize_assets_error_isolation(spark):
+    """Images resize to deterministic 32-byte thumbs; a null-payload
+    image and a non-image row become tagged error rows, never
+    exceptions."""
+    rows = [
+        (1, "image", "png", bytearray(b"imgbytes"), 8, None),
+        (2, "image", "png", None, 0, None),
+        (3, "audio", "wav", bytearray(b"wavbytes"), 8, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    out = {r.asset_id: r for r in multimodal.resize_assets(df).collect()}
+    import hashlib
+
+    want = hashlib.sha256(b"imgbytes" + b":resize:64x64").hexdigest()
+    assert out[1].thumb_sha256 == want and out[1].n_out_bytes == 32
+    assert out[1].resize_error is None
+    assert "empty payload" in out[2].resize_error
+    assert out[3].resize_error == "unsupported modality: audio"
+    assert out[3].thumb_sha256 is None
