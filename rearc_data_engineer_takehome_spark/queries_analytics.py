@@ -1468,7 +1468,7 @@ _HLL_ERR = "round(100.0 * (hll_est - exact_users) / exact_users, 4)"
            hll_est, exact_users, {_HLL_ERR} AS err_pct
     FROM day_est JOIN exact_day USING (day)
     UNION ALL
-    SELECT 'total', NULL, hll_est, exact_users, {_HLL_ERR}
+    SELECT 'total', 'ALL', hll_est, exact_users, {_HLL_ERR}
     FROM total_est CROSS JOIN exact_total
     """,
     doc="Mergeable HyperLogLog distinct-user rollup "
@@ -1518,7 +1518,7 @@ def events_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total_rows = total_est.join(F.broadcast(exact_total)).select(
         F.lit("total").alias("granularity"),
-        F.lit(None).cast("string").alias("bucket_day"),
+        F.lit("ALL").alias("bucket_day"),
         "hll_est",
         "exact_users",
         err,

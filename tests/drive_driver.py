@@ -25,12 +25,15 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 def norm(v):
     # STRICT: int and float are different (driver hashes them differently;
     # DuckDB HUGEINT materializes as float on the driver's hash path).
-    if isinstance(v, bool): return v
+    # Every branch returns a ("tag", ...) tuple so mixed None/str/num
+    # columns stay totally ordered for the multiset sort (equality
+    # semantics — what the driver hashes — are unchanged).
+    if isinstance(v, bool): return ("b", v)
     if isinstance(v, float):
-        if math.isnan(v): return "NaN"
+        if math.isnan(v): return ("s", "NaN")
         return ("f", round(v, 9))
     if isinstance(v, int): return ("i", v)
-    return None if v is None else str(v)
+    return ("n",) if v is None else ("s", str(v))
 
 qs, oracles = e.queries(), e.oracle_sql()
 ok = 0
