@@ -20,7 +20,7 @@ probabilistic, and tests assert recall against the exact operator.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ..functions import hashing, vectors
 from ..functions.text import word_shingles, ws_tokens
@@ -184,6 +184,18 @@ def ngram_jaccard_pairs_staged(
     rpairs = _jaccard_from_posting(posting, id_col, threshold)
     # reps with >=1 post-cap shingle — gate for within-group emission
     valid = posting.select(F.col(id_col).alias("__rep")).distinct()
+    return _expand_rep_pairs(members, rpairs, valid, id_col)
+
+
+def _expand_rep_pairs(
+    members: DataFrame, rpairs: DataFrame, valid: DataFrame, id_col: str
+) -> DataFrame:
+    """Expand representative-level near-dup pairs back to digest-group
+    members (shared tail of the staged and prefix-filtered operators):
+    within-group member pairs are J=1.0 by content identity (gated on
+    the rep having >=1 posting, mirroring the unstaged operator's
+    never-pair-empty-posting behavior); a rep pair (ra, rb, J) expands
+    to every cross member pair with the same J."""
     m = members.select("__g", F.col(id_col).alias("__m"), "__rep")
     within = (
         m.alias("m1")
@@ -212,6 +224,118 @@ def ngram_jaccard_pairs_staged(
         )
     )
     return within.unionByName(cross)
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via PREFIX FILTERING (the
+    PPJoin family, Xiao et al. WWW 2008) — lossless where the ``max_df``
+    posting cap of :func:`ngram_jaccard_pairs_staged` is lossy.
+
+    Candidate generation indexes only each document's PREFIX: its
+    shingles sorted in a canonical global order (document frequency
+    ascending, hash tie-break), truncated to the first
+    ``n - ceil(t*n) + 1``. Two documents with Jaccard >= t must share
+    at least one prefix shingle — if all common shingles sat in A's
+    suffix (its last ceil(t*|A|)-1 canonical shingles), the overlap
+    would be < ceil(t*|A|), contradicting J >= t (which forces
+    |A∩B| >= t*|A| because |B| >= |A∩B|). So joining prefixes alone
+    loses no qualifying pair.
+
+    Why this scales where a raw inverted index cannot: the quadratic
+    blowup of a self-join comes from high-document-frequency tokens
+    (df f costs f^2 candidates). In df-ascending canonical order those
+    hot tokens sort LAST, landing outside almost every prefix — they
+    still participate in the exact verify (unlike a ``max_df`` drop),
+    but never in candidate generation. Prefix postings are the rarest
+    ~(1-t) fraction of each doc's shingles, so candidate fan-out stays
+    near-linear. Candidates then pass a size filter
+    (t * max(|A|,|B|) <= min(|A|,|B|), necessary for J >= t) and an
+    exact verify: sorted shingle-hash arrays joined per candidate pair,
+    ``array_intersect`` counting |A∩B| — per-pair cost proportional to
+    document length, exactly PPJoin's verify cost, with no second
+    inverted-index pass.
+
+    Composes with exact-dedup staging (digest groupBy first, prefix
+    join over DISTINCT CONTENT only, member expansion after) so exact
+    copies never re-enter the index. Output is identical to
+    :func:`ngram_jaccard_pairs_staged` with ``max_df=None``: (id_a,
+    id_b, jaccard) with id_a < id_b, J >= threshold, 6dp rounding.
+    """
+    members, _, rep_docs = _digest_groups(df, text_col, id_col)
+    posting = _shingle_posting(rep_docs, text_col, id_col, k, None).persist()
+    dfreq = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    sizes = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    rk = Window.partitionBy(id_col).orderBy("__df", "sh")
+    prefix = (
+        posting.join(dfreq, "sh")
+        .withColumn("__rk", F.row_number().over(rk))
+        .join(sizes, id_col)
+        .where(
+            F.col("__rk")
+            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+        )
+        .select(id_col, "sh", "__n")
+    )
+    cand = (
+        prefix.select(
+            F.col(id_col).alias("id_a"), "sh", F.col("__n").alias("__na")
+        )
+        .join(
+            prefix.select(
+                F.col(id_col).alias("id_b"), "sh", F.col("__n").alias("__nb")
+            ),
+            "sh",
+        )
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.lit(threshold) * F.greatest("__na", "__nb")
+                <= F.least("__na", "__nb")
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    arrs = posting.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("sh")).alias("__arr"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    rpairs = (
+        cand.join(
+            arrs.select(
+                F.col(id_col).alias("id_a"),
+                F.col("__arr").alias("__aa"),
+                F.col("__n").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            arrs.select(
+                F.col(id_col).alias("id_b"),
+                F.col("__arr").alias("__ab"),
+                F.col("__n").alias("__nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("__c", F.size(F.array_intersect("__aa", "__ab")))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    valid = posting.select(F.col(id_col).alias("__rep")).distinct()
+    return _expand_rep_pairs(members, rpairs, valid, id_col)
 
 
 def staged_near_dup_clusters(

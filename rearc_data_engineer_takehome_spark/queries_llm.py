@@ -259,7 +259,21 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row per distinct content), shingle/Jaccard on representatives only
 # with a df<=64 cap over distinct contents, then member expansion —
 # replaying dedup.ngram_jaccard_pairs_staged exactly.
-_STAGED_JACCARD_CTES = f"""
+def _staged_jaccard_ctes(cap: int | None) -> str:
+    """Oracle staging CTEs, parameterized on the posting df cap:
+    exact-dedup-first (digest groupBy -> one row per distinct content),
+    shingle/Jaccard on representatives only (df<=cap over distinct
+    contents when cap is set; the full posting when None), then member
+    expansion — replaying dedup.ngram_jaccard_pairs_staged (capped) or
+    the lossless prefix-filtered operator (uncapped) exactly."""
+    p_cte = (
+        f"""keep AS (SELECT h FROM (SELECT h, count(*) AS c FROM p0 GROUP BY h)
+             WHERE c <= {cap}),
+    p AS (SELECT p0.doc_id, p0.h FROM p0 JOIN keep USING (h))"""
+        if cap is not None
+        else "p AS (SELECT doc_id, h FROM p0)"
+    )
+    return f"""
     dg AS (SELECT doc_id, md5(text) AS g FROM documents),
     reps AS (SELECT g, min(doc_id) AS rep FROM dg GROUP BY g),
     rdocs AS (SELECT d.doc_id, d.text FROM documents d
@@ -267,9 +281,7 @@ _STAGED_JACCARD_CTES = f"""
     toks AS (SELECT doc_id, {_TOKS} AS t FROM rdocs),
     sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS s FROM toks),
     p0 AS (SELECT DISTINCT doc_id, {stable_hash64_sql("s")} AS h FROM sh),
-    keep AS (SELECT h FROM (SELECT h, count(*) AS c FROM p0 GROUP BY h)
-             WHERE c <= 64),
-    p AS (SELECT p0.doc_id, p0.h FROM p0 JOIN keep USING (h)),
+    {p_cte},
     sizes AS (SELECT doc_id, count(*) AS n FROM p GROUP BY doc_id),
     common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
@@ -285,6 +297,9 @@ _STAGED_JACCARD_CTES = f"""
     ),
     mem AS (SELECT dg.g, dg.doc_id, r.rep FROM dg JOIN reps r ON dg.g = r.g)
 """
+
+
+_STAGED_JACCARD_CTES = _staged_jaccard_ctes(64)
 
 
 @query(
@@ -321,6 +336,42 @@ _STAGED_JACCARD_CTES = f"""
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs_staged(
         _t(spark, sf_dir, "documents"), k=3, threshold=0.8, max_df=64
+    )
+
+
+@query(
+    "dedup_ngram_jaccard_prefix",
+    f"""
+    WITH {_staged_jaccard_ctes(None)},
+    within AS (
+        SELECT m1.doc_id AS id_a, m2.doc_id AS id_b,
+               CAST(1.0 AS DOUBLE) AS jaccard
+        FROM mem m1 JOIN mem m2 ON m1.g = m2.g AND m1.doc_id < m2.doc_id
+        WHERE m1.rep IN (SELECT doc_id FROM sizes)
+    ),
+    crossg AS (
+        SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+               greatest(ma.doc_id, mb.doc_id) AS id_b, rp.jaccard
+        FROM rpairs rp
+        JOIN mem ma ON ma.rep = rp.id_a
+        JOIN mem mb ON mb.rep = rp.id_b
+    )
+    SELECT * FROM within UNION ALL SELECT * FROM crossg
+    """,
+    doc="PPJoin-style PREFIX-FILTERED exact Jaccard near-dup pairs "
+    "(operators/dedup.py:ngram_jaccard_pairs_prefix): candidates come "
+    "only from each distinct content's rarest (1-t) shingle prefix in "
+    "df-ascending canonical order, then a size filter and an exact "
+    "array_intersect verify. The ORACLE is the plain exact staged "
+    "Jaccard with NO df cap — matching it end-to-end proves the prefix "
+    "pruning is LOSSLESS (drops no qualifying pair), which is the "
+    "advantage over dedup_ngram_jaccard's max_df heuristic: hot "
+    "shingles are excluded from candidate generation by canonical "
+    "order instead of being dropped from the similarity computation.",
+)
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs_prefix(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.8
     )
 
 

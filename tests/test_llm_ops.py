@@ -83,6 +83,29 @@ def test_staged_jaccard_matches_unstaged_on_dup_heavy(dup_heavy):
     assert unstaged and staged == unstaged
 
 
+@pytest.mark.parametrize("threshold", [0.5, 0.8])
+def test_prefix_jaccard_matches_unstaged(dup_heavy, threshold):
+    """Prefix filtering (PPJoin) must be LOSSLESS: the prefix-filtered
+    operator reproduces the full unstaged no-cap pair set exactly (ids
+    and 6dp jaccard) at both a loose and a tight threshold — the loose
+    one makes prefixes long and candidates plentiful, the tight one
+    makes prefixes short (max pruning), on a corpus with real exact
+    duplicates so the digest-staging path is exercised too."""
+    unstaged = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            dup_heavy, k=3, threshold=threshold, max_df=None
+        ).collect()
+    )
+    prefix = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs_prefix(
+            dup_heavy, k=3, threshold=threshold
+        ).collect()
+    )
+    assert unstaged and prefix == unstaged
+
+
 def test_staged_clusters_match_direct(dup_heavy):
     """staged_near_dup_clusters (rep pairs + star edges) must produce the
     same (doc_id, cluster_id) assignment as clustering the full
