@@ -2249,3 +2249,124 @@ def customer_order_count_distribution(
         .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical profiling: correlation matrix + mutual information
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+]
+
+
+@query(
+    "lineitem_numeric_correlations",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+               round(corr({a}, {b}), 6) AS pearson_r FROM lineitem"""
+        for a, b in _CORR_PAIRS
+    ),
+    doc="Pairwise Pearson correlation matrix over the lineitem numeric "
+    "measures, melted to long form (col_a, col_b, pearson_r). All six "
+    "coefficients come from ONE aggregate pass: per-partition co-moment "
+    "partials combine map-side, a single 1-row exchange reaches the "
+    "reduce — the canonical scalable shape for a p-column correlation "
+    "profile (O(p^2) scalars per partial, never a second scan). The "
+    "1-row stack() melt is driver-trivial. 6dp round matches the "
+    "repo-wide float contract.",
+)
+def lineitem_numeric_correlations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [
+        F.round(F.corr(a, b), 6).alias(f"__c{i}")
+        for i, (a, b) in enumerate(_CORR_PAIRS)
+    ]
+    stack_args = ", ".join(
+        f"'{a}', '{b}', __c{i}" for i, (a, b) in enumerate(_CORR_PAIRS)
+    )
+    return li.agg(*aggs).select(
+        F.expr(
+            f"stack({len(_CORR_PAIRS)}, {stack_args}) "
+            "AS (col_a, col_b, pearson_r)"
+        )
+    )
+
+
+@query(
+    "priority_status_mutual_info",
+    """
+    WITH o AS (
+        SELECT o_orderpriority AS p, o_orderstatus AS s,
+               count(*)::DOUBLE AS n
+        FROM orders GROUP BY 1, 2
+    ), tot AS (SELECT sum(n) AS t FROM o),
+    rm AS (SELECT p, sum(n) AS rp FROM o GROUP BY p),
+    cm AS (SELECT s, sum(n) AS cs FROM o GROUP BY s),
+    hp AS (SELECT sum((rp / t) * ln(t / rp)) AS hp FROM rm CROSS JOIN tot),
+    hs AS (SELECT sum((cs / t) * ln(t / cs)) AS hs FROM cm CROSS JOIN tot),
+    mi AS (
+        SELECT count(*) AS n_cells,
+               sum((o.n / tot.t)
+                   * ln(o.n * tot.t / (rm.rp * cm.cs))) AS mi
+        FROM o JOIN rm USING (p) JOIN cm USING (s) CROSS JOIN tot
+    )
+    SELECT n_cells, round(mi, 6) AS mi_nats,
+           round(mi / sqrt(hp * hs), 6) AS nmi
+    FROM mi CROSS JOIN hp CROSS JOIN hs
+    """,
+    doc="Mutual information I(priority; status) in nats plus the "
+    "entropy-normalized coefficient nmi = I / sqrt(H(p)*H(s)) — the "
+    "information-theoretic complement to priority_status_chi2 (chi2 "
+    "grows with n for a fixed dependence; MI does not). Same scale "
+    "shape as chi2: the only full-table work is the first groupBy into "
+    "a domain-bounded |p|x|s| contingency table; margins, total, and "
+    "both entropies are broadcast joins/aggregates over that tiny "
+    "table. Cell counts are integer-exact; only the two statistics are "
+    "rounded.",
+)
+def priority_status_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("p"),
+            F.col("o_orderstatus").alias("s"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        # feeds four consumers (cells + two margins + total), same
+        # materialize-once rationale as priority_status_chi2
+        .localCheckpoint()
+    )
+    tot = o.agg(F.sum("n").alias("t"))
+    rm = o.groupBy("p").agg(F.sum("n").alias("rp"))
+    cm = o.groupBy("s").agg(F.sum("n").alias("cs"))
+    hp = rm.join(F.broadcast(tot)).agg(
+        F.sum((F.col("rp") / F.col("t")) * F.log(F.col("t") / F.col("rp"))).alias("hp")
+    )
+    hs = cm.join(F.broadcast(tot)).agg(
+        F.sum((F.col("cs") / F.col("t")) * F.log(F.col("t") / F.col("cs"))).alias("hs")
+    )
+    mi = F.sum(
+        (F.col("n") / F.col("t"))
+        * F.log(F.col("n") * F.col("t") / (F.col("rp") * F.col("cs")))
+    )
+    return (
+        o.join(F.broadcast(rm), "p")
+        .join(F.broadcast(cm), "s")
+        .join(F.broadcast(tot))
+        .agg(F.count(F.lit(1)).alias("n_cells"), mi.alias("__mi"))
+        .join(F.broadcast(hp))
+        .join(F.broadcast(hs))
+        .select(
+            "n_cells",
+            F.round("__mi", 6).alias("mi_nats"),
+            F.round(
+                F.col("__mi") / F.sqrt(F.col("hp") * F.col("hs")), 6
+            ).alias("nmi"),
+        )
+    )

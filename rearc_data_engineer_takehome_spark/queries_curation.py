@@ -1891,7 +1891,9 @@ def customer_rfm_segments_scalable(
                 for i in range(len(probs))
             ]
         )
-        cuts = c if cuts is None else cuts.join(c)
+        # broadcast the 1-row side explicitly: without the hint the
+        # post-checkpoint stats leave Spark planning a CartesianProduct
+        cuts = c if cuts is None else cuts.join(F.broadcast(c))
     above = lambda col, pre: F.lit(1) + sum(  # noqa: E731
         (F.col(col) > F.col(f"{pre}{i + 1}")).cast("int")
         for i in range(len(probs))
