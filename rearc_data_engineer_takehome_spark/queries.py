@@ -1099,8 +1099,10 @@ DRIVER_WINDOW: list[str] = [
     "semantic_dedup_embeddings",
     "corpus_health_dashboard",
     # scalable twins: give the 100 TB variants hard driver rows
+    # (price_quantiles_scalable rotated to local parity — the two-pass
+    # quantile pattern keeps two other in-window representatives)
     "perplexity_bands_scalable",
-    "price_quantiles_scalable",
+    "dedup_ngram_jaccard_prefix",  # driver row certifies PPJoin losslessness
     "part_pair_affinity",  # 30x watch item
     # remaining diversity: BPE training flagship + the other 30x watch
     # item

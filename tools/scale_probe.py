@@ -95,6 +95,9 @@ PROBE_QUERIES = [
     "corpus_health_dashboard",  # multi-metric corpus fold
     "events_hll_daily_users",  # mergeable HLL register rollup
     "customer_k_anonymity",  # QI-class audit
+    "dedup_ngram_jaccard_prefix",  # PPJoin prefix-filtered lossless jaccard
+    "lineitem_numeric_correlations",  # one-pass co-moment correlation matrix
+    "priority_status_mutual_info",  # contingency-table MI + entropies
 ]
 
 # Optional override: probe exactly these queries (comma-separated).
