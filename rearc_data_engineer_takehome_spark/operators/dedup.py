@@ -270,17 +270,37 @@ def ngram_jaccard_pairs_prefix(
     members, _, rep_docs = _digest_groups(df, text_col, id_col)
     posting = _shingle_posting(rep_docs, text_col, id_col, k, None).persist()
     dfreq = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-    sizes = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    rk = Window.partitionBy(id_col).orderBy("__df", "sh")
-    prefix = (
+    # ONE per-doc aggregate yields both the canonical prefix (sort the
+    # doc-length-bounded (df, sh) array IN-ROW and slice — no
+    # row_number window, so no per-doc sort shuffle stage) and the
+    # verify array (full shingle-hash set for array_intersect).
+    arrs = (
         posting.join(dfreq, "sh")
-        .withColumn("__rk", F.row_number().over(rk))
-        .join(sizes, id_col)
-        .where(
-            F.col("__rk")
-            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__df", "sh"))
+            ).alias("__ord"),
+            F.count(F.lit(1)).alias("__n"),
         )
-        .select(id_col, "sh", "__n")
+        .select(
+            id_col,
+            F.col("__ord.sh").alias("__arr"),
+            F.slice(
+                F.col("__ord.sh"),
+                1,
+                (
+                    F.col("__n")
+                    - F.ceil(F.lit(threshold) * F.col("__n"))
+                    + 1
+                ).cast("int"),
+            ).alias("__pref"),
+            "__n",
+        )
+        .persist()
+    )
+    prefix = arrs.select(
+        id_col, F.explode("__pref").alias("sh"), "__n"
     )
     cand = (
         prefix.select(
@@ -301,10 +321,6 @@ def ngram_jaccard_pairs_prefix(
         )
         .select("id_a", "id_b")
         .distinct()
-    )
-    arrs = posting.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("sh")).alias("__arr"),
-        F.count(F.lit(1)).alias("__n"),
     )
     rpairs = (
         cand.join(
