@@ -26,6 +26,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from .functions.quantiles import spark_percentile_sql
 from .functions.timeops import epoch_micros, epoch_seconds
 from .queries import REGISTRY, _t, query
 from .queries_llm import _events
@@ -2368,5 +2369,155 @@ def priority_status_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("__mi") / F.sqrt(F.col("hp") * F.col("hs")), 6
             ).alias("nmi"),
+        )
+    )
+
+
+@query(
+    "events_last_touch_attribution",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CASE WHEN event_type IN ('click', 'view')
+                    THEN event_type END AS touch,
+               CASE WHEN event_type = 'purchase' THEN value END AS pval,
+               event_type = 'purchase' AS is_p
+        FROM events
+        WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    attr AS (
+        SELECT *,
+               last_value(CASE WHEN touch IS NOT NULL THEN
+                   struct_pack(tus := us, ch := touch) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS t
+        FROM ev
+    )
+    SELECT CASE WHEN t IS NOT NULL AND us - t.tus <= 604800000000
+                THEN t.ch ELSE 'none' END AS channel,
+           count(*)::BIGINT AS n_purchases,
+           round(sum(pval), 2) AS attributed_revenue
+    FROM attr WHERE is_p GROUP BY 1
+    """,
+    doc="Marketing-style LAST-TOUCH attribution: each purchase is "
+    "credited to the user's most recent click/view within a 7-day "
+    "lookback, else 'none'. The conditional fill-forward is "
+    "last(struct, ignorenulls) over ONE user-keyed ordered window — "
+    "a single shuffle on user_id over only the three relevant event "
+    "types (the filter prunes before the exchange), then a "
+    "domain-bounded channel rollup. Microsecond epoch ordering "
+    "(event_id tie-break) is exact in both engines; the window frame "
+    "ends AT the purchase row, whose own touch is NULL, so a purchase "
+    "never attributes to itself.",
+)
+def events_last_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("event_type").isin("click", "view", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            epoch_micros("ts").alias("us"),
+            F.when(
+                F.col("event_type").isin("click", "view"),
+                F.col("event_type"),
+            ).alias("touch"),
+            F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            ).alias("pval"),
+            (F.col("event_type") == "purchase").alias("is_p"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_t = F.last(
+        F.when(
+            F.col("touch").isNotNull(),
+            F.struct(F.col("us").alias("tus"), F.col("touch").alias("ch")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    attr = ev.withColumn("t", last_t).where("is_p")
+    channel = F.when(
+        F.col("t").isNotNull()
+        & (F.col("us") - F.col("t.tus") <= 604_800_000_000),
+        F.col("t.ch"),
+    ).otherwise("none")
+    return attr.groupBy(channel.alias("channel")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.round(F.sum("pval"), 2).alias("attributed_revenue"),
+    )
+
+
+@query(
+    "events_user_skew_profile",
+    """
+    WITH c AS (
+        SELECT user_id, count(*)::DOUBLE AS c
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT count(*)::BIGINT AS n_keys, sum(c) AS total, max(c) AS mx,
+               list_sort(list(c)) AS ac, count(c) AS nc
+        FROM c
+    )
+    SELECT n_keys, total::BIGINT AS total_rows, mx::BIGINT AS max_key_rows,
+           round({p50}, 4) AS p50_key_rows,
+           round({p99}, 4) AS p99_key_rows,
+           round(mx / (total / n_keys), 4) AS max_over_mean,
+           round(mx / total, 6) AS top1_share,
+           ceil(mx / {p99})::BIGINT AS recommended_salt
+    FROM s
+    """.format(
+        p50=spark_percentile_sql("ac", "nc", "0.5"),
+        p99=spark_percentile_sql("ac", "nc", "0.99"),
+    ),
+    doc="Shuffle-skew diagnostic for the events stream's user_id key — "
+    "the measurement half of the salted-join loop "
+    "(salted_event_user_deviation applies the fix this profile sizes): "
+    "per-key row counts, exact p50/p99 of the key-size distribution "
+    "via the two-bounded-pass exact_quantiles_scalable (never a "
+    "global sort or a distinct-cardinality counts map), max/mean skew "
+    "ratio, hottest-key share, and a parameter-free salt "
+    "recommendation ceil(max/p99) — split the hottest key into chunks "
+    "the size of a p99 key. Oracle reads the same Spark-percentile "
+    "interpolation via spark_percentile_sql.",
+)
+def events_user_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import exact_quantiles_scalable
+
+    counts = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint()  # feeds the stats agg AND the two-pass quantile
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").alias("total"),
+        F.max("c").alias("mx"),
+    )
+    q = exact_quantiles_scalable(counts, "c", [0.5, 0.99])
+    return (
+        stats.join(F.broadcast(q))
+        .select(
+            "n_keys",
+            F.col("total").cast("bigint").alias("total_rows"),
+            F.col("mx").cast("bigint").alias("max_key_rows"),
+            F.round("q_0", 4).alias("p50_key_rows"),
+            F.round("q_1", 4).alias("p99_key_rows"),
+            F.round(
+                F.col("mx") / (F.col("total") / F.col("n_keys")), 4
+            ).alias("max_over_mean"),
+            F.round(F.col("mx") / F.col("total"), 6).alias("top1_share"),
+            F.ceil(F.col("mx") / F.col("q_1"))
+            .cast("bigint")
+            .alias("recommended_salt"),
         )
     )
