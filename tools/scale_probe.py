@@ -98,6 +98,8 @@ PROBE_QUERIES = [
     "dedup_ngram_jaccard_prefix",  # PPJoin prefix-filtered lossless jaccard
     "lineitem_numeric_correlations",  # one-pass co-moment correlation matrix
     "priority_status_mutual_info",  # contingency-table MI + entropies
+    "events_last_touch_attribution",  # conditional fill-forward window
+    "events_user_skew_profile",  # per-key counts + two-pass quantiles
 ]
 
 # Optional override: probe exactly these queries (comma-separated).
