@@ -194,3 +194,68 @@ def skewed_grouped_agg(
         F.sum("__n").alias("n_rows"),
         *[F.sum(f"__s_{c}").alias(f"sum_{c}") for c in sum_cols],
     )
+
+
+def dense_row_numbers(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    n_partitions: int | None = None,
+    out_col: str = "rn",
+) -> DataFrame:
+    """Contiguous global row numbers 1..n in ``order_cols`` order WITHOUT
+    a single-reducer global sort — the scalable primitive behind every
+    "global row_number / ntile / dense id" need at 100 TB.
+
+    A plain ``row_number() OVER (ORDER BY ...)`` collapses the whole
+    relation onto one reducer. Instead: (1) range-partition on the order
+    key (Spark samples split points; boundaries are internal and may
+    vary run-to-run), (2) sort WITHIN each partition — parallel,
+    bounded-memory, (3) per-partition ``row_number`` over a
+    ``spark_partition_id()``-keyed window — again parallel, (4) one
+    tiny per-partition count aggregate (#partitions rows) yields each
+    partition's cumulative OFFSET via a window over that tiny relation,
+    broadcast back. Global number = offset + local number.
+
+    The output is boundary-invariant, hence deterministic: whatever
+    split points the range sampler picks, a total order (make
+    ``order_cols`` end in a unique tie-break) assigns each row the same
+    global rank. Every heavy stage is parallel; only the
+    #partitions-row offset table is small, and it never leaves the
+    plan.
+    """
+    cols = list(order_cols)
+    if not cols:
+        raise ValueError("dense_row_numbers needs at least one order column")
+    n = n_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    ranged = (
+        df.repartitionByRange(int(n), *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    local = ranged.withColumn(
+        "__lrn",
+        F.row_number().over(
+            Window.partitionBy("__pid").orderBy(*[F.col(c) for c in cols])
+        ),
+    )
+    # counts come straight off the range exchange (ReusedExchange with
+    # the main branch) — no per-row window work in this branch
+    sizes = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    offsets = sizes.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__cnt").over(
+                Window.orderBy("__pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("__pid", "__off")
+    return (
+        local.join(broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__lrn")).cast("bigint"))
+        .drop("__pid", "__lrn", "__off")
+    )

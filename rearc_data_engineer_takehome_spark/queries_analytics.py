@@ -2521,3 +2521,106 @@ def events_user_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recommended_salt"),
         )
     )
+
+
+@query(
+    "orders_global_rownum_sample",
+    """
+    SELECT rn, o_orderkey FROM (
+        SELECT o_orderkey,
+               row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn % 1000 = 0
+    """,
+    doc="Dense global row numbers 1..n over orders ordered by "
+    "(o_orderdate, o_orderkey), verified by the systematic every-"
+    "1000th-rank sample (rank + key pairs — any mis-assignment "
+    "anywhere shifts a sampled pair). Implementation is "
+    "relational.dense_row_numbers: range-partition on the order key, "
+    "sort WITHIN partitions, per-partition row_number, and a "
+    "#partitions-row offset table broadcast back — contiguous global "
+    "sequence with NO single-reducer sort, boundary-invariant hence "
+    "deterministic (the oracle is the plain global window, which is "
+    "exactly the single-reducer form this operator replaces at "
+    "100 TB).",
+)
+def orders_global_rownum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import dense_row_numbers
+
+    numbered = dense_row_numbers(
+        _t(spark, sf_dir, "orders"), ["o_orderdate", "o_orderkey"]
+    )
+    return numbered.where(F.col("rn") % 1000 == 0).select("rn", "o_orderkey")
+
+
+@query(
+    "orders_constraint_suite",
+    """
+    WITH a AS (
+        SELECT count(*)::DOUBLE AS n,
+               count(o_custkey)::DOUBLE AS nck,
+               count(DISTINCT o_orderkey)::DOUBLE AS nuk,
+               sum((o_orderstatus IN ('O','F','P'))::INT)::DOUBLE AS ndom,
+               sum((o_totalprice > 0)::INT)::DOUBLE AS npos,
+               sum((o_orderdate >= DATE '1992-01-01'
+                    AND o_orderdate < DATE '1999-01-01')::INT)::DOUBLE
+                   AS ndate
+        FROM orders
+    )
+    SELECT * FROM (
+        SELECT 'completeness_custkey' AS constraint, round(nck / n, 6)
+               AS metric, nck = n AS passed FROM a
+        UNION ALL SELECT 'uniqueness_orderkey', round(nuk / n, 6),
+               nuk = n FROM a
+        UNION ALL SELECT 'domain_orderstatus', round(ndom / n, 6),
+               ndom = n FROM a
+        UNION ALL SELECT 'positive_totalprice', round(npos / n, 6),
+               npos = n FROM a
+        UNION ALL SELECT 'daterange_orderdate', round(ndate / n, 6),
+               ndate = n FROM a
+    )
+    """,
+    doc="Deequ-style declarative constraint suite verified in ONE "
+    "aggregate pass over orders (completeness, key uniqueness, value "
+    "domain, sign, date range), emitted long-form as (constraint, "
+    "metric, passed) — the single-scan form production DQ frameworks "
+    "compile to, vs one job per check. Map-side partials carry five "
+    "counters (the distinct-count is the only shuffled state); the "
+    "verdict compares integer-exact counts. Complements the "
+    "referential check in fk_integrity_audit and the per-column "
+    "profiles in null_profile_orders.",
+)
+def orders_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count("o_custkey").cast("double").alias("nck"),
+        F.countDistinct("o_orderkey").cast("double").alias("nuk"),
+        F.sum(
+            F.col("o_orderstatus").isin("O", "F", "P").cast("int")
+        ).cast("double").alias("ndom"),
+        F.sum((F.col("o_totalprice") > 0).cast("int"))
+        .cast("double")
+        .alias("npos"),
+        F.sum(
+            (
+                (F.col("o_orderdate") >= F.lit("1992-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
+            ).cast("int")
+        ).cast("double").alias("ndate"),
+    )
+    checks = [
+        ("completeness_custkey", "nck"),
+        ("uniqueness_orderkey", "nuk"),
+        ("domain_orderstatus", "ndom"),
+        ("positive_totalprice", "npos"),
+        ("daterange_orderdate", "ndate"),
+    ]
+    stacked = ", ".join(
+        f"'{name}', round({c} / n, 6), {c} = n" for name, c in checks
+    )
+    return a.select(
+        F.expr(
+            f"stack({len(checks)}, {stacked}) AS (constraint, metric, passed)"
+        )
+    )

@@ -575,3 +575,34 @@ def test_repeated_spans_matches_bruteforce(spark_session_holder, texts):
         for r in repeated_spans(df, w=3, min_docs=2, top_k=5).collect()
     ]
     assert got == py_repeated_spans(docs, 3, 2, 5)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda t: t[1],
+    ),
+    st.sampled_from([1, 3, 8]),
+)
+def test_dense_row_numbers_match_global_window(spark, rows, n_parts):
+    """Property: range-partitioned dense_row_numbers assigns exactly the
+    global row_number() ranking (contiguous 1..n, same order) for any
+    input and ANY partition count — boundary-invariance is the whole
+    claim."""
+    from rearc_data_engineer_takehome_spark.operators.relational import (
+        dense_row_numbers,
+    )
+
+    df = spark.createDataFrame(rows, "k long, uid long")
+    got = {
+        (r.k, r.uid): r.rn
+        for r in dense_row_numbers(df, ["k", "uid"], n_partitions=n_parts).collect()
+    }
+    expect = {
+        (k, uid): i + 1
+        for i, (k, uid) in enumerate(sorted(rows))
+    }
+    assert got == expect
