@@ -876,9 +876,10 @@ def top_revenue_share_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Distribution-rank window battery (ntile/percent_rank/cume_dist "
     "over a global order) folded to per-decile stats. A global-order "
-    "window is a single-partition sort — fine for bounded outputs; at "
-    "100 TB band against exact_quantiles_scalable decile cutpoints "
-    "instead (scalable_twin: price_quantiles_scalable).",
+    "window is a single-partition sort — kept as the deliberately-"
+    "exact demonstration; the output-identical no-global-sort form is "
+    "(scalable_twin: order_value_distribution_scalable), which shares "
+    "this oracle verbatim.",
 )
 def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
@@ -1116,6 +1117,24 @@ DRIVER_WINDOW: list[str] = [
     "part_triangle_count",  # degree-ordered triangle counting
     "dedup_clusters_star",  # O(log n) star-contraction components
 ]
+
+
+def _late_bind_shared_oracles() -> None:
+    """Twins whose oracle IS another query's oracle, where registration
+    order prevents referencing it at decoration time."""
+    for twin, base in (
+        ("order_value_distribution_scalable", "order_value_distribution"),
+    ):
+        q = REGISTRY[twin]
+        REGISTRY[twin] = type(q)(
+            name=q.name,
+            spark=q.spark,
+            oracle=REGISTRY[base].oracle,
+            doc=q.doc,
+        )
+
+
+_late_bind_shared_oracles()
 
 
 def _reorder_registry() -> None:

@@ -2624,3 +2624,49 @@ def orders_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(checks)}, {stacked}) AS (constraint, metric, passed)"
         )
     )
+
+
+@query(
+    "order_value_distribution_scalable",
+    # placeholder: order_value_distribution registers AFTER this module
+    # imports; queries.py late-binds its oracle onto this entry so the
+    # two queries share one oracle text verbatim
+    "__LATE_BOUND__",
+    doc="The 100 TB twin of order_value_distribution, and the proof "
+    "that dense_row_numbers replaces the single-reducer global window "
+    "EXACTLY: because the window order carries a unique tie-break, "
+    "rank == dense rn, so ntile(10) (ceil/floor bucket arithmetic on "
+    "rn and the broadcast total), percent_rank ((rn-1)/(n-1)) and "
+    "cume_dist (rn/n) are all closed-form in rn — no global sort "
+    "anywhere (range partition + within-partition sorts only). The "
+    "ORACLE IS order_value_distribution's oracle, so the driver "
+    "certifies bit-equality of the two plans' outputs.",
+)
+def order_value_distribution_scalable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.relational import dense_row_numbers
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    numbered = dense_row_numbers(orders, ["o_totalprice", "o_orderkey"])
+    tot = orders.agg(F.count(F.lit(1)).alias("nn"))
+    k = 10
+    j = numbered.join(F.broadcast(tot))
+    q, r = F.floor(F.col("nn") / k), F.col("nn") % k
+    big = q + 1
+    decile = F.when(
+        F.col("rn") <= r * big, F.floor((F.col("rn") - 1) / big) + 1
+    ).otherwise(r + F.floor((F.col("rn") - r * big - 1) / q) + 1)
+    ranked = j.select(
+        "o_totalprice",
+        decile.cast("int").alias("decile"),
+        ((F.col("rn") - 1) / (F.col("nn") - 1)).alias("pr"),
+        (F.col("rn") / F.col("nn")).alias("cd"),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.avg("pr"), 6).alias("avg_percent_rank"),
+        F.round(F.avg("cd"), 6).alias("avg_cume_dist"),
+    )
