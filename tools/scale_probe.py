@@ -100,6 +100,9 @@ PROBE_QUERIES = [
     "priority_status_mutual_info",  # contingency-table MI + entropies
     "events_last_touch_attribution",  # conditional fill-forward window
     "events_user_skew_profile",  # per-key counts + two-pass quantiles
+    "orders_global_rownum_sample",  # range-partitioned dense numbering
+    "order_value_distribution_scalable",  # closed-form rank battery on rn
+    "orders_constraint_suite",  # single-pass DQ counters
 ]
 
 # Optional override: probe exactly these queries (comma-separated).
