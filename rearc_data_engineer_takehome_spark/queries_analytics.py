@@ -2670,3 +2670,185 @@ def order_value_distribution_scalable(
         F.round(F.avg("pr"), 6).alias("avg_percent_rank"),
         F.round(F.avg("cd"), 6).alias("avg_cume_dist"),
     )
+
+
+@query(
+    "customer_revenue_gini",
+    """
+    WITH rev AS (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    ),
+    c AS (SELECT o_custkey, round(revenue * 100)::BIGINT AS cents FROM rev),
+    r AS (SELECT cents,
+                 row_number() OVER (ORDER BY cents, o_custkey) AS rn
+          FROM c),
+    s AS (SELECT count(*)::BIGINT AS n, sum(cents) AS s0,
+                 sum(rn * cents) AS s1
+          FROM r)
+    SELECT n AS n_customers, round(s0 / 100.0, 2) AS total_revenue,
+           round((2.0 * s1) / (n * s0) - (n + 1.0) / n, 6) AS gini
+    FROM s
+    """,
+    doc="Revenue-concentration Gini coefficient over per-customer "
+    "revenue via the rank formula G = 2*sum(i*x_i)/(n*sum(x)) - "
+    "(n+1)/n. Ranks come from dense_row_numbers (range partition + "
+    "within-partition sorts — no single-reducer window; the oracle IS "
+    "that single-reducer window), and the rank order is "
+    "tie-invariant for the formula, so the unique custkey tie-break "
+    "changes nothing. All sums run in integer CENTS (exact, "
+    "order-independent — no float-summation ulp can flip the 6dp "
+    "round); magnitudes stay far below int64.",
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import dense_row_numbers
+
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(
+            "o_custkey",
+            F.round(F.col("revenue") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    r = dense_row_numbers(rev, ["cents", "o_custkey"])
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").alias("s0"),
+        F.sum(F.col("rn") * F.col("cents")).alias("s1"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("s0") / 100.0, 2).alias("total_revenue"),
+        F.round(
+            (F.lit(2.0) * F.col("s1")) / (F.col("n") * F.col("s0"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+_PSI_PROBS = [i / 10 for i in range(1, 10)]
+
+
+@query(
+    "order_price_psi_by_year",
+    f"""
+    WITH y AS (
+        SELECT year(o_orderdate) AS yr, o_totalprice AS x FROM orders
+    ),
+    ref AS (SELECT x FROM y WHERE yr = (SELECT min(yr) FROM y)),
+    q AS (
+        SELECT list_sort(list(x)) AS a, count(x) AS n FROM ref
+    ),
+    cuts AS (
+        SELECT {", ".join(
+            f"round({spark_percentile_sql('a', 'n', str(p))}, 4) AS c{i}"
+            for i, p in enumerate(_PSI_PROBS)
+        )}
+        FROM q
+    ),
+    binned AS (
+        SELECT yr, 1 {" ".join(f"+ (x > c{i})::INT" for i in range(9))}
+               AS bin
+        FROM y CROSS JOIN cuts
+    ),
+    shares AS (
+        SELECT yr, bin, count(*)::DOUBLE
+               / sum(count(*)) OVER (PARTITION BY yr) AS s
+        FROM binned GROUP BY yr, bin
+    ),
+    refshare AS (
+        SELECT bin, s AS p FROM shares
+        WHERE yr = (SELECT min(yr) FROM y)
+    ),
+    grid AS (
+        SELECT yr, bin FROM (SELECT DISTINCT yr FROM y)
+        CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS bin)
+    ),
+    filled AS (
+        SELECT g.yr,
+               greatest(coalesce(sh.s, 0.0), 1e-6) AS s,
+               greatest(coalesce(r.p, 0.0), 1e-6) AS p
+        FROM grid g
+        LEFT JOIN shares sh ON sh.yr = g.yr AND sh.bin = g.bin
+        LEFT JOIN refshare r ON r.bin = g.bin
+    )
+    SELECT yr, round(sum((s - p) * ln(s / p)), 6) AS psi,
+           CASE WHEN sum((s - p) * ln(s / p)) < 0.1 THEN 'stable'
+                WHEN sum((s - p) * ln(s / p)) < 0.25 THEN 'moderate'
+                ELSE 'major' END AS band
+    FROM filled GROUP BY yr
+    """,
+    doc="Population Stability Index of the order-price distribution, "
+    "per year against the earliest year — the standard ML-ops drift "
+    "gate (industry bands: <0.1 stable, <0.25 moderate, else major). "
+    "Reference-year decile cutpoints come from the two-bounded-pass "
+    "exact_quantiles_scalable (broadcast 1-row), bin assignment is a "
+    "codegen comparison chain (no window over the fact), shares are "
+    "one (yr, bin) aggregate, and the 10-bin-per-year PSI fold is "
+    "domain-bounded. Empty bins clamp at 1e-6 on both engines "
+    "(identically, so the oracle replays the clamp).",
+)
+def order_price_psi_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import exact_quantiles_scalable
+
+    y = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"), F.col("o_totalprice").alias("x")
+    )
+    miny = y.agg(F.min("yr").alias("miny"))
+    ref = y.join(F.broadcast(miny)).where(F.col("yr") == F.col("miny"))
+    cuts = exact_quantiles_scalable(ref, "x", _PSI_PROBS).select(
+        *[F.round(f"q_{i}", 4).alias(f"c{i}") for i in range(9)]
+    )
+    binned = y.join(F.broadcast(cuts)).select(
+        "yr",
+        sum(
+            [(F.col("x") > F.col(f"c{i}")).cast("int") for i in range(9)],
+            F.lit(1),
+        ).alias("bin"),
+    )
+    shares = (
+        binned.groupBy("yr", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "s",
+            F.col("cnt")
+            / F.sum("cnt").over(Window.partitionBy("yr")),
+        )
+    ).localCheckpoint()  # feeds the grid fill AND the reference share
+    refshare = (
+        shares.join(F.broadcast(miny), F.col("yr") == F.col("miny"))
+        .select("bin", F.col("s").alias("p"))
+    )
+    grid = (
+        y.select("yr")
+        .distinct()
+        .crossJoin(F.broadcast(spark_range_bins(y.sparkSession, 10)))
+    )
+    filled = (
+        grid.join(shares.select("yr", "bin", "s"), ["yr", "bin"], "left")
+        .join(F.broadcast(refshare), "bin", "left")
+        .select(
+            "yr",
+            F.greatest(F.coalesce("s", F.lit(0.0)), F.lit(1e-6)).alias("s"),
+            F.greatest(F.coalesce("p", F.lit(0.0)), F.lit(1e-6)).alias("p"),
+        )
+    )
+    term = (F.col("s") - F.col("p")) * F.log(F.col("s") / F.col("p"))
+    psi = F.sum(term)
+    return filled.groupBy("yr").agg(
+        F.round(psi, 6).alias("psi"),
+        F.when(psi < 0.1, "stable")
+        .when(psi < 0.25, "moderate")
+        .otherwise("major")
+        .alias("band"),
+    )
+
+
+def spark_range_bins(spark: SparkSession, n: int) -> DataFrame:
+    """1..n bin-id dimension (driver-literal, broadcastable)."""
+    return spark.range(1, n + 1).select(
+        F.col("id").cast("int").alias("bin")
+    )
