@@ -103,6 +103,8 @@ PROBE_QUERIES = [
     "orders_global_rownum_sample",  # range-partitioned dense numbering
     "order_value_distribution_scalable",  # closed-form rank battery on rn
     "orders_constraint_suite",  # single-pass DQ counters
+    "customer_revenue_gini",  # dense-rank Gini, integer-cent sums
+    "order_price_psi_by_year",  # broadcast-decile PSI drift
 ]
 
 # Optional override: probe exactly these queries (comma-separated).
