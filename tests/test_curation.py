@@ -253,3 +253,40 @@ def test_cusum_identity_matches_reset_recurrence(spark, vals):
     r = out[0]
     assert abs(r.max_cusum - round(mx, 4)) < 1e-9
     assert r.n_over == n_over
+
+
+def test_last_touch_attribution_edges(spark, tmp_path):
+    """Behavioral edges of events_last_touch_attribution: a purchase
+    with no prior touch and one whose only touch is older than the
+    7-day lookback both credit 'none'; an in-window touch credits its
+    channel; a later touch never credits an earlier purchase."""
+    import datetime as dt
+
+    from rearc_data_engineer_takehome_spark.queries import REGISTRY
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    day = dt.timedelta(days=1)
+    rows = [
+        # user 1: click 2 days before purchase -> 'click'
+        (1, t0, 1, "click", 0.0, None),
+        (2, t0 + 2 * day, 1, "purchase", 10.0, None),
+        # user 2: view 8 days before purchase -> outside window, 'none'
+        (3, t0, 2, "view", 0.0, None),
+        (4, t0 + 8 * day, 2, "purchase", 20.0, None),
+        # user 3: purchase first, click after -> 'none'
+        (5, t0, 3, "purchase", 40.0, None),
+        (6, t0 + day, 3, "click", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.channel: (r.n_purchases, r.attributed_revenue)
+        for r in REGISTRY["events_last_touch_attribution"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {"click": (1, 10.0), "none": (2, 60.0)}
