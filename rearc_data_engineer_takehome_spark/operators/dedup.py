@@ -286,12 +286,16 @@ def ngram_jaccard_pairs_prefix(
         .select(
             id_col,
             F.col("__ord.sh").alias("__arr"),
+            # ceil over a double product can land one integer HIGH when
+            # t*n sits a half-ulp above an exact integer (double(0.8)*5);
+            # the epsilon biases toward a LONGER prefix — extra
+            # candidates only, which the exact verify discards
             F.slice(
                 F.col("__ord.sh"),
                 1,
                 (
                     F.col("__n")
-                    - F.ceil(F.lit(threshold) * F.col("__n"))
+                    - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
                     + 1
                 ).cast("int"),
             ).alias("__pref"),
@@ -314,9 +318,12 @@ def ngram_jaccard_pairs_prefix(
         )
         .where(
             (F.col("id_a") < F.col("id_b"))
+            # epsilon-loose size filter (same half-ulp hazard as the
+            # prefix length): may admit a borderline candidate, never
+            # drops a qualifying one — the verify is exact either way
             & (
                 F.lit(threshold) * F.greatest("__na", "__nb")
-                <= F.least("__na", "__nb")
+                <= F.least("__na", "__nb") + F.lit(1e-9)
             )
         )
         .select("id_a", "id_b")
