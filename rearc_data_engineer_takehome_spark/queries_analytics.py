@@ -2852,3 +2852,149 @@ def spark_range_bins(spark: SparkSession, n: int) -> DataFrame:
     return spark.range(1, n + 1).select(
         F.col("id").cast("int").alias("bin")
     )
+
+
+_NEYMAN_TOTAL = 1000
+
+
+@query(
+    "orders_neyman_allocation",
+    f"""
+    WITH s AS (
+        SELECT o_orderpriority AS stratum,
+               count(*)::BIGINT AS n_h,
+               round(stddev_samp(o_totalprice), 6) AS s_h
+        FROM orders GROUP BY 1
+    ),
+    w AS (
+        SELECT stratum, n_h, s_h, n_h * s_h AS wt,
+               sum(n_h * s_h) OVER () AS tot
+        FROM s
+    ),
+    fl AS (
+        SELECT stratum, n_h, s_h,
+               floor({_NEYMAN_TOTAL} * wt / tot)::BIGINT AS base,
+               {_NEYMAN_TOTAL} * wt / tot
+                   - floor({_NEYMAN_TOTAL} * wt / tot) AS frac
+        FROM w
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (ORDER BY frac DESC, stratum) AS rk,
+               {_NEYMAN_TOTAL} - sum(base) OVER () AS leftover
+        FROM fl
+    )
+    SELECT stratum, n_h, s_h,
+           (base + (rk <= leftover)::INT)::BIGINT AS alloc_h
+    FROM r
+    """,
+    doc="Neyman (variance-optimal) stratified-sample allocation: a "
+    f"{_NEYMAN_TOTAL}-row budget split across order-priority strata "
+    "proportionally to N_h*S_h (stddev_samp of o_totalprice), with "
+    "deterministic largest-remainder rounding (frac desc, stratum "
+    "tie-break) so allocations sum EXACTLY to the budget. The only "
+    "full-table work is one grouped aggregate (count + stddev "
+    "partials); everything after runs on the |strata|-row table, "
+    "where the global windows are domain-bounded. Complements the "
+    "proportional/weighted samplers in operators/sampling.py with the "
+    "design step that decides how much to draw from each stratum.",
+)
+def orders_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_h"),
+            F.round(F.stddev_samp("o_totalprice"), 6).alias("s_h"),
+        )
+        .localCheckpoint()  # |strata| rows; feeds two window consumers
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = s.select(
+        "*",
+        (F.col("n_h") * F.col("s_h")).alias("wt"),
+        F.sum(F.col("n_h") * F.col("s_h")).over(wall).alias("tot"),
+    )
+    target = F.lit(_NEYMAN_TOTAL) * F.col("wt") / F.col("tot")
+    fl = w.select(
+        "stratum",
+        "n_h",
+        "s_h",
+        F.floor(target).cast("bigint").alias("base"),
+        (target - F.floor(target)).alias("frac"),
+    )
+    r = fl.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("frac").desc(), F.col("stratum")))
+        .alias("rk"),
+        (F.lit(_NEYMAN_TOTAL) - F.sum("base").over(wall)).alias("leftover"),
+    )
+    return r.select(
+        "stratum",
+        "n_h",
+        "s_h",
+        (F.col("base") + (F.col("rk") <= F.col("leftover")).cast("int"))
+        .cast("bigint")
+        .alias("alloc_h"),
+    )
+
+
+@query(
+    "events_seasonal_anomalies",
+    """
+    WITH e AS (
+        SELECT date_part('isodow', ts)::INT AS dow,
+               date_part('hour', ts)::INT AS hr, value AS v
+        FROM events WHERE event_type = 'view'
+    ),
+    b AS (
+        SELECT dow, hr, round(avg(v), 6) AS m,
+               round(stddev_samp(v), 6) AS s
+        FROM e GROUP BY dow, hr
+    )
+    SELECT e.dow, e.hr, count(*)::BIGINT AS n_events,
+           sum((abs((e.v - b.m) / b.s) >= 3)::INT)::BIGINT AS n_anomalies,
+           round(max(abs((e.v - b.m) / b.s)), 4) AS max_abs_z
+    FROM e JOIN b USING (dow, hr)
+    WHERE b.s > 0
+    GROUP BY e.dow, e.hr
+    """,
+    doc="Seasonal-baseline anomaly monitor: each view event scored "
+    "against ITS OWN (iso-weekday, hour) cell's mean/stddev — the "
+    "group-conditional complement to events_zscore_anomalies' "
+    "per-type baseline, catching values that are normal globally but "
+    "anomalous for 3am-Sunday. The baseline is a 168-cell aggregate "
+    "broadcast back onto the fact (never a window over the fact); "
+    "mean/stddev round 6dp BEFORE scoring so the z threshold compares "
+    "identical doubles in both engines. ISO weekday "
+    "(weekday(ts)+1 in Spark = isodow in DuckDB) dodges the "
+    "dayofweek origin mismatch.",
+)
+def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        _events(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            (F.weekday("ts") + 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hr"),
+            F.col("value").alias("v"),
+        )
+    )
+    b = e.groupBy("dow", "hr").agg(
+        F.round(F.avg("v"), 6).alias("m"),
+        F.round(F.stddev_samp("v"), 6).alias("s"),
+    )
+    z = F.abs((F.col("v") - F.col("m")) / F.col("s"))
+    return (
+        e.join(F.broadcast(b), ["dow", "hr"])
+        .where(F.col("s") > 0)
+        .groupBy("dow", "hr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum((z >= 3).cast("int")).cast("bigint").alias("n_anomalies"),
+            F.round(F.max(z), 4).alias("max_abs_z"),
+        )
+    )
