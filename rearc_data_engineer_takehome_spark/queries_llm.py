@@ -2543,3 +2543,190 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             target.cast("bigint") - F.col("avail_tokens"), F.lit(0).cast("bigint")
         ).alias("deficit_tokens"),
     )
+
+
+@query(
+    "source_zipf_slope",
+    f"""
+    WITH tok AS (
+        SELECT source, lower(t) AS term
+        FROM documents, unnest({_TOKS}) AS u(t)
+        WHERE t <> ''
+    ),
+    tf AS (
+        SELECT source, term, count(*)::BIGINT AS cnt
+        FROM tok GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT source, cnt,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY cnt DESC, term) AS rnk
+        FROM tf
+    ),
+    pts AS (
+        SELECT source,
+               CAST(round(ln(rnk::DOUBLE) * 1000000, 0) AS BIGINT) AS xi,
+               CAST(round(ln(cnt::DOUBLE) * 1000000, 0) AS BIGINT) AS yi
+        FROM rk WHERE rnk <= 100
+    ),
+    s AS (
+        SELECT source, count(*)::BIGINT AS n, sum(xi)::BIGINT AS sx,
+               sum(yi)::BIGINT AS sy, sum(xi * yi)::BIGINT AS sxy,
+               sum(xi * xi)::BIGINT AS sxx
+        FROM pts GROUP BY source HAVING count(*) >= 10
+    )
+    SELECT source, n AS n_points,
+           round((n * sxy - sx * sy)::DOUBLE
+                 / (n * sxx - sx * sx)::DOUBLE, 6) AS zipf_slope
+    FROM s
+    """,
+    doc="Zipf-law slope per source: OLS fit of ln(frequency) ~ "
+    "ln(rank) over each source's top-100 terms — natural text sits "
+    "near -1; corpora that deviate hard (template spam, boilerplate, "
+    "generated text) flag for curation review. The token stream "
+    "shuffles once into (source, term) counts; the per-source rank "
+    "window runs over the vocabulary-sized aggregate (never the "
+    "fact), and the regression consumes 100 points per source. "
+    "Cross-engine float hazard (shuffle-order-dependent double "
+    "sums) is eliminated by quantizing ln values to 1e-6 on BIGINTs: "
+    "every OLS sum and the slope's numerator/denominator are exact "
+    "64-bit integers (max |term| ~6.4e17 < 2^63), so both engines "
+    "divide identical operands.",
+)
+def source_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import spread_compute
+
+    docs = spread_compute(_t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.trim("text"), WS_PATTERN)).alias("t"),
+    ).where(F.col("t") != "").select("source", F.lower("t").alias("term"))
+    tf = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), "term")
+    pts = (
+        tf.select("source", "cnt", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 100)
+        .select(
+            "source",
+            F.round(F.log(F.col("rnk").cast("double")) * 1e6, 0)
+            .cast("bigint")
+            .alias("xi"),
+            F.round(F.log(F.col("cnt").cast("double")) * 1e6, 0)
+            .cast("bigint")
+            .alias("yi"),
+        )
+    )
+    s = (
+        pts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("xi").cast("bigint").alias("sx"),
+            F.sum("yi").cast("bigint").alias("sy"),
+            F.sum(F.col("xi") * F.col("yi")).cast("bigint").alias("sxy"),
+            F.sum(F.col("xi") * F.col("xi")).cast("bigint").alias("sxx"),
+        )
+        .where(F.col("n") >= 10)
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_points"),
+        F.round(num / den, 6).alias("zipf_slope"),
+    )
+
+
+@query(
+    "doc_tfidf_topk",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)),
+                           '{WS_PATTERN}'), t -> t <> '') AS arr
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, len(arr)::BIGINT AS dl, t AS term
+        FROM d, unnest(arr) AS u(t)
+    ),
+    tf AS (
+        SELECT doc_id, term, max(dl) AS dl, count(*)::BIGINT AS tf
+        FROM tok GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*)::BIGINT AS n FROM d),
+    sc AS (
+        SELECT doc_id, tf.term,
+               round(round(ln((n + 1.0) / (df + 1.0)) + 1.0, 8)
+                     * tf / dl, 8) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    rk AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term) AS rnk
+        FROM sc
+    )
+    SELECT doc_id, term, round(score, 6) AS score, rnk
+    FROM rk WHERE rnk <= 3
+    """,
+    doc="TF-IDF keyword extraction: top-3 characteristic terms per "
+    "document by smoothed tf-idf (ln((N+1)/(df+1))+1, length- "
+    "normalized tf) — the per-document complement to corpus-level "
+    "BM25 retrieval (operators/search.py), used for topic tagging "
+    "and cluster labeling. One token-stream shuffle builds (doc, "
+    "term) tfs; document frequencies are a vocabulary-keyed "
+    "aggregate joined back on the same key; the top-3 window is "
+    "bounded by per-document vocabulary. idf rounds 8dp after ln "
+    "(the libm step), tf/dl is an exact int-ratio division, so both "
+    "engines rank identical doubles with a term tie-break.",
+)
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import spread_compute
+
+    docs = spread_compute(_t(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.lower("text")), WS_PATTERN),
+            lambda t: t != F.lit(""),
+        ).alias("arr"),
+    )
+    tok = d.select(
+        "doc_id",
+        F.size("arr").cast("bigint").alias("dl"),
+        F.explode("arr").alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.max("dl").alias("dl"),
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+    )
+    df = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    idf8 = F.round(
+        F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0, 8
+    )
+    sc = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(idf8 * F.col("tf") / F.col("dl"), 8).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        sc.select("*", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "doc_id", "term", F.round("score", 6).alias("score"), "rnk"
+        )
+    )
