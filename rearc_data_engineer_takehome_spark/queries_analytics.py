@@ -2822,8 +2822,11 @@ def order_price_psi_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         shares.join(F.broadcast(miny), F.col("yr") == F.col("miny"))
         .select("bin", F.col("s").alias("p"))
     )
+    # Year domain from the |years*bins|-row checkpointed aggregate (every
+    # year has >=1 order so appears in shares) — NOT a distinct over the
+    # fact, which would be a 5th full scan plus a shuffle at 100 TB.
     grid = (
-        y.select("yr")
+        shares.select("yr")
         .distinct()
         .crossJoin(F.broadcast(spark_range_bins(y.sparkSession, 10)))
     )
@@ -2996,5 +2999,576 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
             F.sum((z >= 3).cast("int")).cast("bigint").alias("n_anomalies"),
             F.round(F.max(z), 4).alias("max_abs_z"),
+        )
+    )
+
+
+@query(
+    "customer_survival_curve",
+    """
+    WITH h AS (SELECT max(o_orderdate::DATE) AS hmax FROM orders),
+    c AS (
+        SELECT o_custkey,
+               datediff('day', min(o_orderdate::DATE),
+                        max(o_orderdate::DATE)) AS tenure,
+               (datediff('day', max(o_orderdate::DATE), hmax) > 90)::INT
+                   AS churned
+        FROM orders CROSS JOIN h
+        GROUP BY o_custkey, hmax
+    ),
+    t AS (
+        SELECT tenure AS t,
+               sum(churned)::BIGINT AS d,
+               sum(1 - churned)::BIGINT AS cns
+        FROM c GROUP BY tenure
+    ),
+    k AS (
+        SELECT t, d, cns,
+               sum(d + cns) OVER ()
+                   - coalesce(sum(d + cns) OVER (
+                         ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS n_risk
+        FROM t
+    ),
+    s AS (
+        SELECT t, d, cns, n_risk,
+               round(exp(sum(round(ln(greatest(1.0 - d::DOUBLE / n_risk,
+                                              1e-12)), 8)) OVER (
+                   ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )), 6) AS survival
+        FROM k
+    )
+    SELECT t AS tenure_days, d AS n_churned, cns AS n_censored,
+           n_risk, survival
+    FROM s WHERE d > 0
+    """,
+    doc="Kaplan-Meier survival curve of customer lifetime (days between "
+    "first and last order), right-censoring customers still active in "
+    "the final 90 days before the corpus horizon — the standard "
+    "churn-analysis estimator, S(t) = prod_{t_i<=t}(1 - d_i/n_i). The "
+    "only fact-table work is one custkey-grouped aggregate; everything "
+    "after runs on the distinct-tenure table, bounded by the day-level "
+    "date domain (a few thousand rows at any data scale), where the "
+    "ordered windows are domain-bounded, not data-scaled. Survival "
+    "factors enter the product as round(ln(1-d/n), 8) — d/n is an "
+    "exact int-ratio division, ln is the one libm-dependent step and "
+    "is rounded before the deterministic ordered cumulative sum "
+    "(the BM25-idf convention), then exp+round(6) on both engines.",
+)
+def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    h = o.agg(F.max("d").alias("hmax"))
+    c = (
+        o.join(F.broadcast(h))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("d"), F.min("d")).alias("tenure"),
+            (F.datediff(F.max("hmax"), F.max("d")) > 90)
+            .cast("int")
+            .alias("churned"),
+        )
+    )
+    t = c.groupBy(F.col("tenure").alias("t")).agg(
+        F.sum("churned").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("churned")).cast("bigint").alias("cns"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    k = t.select(
+        "t",
+        "d",
+        "cns",
+        (
+            F.sum(F.col("d") + F.col("cns")).over(wall)
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("cns")).over(wprev), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    # greatest(., 1e-12): the final tenure group can be ALL-churned
+    # (d == n_risk) — ln(0) is -inf in DuckDB but NULL in Spark, so
+    # clamp the factor identically on both sides (survival rounds to
+    # 0.0 at 6dp either way).
+    lnfac = F.round(
+        F.log(
+            F.greatest(
+                F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"),
+                F.lit(1e-12),
+            )
+        ),
+        8,
+    )
+    s = k.select(
+        F.col("t").alias("tenure_days"),
+        F.col("d").alias("n_churned"),
+        F.col("cns").alias("n_censored"),
+        "n_risk",
+        F.round(F.exp(F.sum(lnfac).over(wcum)), 6).alias("survival"),
+    )
+    return s.where(F.col("n_churned") > 0)
+
+
+@query(
+    "supplier_part_mutual_best",
+    """
+    WITH rev AS (
+        SELECT l_suppkey, l_partkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY l_suppkey
+                                  ORDER BY revenue DESC, l_partkey) AS r1,
+               row_number() OVER (PARTITION BY l_partkey
+                                  ORDER BY revenue DESC, l_suppkey) AS r2
+        FROM rev
+    )
+    SELECT s_suppkey AS suppkey, s_name, p_partkey AS partkey, p_name,
+           revenue
+    FROM r
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE r1 = 1 AND r2 = 1
+    """,
+    doc="Reciprocal best match: (supplier, part) pairs where the part "
+    "is that supplier's top-revenue part AND the supplier is that "
+    "part's top-revenue supplier — the mutual-best join used for "
+    "stable assignment seeding and entity reconciliation. Both ranks "
+    "are per-group top-1 windows over the SAME (suppkey, partkey) "
+    "aggregate (vocab-sized, never the fact), ranking on the "
+    "round(2) revenue with key tie-breaks so order is total on both "
+    "engines; dimension lookups broadcast. Extends the one-sided W1 "
+    "flagship (best_part_by_supplier) to the bidirectional fixpoint.",
+)
+def supplier_part_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    r1 = Window.partitionBy("l_suppkey").orderBy(
+        F.col("revenue").desc(), "l_partkey"
+    )
+    r2 = Window.partitionBy("l_partkey").orderBy(
+        F.col("revenue").desc(), "l_suppkey"
+    )
+    mutual = (
+        rev.select(
+            "*",
+            F.row_number().over(r1).alias("r1"),
+            F.row_number().over(r2).alias("r2"),
+        )
+        .where((F.col("r1") == 1) & (F.col("r2") == 1))
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    prt = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        mutual.join(
+            F.broadcast(sup), mutual.l_suppkey == sup.s_suppkey
+        )
+        .join(F.broadcast(prt), mutual.l_partkey == prt.p_partkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            "s_name",
+            F.col("p_partkey").alias("partkey"),
+            "p_name",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "events_histogram_merge_quantiles",
+    """
+    WITH v AS (
+        SELECT date_trunc('week', ts)::DATE AS wk, value AS x
+        FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+        SELECT min(x) AS lo,
+               greatest((max(x) - min(x)) / 128.0, 1e-12) AS w
+        FROM v
+    ),
+    sk AS (
+        SELECT wk, least(floor((x - lo) / w)::INT, 127) AS bin,
+               count(*)::BIGINT AS cnt
+        FROM v CROSS JOIN b GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT wk, bin, cnt,
+               sum(cnt) OVER (PARTITION BY wk ORDER BY bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+               sum(cnt) OVER (PARTITION BY wk) AS n
+        FROM sk
+    ),
+    est AS (
+        SELECT wk, n,
+               min(CASE WHEN cum >= 0.5 * n THEN bin END) AS b50,
+               min(CASE WHEN cum >= 0.9 * n THEN bin END) AS b90
+        FROM cum GROUP BY wk, n
+    )
+    SELECT strftime(wk, '%Y-%m-%d') AS week, n AS n_events,
+           round(lo + (b50 + 0.5) * w, 6) AS est_p50,
+           round(lo + (b90 + 0.5) * w, 6) AS est_p90,
+           round(w, 6) AS bin_width
+    FROM est CROSS JOIN b
+    """,
+    doc="Mergeable equi-width histogram sketch: purchase values bin "
+    "into 128 fixed buckets (global min/width from one 2-scalar "
+    "pass), per-DAY (wk, bin, cnt) sketch rows MAX-128-row relations "
+    "SUM-merge into weekly histograms, and p50/p90 read off the "
+    "merged cumulative counts at half-bin precision (error bound = "
+    "bin_width/2) — the quantile analogue of the HLL register family: "
+    "per-partition/per-day sketches roll up to any coarser grain "
+    "without re-touching the fact. Spark builds day sketches and "
+    "merges them; the oracle bins per week directly — identical "
+    "counts by associativity of the bin-count SUM, which is the "
+    "mergeability property under test. Bin ids use exact-double "
+    "(x-lo)/w with identical operands; the week-domain windows are "
+    "128-row bounded.",
+)
+def events_histogram_merge_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    v = (
+        _events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("ts").cast("date").alias("day"),
+            F.col("value").alias("x"),
+        )
+    )
+    b = v.agg(
+        F.min("x").alias("lo"),
+        F.greatest(
+            (F.max("x") - F.min("x")) / F.lit(128.0), F.lit(1e-12)
+        ).alias("w"),
+    ).localCheckpoint()  # 1 row; feeds binning AND the final readout
+    day_sketch = (
+        v.join(F.broadcast(b))
+        .select(
+            "day",
+            F.least(
+                F.floor((F.col("x") - F.col("lo")) / F.col("w")).cast("int"),
+                F.lit(127),
+            ).alias("bin"),
+        )
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    # the merge step: day-grain sketches SUM into week-grain sketches
+    wk_sketch = day_sketch.groupBy(
+        F.date_trunc("week", F.col("day")).cast("date").alias("wk"), "bin"
+    ).agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    wcum = Window.partitionBy("wk").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("wk")
+    cum = wk_sketch.select(
+        "wk",
+        "bin",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    est = cum.groupBy("wk", "n").agg(
+        F.min(
+            F.when(F.col("cum") >= 0.5 * F.col("n"), F.col("bin"))
+        ).alias("b50"),
+        F.min(
+            F.when(F.col("cum") >= 0.9 * F.col("n"), F.col("bin"))
+        ).alias("b90"),
+    )
+    return est.join(F.broadcast(b)).select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week"),
+        F.col("n").alias("n_events"),
+        F.round(F.col("lo") + (F.col("b50") + 0.5) * F.col("w"), 6).alias(
+            "est_p50"
+        ),
+        F.round(F.col("lo") + (F.col("b90") + 0.5) * F.col("w"), 6).alias(
+            "est_p90"
+        ),
+        F.round("w", 6).alias("bin_width"),
+    )
+
+
+@query(
+    "embedding_int8_quantization",
+    """
+    WITH v AS (
+        SELECT vec_id, label, embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(x::DOUBLE))) / 127.0 AS s
+        FROM embeddings
+    ),
+    e AS (
+        SELECT label, s,
+               list_max(list_transform(embedding,
+                   x -> abs(x::DOUBLE
+                            - round(x::DOUBLE / s, 0) * s))) AS vec_err
+        FROM v WHERE s > 0
+    ),
+    q AS (
+        SELECT label, vec_err,
+               CAST(round(s * 1e9, 0) AS BIGINT) AS s9,
+               CAST(round(vec_err * 1e9, 0) AS BIGINT) AS e9
+        FROM e
+    )
+    SELECT label, count(*)::BIGINT AS n_vecs,
+           round(sum(s9)::DOUBLE / count(*) / 1e9, 8) AS avg_scale,
+           round(sum(e9)::DOUBLE / count(*) / 1e9, 8) AS avg_max_abs_err,
+           round(max(vec_err), 9) AS worst_abs_err
+    FROM q GROUP BY label
+    """,
+    doc="Symmetric int8 quantization audit for the embedding column: "
+    "per-vector scale max|x|/127, reconstruction error "
+    "|x - round(x/s)*s| reduced per vector by MAX (order-free, so "
+    "bit-identical across engines), then per-label error/scale "
+    "profiles — the go/no-go readout before shipping a quantized ANN "
+    "index (PQ's scalar-quantization sibling). All per-vector work is "
+    "map-side array transforms (no explode, no shuffle of elements); "
+    "the only exchange is the label-grouped aggregate. Cross-vector "
+    "averages quantize to 1e-9 BIGINTs before summing, so group sums "
+    "are exact integers in any shuffle order.",
+)
+def embedding_int8_quantization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "label",
+        "embedding",
+        (
+            F.array_max(
+                F.transform(
+                    "embedding", lambda x: F.abs(x.cast("double"))
+                )
+            )
+            / 127.0
+        ).alias("s"),
+    ).where(F.col("s") > 0)
+    vec_err = F.array_max(
+        F.transform(
+            "embedding",
+            lambda x: F.abs(
+                x.cast("double")
+                - F.round(x.cast("double") / F.col("s"), 0) * F.col("s")
+            ),
+        )
+    )
+    q = v.select(
+        "label",
+        vec_err.alias("vec_err"),
+        F.round(F.col("s") * 1e9, 0).cast("bigint").alias("s9"),
+        F.round(vec_err * 1e9, 0).cast("bigint").alias("e9"),
+    )
+    n = F.count(F.lit(1))
+    return q.groupBy("label").agg(
+        n.cast("bigint").alias("n_vecs"),
+        F.round(F.sum("s9").cast("double") / n / 1e9, 8).alias("avg_scale"),
+        F.round(F.sum("e9").cast("double") / n / 1e9, 8).alias(
+            "avg_max_abs_err"
+        ),
+        F.round(F.max("vec_err"), 9).alias("worst_abs_err"),
+    )
+
+
+@query(
+    "customer_cohort_ltv",
+    """
+    WITH f AS (
+        SELECT o_custkey,
+               date_trunc('month', min(o_orderdate))::DATE AS cohort
+        FROM orders GROUP BY 1
+    ),
+    size_ AS (
+        SELECT cohort, count(*)::BIGINT AS cohort_customers
+        FROM f GROUP BY cohort
+    ),
+    rev AS (
+        SELECT f.cohort,
+               datediff('month', f.cohort,
+                        date_trunc('month', o.o_orderdate)::DATE) AS age,
+               count(*)::BIGINT AS n_orders,
+               round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort, age, n_orders,
+               round(sum(revenue) OVER (PARTITION BY cohort ORDER BY age
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     2) AS cum_revenue
+        FROM rev
+    )
+    SELECT strftime(c.cohort, '%Y-%m') AS cohort_month, c.age AS age_months,
+           c.n_orders, c.cum_revenue, s.cohort_customers,
+           (CAST(round(c.cum_revenue * 100, 0) AS BIGINT)
+            // s.cohort_customers)::DOUBLE / 100.0 AS ltv_per_customer
+    FROM cum c JOIN size_ s ON c.cohort = s.cohort
+    WHERE c.age <= 12
+    """,
+    doc="Cohort lifetime-value curve: customers cohorted by first-order "
+    "month, cumulative revenue per cohort tracked by account age in "
+    "months and normalized per cohort member — the revenue complement "
+    "to events_cohort_retention's activity curves. The fact shuffles "
+    "once onto custkey for first-order dates, once onto (cohort, age) "
+    "for revenue cells; the cumulative window and the per-customer "
+    "normalization run on the months-domain-bounded cohort-age grid "
+    "(a few thousand cells at any data scale) with the cohort-size "
+    "table broadcast. Revenue rounds 2dp at the cell and again after "
+    "the ordered cumulative fold (deterministic ascending-age order), "
+    "the repo-wide float contract.",
+)
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    f = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate"))
+        .cast("date")
+        .alias("cohort")
+    )
+    size_ = f.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_customers")
+    )
+    rev = (
+        o.join(f, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")).cast("date"),
+                F.col("cohort"),
+            )
+            .cast("int")
+            .alias("age"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    wcum = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = rev.select(
+        "cohort",
+        "age",
+        "n_orders",
+        F.round(F.sum("revenue").over(wcum), 2).alias("cum_revenue"),
+    )
+    return (
+        cum.join(F.broadcast(size_), "cohort")
+        .where(F.col("age") <= 12)
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            F.col("age").alias("age_months"),
+            "n_orders",
+            "cum_revenue",
+            "cohort_customers",
+            # integer-cent floor division (`div`): exact at any scale,
+            # and no round() tie semantics to disagree on across engines
+            # (a /cohort_size quotient lands on 4dp half-boundaries)
+            (
+                F.expr(
+                    "cast(round(cum_revenue * 100, 0) as bigint)"
+                    " div cohort_customers"
+                ).cast("double")
+                / 100.0
+            ).alias("ltv_per_customer"),
+        )
+    )
+
+
+@query(
+    "part_two_hop_reach",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.pk AS src, b.pk AS dst
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk <> b.pk
+    ),
+    deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+    seeds AS (
+        SELECT src AS seed, deg FROM deg ORDER BY deg DESC, src LIMIT 5
+    ),
+    h1 AS (SELECT seed, dst AS node FROM seeds JOIN edges ON src = seed),
+    h2 AS (
+        SELECT h1.seed, e.dst AS node
+        FROM h1 JOIN edges e ON e.src = h1.node
+    ),
+    r AS (SELECT seed, node FROM h1 UNION SELECT seed, node FROM h2),
+    agg1 AS (
+        SELECT seed, count(DISTINCT node)::BIGINT AS n_1hop
+        FROM h1 GROUP BY seed
+    ),
+    agg2 AS (
+        SELECT seed, count(DISTINCT node)::BIGINT AS n_2hop
+        FROM r WHERE node <> seed GROUP BY seed
+    )
+    SELECT seeds.seed AS partkey, seeds.deg AS degree, n_1hop, n_2hop
+    FROM seeds JOIN agg1 USING (seed) JOIN agg2 USING (seed)
+    """,
+    doc="Bounded-hop reachability: distinct co-purchase neighbors "
+    "within 1 and <=2 hops of the 5 highest-degree hub parts — the "
+    "blast-radius audit run before recall expansion or contagion "
+    "analysis. Seeds resolve via top-k on the degree aggregate "
+    "(TakeOrderedAndProject, deg/key tie-broken), then BROADCAST so "
+    "the first edge join is seed-pruned BEFORE any expansion; the "
+    "second hop joins the frontier on the node key and dedups via "
+    "grouped count(DISTINCT). Edges come from operators/graph.py's "
+    "in-row basket pairing (fan-out bounded by order size). At corpus "
+    "scale the frontier of a mega-hub is itself large — production "
+    "caps it per seed (top-k by edge weight) before hop 2; with 5 "
+    "seeds the uncapped audit is exact and bounded.",
+)
+def part_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import copurchase_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li, "l_orderkey", "l_partkey").localCheckpoint()
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    seeds = (
+        deg.orderBy(F.col("deg").desc(), "src")
+        .limit(5)
+        .select(F.col("src").alias("seed"), "deg")
+    )
+    h1 = edges.join(
+        F.broadcast(seeds.select("seed")), edges.src == F.col("seed")
+    ).select("seed", F.col("dst").alias("node"))
+    e2 = edges.select(
+        F.col("src").alias("n2src"), F.col("dst").alias("n2dst")
+    )
+    h2 = h1.join(e2, h1.node == e2.n2src).select(
+        "seed", F.col("n2dst").alias("node")
+    )
+    agg1 = h1.groupBy("seed").agg(
+        F.countDistinct("node").cast("bigint").alias("n_1hop")
+    )
+    agg2 = (
+        h1.unionByName(h2)
+        .where(F.col("node") != F.col("seed"))
+        .groupBy("seed")
+        .agg(F.countDistinct("node").cast("bigint").alias("n_2hop"))
+    )
+    return (
+        seeds.join(agg1, "seed")
+        .join(agg2, "seed")
+        .select(
+            F.col("seed").alias("partkey"),
+            F.col("deg").alias("degree"),
+            "n_1hop",
+            "n_2hop",
         )
     )
