@@ -71,3 +71,72 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def table_file_audit(
+    spark,
+    tables: dict[str, str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    small_file_bytes: int = 32 * 1024 * 1024,
+) -> DataFrame:
+    """Physical-layout audit: per table, file count, row count, bytes,
+    per-file row skew, and a recommended file count at
+    ``target_file_bytes`` — the planning input for compaction and for
+    sizing ``spark.sql.files.maxPartitionBytes`` before a 100 TB run
+    (thousands of tiny files serialize scheduling; one giant file
+    serializes the scan).
+
+    File inventory comes from the ``binaryFile`` datasource with the
+    ``content`` column pruned (a listing, not a read); per-file row
+    counts come from one parquet scan grouped on
+    ``input_file_name()``. The two path spellings are joined on
+    basename, which is unique within a table directory. Everything is
+    metadata-or-one-scan; no data shuffles beyond the per-file count.
+    """
+    audits = []
+    for name, path in sorted(tables.items()):
+        files = (
+            spark.read.format("binaryFile")
+            .load(path)
+            .select(
+                F.element_at(F.split("path", "/"), -1).alias("fname"),
+                F.col("length").alias("bytes"),
+            )
+        )
+        rows = (
+            spark.read.parquet(path)
+            .groupBy(
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ).alias("fname")
+            )
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+        per_file = files.join(rows, "fname", "left").select(
+            "fname", "bytes", F.coalesce("n_rows", F.lit(0)).alias("n_rows")
+        )
+        audits.append(
+            per_file.agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_files"),
+                F.sum("n_rows").cast("bigint").alias("n_rows"),
+                F.sum("bytes").cast("bigint").alias("total_bytes"),
+                F.max("n_rows").cast("bigint").alias("max_file_rows"),
+                F.round(
+                    F.max("n_rows") / F.avg("n_rows"), 2
+                ).alias("file_row_skew"),
+                F.greatest(
+                    F.ceil(F.sum("bytes") / F.lit(target_file_bytes)),
+                    F.lit(1),
+                )
+                .cast("bigint")
+                .alias("recommended_files"),
+                (F.avg("bytes") < F.lit(small_file_bytes)).alias(
+                    "small_file_problem"
+                ),
+            )
+        )
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out

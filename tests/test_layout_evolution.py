@@ -82,3 +82,45 @@ def test_hll_sketch_partials_merge_to_global(spark, sf_correctness):
     assert abs(direct - true) / true < 0.05
     assert abs(merged - true) / true < 0.05
     assert abs(merged - direct) / max(direct, 1) < 0.03
+
+
+def test_table_file_audit_matches_filesystem(spark, tmp_path):
+    """table_file_audit's counts reconcile with the filesystem and the
+    data: n_files = directory listing, total_bytes = sum of st_size,
+    n_rows = actual row count — on a deliberately multi-file table and
+    a single-file one."""
+    import os
+
+    from rearc_data_engineer_takehome_spark.operators.layout import (
+        table_file_audit,
+    )
+
+    multi = str(tmp_path / "multi")
+    spark.range(0, 10_000).withColumn(
+        "v", F.col("id") * 2
+    ).repartition(4).write.parquet(multi)
+    single = str(tmp_path / "single")
+    spark.range(0, 500).write.parquet(single)
+
+    audit = {
+        r["table_name"]: r.asDict()
+        for r in table_file_audit(
+            spark, {"multi": multi, "single": single}
+        ).collect()
+    }
+
+    for name, path, rows in (("multi", multi, 10_000), ("single", single, 500)):
+        files = [
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+        got = audit[name]
+        assert got["n_files"] == len(files)
+        assert got["n_rows"] == rows
+        assert got["total_bytes"] == sum(
+            os.path.getsize(os.path.join(path, f)) for f in files
+        )
+        assert got["recommended_files"] == 1  # tiny tables compact to 1
+        assert got["small_file_problem"] is True
+    assert audit["multi"]["max_file_rows"] <= 10_000
+    assert audit["multi"]["file_row_skew"] >= 1.0
