@@ -2730,3 +2730,140 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "term", F.round("score", 6).alias("score"), "rnk"
         )
     )
+
+
+@query(
+    "dedup_drop_manifest",
+    f"""
+    WITH RECURSIVE {_STAGED_JACCARD_CTES},
+    star AS (
+        SELECT rep AS id_a, doc_id AS id_b FROM mem
+        WHERE doc_id <> rep AND rep IN (SELECT doc_id FROM sizes)
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM rpairs
+        UNION ALL SELECT id_a, id_b FROM star
+    ),
+    sym AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(s, d) AS (
+        SELECT s, d FROM sym
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+    ),
+    clusters AS (
+        SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+        FROM reach GROUP BY s
+    ),
+    lab AS (
+        SELECT a.doc_id, a.source, a.n_chars,
+               coalesce(c.cluster_id, a.doc_id) AS cluster_id
+        FROM documents a LEFT JOIN clusters c ON a.doc_id = c.doc_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY n_chars DESC, doc_id) AS rk
+        FROM lab
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum((rk > 1)::INT)::BIGINT AS n_dropped,
+           sum(CASE WHEN rk > 1 THEN n_chars ELSE 0 END)::BIGINT
+               AS reclaimed_chars,
+           round(sum((rk > 1)::INT)::DOUBLE / count(*), 4) AS drop_rate
+    FROM ranked GROUP BY source
+    """,
+    doc="The dedup pipeline's decision artifact: near-dup clusters "
+    "(same staged exact-dedup -> Jaccard -> star-edge components as "
+    "dedup_clusters) reduced to a KEEP/DROP manifest — canonical doc "
+    "per cluster by (n_chars DESC, doc_id) — and rolled up per source "
+    "into dropped-doc counts and reclaimed character volume, the "
+    "numbers a curation run reports before deleting anything. "
+    "Unclustered docs are singletons via left-join coalesce, so the "
+    "manifest covers the WHOLE corpus. The canonical-selection window "
+    "is bounded by cluster size; the rollup is one grouped aggregate. "
+    "Demonstrates operator composition: the component oracle's "
+    "recursive closure extends three CTEs further without touching "
+    "the Spark side's plan shape.",
+)
+def dedup_drop_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup.staged_near_dup_clusters(
+        docs, k=3, threshold=0.8, max_df=64
+    )
+    lab = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    keep = lab.select("*", F.row_number().over(w).alias("rk"))
+    dropped = (F.col("rk") > 1).cast("int")
+    return keep.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(dropped).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(F.col("rk") > 1, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("reclaimed_chars"),
+        F.round(
+            F.sum(dropped).cast("double") / F.count(F.lit(1)), 4
+        ).alias("drop_rate"),
+    )
+
+
+@query(
+    "doc_language_confusion",
+    f"""
+    WITH s AS (SELECT doc_id, lang, {_lang_scores_sql()} FROM documents),
+    m AS (SELECT doc_id, lang, s_en, s_es, s_fr, s_de, s_zh,
+                 greatest(s_en, s_es, s_fr, s_de, s_zh) AS best FROM s),
+    p AS (
+        SELECT lang AS declared,
+               CASE WHEN best = 0 THEN 'und'
+                    WHEN s_en = best THEN 'en'
+                    WHEN s_es = best THEN 'es'
+                    WHEN s_fr = best THEN 'fr'
+                    WHEN s_de = best THEN 'de'
+                    ELSE 'zh' END AS detected
+        FROM m
+    )
+    SELECT declared, detected, count(*)::BIGINT AS n_docs,
+           round(count(*)::DOUBLE
+                 / sum(count(*)) OVER (PARTITION BY declared), 4)
+               AS declared_share
+    FROM p GROUP BY declared, detected
+    """,
+    doc="Detector audit: confusion matrix of the declared lang column "
+    "vs the n-gram language-ID prediction (same scoring expression as "
+    "doc_language_id, single-sourced), with per-declared-language "
+    "share — the calibration readout run before trusting lang-based "
+    "curation filters. Map-side scoring, one (declared, detected) "
+    "aggregate; the share window runs over the language-pair domain "
+    "(<=36 cells), never the fact.",
+)
+def doc_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pred = text_ops.language_id(docs).select(
+        F.col("lang").alias("declared"),
+        F.col("lang_pred").alias("detected"),
+    )
+    cells = pred.groupBy("declared", "detected").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    wd = Window.partitionBy("declared")
+    return cells.select(
+        "declared",
+        "detected",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(wd), 4
+        ).alias("declared_share"),
+    )
