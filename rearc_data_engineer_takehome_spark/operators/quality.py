@@ -770,3 +770,68 @@ def snapshot_diff(
         .groupBy("change_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )
+
+
+def kaplan_meier(
+    per_subject: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """Kaplan-Meier survival estimator over per-subject rows.
+
+    ``per_subject`` carries one row per subject with an integer
+    ``duration_col`` (time observed) and ``event_col`` = 1 if the
+    terminal event was observed at that time, 0 if right-censored.
+    Returns one row per distinct duration: ``duration``, ``d``
+    (events), ``c`` (censored), ``n_risk`` (at risk just before t),
+    and ``survival`` = prod_{t_i<=t}(1 - d_i/n_i) rounded 6dp.
+
+    Scale shape: the input is already aggregated per subject (the
+    caller's one fact shuffle); this operator only groups it by
+    duration, so every window here runs over the distinct-duration
+    domain — bounded by the time resolution (days → a few thousand
+    rows at ANY corpus size), never by subject count. Cross-engine
+    determinism: d/n is an exact integer-ratio division, ln rounds
+    8dp before the ordered cumulative sum (the BM25-idf convention),
+    and the 1 - d/n factor clamps at 1e-12 because an all-event final
+    group hits ln(0), which DuckDB evaluates to -inf but Spark to
+    NULL.
+    """
+    from pyspark.sql import Window
+
+    t = per_subject.groupBy(F.col(duration_col).alias("duration")).agg(
+        F.sum(F.col(event_col)).cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col(event_col)).cast("bigint").alias("c"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wprev = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wcum = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    k = t.select(
+        "duration",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(wall)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    lnfac = F.round(
+        F.log(
+            F.greatest(
+                F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"),
+                F.lit(1e-12),
+            )
+        ),
+        8,
+    )
+    return k.select(
+        "duration",
+        "d",
+        "c",
+        "n_risk",
+        F.round(F.exp(F.sum(lnfac).over(wcum)), 6).alias("survival"),
+    )

@@ -3024,11 +3024,11 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     k AS (
         SELECT t, d, cns,
-               sum(d + cns) OVER ()
+               (sum(d + cns) OVER ()
                    - coalesce(sum(d + cns) OVER (
                          ORDER BY t
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                     ), 0) AS n_risk
+                     ), 0))::BIGINT AS n_risk
         FROM t
     ),
     s AS (
@@ -3058,6 +3058,8 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(the BM25-idf convention), then exp+round(6) on both engines.",
 )
 def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import kaplan_meier
+
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey", F.col("o_orderdate").cast("date").alias("d")
     )
@@ -3072,47 +3074,14 @@ def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("churned"),
         )
     )
-    t = c.groupBy(F.col("tenure").alias("t")).agg(
-        F.sum("churned").cast("bigint").alias("d"),
-        F.sum(F.lit(1) - F.col("churned")).cast("bigint").alias("cns"),
-    )
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    k = t.select(
-        "t",
-        "d",
-        "cns",
-        (
-            F.sum(F.col("d") + F.col("cns")).over(wall)
-            - F.coalesce(
-                F.sum(F.col("d") + F.col("cns")).over(wprev), F.lit(0)
-            )
-        ).alias("n_risk"),
-    )
-    # greatest(., 1e-12): the final tenure group can be ALL-churned
-    # (d == n_risk) — ln(0) is -inf in DuckDB but NULL in Spark, so
-    # clamp the factor identically on both sides (survival rounds to
-    # 0.0 at 6dp either way).
-    lnfac = F.round(
-        F.log(
-            F.greatest(
-                F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"),
-                F.lit(1e-12),
-            )
-        ),
-        8,
-    )
-    s = k.select(
-        F.col("t").alias("tenure_days"),
+    km = kaplan_meier(c, "tenure", "churned")
+    return km.where(F.col("d") > 0).select(
+        F.col("duration").alias("tenure_days"),
         F.col("d").alias("n_churned"),
-        F.col("cns").alias("n_censored"),
+        F.col("c").alias("n_censored"),
         "n_risk",
-        F.round(F.exp(F.sum(lnfac).over(wcum)), 6).alias("survival"),
+        "survival",
     )
-    return s.where(F.col("n_churned") > 0)
 
 
 @query(
@@ -3208,7 +3177,7 @@ def supplier_part_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(cnt) OVER (PARTITION BY wk ORDER BY bin
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS cum,
-               sum(cnt) OVER (PARTITION BY wk) AS n
+               (sum(cnt) OVER (PARTITION BY wk))::BIGINT AS n
         FROM sk
     ),
     est AS (

@@ -231,3 +231,45 @@ def test_snapshot_diff_null_vs_empty_string_differ(spark):
     got = {r.change_type: r.n_rows for r in
            snapshot_diff(old, new, "k", ["s"]).collect()}
     assert got == {"changed": 1}
+
+
+def test_kaplan_meier_textbook_example(spark):
+    """Classic 4-subject KM example (durations 1, 2+, 3, 4+ where +
+    marks censoring): S steps only at event times — S(1) = 3/4,
+    S(3) = 3/4 * 1/2 = 0.375 — and censored subjects reduce the
+    at-risk count without stepping the curve."""
+    from rearc_data_engineer_takehome_spark.operators.quality import (
+        kaplan_meier,
+    )
+
+    rows = [(1, 1), (2, 0), (3, 1), (4, 0)]
+    df = spark.createDataFrame(rows, "duration int, event int")
+    out = {
+        r["duration"]: r.asDict()
+        for r in kaplan_meier(df, "duration", "event").collect()
+    }
+    assert out[1]["n_risk"] == 4 and out[1]["d"] == 1
+    assert out[1]["survival"] == 0.75
+    assert out[2]["d"] == 0 and out[2]["c"] == 1
+    assert out[2]["survival"] == 0.75  # censoring never steps the curve
+    assert out[3]["n_risk"] == 2
+    assert out[3]["survival"] == 0.375
+    assert out[4]["n_risk"] == 1 and out[4]["survival"] == 0.375
+
+
+def test_kaplan_meier_all_events_reaches_zero(spark):
+    """Everyone churns: the final factor is 1 - d/n = 0; the ln(0)
+    clamp must yield survival 0.0 (not NULL) at the last event time."""
+    from rearc_data_engineer_takehome_spark.operators.quality import (
+        kaplan_meier,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 1)], "duration int, event int"
+    )
+    out = sorted(
+        kaplan_meier(df, "duration", "event").collect(),
+        key=lambda r: r["duration"],
+    )
+    assert out[-1]["survival"] == 0.0
+    assert out[-1]["survival"] is not None
