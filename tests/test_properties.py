@@ -606,3 +606,44 @@ def test_dense_row_numbers_match_global_window(spark, rows, n_parts):
         for i, (k, uid) in enumerate(sorted(rows))
     }
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # duration
+            st.integers(min_value=0, max_value=1),  # event flag
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_kaplan_meier_properties(spark_session_holder, subjects):
+    """For ANY censoring pattern: S is in [0, 1], non-increasing in t,
+    equals 1 until the first event, and n_risk telescopes exactly
+    (n_risk[i+1] = n_risk[i] - d[i] - c[i])."""
+    from rearc_data_engineer_takehome_spark.operators.quality import (
+        kaplan_meier,
+    )
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(subjects, "duration int, event int")
+    rows = sorted(
+        kaplan_meier(df, "duration", "event").collect(),
+        key=lambda r: r["duration"],
+    )
+    assert rows[0]["n_risk"] == len(subjects)
+    prev_s = 1.0
+    seen_event = False
+    for i, r in enumerate(rows):
+        assert 0.0 <= r["survival"] <= 1.0
+        assert r["survival"] <= prev_s + 1e-9
+        if not seen_event and r["d"] == 0:
+            assert r["survival"] == 1.0
+        seen_event = seen_event or r["d"] > 0
+        if i + 1 < len(rows):
+            assert (
+                rows[i + 1]["n_risk"] == r["n_risk"] - r["d"] - r["c"]
+            )
+        prev_s = r["survival"]
