@@ -93,10 +93,16 @@ def table_file_audit(
     basename, which is unique within a table directory. Everything is
     metadata-or-one-scan; no data shuffles beyond the per-file count.
     """
+    if not tables:
+        raise ValueError("table_file_audit: no tables to audit")
     audits = []
     for name, path in sorted(tables.items()):
+        # pathGlobFilter: only data files — a stray sidecar (e.g. a
+        # metadata.json another tool left behind) would otherwise
+        # inflate n_files/total_bytes AND crash the parquet row scan
         files = (
             spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.parquet")
             .load(path)
             .select(
                 F.element_at(F.split("path", "/"), -1).alias("fname"),
@@ -104,7 +110,8 @@ def table_file_audit(
             )
         )
         rows = (
-            spark.read.parquet(path)
+            spark.read.option("pathGlobFilter", "*.parquet")
+            .parquet(path)
             .groupBy(
                 F.element_at(
                     F.split(F.input_file_name(), "/"), -1
@@ -122,9 +129,12 @@ def table_file_audit(
                 F.sum("n_rows").cast("bigint").alias("n_rows"),
                 F.sum("bytes").cast("bigint").alias("total_bytes"),
                 F.max("n_rows").cast("bigint").alias("max_file_rows"),
-                F.round(
-                    F.max("n_rows") / F.avg("n_rows"), 2
-                ).alias("file_row_skew"),
+                F.when(
+                    F.sum("n_rows") > 0,
+                    F.round(F.max("n_rows") / F.avg("n_rows"), 2),
+                )
+                .otherwise(F.lit(1.0))  # all-empty files: no skew
+                .alias("file_row_skew"),
                 F.greatest(
                     F.ceil(F.sum("bytes") / F.lit(target_file_bytes)),
                     F.lit(1),

@@ -3063,16 +3063,20 @@ def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey", F.col("o_orderdate").cast("date").alias("d")
     )
-    h = o.agg(F.max("d").alias("hmax"))
-    c = (
-        o.join(F.broadcast(h))
-        .groupBy("o_custkey")
-        .agg(
-            F.datediff(F.max("d"), F.min("d")).alias("tenure"),
-            (F.datediff(F.max("hmax"), F.max("d")) > 90)
-            .cast("int")
-            .alias("churned"),
-        )
+    # aggregate per customer FIRST: the custkey shuffle carries only
+    # (custkey, d) fact rows; the horizon is then max(last_d) over the
+    # customer table (same value as max over the fact) broadcast onto
+    # the aggregate — no constant column widens the fact shuffle and
+    # the fact is scanned exactly once
+    c0 = (
+        o.groupBy("o_custkey")
+        .agg(F.min("d").alias("first_d"), F.max("d").alias("last_d"))
+        .localCheckpoint()  # feeds the horizon agg AND the scoring
+    )
+    h = c0.agg(F.max("last_d").alias("hmax"))
+    c = c0.join(F.broadcast(h)).select(
+        F.datediff("last_d", "first_d").alias("tenure"),
+        (F.datediff("hmax", "last_d") > 90).cast("int").alias("churned"),
     )
     km = kaplan_meier(c, "tenure", "churned")
     return km.where(F.col("d") > 0).select(
