@@ -57,12 +57,21 @@ def _bucket_sql(expr: str, a: int, b: int, width: int) -> str:
 
 
 def count_min_build(
-    df: DataFrame, key_col: str, width: int = 1024, depth: int = 4
+    df: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build a Count-Min sketch over ``key_col``: one (row, bucket)
     counter per hash row. One pass over the data (the depth-way fanout
     is a generated column array, not a self-union), one shuffle keyed on
-    (depth, bucket) — at most ``depth × width`` result rows."""
+    (depth, bucket) — at most ``depth × width`` result rows.
+
+    ``weight_col``: each row adds that weight instead of 1 — building
+    from a pre-aggregated ``(key, count)`` relation this way yields the
+    IDENTICAL sketch as folding the raw fact (counter sums associate),
+    while hashing O(distinct keys) instead of O(rows)."""
     params = _affine_params(depth, seed=SKETCH_SEED)
     cells = F.array(
         *[
@@ -73,10 +82,11 @@ def count_min_build(
             for i, (a, b) in enumerate(params)
         ]
     )
+    w = F.lit(1) if weight_col is None else F.col(weight_col)
     return (
-        df.select(F.explode(cells).alias("c"))
+        df.select(w.alias("w"), F.explode(cells).alias("c"))
         .groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("w").cast("bigint").alias("cnt"))
     )
 
 
@@ -111,18 +121,26 @@ def count_min_estimate(
 
 
 def count_min_sql(
-    table: str, key_expr: str, width: int = 1024, depth: int = 4
+    table: str,
+    key_expr: str,
+    width: int = 1024,
+    depth: int = 4,
+    weight_expr: str | None = None,
 ) -> str:
     """DuckDB CTE replaying :func:`count_min_build` bit-for-bit.
 
     Produces a relation ``(d, bucket, cnt)`` named ``cms``."""
     params = _affine_params(depth, seed=SKETCH_SEED)
+    w = "1" if weight_expr is None else weight_expr
     arms = " UNION ALL ".join(
-        f"SELECT {i} AS d, {_bucket_sql(key_expr, a, b, width)} AS bucket"
-        f" FROM {table}"
+        f"SELECT {i} AS d, {_bucket_sql(key_expr, a, b, width)} AS bucket,"
+        f" {w} AS w FROM {table}"
         for i, (a, b) in enumerate(params)
     )
-    return f"SELECT d, bucket, count(*) AS cnt FROM ({arms}) GROUP BY d, bucket"
+    return (
+        f"SELECT d, bucket, sum(w)::BIGINT AS cnt FROM ({arms})"
+        " GROUP BY d, bucket"
+    )
 
 
 def bloom_bits(

@@ -3545,3 +3545,217 @@ def part_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_2hop",
         )
     )
+
+
+@query(
+    "orders_aqp_revenue_by_priority",
+    """
+    WITH s AS (
+        SELECT o_orderpriority AS priority,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               (('0x' || substr(md5('aqp:' || o_orderkey::VARCHAR), 1, 15))
+                   ::BIGINT % 100) < 10 AS in_sample
+        FROM orders
+    ),
+    agg AS (
+        SELECT priority,
+               count(*) FILTER (WHERE in_sample)::BIGINT AS n_sampled,
+               sum(CASE WHEN in_sample THEN cents::DECIMAL(19,0) END) AS sc,
+               sum(CASE WHEN in_sample
+                   THEN cents::DECIMAL(19,0) * cents::DECIMAL(19,0)
+                   END) AS sc2,
+               sum(cents::DECIMAL(19,0)) AS true_c
+        FROM s GROUP BY priority
+    )
+    SELECT priority, n_sampled,
+           round(sc::DOUBLE * 10 / 100, 2) AS est_total_revenue,
+           round(true_c::DOUBLE / 100, 2) AS true_total_revenue,
+           round(abs(sc::DOUBLE * 10 - true_c::DOUBLE)
+                 / true_c::DOUBLE, 4) AS rel_error,
+           round(19.6 * sqrt(greatest(
+                     (sc2::DOUBLE - sc::DOUBLE * sc::DOUBLE / n_sampled)
+                         / (n_sampled - 1), 0.0) * n_sampled) / 100, 2)
+               AS ci95_half_width
+    FROM agg WHERE n_sampled >= 2
+    """,
+    doc="Approximate query processing (BlinkDB-style): per-priority "
+    "revenue estimated from a DETERMINISTIC 10% hash sample "
+    "(stable_hash64 of 'aqp:'||orderkey mod 100 — the repo's "
+    "hash_split convention, so the oracle replays the exact sample) "
+    "with a CLT 95% half-width, reported NEXT TO the true total and "
+    "realized relative error — the accuracy contract a 100 TB "
+    "dashboard query buys when it scans 10% of the data. One pass, "
+    "map-side sample predicate, one grouped aggregate; estimator "
+    "moments accumulate in DECIMAL(19,0)-exact integer cents (sums "
+    "are order-independent), doubles appear only in the final scalar "
+    "arithmetic on identical operands, and sqrt is IEEE "
+    "correctly-rounded (unlike ln/exp, it needs no rounding guard). "
+    "At production scale the sample is materialized once as a "
+    "stratified sample table, not re-hashed per query.",
+)
+def orders_aqp_revenue_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .functions.hashing import stable_hash64
+
+    s = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+        (
+            F.pmod(
+                stable_hash64(
+                    F.concat(
+                        F.lit("aqp:"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                100,
+            )
+            < 10
+        ).alias("in_sample"),
+    )
+    dec = F.col("cents").cast("decimal(19,0)")
+    agg = s.groupBy("priority").agg(
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sampled"),
+        F.sum(F.when(F.col("in_sample"), dec)).alias("sc"),
+        F.sum(F.when(F.col("in_sample"), dec * dec)).alias("sc2"),
+        F.sum(dec).alias("true_c"),
+    )
+    sc, sc2 = F.col("sc").cast("double"), F.col("sc2").cast("double")
+    tc, n = F.col("true_c").cast("double"), F.col("n_sampled")
+    var = F.greatest(
+        (sc2 - sc * sc / n) / (n - 1), F.lit(0.0)
+    )
+    return agg.where(n >= 2).select(
+        "priority",
+        "n_sampled",
+        F.round(sc * 10 / 100, 2).alias("est_total_revenue"),
+        F.round(tc / 100, 2).alias("true_total_revenue"),
+        F.round(F.abs(sc * 10 - tc) / tc, 4).alias("rel_error"),
+        F.round(
+            F.lit(19.6) * F.sqrt(var * n) / 100, 2
+        ).alias("ci95_half_width"),
+    )
+
+
+# Join-size estimation needs width >= key cardinality for useful error:
+# collision mass adds ~|A|x|B|/width to the inner product, so the 1024
+# frequency-sketch width would drown the true size 19x here. 64Ki x 4
+# cells is still KBs -- constant at any fact scale.
+_CMS_JW = 1 << 16
+_CMS_JOIN_PRE = """
+        SELECT l_partkey::VARCHAR AS k,
+               count(*)::BIGINT AS cnt_all,
+               sum((l_returnflag = 'R')::INT)::BIGINT AS cnt_r
+        FROM lineitem GROUP BY l_partkey
+"""
+_CMS_JOIN_A = _sk.count_min_sql(
+    "pre", "k", _CMS_JW, _CMS_D, weight_expr="cnt_all"
+)
+_CMS_JOIN_B = _sk.count_min_sql(
+    "(SELECT * FROM pre WHERE cnt_r > 0)",
+    "k",
+    _CMS_JW,
+    _CMS_D,
+    weight_expr="cnt_r",
+)
+
+
+@query(
+    "join_size_estimate_cms",
+    f"""
+    WITH pre AS ({_CMS_JOIN_PRE}),
+    ca AS ({_CMS_JOIN_A}),
+    cb AS ({_CMS_JOIN_B}),
+    per_d AS (
+        SELECT ca.d,
+               sum(ca.cnt::DECIMAL(19,0) * cb.cnt::DECIMAL(19,0)) AS ip
+        FROM ca JOIN cb ON ca.d = cb.d AND ca.bucket = cb.bucket
+        GROUP BY ca.d
+    ),
+    est AS (SELECT min(ip) AS est_rows FROM per_d),
+    tru AS (
+        SELECT sum(cnt_all::DECIMAL(19,0) * cnt_r::DECIMAL(19,0))
+                   AS true_rows
+        FROM pre
+    )
+    SELECT est_rows::BIGINT AS est_rows, true_rows::BIGINT AS true_rows,
+           round((est_rows::DOUBLE - true_rows::DOUBLE)
+                 / true_rows::DOUBLE, 4) AS overcount_rate
+    FROM est CROSS JOIN tru
+    """,
+    doc="Join-cardinality estimation from Count-Min inner products "
+    "(AMS-style): |A JOIN B on k| is estimated as min over hash rows "
+    "of sum_b cmsA[d,b]*cmsB[d,b] — here sizing the partkey join "
+    "between all lineitems and returned lineitems, the planner "
+    "question ('can this join's output fit?') answered WITHOUT "
+    "running the join. ONE vocab-sized pre-aggregate feeds both "
+    "weighted sketch builds AND the exact baseline (weighted build == "
+    "raw-fact build by counter associativity, hashing O(distinct "
+    "keys) not O(rows)); the inner product is a 4x64Ki-row join — "
+    "constant at ANY fact scale. Width is sized to the key "
+    "cardinality: collision mass adds ~|A||B|/width, which at the "
+    "frequency-sketch width of 1024 would drown the true size 19x. "
+    "Collisions only ever over-count; products accumulate in "
+    "DECIMAL(19,0) exact integers, so no float order can perturb "
+    "the min.",
+)
+def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    )
+    # one fact pass -> vocab-sized (key, cnt_all, cnt_r); checkpointed
+    # because it feeds both sketch builds and the exact baseline
+    pre = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt_all"),
+            F.sum((F.col("l_returnflag") == "R").cast("int"))
+            .cast("bigint")
+            .alias("cnt_r"),
+        )
+        .select(
+            F.col("l_partkey").cast("string").alias("k"),
+            "cnt_all",
+            "cnt_r",
+        )
+        .localCheckpoint()
+    )
+    ca = _sk.count_min_build(
+        pre, "k", width=_CMS_JW, depth=_CMS_D, weight_col="cnt_all"
+    )
+    cb = _sk.count_min_build(
+        pre.where(F.col("cnt_r") > 0),
+        "k",
+        width=_CMS_JW,
+        depth=_CMS_D,
+        weight_col="cnt_r",
+    )
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    per_d = (
+        ca.alias("a")
+        .join(
+            cb.alias("b"),
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .groupBy(F.col("a.d"))
+        .agg(F.sum(dec(F.col("a.cnt")) * dec(F.col("b.cnt"))).alias("ip"))
+    )
+    est = per_d.agg(F.min("ip").alias("est_rows"))
+    tru = pre.agg(
+        F.sum(dec(F.col("cnt_all")) * dec(F.col("cnt_r"))).alias(
+            "true_rows"
+        )
+    )
+    er, tr = F.col("est_rows"), F.col("true_rows")
+    return est.crossJoin(tru).select(
+        er.cast("bigint").alias("est_rows"),
+        tr.cast("bigint").alias("true_rows"),
+        F.round(
+            (er.cast("double") - tr.cast("double")) / tr.cast("double"), 4
+        ).alias("overcount_rate"),
+    )
