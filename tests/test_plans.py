@@ -201,3 +201,54 @@ def test_runtime_bloom_filter_injection(spark, sf_smoke):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_result_cache_hit_invalidation_and_canonicalization(spark, tmp_path):
+    """plans.result_cache: (1) a repeat of the same query serves from
+    the cache (the hit's scan reads cache files, one cache entry),
+    (2) two separately-built but semantically identical plans share a
+    fingerprint (canonicalization normalizes expression ids), (3) a
+    rewrite of an input file invalidates (second entry, same values),
+    (4) a different query gets a different fingerprint."""
+    import os
+    import time
+
+    from rearc_data_engineer_takehome_spark.plans.result_cache import (
+        cached_result,
+        plan_fingerprint,
+    )
+
+    src = str(tmp_path / "src")
+    cache = str(tmp_path / "cache")
+    os.makedirs(cache)
+    spark.range(0, 1000).withColumn("v", F.col("id") * 3).write.parquet(src)
+
+    def q():
+        return (
+            spark.read.parquet(src)
+            .groupBy((F.col("id") % 7).alias("g"))
+            .agg(F.sum("v").alias("s"))
+        )
+
+    r1 = sorted(tuple(r) for r in cached_result(spark, q(), cache).collect())
+    assert len(os.listdir(cache)) == 1
+    hit = cached_result(spark, q(), cache)
+    assert sorted(tuple(r) for r in hit.collect()) == r1
+    assert len(os.listdir(cache)) == 1
+    assert all(cache in f for f in hit.inputFiles())
+    assert plan_fingerprint(q()) == plan_fingerprint(q())
+
+    time.sleep(0.01)  # ensure mtime moves even on coarse filesystems
+    spark.range(0, 1000).withColumn("v", F.col("id") * 3).write.mode(
+        "overwrite"
+    ).parquet(src)
+    out3 = cached_result(spark, q(), cache)
+    assert len(os.listdir(cache)) == 2  # invalidated, not falsely shared
+    assert sorted(tuple(r) for r in out3.collect()) == r1
+
+    other = (
+        spark.read.parquet(src)
+        .groupBy((F.col("id") % 5).alias("g"))
+        .agg(F.sum("v").alias("s"))
+    )
+    assert plan_fingerprint(other) != plan_fingerprint(q())
