@@ -242,9 +242,12 @@ def unigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     from the ROUNDED mean, so both engines expose identical values.
     """
     from ..functions.text import ws_tokens
+    from .relational import spread_compute
 
+    # single-file inputs arrive as ONE partition; tokenization is
+    # CPU-bound, so spread before the explode
     toks = (
-        df.where(F.col(text_col).isNotNull())
+        spread_compute(df.where(F.col(text_col).isNotNull()))
         .select(
             "doc_id",
             F.explode(
@@ -286,10 +289,13 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Output: (doc_id, n_bigrams, avg_surprisal, ppl2)."""
     from ..functions.text import word_shingles, ws_tokens
+    from .relational import spread_compute
 
     toks = F.transform(ws_tokens(text_col), lambda x: F.lower(x))
+    # spread before the shingle explode (same rationale as the unigram
+    # scorer: single-file input = one CPU for the whole token fold)
     grams = (
-        df.where(F.col(text_col).isNotNull())
+        spread_compute(df.where(F.col(text_col).isNotNull()))
         .where(F.size(ws_tokens(text_col)) >= 2)
         .select("doc_id", F.explode(word_shingles(toks, 2)).alias("bg"))
     )
