@@ -102,7 +102,14 @@ def language_scores(text: Column | str) -> dict[str, Column]:
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of per-language stopword ratios,
     'und' (undetermined) when every score is zero. Deterministic
-    tie-break by lexicon declaration order."""
+    tie-break by lexicon declaration order.
+
+    The stopword regexp battery is CPU-bound, so the input spreads
+    across cores first (single-file inputs arrive as ONE partition;
+    no-op on already-split inputs)."""
+    from .relational import spread_compute
+
+    df = spread_compute(df)
     scores = language_scores(F.col(text_col))
     langs = list(scores)
     best_score = F.greatest(*[scores[lang] for lang in langs])

@@ -12,9 +12,12 @@ change to the query OR to any input file changes the fingerprint and
 recomputes.
 
 Correctness stance: the fingerprint is a conservative key — plan
-canonicalization is Spark's own equivalence relation, and file
-(path, size, mtime) triples over-approximate data change (a rewrite
-with identical bytes still invalidates). False sharing is therefore
+canonicalization is Spark's own equivalence relation, the plan is
+rendered via ``toJSON()`` (full fidelity: ``toString()`` elides
+expression lists past ``spark.sql.debug.maxToStringFields``, which
+made 26-plus-aggregate twins collide), and file (path, size,
+mtime_ns) triples over-approximate data change (a rewrite with
+identical bytes still invalidates). False sharing is therefore
 impossible; false invalidation only costs a recompute. Determinism
 caveat: results are plan-level, so a nondeterministic query (rand(),
 current_timestamp()) caches its FIRST materialization — same contract
@@ -25,6 +28,9 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
+import uuid
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -35,19 +41,26 @@ def plan_fingerprint(df: DataFrame) -> str:
     a scan in this plan would read); file state is (path, size,
     mtime_ns) via os.stat for local paths — on object storage, swap in
     the store's etag/version listing."""
+    # toJSON, NOT toString: tree string rendering truncates wide
+    # expression lists ("... N more fields"), which collapses
+    # semantically different plans onto one fingerprint
     plan = (
-        df._jdf.queryExecution()
-        .optimizedPlan()
-        .canonicalized()
-        .toString()
+        df._jdf.queryExecution().optimizedPlan().canonicalized().toJSON()
     )
     h = hashlib.sha256(plan.encode())
     for f in sorted(df.inputFiles()):
-        local = f.removeprefix("file:")
+        # inputFiles() returns percent-encoded URIs — decode before
+        # stat or any path with a space/unicode char silently falls
+        # into the identity-only branch and misses in-place rewrites
+        parsed = urlparse(f)
+        local = unquote(parsed.path) if parsed.scheme in ("file", "") else None
         try:
-            st = os.stat(local)
+            st = os.stat(local) if local else None
+        except OSError:
+            st = None
+        if st is not None:
             h.update(f"{f}|{st.st_size}|{st.st_mtime_ns}".encode())
-        except OSError:  # non-local path: identity only
+        else:  # non-local / unstat-able path: identity only
             h.update(f.encode())
     return h.hexdigest()[:32]
 
@@ -60,12 +73,22 @@ def cached_result(
 
     The materialization keeps ``df``'s partitioning (a cache hit is a
     plain parquet scan — pruned, split, and parallelized like any
-    other), and the write goes through a temp-dir rename so a killed
-    writer never leaves a half-cache a later reader would trust."""
+    other). Writers race safely: each builds under a unique temp dir
+    and commits with a rename, so a killed writer never leaves a
+    half-cache a reader would trust, and when two sessions build the
+    same entry concurrently the loser discards its copy and serves the
+    winner's (the two materializations are equivalent by key)."""
     fp = plan_fingerprint(df)
     path = os.path.join(cache_dir, fp)
     if not os.path.isdir(path):
-        tmp = f"{path}._building"
+        tmp = f"{path}._building.{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(tmp)
-        os.replace(tmp, path)
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            # lost the commit race: another writer installed the same
+            # fingerprint first — equivalent content, use theirs
+            if not os.path.isdir(path):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)

@@ -160,11 +160,7 @@ def _lang_scores_sql() -> str:
     "with deterministic tie-break by lexicon order; 'und' when all zero.",
 )
 def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.relational import spread_compute
-
-    # CPU-bound stopword regexp battery over a single-file input:
-    # spread before scoring so it parallelizes (1.1s -> ~0.4s warm)
-    docs = spread_compute(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
     return text_ops.language_id(docs).select("doc_id", "lang_score", "lang_pred")
 
 
@@ -2854,11 +2850,7 @@ def dedup_drop_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(<=36 cells), never the fact.",
 )
 def doc_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.relational import spread_compute
-
-    # single parquet file -> one input partition; the stopword regexp
-    # battery is CPU-bound, so spread it across cores first
-    docs = spread_compute(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
     pred = text_ops.language_id(docs).select(
         F.col("lang").alias("declared"),
         F.col("lang_pred").alias("detected"),

@@ -252,3 +252,37 @@ def test_result_cache_hit_invalidation_and_canonicalization(spark, tmp_path):
         .agg(F.sum("v").alias("s"))
     )
     assert plan_fingerprint(other) != plan_fingerprint(q())
+
+
+def test_result_cache_wide_plans_and_encoded_paths(spark, tmp_path):
+    """Regression for two confirmed fingerprint collapses: (1) plans
+    differing only past the 25th aggregate must NOT share a
+    fingerprint (toString() elides wide expression lists; the
+    fingerprint renders toJSON), and (2) inputs under a path with a
+    space must still contribute (size, mtime) state — inputFiles()
+    percent-encodes URIs, and an un-decoded stat fell back to
+    identity-only, missing in-place rewrites."""
+    import os
+    import time
+
+    from rearc_data_engineer_takehome_spark.plans.result_cache import (
+        plan_fingerprint,
+    )
+
+    wide = str(tmp_path / "wide")
+    spark.range(100).select(
+        "id", *[(F.col("id") * i).alias(f"c{i}") for i in range(30)]
+    ).write.parquet(wide)
+    base = spark.read.parquet(wide)
+    sums = [F.sum(f"c{i}").alias(f"s{i}") for i in range(27)]
+    q_min = base.groupBy().agg(*sums, F.min("c0").alias("x"))
+    q_max = base.groupBy().agg(*sums, F.max("c0").alias("x"))
+    assert plan_fingerprint(q_min) != plan_fingerprint(q_max)
+
+    spc = str(tmp_path / "with space")
+    spark.range(10).write.parquet(spc)
+    fp1 = plan_fingerprint(spark.read.parquet(spc))
+    time.sleep(0.01)
+    spark.range(10).write.mode("overwrite").parquet(spc)
+    assert plan_fingerprint(spark.read.parquet(spc)) != fp1
+    assert os.path.isdir(spc)  # the space really is in the path
