@@ -152,17 +152,15 @@ def main() -> None:
                 protected |= set(jsc.getPersistentRDDs().keys())
             _free_query_blocks()
 
-    # One extra pass for sub-second queries: at this timescale the
-    # microVM's scheduler noise is the same order as the measurement
-    # (events_sessionize read 0.37s in r2 and 0.49s in r3 on an
-    # unchanged code path), so fast queries get a third sample to keep
-    # round-over-round comparisons from reading noise as regression.
-    fast = [
-        n
-        for n in names
-        if n in timings and timings[n] < 1.0 and n not in failures
-    ]
-    for name in fast:
+    # One extra pass for EVERY timed query (round-5 fix, VERDICT r04
+    # item 3): the microVM's scheduler noise is the same order as the
+    # measurement well past 1 s — dedup_minhash_lsh swung 1.51-2.35 s
+    # across runs of identical code when only sub-second queries got
+    # the third sample — so min-of-3 now applies across the board to
+    # keep round-over-round comparisons from reading noise as
+    # regression.
+    extra = [n for n in names if n in timings and n not in failures]
+    for name in extra:
         q = REGISTRY[name]
         start = time.perf_counter()
         try:
@@ -196,8 +194,7 @@ def main() -> None:
         "build_seconds": round(sum(builds.values()), 4),
         "sf": sf_val,
         "n_queries": len(query_timings),
-        "runs": n_runs,
-        "runs_subsecond": n_runs + 1,
+        "runs": n_runs + 1,  # n_runs main passes + one extra min-of pass
         "scalable_twins": scalable_twins,
     }
     if failures:
@@ -214,7 +211,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(query_timings),
         "n_failed": len(failures),
-        "runs": n_runs,
+        "runs": n_runs + 1,
         "build_seconds": detail["build_seconds"],
         "n_builds": len(builds),
         "queries": {

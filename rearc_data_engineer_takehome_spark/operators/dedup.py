@@ -992,12 +992,30 @@ def cluster_pairs_star(
             RuntimeWarning,
             stacklevel=2,
         )
-    # star edges point member -> root; roots label themselves
+        # one-label contract even when under-merged: on exhaustion the
+        # edge set need not be a star forest — a node can still hold
+        # multiple out-edges, which would emit multiple
+        # (doc_id, cluster_id) rows and break every downstream consumer
+        # (dedup_by_pairs anti-joins, drop manifests). Collapse to the
+        # minimum target so each member carries exactly one label.
+        edges = edges.groupBy("u").agg(F.min("v").alias("v"))
+    # star edges point member -> root; roots label themselves. The
+    # anti-join keeps the member label authoritative when exhaustion
+    # left a CHAIN (x -> r and y -> x): x is then a member, not a
+    # root, so it must not also self-label. On a converged star forest
+    # no target ever appears as a source and the anti-join is a no-op.
     members = edges.select(
         F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
     )
-    roots = edges.select(F.col("v").alias("doc_id")).distinct().select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
+    roots = (
+        edges.select(F.col("v").alias("doc_id"))
+        .distinct()
+        .join(
+            edges.select(F.col("u").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
     )
     return members.unionByName(roots)
 

@@ -246,10 +246,12 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     perfectly hash-partitionable; nothing quadratic in the node count
     is ever materialized.
 
-    Returns one row: n_edges (undirected), n_wedges (oriented, =
-    sum-over-nodes C(outdeg, 2)), n_triangles, and
-    global_clustering = 3 * triangles / open-wedge count computed over
-    ALL wedges (sum C(deg, 2)) — integer-exact operands, one 6dp round.
+    Returns one row: n_edges (undirected), n_wedges — the TOTAL
+    (open + closed) wedge count over full undirected degrees,
+    sum-over-nodes C(deg, 2); NOT the smaller oriented wedge count the
+    self-join enumerates internally — n_triangles, and
+    global_clustering = 3 * n_triangles / n_wedges over those same
+    full-degree wedges — integer-exact operands, one 6dp round.
     """
     # und feeds the degree fold (twice, via the union), the orientation
     # join, and the edge count; orient feeds both wedge sides and the

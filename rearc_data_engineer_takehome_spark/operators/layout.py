@@ -89,12 +89,26 @@ def table_file_audit(
     File inventory comes from the ``binaryFile`` datasource with the
     ``content`` column pruned (a listing, not a read); per-file row
     counts come from one parquet scan grouped on
-    ``input_file_name()``. The two path spellings are joined on
-    basename, which is unique within a table directory. Everything is
-    metadata-or-one-scan; no data shuffles beyond the per-file count.
+    ``input_file_name()``. The two path spellings are joined on the
+    NORMALIZED FULL PATH (scheme stripped, percent-encoding decoded) —
+    not the basename: dynamic-partition writes emit the same
+    ``part-NNNNN-<task-uuid>`` basename into every partition
+    subdirectory a task touches, so a basename join over a partitioned
+    layout would go many-to-many and inflate n_rows/skew. Everything
+    is metadata-or-one-scan; no data shuffles beyond the per-file
+    count.
     """
     if not tables:
         raise ValueError("table_file_audit: no tables to audit")
+
+    def _norm_path(col):
+        # binaryFile's `path` and input_file_name() render the same
+        # file as URIs with potentially different scheme spellings
+        # (file:/ vs file:///) and percent-encoding (spaces, unicode).
+        # Strip the scheme + slash run to one leading '/', then decode.
+        bare = F.regexp_replace(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+        return F.coalesce(F.try_url_decode(bare), bare)
+
     audits = []
     for name, path in sorted(tables.items()):
         # pathGlobFilter: only data files — a stray sidecar (e.g. a
@@ -105,22 +119,18 @@ def table_file_audit(
             .option("pathGlobFilter", "*.parquet")
             .load(path)
             .select(
-                F.element_at(F.split("path", "/"), -1).alias("fname"),
+                _norm_path(F.col("path")).alias("fpath"),
                 F.col("length").alias("bytes"),
             )
         )
         rows = (
             spark.read.option("pathGlobFilter", "*.parquet")
             .parquet(path)
-            .groupBy(
-                F.element_at(
-                    F.split(F.input_file_name(), "/"), -1
-                ).alias("fname")
-            )
+            .groupBy(_norm_path(F.input_file_name()).alias("fpath"))
             .agg(F.count(F.lit(1)).alias("n_rows"))
         )
-        per_file = files.join(rows, "fname", "left").select(
-            "fname", "bytes", F.coalesce("n_rows", F.lit(0)).alias("n_rows")
+        per_file = files.join(rows, "fpath", "left").select(
+            "fpath", "bytes", F.coalesce("n_rows", F.lit(0)).alias("n_rows")
         )
         audits.append(
             per_file.agg(

@@ -773,7 +773,12 @@ def snapshot_diff(
 
 
 def kaplan_meier(
-    per_subject: DataFrame, duration_col: str, event_col: str
+    per_subject: DataFrame,
+    duration_col: str,
+    event_col: str,
+    *,
+    duration_bucket: int | None = None,
+    max_distinct_durations: int | None = 100_000,
 ) -> DataFrame:
     """Kaplan-Meier survival estimator over per-subject rows.
 
@@ -787,20 +792,49 @@ def kaplan_meier(
     Scale shape: the input is already aggregated per subject (the
     caller's one fact shuffle); this operator only groups it by
     duration, so every window here runs over the distinct-duration
-    domain — bounded by the time resolution (days → a few thousand
-    rows at ANY corpus size), never by subject count. Cross-engine
-    determinism: d/n is an exact integer-ratio division, ln rounds
-    8dp before the ordered cumulative sum (the BM25-idf convention),
-    and the 1 - d/n factor clamps at 1e-12 because an all-event final
-    group hits ln(0), which DuckDB evaluates to -inf but Spark to
-    NULL.
+    domain. That domain is bounded by TIME RESOLUTION, not corpus
+    size (days → a few thousand rows) — and round-5 makes the bound
+    ENFORCED, not assumed: ``max_distinct_durations`` (default 100k,
+    one cheap parallel count over the already-aggregated relation,
+    which the windows then reuse via the checkpoint) raises with a
+    remediation message when a caller passes e.g. sub-second
+    durations whose distinct domain would drag millions of rows
+    through the single-partition cumulative windows. The remediation
+    is ``duration_bucket``: floor durations to that width (86_400 for
+    seconds→days) before grouping — standard KM discretization, at
+    the cost of time resolution. Pass ``max_distinct_durations=None``
+    to skip the guard (and its eager count) when the domain is known
+    bounded. Cross-engine determinism: d/n is an exact integer-ratio
+    division, ln rounds 8dp before the ordered cumulative sum (the
+    BM25-idf convention), and the 1 - d/n factor clamps at 1e-12
+    because an all-event final group hits ln(0), which DuckDB
+    evaluates to -inf but Spark to NULL.
     """
     from pyspark.sql import Window
 
-    t = per_subject.groupBy(F.col(duration_col).alias("duration")).agg(
+    dur = F.col(duration_col)
+    if duration_bucket is not None:
+        if duration_bucket <= 0:
+            raise ValueError("duration_bucket must be positive")
+        dur = F.floor(dur / F.lit(duration_bucket)) * F.lit(duration_bucket)
+    t = per_subject.groupBy(dur.alias("duration")).agg(
         F.sum(F.col(event_col)).cast("bigint").alias("d"),
         F.sum(F.lit(1) - F.col(event_col)).cast("bigint").alias("c"),
     )
+    if max_distinct_durations is not None:
+        # materialize the distinct-duration relation once: the guard
+        # count and both cumulative windows below read the same blocks
+        t = t.localCheckpoint(eager=False)
+        n_distinct = t.count()
+        if n_distinct > max_distinct_durations:
+            raise ValueError(
+                f"kaplan_meier: {n_distinct} distinct durations exceed "
+                f"max_distinct_durations={max_distinct_durations}; the "
+                "cumulative-survival windows run single-partition over "
+                "this domain. Pass duration_bucket (e.g. 86_400 to "
+                "floor seconds to days) to discretize, or raise/disable "
+                "the guard if the domain is known bounded."
+            )
     wall = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

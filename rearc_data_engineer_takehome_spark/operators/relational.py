@@ -233,6 +233,20 @@ def dense_row_numbers(
         df.repartitionByRange(int(n), *cols)
         .sortWithinPartitions(*cols)
         .withColumn("__pid", F.spark_partition_id())
+        # PIN the range partitioning: the rows branch and the sizes
+        # branch below both read `ranged`, and global row numbers are
+        # only correct if both see the SAME sampled range boundaries.
+        # Normally ReusedExchange guarantees that, but it is a planner
+        # optimization, not a contract — with
+        # spark.sql.exchange.reuse=false (or plans that canonicalize
+        # apart) each branch would re-sample boundaries independently
+        # and offsets would silently drift from the rows they label.
+        # A lazy localCheckpoint rewrites both branches onto ONE
+        # materialized RDD, making the single-sample property
+        # structural. Cost: one persisted pass over the relation —
+        # which the two consuming branches would each have recomputed
+        # anyway absent exchange reuse.
+        .localCheckpoint(eager=False)
     )
     local = ranged.withColumn(
         "__lrn",
@@ -240,8 +254,8 @@ def dense_row_numbers(
             Window.partitionBy("__pid").orderBy(*[F.col(c) for c in cols])
         ),
     )
-    # counts come straight off the range exchange (ReusedExchange with
-    # the main branch) — no per-row window work in this branch
+    # counts come off the same checkpointed RDD — no per-row window
+    # work in this branch
     sizes = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     offsets = sizes.withColumn(
         "__off",

@@ -375,6 +375,39 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "revenue_by_region_cached",
+    """
+    SELECT r.r_name AS region,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation   n ON s.s_nationkey = n.n_nationkey
+    JOIN region   r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="revenue_by_region served through the plan-fingerprint result "
+    "cache (plans/result_cache.py — the Snowflake/Databricks "
+    "result-cache shape): first call materializes the aggregate as "
+    "parquet keyed by (canonicalized optimized plan, input file "
+    "state); repeat calls are a plain pruned parquet scan of the "
+    "materialization, costing a cache read instead of the fact scan. "
+    "Any change to the query or to any input file changes the "
+    "fingerprint and recomputes, so the oracle contract is identical "
+    "to the uncached twin — which is exactly what this driver row "
+    "certifies end-to-end.",
+)
+def revenue_by_region_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .plans.result_cache import cached_result
+
+    cache_dir = os.path.join(tempfile.gettempdir(), "spark_graft_result_cache")
+    return cached_result(spark, revenue_by_region(spark, sf_dir), cache_dir)
+
+
+@query(
     "orders_with_shipped_items",
     """
     SELECT o.o_orderkey, o.o_orderstatus, round(o.o_totalprice, 2) AS total
@@ -1083,39 +1116,32 @@ DRIVER_WINDOW: list[str] = [
     "curation_pipeline",
     # --- pinned: streaming representative (§2.9) ---
     "events_hypertable_rollup",
-    # --- rotating slots, round 4: all 21 never-driver-checked ---
-    # (r3 window occupants evicted to strict local parity; VERDICT r03
-    # item 2 names the round-3 newcomers below as this round's priority)
-    "customer_rfm_segments",
-    "customer_rfm_segments_scalable",  # new this round — green from day one
-    "ab_experiment_readout",
-    "events_cusum_drift",  # identity fix this round — driver-verify it
-    "orders_benford_deviation",
-    "multimodal_phash_dedup",
-    "video_frame_overlap",
-    "dedup_ngram_containment",
-    "quality_bootstrap_ci",
-    "source_score_calibration",
-    "doc_novelty_scores",  # 30x watch item — driver row + probe
-    "semantic_dedup_embeddings",
-    "corpus_health_dashboard",
-    # scalable twins: give the 100 TB variants hard driver rows
-    # (price_quantiles_scalable rotated to local parity — the two-pass
-    # quantile pattern keeps two other in-window representatives)
-    "perplexity_bands_scalable",
-    "dedup_ngram_jaccard_prefix",  # driver row certifies PPJoin losslessness
-    "part_pair_affinity",  # 30x watch item
-    # remaining diversity: BPE training flagship + the other 30x watch
-    # item
-    "bpe_train_merge_table",
-    "doc_bigram_surprisal",  # 30x watch item
-    # round-4 new operator families — driver-green from day one
-    # (events_cohort_retention / doc_bm25_topk / lateral / fuzzy stay
-    # gated by the strict local parity suite)
-    "events_hll_daily_users",  # mergeable HLL register rollup
-    "customer_k_anonymity",  # QI release audit
-    "part_triangle_count",  # degree-ordered triangle counting
-    "dedup_clusters_star",  # O(log n) star-contraction components
+    # --- rotating slots, round 5: all 22 never-driver-checked ---
+    # (r4 window occupants evicted to strict local parity; VERDICT r04
+    # item 1 names the round-4 analytics tier below as this round's
+    # priority, plus long-tail evictees never driver-checked r1-r4)
+    "customer_survival_curve",  # Kaplan-Meier
+    "customer_cohort_ltv",
+    "customer_revenue_gini",  # exercises dense_row_numbers post-fix
+    "order_price_psi_by_year",
+    "orders_aqp_revenue_by_priority",
+    "join_size_estimate_cms",
+    "orders_neyman_allocation",
+    "events_seasonal_anomalies",
+    "source_zipf_slope",
+    "doc_tfidf_topk",
+    "embedding_int8_quantization",
+    "supplier_part_mutual_best",
+    "dedup_drop_manifest",
+    "order_value_distribution_scalable",
+    "events_histogram_merge_quantiles",
+    "part_two_hop_reach",
+    "doc_language_confusion",
+    "price_quantiles_scalable",
+    "events_cohort_retention",
+    "doc_bm25_topk",
+    "top2_orders_per_customer_lateral",
+    "revenue_by_region_cached",  # result-cache end-to-end (VERDICT r04 item 6)
 ]
 
 

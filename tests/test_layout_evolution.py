@@ -124,3 +124,42 @@ def test_table_file_audit_matches_filesystem(spark, tmp_path):
         assert got["small_file_problem"] is True
     assert audit["multi"]["max_file_rows"] <= 10_000
     assert audit["multi"]["file_row_skew"] >= 1.0
+
+
+def test_table_file_audit_partitioned_layout_identical_basenames(
+    spark, tmp_path
+):
+    """ADVICE r04: a dynamic-partition write emits the SAME
+    part-NNNNN-<task-uuid> basename into every partition subdirectory a
+    task touches; joining the binaryFile listing to per-file row counts
+    on basename would go many-to-many and inflate n_rows/skew. The
+    full-path join must reconcile exactly."""
+    import os
+
+    from rearc_data_engineer_takehome_spark.operators.layout import (
+        table_file_audit,
+    )
+
+    part = str(tmp_path / "part ed")  # space: exercises percent-decoding
+    (
+        spark.range(0, 1_000)
+        .withColumn("p", F.col("id") % 4)
+        .coalesce(1)  # one task writes all 4 partition dirs
+        .write.partitionBy("p")
+        .parquet(part)
+    )
+    basenames = [
+        f
+        for d in os.listdir(part)
+        if d.startswith("p=")
+        for f in os.listdir(os.path.join(part, d))
+        if f.endswith(".parquet")
+    ]
+    assert len(basenames) == 4
+    assert len(set(basenames)) == 1  # identical basename in each subdir
+
+    got = table_file_audit(spark, {"part": part}).collect()[0].asDict()
+    assert got["n_files"] == 4
+    assert got["n_rows"] == 1_000  # basename join would report 16k
+    assert got["max_file_rows"] == 250
+    assert got["file_row_skew"] == 1.0

@@ -959,6 +959,29 @@ def test_cluster_pairs_star_deep_chain_converges_fast(spark):
     assert len(st) == 201
 
 
+def test_cluster_pairs_star_exhaustion_keeps_one_label_per_node(spark):
+    """ADVICE r04: on max_iter exhaustion the edge set need not be a
+    star forest — without the collapse a node could carry multiple
+    out-edges (several labels) or sit on both sides of a chain (member
+    AND self-labeled root). Whatever the partial state, the output
+    contract must hold: exactly one (doc_id, cluster_id) row per node,
+    every node of the graph present."""
+    import warnings
+
+    chain = [(i, i + 1) for i in range(64)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rows = dedup.cluster_pairs_star(pairs, max_iter=1).collect()
+        assert any("did not converge" in str(x.message) for x in w)
+    labels: dict[int, list[int]] = {}
+    for r in rows:
+        labels.setdefault(r.doc_id, []).append(r.cluster_id)
+    dupes = {d: cs for d, cs in labels.items() if len(cs) != 1}
+    assert dupes == {}, f"multiple labels after exhaustion: {dupes}"
+    assert set(labels) == set(range(65))  # every node labeled
+
+
 def test_cluster_pairs_star_empty_and_self_loops(spark):
     """Self-loops are ignored; an input of only self-loops yields no
     labeled rows (no actual edges)."""

@@ -286,3 +286,39 @@ def test_result_cache_wide_plans_and_encoded_paths(spark, tmp_path):
     spark.range(10).write.mode("overwrite").parquet(spc)
     assert plan_fingerprint(spark.read.parquet(spc)) != fp1
     assert os.path.isdir(spc)  # the space really is in the path
+
+
+def test_result_cache_registry_query_hit_is_a_cache_scan(spark, sf_smoke):
+    """VERDICT r04 item 6: the fingerprint stability contract on a REAL
+    registry query, not a synthetic one. revenue_by_region_cached's
+    second call must resolve to a plain parquet scan of the cache
+    directory — no Aggregate, no Join, no scan of the source tables —
+    with values identical to the uncached twin."""
+    import os
+    import shutil
+    import tempfile
+
+    from rearc_data_engineer_takehome_spark.queries import REGISTRY
+
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), "spark_graft_result_cache"
+    )
+    shutil.rmtree(cache_dir, ignore_errors=True)  # force a cold start
+    os.makedirs(cache_dir)
+
+    cold = REGISTRY["revenue_by_region_cached"].spark(spark, sf_smoke)
+    want = sorted(tuple(r) for r in cold.collect())
+    assert len(os.listdir(cache_dir)) == 1
+
+    warm = REGISTRY["revenue_by_region_cached"].spark(spark, sf_smoke)
+    assert len(os.listdir(cache_dir)) == 1  # same fingerprint: no rebuild
+    logical = warm._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in logical and "Join" not in logical
+    physical = warm._jdf.queryExecution().executedPlan().toString()
+    assert cache_dir in physical  # FileScan location IS the cache entry
+    assert "HashAggregate" not in physical
+    assert all(cache_dir in f for f in warm.inputFiles())
+    assert sorted(tuple(r) for r in warm.collect()) == want
+
+    uncached = REGISTRY["revenue_by_region"].spark(spark, sf_smoke)
+    assert sorted(tuple(r) for r in uncached.collect()) == want

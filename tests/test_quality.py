@@ -3,6 +3,7 @@ and synthetic edge cases."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 import pytest
 
 from rearc_data_engineer_takehome_spark.operators import quality
@@ -273,3 +274,61 @@ def test_kaplan_meier_all_events_reaches_zero(spark):
     )
     assert out[-1]["survival"] == 0.0
     assert out[-1]["survival"] is not None
+
+
+def test_kaplan_meier_distinct_duration_guard_and_bucketing(spark):
+    """Round-5 guard (VERDICT r04 item 5): sub-second (here: per-unit)
+    durations whose distinct domain exceeds max_distinct_durations must
+    raise with a remediation message instead of silently dragging the
+    domain through the single-partition cumulative windows; the
+    remediation — duration_bucket — floors durations into a bounded
+    domain and computes standard discretized KM over it."""
+    import pytest
+
+    from rearc_data_engineer_takehome_spark.operators.quality import (
+        kaplan_meier,
+    )
+
+    # 400 subjects with 400 distinct "millisecond" durations, all events
+    df = spark.range(1, 401).select(
+        F.col("id").cast("int").alias("duration"), F.lit(1).alias("event")
+    )
+    with pytest.raises(ValueError, match="duration_bucket"):
+        kaplan_meier(
+            df, "duration", "event", max_distinct_durations=100
+        ).collect()
+
+    # bucket to width 100 -> 5 distinct buckets {0,100,200,300,400}:
+    # guard passes, and the curve matches hand-computed discretized KM
+    out = sorted(
+        kaplan_meier(
+            df,
+            "duration",
+            "event",
+            duration_bucket=100,
+            max_distinct_durations=100,
+        ).collect(),
+        key=lambda r: r["duration"],
+    )
+    assert [r["duration"] for r in out] == [0, 100, 200, 300, 400]
+    # durations 1..99 floor to 0 (99 subjects), 100..199 -> 100, ...,
+    # and duration 400 alone lands in the last bucket
+    assert [r["d"] for r in out] == [99, 100, 100, 100, 1]
+    assert out[0]["n_risk"] == 400
+    # S(0) = 1 - 99/400 = 0.7525; S(100) = 0.7525 * (1 - 100/301)
+    assert out[0]["survival"] == 0.7525
+    assert abs(out[1]["survival"] - 0.7525 * (1 - 100 / 301)) < 1e-6
+    assert out[-1]["survival"] == 0.0
+
+    # bounded domains pass untouched through the default guard, and
+    # disabling the guard skips the eager count entirely
+    small = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1)], "duration int, event int"
+    )
+    assert kaplan_meier(small, "duration", "event").count() == 3
+    assert (
+        kaplan_meier(
+            small, "duration", "event", max_distinct_durations=None
+        ).count()
+        == 3
+    )
