@@ -158,8 +158,14 @@ def main() -> None:
     # across runs of identical code when only sub-second queries got
     # the third sample — so min-of-3 now applies across the board to
     # keep round-over-round comparisons from reading noise as
-    # regression.
-    extra = [n for n in names if n in timings and n not in failures]
+    # regression. Probe runs that explicitly ask for a single pass
+    # (SPARK_GRAFT_BENCH_RUNS=1: the 30x/90x scale sweeps, where one
+    # pass is already many minutes) keep exactly one pass.
+    extra = (
+        [n for n in names if n in timings and n not in failures]
+        if n_runs >= 2
+        else []
+    )
     for name in extra:
         q = REGISTRY[name]
         start = time.perf_counter()
@@ -194,7 +200,8 @@ def main() -> None:
         "build_seconds": round(sum(builds.values()), 4),
         "sf": sf_val,
         "n_queries": len(query_timings),
-        "runs": n_runs + 1,  # n_runs main passes + one extra min-of pass
+        # n_runs main passes + one extra min-of pass (none when n_runs=1)
+        "runs": n_runs + (1 if n_runs >= 2 else 0),
         "scalable_twins": scalable_twins,
     }
     if failures:
@@ -211,7 +218,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(query_timings),
         "n_failed": len(failures),
-        "runs": n_runs + 1,
+        "runs": n_runs + (1 if n_runs >= 2 else 0),
         "build_seconds": detail["build_seconds"],
         "n_builds": len(builds),
         "queries": {

@@ -3759,3 +3759,254 @@ def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (er.cast("double") - tr.cast("double")) / tr.cast("double"), 4
         ).alias("overcount_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Evaluation tier (round 5): grading the heuristics that curate the data
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "returns_auc_by_discount",
+    """
+    WITH g AS (
+        SELECT l_discount AS score,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_pos,
+               sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)::BIGINT
+                   AS n_neg
+        FROM lineitem GROUP BY l_discount
+    ), r AS (
+        SELECT n_pos, n_neg,
+               n_pos * (2 * coalesce(sum(n_neg) OVER (
+                   ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + n_neg) AS num2
+        FROM g
+    )
+    SELECT sum(n_pos)::BIGINT AS n_pos, sum(n_neg)::BIGINT AS n_neg,
+           round(sum(num2)::DOUBLE
+                 / (2.0 * sum(n_pos)::DOUBLE * sum(n_neg)::DOUBLE), 6)
+               AS auc
+    FROM r
+    """,
+    doc="Exact ROC-AUC (Mann-Whitney rank-sum with tie correction) of "
+    "the discount level ranking the probability a lineitem is "
+    "returned — the evaluation primitive behind grading any curation "
+    "scorer (quality classifier, perplexity filter) against observed "
+    "labels. operators/evaluation.roc_auc: one fact aggregate to the "
+    "distinct-score domain (25 discount levels), cumulative-negative "
+    "window over that domain only, 2x-numerator kept an exact bigint "
+    "so the single float op is the final division. The bounded-domain "
+    "assumption is ENFORCED (max_distinct_scores guard, same design "
+    "as kaplan_meier's round-5 guard).",
+)
+def returns_auc_by_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.evaluation import roc_auc
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_discount").alias("score"),
+        (F.col("l_returnflag") == "R").cast("int").alias("is_return"),
+    )
+    return roc_auc(li, "score", "is_return")
+
+
+@query(
+    "ols_price_on_qty_discount",
+    """
+    WITH m AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(l_quantity::BIGINT)::BIGINT AS sq,
+               sum(round(l_discount * 100)::BIGINT)::BIGINT AS sd,
+               sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sy,
+               sum(l_quantity::BIGINT * l_quantity::BIGINT)::BIGINT AS sqq,
+               sum(round(l_discount * 100)::BIGINT
+                   * round(l_discount * 100)::BIGINT)::BIGINT AS sdd,
+               sum(l_quantity::BIGINT
+                   * round(l_discount * 100)::BIGINT)::BIGINT AS sqd,
+               sum(l_quantity::BIGINT
+                   * round(l_extendedprice * 100)::BIGINT)::BIGINT AS sqy,
+               sum(round(l_discount * 100)::BIGINT
+                   * round(l_extendedprice * 100)::BIGINT)::BIGINT AS sdy
+        FROM lineitem
+    ), c AS (
+        SELECT n,
+               n::DOUBLE * sqq::DOUBLE - sq::DOUBLE * sq::DOUBLE AS a11,
+               n::DOUBLE * sqd::DOUBLE - sq::DOUBLE * sd::DOUBLE AS a12,
+               n::DOUBLE * sdd::DOUBLE - sd::DOUBLE * sd::DOUBLE AS a22,
+               n::DOUBLE * sqy::DOUBLE - sq::DOUBLE * sy::DOUBLE AS b1,
+               n::DOUBLE * sdy::DOUBLE - sd::DOUBLE * sy::DOUBLE AS b2,
+               sq::DOUBLE AS sqf, sd::DOUBLE AS sdf, sy::DOUBLE AS syf
+        FROM m
+    ), s AS (
+        SELECT n, sqf, sdf, syf,
+               (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) AS beta1,
+               (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12) AS beta2
+        FROM c
+    )
+    SELECT n AS n_rows,
+           round(beta1 / 100, 6) AS beta_qty,
+           round(beta2, 6) AS beta_discount,
+           round((syf - beta1 * sqf - beta2 * sdf) / n::DOUBLE / 100, 6)
+               AS intercept
+    FROM s
+    """,
+    doc="Closed-form two-regressor OLS via the normal equations "
+    "(Cramer's rule on the centered 2x2 Gram): extendedprice ~ "
+    "quantity + discount — the distributed-regression primitive (the "
+    "d-feature generalization is similarity.pca_top_component's "
+    "tree-combined Gram). ONE map-side-combinable aggregate produces "
+    "nine EXACT integer moment sums (price/discount quantized to "
+    "cents/hundredths, so no shuffle order can move a bit); the "
+    "Cramer algebra then runs on that single row in doubles with "
+    "identical expression structure on both engines. beta_qty / "
+    "intercept are de-scaled back to dollars; beta_discount is "
+    "dollars per unit discount (cents per hundredth).",
+)
+def ols_price_on_qty_discount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    d = F.round(F.col("l_discount") * 100).cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    m = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(q).cast("bigint").alias("sq"),
+        F.sum(d).cast("bigint").alias("sd"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(q * q).cast("bigint").alias("sqq"),
+        F.sum(d * d).cast("bigint").alias("sdd"),
+        F.sum(q * d).cast("bigint").alias("sqd"),
+        F.sum(q * y).cast("bigint").alias("sqy"),
+        F.sum(d * y).cast("bigint").alias("sdy"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    c = m.select(
+        "n",
+        (dbl("n") * dbl("sqq") - dbl("sq") * dbl("sq")).alias("a11"),
+        (dbl("n") * dbl("sqd") - dbl("sq") * dbl("sd")).alias("a12"),
+        (dbl("n") * dbl("sdd") - dbl("sd") * dbl("sd")).alias("a22"),
+        (dbl("n") * dbl("sqy") - dbl("sq") * dbl("sy")).alias("b1"),
+        (dbl("n") * dbl("sdy") - dbl("sd") * dbl("sy")).alias("b2"),
+        dbl("sq").alias("sqf"),
+        dbl("sd").alias("sdf"),
+        dbl("sy").alias("syf"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    s = c.select(
+        "n",
+        "sqf",
+        "sdf",
+        "syf",
+        (
+            (F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")) / det
+        ).alias("beta1"),
+        (
+            (F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1")) / det
+        ).alias("beta2"),
+    )
+    return s.select(
+        F.col("n").alias("n_rows"),
+        F.round(F.col("beta1") / 100, 6).alias("beta_qty"),
+        F.round(F.col("beta2"), 6).alias("beta_discount"),
+        F.round(
+            (
+                F.col("syf")
+                - F.col("beta1") * F.col("sqf")
+                - F.col("beta2") * F.col("sdf")
+            )
+            / F.col("n").cast("double")
+            / 100,
+            6,
+        ).alias("intercept"),
+    )
+
+
+@query(
+    "part_brand_woe_iv",
+    """
+    WITH per AS (
+        SELECT p.p_brand AS feature,
+               sum(CASE WHEN l.l_returnflag = 'R' THEN 0 ELSE 1 END)::BIGINT
+                   AS n_good,
+               sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_bad
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    ), s AS (
+        SELECT feature, n_good, n_bad,
+               n_good::DOUBLE / (sum(n_good) OVER ())::DOUBLE AS dg,
+               n_bad::DOUBLE / (sum(n_bad) OVER ())::DOUBLE AS db
+        FROM per
+    ), w AS (
+        SELECT feature, n_good, n_bad,
+               round(ln(greatest(dg, 1e-12) / greatest(db, 1e-12)), 8)
+                   AS woe,
+               (dg - db) * round(ln(greatest(dg, 1e-12)
+                                    / greatest(db, 1e-12)), 8)
+                   AS iv_term_raw
+        FROM s
+    )
+    SELECT feature, n_good, n_bad, woe,
+           round(iv_term_raw, 8) AS iv_term,
+           round(sum(round(iv_term_raw * 1e8)::BIGINT) OVER () / 1e8, 6)
+               AS iv_total
+    FROM w
+    """,
+    doc="Weight-of-evidence / information-value screening of part "
+    "brand against the return outcome (credit-scoring's standard "
+    "feature-power ranking, operators/evaluation.woe_iv): broadcast "
+    "dim join, ONE fact aggregate to the 25-brand domain, windows "
+    "over that domain only. Distributions are integer-ratio doubles, "
+    "woe rounds 8dp off the ln (BM25-idf convention, 1e-12 clamp), "
+    "and iv_total sums 1e-8-quantized integer terms so no float "
+    "accumulation order can move the last bit.",
+)
+def part_brand_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.evaluation import woe_iv
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    )
+    joined = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("feature"),
+        (F.col("l_returnflag") == "R").cast("int").alias("is_return"),
+    )
+    return woe_iv(joined, "feature", "is_return")
+
+
+from .operators.privacy import _laplace_noise_sql, dp_noisy_counts  # noqa: E402
+
+_DP_EPS = 1.0
+_DP_SEED = "dp-v1"
+_DP_NOISE = _laplace_noise_sql("event_type", _DP_EPS, _DP_SEED)
+
+
+@query(
+    "events_dp_released_counts",
+    f"""
+    SELECT event_type,
+           greatest(count(*)::DOUBLE + {_DP_NOISE}, 0.0) AS noisy_count
+    FROM events GROUP BY event_type
+    """,
+    doc="epsilon-DP (epsilon=1) Laplace-mechanism release of the "
+    "event-type histogram (operators/privacy.dp_noisy_counts, Dwork "
+    "et al. 2006): per-key count + Laplace(1/eps) noise, clamped at 0 "
+    "by privacy-free post-processing; the true count deliberately "
+    "never appears in the output. Noise is a seeded hash-derived "
+    "inverse-CDF draw — deterministic so the oracle verifies the "
+    "mechanism arithmetic bit-for-bit (the module docstring spells "
+    "out why a REAL release must instead draw its seed fresh and "
+    "secret). One grouped count, one md5 per KEY; unclamped, "
+    "unrounded doubles match because both engines run the identical "
+    "expression with ln rounded 8dp.",
+)
+def events_dp_released_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type")
+    return dp_noisy_counts(
+        ev, "event_type", epsilon=_DP_EPS, seed=_DP_SEED
+    )

@@ -2867,3 +2867,59 @@ def doc_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / F.sum("n_docs").over(wd), 4
         ).alias("declared_share"),
     )
+
+
+@query(
+    "doc_lang_agreement_kappa",
+    f"""
+    WITH s AS (SELECT doc_id, lang, {_lang_scores_sql()} FROM documents),
+    m AS (SELECT doc_id, lang, s_en, s_es, s_fr, s_de, s_zh,
+                 greatest(s_en, s_es, s_fr, s_de, s_zh) AS best FROM s),
+    p AS (
+        SELECT lang AS la,
+               CASE WHEN best = 0 THEN 'und'
+                    WHEN s_en = best THEN 'en'
+                    WHEN s_es = best THEN 'es'
+                    WHEN s_fr = best THEN 'fr'
+                    WHEN s_de = best THEN 'de'
+                    ELSE 'zh' END AS lb
+        FROM m
+    ),
+    cells AS (SELECT la, lb, count(*)::BIGINT AS cnt FROM p GROUP BY la, lb),
+    tot AS (
+        SELECT sum(cnt)::BIGINT AS n,
+               sum(CASE WHEN la = lb THEN cnt ELSE 0 END)::BIGINT AS agree
+        FROM cells
+    ),
+    ma AS (SELECT la, sum(cnt)::BIGINT AS ra FROM cells GROUP BY la),
+    mb AS (SELECT lb, sum(cnt)::BIGINT AS rb FROM cells GROUP BY lb),
+    pe AS (
+        SELECT coalesce(sum(ra * rb), 0)::BIGINT AS pe_num
+        FROM ma JOIN mb ON ma.la = mb.lb
+    )
+    SELECT n AS n_items,
+           round(agree::DOUBLE / n::DOUBLE, 6) AS po,
+           round(pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE), 6) AS pe,
+           round((agree::DOUBLE / n::DOUBLE
+                  - pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE))
+                 / (1.0 - pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE)), 6)
+               AS kappa
+    FROM tot CROSS JOIN pe
+    """,
+    doc="Cohen's kappa between the declared lang column and the n-gram "
+    "language-ID prediction — the chance-corrected scalar summary of "
+    "doc_language_confusion's matrix (raw agreement flatters a "
+    "detector when one language dominates; kappa discounts what the "
+    "marginals alone would get right). operators/evaluation."
+    "cohens_kappa: one fact aggregate to the <=36-cell label-pair "
+    "domain (checkpointed — it feeds the agreement total and both "
+    "marginals), exact bigint counts into three final double ratios.",
+)
+def doc_lang_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.evaluation import cohens_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = text_ops.language_id(docs).select(
+        F.col("lang").alias("declared"), F.col("lang_pred").alias("detected")
+    )
+    return cohens_kappa(pred, "declared", "detected")
