@@ -160,3 +160,68 @@ def table_file_audit(
     for a in audits[1:]:
         out = out.unionByName(a)
     return out
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Execute what :func:`table_file_audit` recommends: rewrite
+    ``path`` as ``recommended_files`` right-sized parquet files —
+    Delta/Iceberg OPTIMIZE's bin-packing half, for plain parquet dirs
+    (thousands of tiny files serialize scheduling and footer reads at
+    100 TB; compaction is the act half of the audit->act loop).
+
+    Safety contract: the compacted copy is built in a sibling temp dir,
+    row-count-verified against the source, and swapped in with two
+    atomic renames (source preserved at ``<path>._pre_compact`` until
+    the swap succeeds, then removed). A crash mid-swap leaves either
+    the original or the compacted table, never a mix. Callers must
+    quiesce writers; concurrent readers of the OLD listing fail fast
+    rather than read half of each.
+
+    Returns {"n_files_before", "n_files_after", "n_rows",
+    "total_bytes"} for the run log.
+    """
+    import os
+    import shutil
+    import uuid
+
+    audit = table_file_audit(
+        spark, {"t": path}, target_file_bytes=target_file_bytes
+    ).collect()[0]
+    n_target = int(audit["recommended_files"])
+    tmp = f"{path}._compacting.{uuid.uuid4().hex[:12]}"
+    (
+        spark.read.parquet(path)
+        .repartition(n_target)
+        .write.mode("errorifexists")
+        .parquet(tmp)
+    )
+    n_after = spark.read.parquet(tmp).count()
+    if n_after != audit["n_rows"]:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_table: row count changed ({audit['n_rows']} -> "
+            f"{n_after}); source left untouched"
+        )
+    backup = f"{path}._pre_compact"
+    os.replace(path, backup)
+    try:
+        os.replace(tmp, path)
+    except OSError:
+        os.replace(backup, path)  # restore; tmp kept for diagnosis
+        raise
+    shutil.rmtree(backup, ignore_errors=True)
+    files = [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    return {
+        "n_files_before": int(audit["n_files"]),
+        "n_files_after": len(files),
+        "n_rows": int(audit["n_rows"]),
+        "total_bytes": int(audit["total_bytes"]),
+    }

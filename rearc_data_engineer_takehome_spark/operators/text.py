@@ -632,3 +632,83 @@ def bpe_fertility_oracle_sql(n_merges: int = 6, pattern: str | None = None) -> s
            round(sum(n_chars)::DOUBLE / sum(n_tok), 6) AS chars_per_token
     FROM f GROUP BY lang
     """
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the
+    corpus-level phrase extractor (Church & Hanks 1990) behind
+    tokenizer-vocabulary seeding and phrase-aware dedup shingling:
+    PMI(a, b) = ln( p(ab) / (p(a) p(b)) ) with p(ab) over the bigram
+    stream and p(a), p(b) over the token stream. The ``min_count``
+    floor removes the classic PMI pathology (hapax pairs score
+    highest); ranking is on the 8dp-ROUNDED pmi with the bigram string
+    as tie-break so both engines pick identical winners.
+
+    Returns k rows: (bigram, c_ab, c_a, c_b, pmi), pmi descending.
+
+    Scale shape: one tokenize pass feeds both the unigram and bigram
+    vocab folds (Zipf-bounded relations); the probe side joins the two
+    unigram marginals onto the FILTERED bigram vocabulary (min_count
+    prunes before the join), and the top-k is a TakeOrderedAndProject,
+    never a global sort.
+    """
+    from ..functions.text import word_shingles, ws_tokens
+    from .relational import spread_compute
+
+    toks_arr = F.transform(ws_tokens(text_col), lambda x: F.lower(x))
+    base = spread_compute(
+        df.where(F.col(text_col).isNotNull())
+    ).select(toks_arr.alias("toks"))
+    uni = (
+        base.select(F.explode("toks").alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # feeds the total AND two probes
+    )
+    n_uni = uni.agg(F.sum("c").cast("double").alias("nu"))
+    bi = (
+        base.where(F.size("toks") >= 2)
+        .select(F.explode(word_shingles(F.col("toks"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+        .localCheckpoint(eager=False)
+    )
+    n_bi = bi.agg(F.sum("c_ab").cast("double").alias("nb"))
+    split = F.split(F.col("bg"), " ")
+    keyed = bi.select(
+        "bg",
+        "c_ab",
+        split.getItem(0).alias("w1"),
+        split.getItem(1).alias("w2"),
+    )
+    ca = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
+    joined = (
+        keyed.join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    # NOTE n_bi sums the FILTERED bigram mass (post-min_count): the
+    # normalizer must match the oracle exactly, and pruning first
+    # keeps the probe-side join small; PMI rank order within the
+    # filtered set is unaffected (constant shift of every score).
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") / F.col("nb"))
+            / ((F.col("c_a") / F.col("nu")) * (F.col("c_b") / F.col("nu")))
+        ),
+        8,
+    )
+    return (
+        joined.select("bg", "c_ab", "c_a", "c_b", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("bg").asc())
+        .limit(k)
+    )

@@ -92,3 +92,39 @@ def cached_result(
                 raise
             shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
+
+
+def prune_cache(cache_dir: str, max_bytes: int) -> list[str]:
+    """Size-bounded LRU eviction for the fingerprint cache: delete
+    least-recently-READ entries (dir atime, falling back to mtime)
+    until the total is under ``max_bytes``. In-flight ``._building.*``
+    temp dirs are never touched — their writer owns them. Returns the
+    evicted fingerprints.
+
+    Evicting a live entry is always SAFE (the key encodes everything;
+    the next call recomputes), so the policy only trades recompute
+    cost — which is what makes an unbounded cache dir the only real
+    operational risk of the design."""
+    entries = []
+    total = 0
+    for name in os.listdir(cache_dir):
+        if "._building." in name:
+            continue
+        p = os.path.join(cache_dir, name)
+        if not os.path.isdir(p):
+            continue
+        size = sum(
+            os.path.getsize(os.path.join(p, f)) for f in os.listdir(p)
+        )
+        st = os.stat(p)
+        entries.append((max(st.st_atime_ns, st.st_mtime_ns), size, name, p))
+        total += size
+    entries.sort()  # oldest first
+    evicted = []
+    for _, size, name, p in entries:
+        if total <= max_bytes:
+            break
+        shutil.rmtree(p, ignore_errors=True)
+        total -= size
+        evicted.append(name)
+    return evicted

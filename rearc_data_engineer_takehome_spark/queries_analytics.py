@@ -4010,3 +4010,102 @@ def events_dp_released_counts(
     return dp_noisy_counts(
         ev, "event_type", epsilon=_DP_EPS, seed=_DP_SEED
     )
+
+
+_OVL_REGS = _sk.hll_registers_sql("ev", "k", ("event_type",))
+_OVL_PER = _sk.hll_estimate_sql("regs", ("event_type",))
+_OVL_UNION = _sk.hll_estimate_sql("u_regs")
+
+
+@query(
+    "events_hll_audience_overlap",
+    f"""
+    WITH ev AS (
+        SELECT event_type, user_id::VARCHAR AS k, user_id
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IN ('view', 'click')
+    ),
+    regs AS ({_OVL_REGS}),
+    per AS ({_OVL_PER}),
+    u_regs AS (SELECT bucket, max(mx) AS mx FROM regs GROUP BY bucket),
+    u_est AS ({_OVL_UNION}),
+    a AS (SELECT hll_est AS est_a FROM per WHERE event_type = 'view'),
+    b AS (SELECT hll_est AS est_b FROM per WHERE event_type = 'click'),
+    ex AS (
+        SELECT count(*)::BIGINT AS exact_intersection FROM (
+            SELECT user_id FROM ev GROUP BY user_id
+            HAVING count(DISTINCT event_type) = 2
+        )
+    )
+    SELECT est_a, est_b, hll_est AS est_union,
+           round(est_a + est_b - hll_est, 4) AS est_intersection,
+           exact_intersection,
+           round(100.0 * (round(est_a + est_b - hll_est, 4)
+                          - exact_intersection)
+                 / exact_intersection, 4) AS err_pct
+    FROM a CROSS JOIN b CROSS JOIN u_est CROSS JOIN ex
+    """,
+    doc="Audience-overlap estimation from mergeable HLL registers: "
+    "|view users ∩ click users| by inclusion-exclusion over three "
+    "register folds (per-type estimates + the MAX-merged union) — the "
+    "sketch answer to 'how many users do two segments share?' that "
+    "needs NO re-scan when segments were sketched separately (the "
+    "production case: per-day per-segment register tables). Exact "
+    "intersection rides along so the compounded error of subtracting "
+    "three ~2%-error estimates is itself oracle-checked — "
+    "inclusion-exclusion variance is the textbook caveat for small "
+    "overlaps. Registers replay bit-for-bit (portable md5, dyadic Z).",
+)
+def events_hll_audience_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isin("view", "click")
+        )
+        .select(
+            "event_type",
+            F.col("user_id").cast("string").alias("k"),
+            "user_id",
+        )
+    )
+    regs = _sk.hll_registers(ev, "k", ("event_type",))
+    per = _sk.hll_estimate(regs, ("event_type",))
+    union_est = _sk.hll_estimate(_sk.hll_merge(regs))
+    a = per.where(F.col("event_type") == "view").select(
+        F.col("hll_est").alias("est_a")
+    )
+    b = per.where(F.col("event_type") == "click").select(
+        F.col("hll_est").alias("est_b")
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("nt"))
+        .where(F.col("nt") == 2)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+    est_int = F.round(
+        F.col("est_a") + F.col("est_b") - F.col("hll_est"), 4
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(union_est))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_a",
+            "est_b",
+            F.col("hll_est").alias("est_union"),
+            est_int.alias("est_intersection"),
+            "exact_intersection",
+            F.round(
+                F.lit(100.0)
+                * (est_int - F.col("exact_intersection"))
+                / F.col("exact_intersection"),
+                4,
+            ).alias("err_pct"),
+        )
+    )

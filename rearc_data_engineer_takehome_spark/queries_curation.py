@@ -1934,3 +1934,113 @@ def _compose_oracles() -> None:
 
 
 _compose_oracles()
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: PMI collocations, leave-one-out source ablation
+# ---------------------------------------------------------------------------
+
+_PMI_MIN, _PMI_K = 5, 50
+
+
+@query(
+    "bigram_pmi_collocations",
+    f"""
+    WITH t AS (
+        SELECT list_transform({_TOKS}, x -> lower(x)) AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (
+        SELECT tok, count(*)::BIGINT AS c
+        FROM (SELECT unnest(toks) AS tok FROM t)
+        WHERE tok <> '' GROUP BY tok
+    ),
+    nu AS (SELECT sum(c)::DOUBLE AS nu FROM uni),
+    bi AS (
+        SELECT bg, count(*)::BIGINT AS c_ab
+        FROM (SELECT unnest({word_shingles_sql("toks", 2)}) AS bg
+              FROM t WHERE len(toks) >= 2)
+        GROUP BY bg HAVING count(*) >= {_PMI_MIN}
+    ),
+    nb AS (SELECT sum(c_ab)::DOUBLE AS nb FROM bi),
+    j AS (
+        SELECT bg, c_ab,
+               ca.c AS c_a, cb.c AS c_b, nu.nu AS nu, nb.nb AS nb
+        FROM bi
+        JOIN uni ca ON string_split(bi.bg, ' ')[1] = ca.tok
+        JOIN uni cb ON string_split(bi.bg, ' ')[2] = cb.tok
+        CROSS JOIN nu CROSS JOIN nb
+    )
+    SELECT bg, c_ab, c_a, c_b,
+           round(ln((c_ab / nb) / ((c_a / nu) * (c_b / nu))), 8) AS pmi
+    FROM j
+    ORDER BY pmi DESC, bg ASC
+    LIMIT {_PMI_K}
+    """,
+    doc="Top-50 collocations by pointwise mutual information with a "
+    "min-count-5 floor (text_ops.pmi_collocations, Church & Hanks "
+    "1990) — the phrase extractor behind tokenizer-vocab seeding and "
+    "phrase-aware shingling. One tokenize pass feeds both Zipf-bounded "
+    "vocab folds; min_count prunes the bigram side BEFORE its two "
+    "unigram-marginal joins; top-k is a TakeOrderedAndProject on the "
+    "8dp-rounded pmi with the bigram string as tie-break.",
+)
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.pmi_collocations(
+        _t(spark, sf_dir, "documents"), "text", _PMI_MIN, _PMI_K
+    )
+
+
+@query(
+    "source_ablation_quality",
+    """
+    WITH per AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS sum_chars
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT sum(n_docs)::BIGINT AS nn, sum(sum_chars)::BIGINT AS tt
+        FROM per
+    )
+    SELECT source, n_docs,
+           round(sum_chars::DOUBLE / n_docs::DOUBLE, 4) AS mean_chars,
+           round((tt - sum_chars)::DOUBLE
+                 / nullif(nn - n_docs, 0)::DOUBLE, 4) AS mean_chars_loo,
+           round((tt - sum_chars)::DOUBLE / nullif(nn - n_docs, 0)::DOUBLE
+                 - tt::DOUBLE / nn::DOUBLE, 4) AS loo_delta
+    FROM per CROSS JOIN tot
+    """,
+    doc="Leave-one-out source ablation — the algebraic form of the "
+    "data-attribution question 'what does dropping source S do to the "
+    "corpus metric?': because the metric is a ratio of sums, every "
+    "LOO readout derives from ONE grouped aggregate (mean_without_S = "
+    "(T - t_S) / (N - n_S)) instead of |S| corpus re-scans — the same "
+    "trick at 100 TB with millions of sources. loo_delta > 0 means "
+    "removing the source RAISES mean document length. Integer sums "
+    "exact, nullif guards the single-source corpus, final scalar "
+    "ratios rounded 4dp.",
+)
+def source_ablation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("nn"),
+        F.sum("sum_chars").cast("bigint").alias("tt"),
+    )
+    nd, sc = F.col("n_docs").cast("double"), F.col("sum_chars").cast("double")
+    nn, tt = F.col("nn").cast("double"), F.col("tt").cast("double")
+    loo_den = F.nullif(
+        (F.col("nn") - F.col("n_docs")).cast("double"), F.lit(0.0)
+    )
+    loo = (tt - sc) / loo_den
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(sc / nd, 4).alias("mean_chars"),
+        F.round(loo, 4).alias("mean_chars_loo"),
+        F.round(loo - tt / nn, 4).alias("loo_delta"),
+    )

@@ -290,3 +290,34 @@ def test_last_touch_attribution_edges(spark, tmp_path):
         .collect()
     }
     assert got == {"click": (1, 10.0), "none": (2, 60.0)}
+
+
+def test_pmi_collocations_floor_and_known_value(spark):
+    """min_count floors out hapax pairs (the classic PMI pathology);
+    a bigram that always co-occurs scores ln(nb_inv * nu^2 /(ca*cb))
+    computed from the exact counts."""
+    import math
+
+    # "san francisco" 6 times (always together), "the the" filler 5
+    # times, one hapax pair "rare pair"
+    rows = (
+        [("san francisco",)] * 6 + [("the the",)] * 5 + [("rare pair",)]
+    )
+    df = spark.createDataFrame(rows, "text string").select(
+        F.monotonically_increasing_id().alias("doc_id"), "text"
+    )
+    out = {
+        r["bg"]: r.asDict()
+        for r in text_ops.pmi_collocations(
+            df, "text", min_count=5, k=10
+        ).collect()
+    }
+    assert "rare pair" not in out  # hapax floored
+    assert set(out) == {"san francisco", "the the"}
+    got = out["san francisco"]
+    assert (got["c_ab"], got["c_a"], got["c_b"]) == (6, 6, 6)
+    # nu = 24 tokens, nb = 11 surviving bigrams
+    expect = round(math.log((6 / 11) / ((6 / 24) * (6 / 24))), 8)
+    assert abs(got["pmi"] - expect) < 1e-9
+    # "the the": c_ab=5, c_a=c_b=10 -> lower pmi than a perfect pair
+    assert out["the the"]["pmi"] < got["pmi"]

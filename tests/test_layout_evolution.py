@@ -163,3 +163,31 @@ def test_table_file_audit_partitioned_layout_identical_basenames(
     assert got["n_rows"] == 1_000  # basename join would report 16k
     assert got["max_file_rows"] == 250
     assert got["file_row_skew"] == 1.0
+
+
+def test_compact_table_binpacks_and_preserves_rows(spark, tmp_path):
+    """compact_table executes the audit's recommendation: a 16-file
+    tiny table compacts to the recommended single file with rows and
+    values intact, and the original is swapped out atomically (no
+    _pre_compact/_compacting residue on success)."""
+    import os
+
+    from rearc_data_engineer_takehome_spark.operators.layout import (
+        compact_table,
+    )
+
+    path = str(tmp_path / "shards")
+    spark.range(0, 20_000).withColumn(
+        "v", F.col("id") * 7
+    ).repartition(16).write.parquet(path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    stats = compact_table(spark, path)
+    assert stats["n_files_before"] == 16
+    assert stats["n_files_after"] == 1  # tiny table -> 1 recommended
+    assert stats["n_rows"] == 20_000
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+    assert not [d for d in os.listdir(tmp_path) if "_compacting" in d]
+    assert not os.path.exists(f"{path}._pre_compact")

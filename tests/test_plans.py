@@ -322,3 +322,60 @@ def test_result_cache_registry_query_hit_is_a_cache_scan(spark, sf_smoke):
 
     uncached = REGISTRY["revenue_by_region"].spark(spark, sf_smoke)
     assert sorted(tuple(r) for r in uncached.collect()) == want
+
+
+def test_result_cache_prune_evicts_lru_and_keeps_hits(spark, tmp_path):
+    """prune_cache deletes least-recently-used entries until the size
+    bound holds, never touches ._building temp dirs, and a surviving
+    entry still serves hits."""
+    import os
+    import time
+
+    from rearc_data_engineer_takehome_spark.plans.result_cache import (
+        cached_result,
+        prune_cache,
+    )
+
+    src = str(tmp_path / "src")
+    cache = str(tmp_path / "cache")
+    os.makedirs(cache)
+    spark.range(0, 200).withColumn("v", F.col("id") * 2).write.parquet(src)
+
+    def q(mod):
+        return (
+            spark.read.parquet(src)
+            .groupBy((F.col("id") % mod).alias("g"))
+            .agg(F.sum("v").alias("s"))
+        )
+
+    fps = []
+    for mod in (3, 5, 7):
+        cached_result(spark, q(mod), cache)
+        fps.append(
+            next(
+                n for n in os.listdir(cache)
+                if n not in fps and "._building." not in n
+            )
+        )
+        time.sleep(0.02)  # distinct mtimes -> deterministic LRU order
+        # touch the first entry so it is the most recently used
+        os.utime(os.path.join(cache, fps[0]))
+    os.makedirs(os.path.join(cache, "x._building.deadbeef"))
+
+    sizes = {
+        n: sum(
+            os.path.getsize(os.path.join(cache, n, f))
+            for f in os.listdir(os.path.join(cache, n))
+        )
+        for n in fps
+    }
+    # bound that forces exactly one eviction; entry 2 (mod=5) is LRU
+    bound = sum(sizes.values()) - 1
+    evicted = prune_cache(cache, bound)
+    assert evicted and fps[1] in evicted
+    assert fps[0] not in evicted  # recently touched survives
+    assert os.path.isdir(os.path.join(cache, "x._building.deadbeef"))
+    # surviving entry still hits: same values, no new cache entry
+    want = sorted(tuple(r) for r in q(3).collect())
+    got = sorted(tuple(r) for r in cached_result(spark, q(3), cache).collect())
+    assert got == want
