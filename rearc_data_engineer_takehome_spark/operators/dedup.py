@@ -992,29 +992,30 @@ def cluster_pairs_star(
             RuntimeWarning,
             stacklevel=2,
         )
-        # one-label contract even when under-merged: on exhaustion the
-        # edge set need not be a star forest — a node can still hold
-        # multiple out-edges, which would emit multiple
-        # (doc_id, cluster_id) rows and break every downstream consumer
-        # (dedup_by_pairs anti-joins, drop manifests). Collapse to the
-        # minimum target so each member carries exactly one label.
-        edges = edges.groupBy("u").agg(F.min("v").alias("v"))
-    # star edges point member -> root; roots label themselves. The
-    # anti-join keeps the member label authoritative when exhaustion
-    # left a CHAIN (x -> r and y -> x): x is then a member, not a
-    # root, so it must not also self-label. On a converged star forest
-    # no target ever appears as a source and the anti-join is a no-op.
-    members = edges.select(
+    # One-label contract on EVERY exit path: on exhaustion the edge set
+    # need not be a star forest — a node can hold multiple out-edges
+    # (multiple labels) or sit mid-chain (member AND apparent root).
+    # Three structural steps make the output exactly one
+    # (doc_id, cluster_id) row per node regardless:
+    #   1. the node UNIVERSE comes from the pre-collapse edge set (a
+    #      collapse that deletes a node's last incident edge must not
+    #      delete the node from the output);
+    #   2. multi-out-edge nodes collapse to their minimum target (a
+    #      no-op on a converged star forest);
+    #   3. roots = universe minus member sources, self-labeled (so a
+    #      chained node never also self-labels).
+    nodes = (
+        edges.select("u")
+        .unionByName(edges.select(F.col("v").alias("u")))
+        .distinct()
+    )
+    one_out = edges.groupBy("u").agg(F.min("v").alias("v"))
+    members = one_out.select(
         F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
     )
     roots = (
-        edges.select(F.col("v").alias("doc_id"))
-        .distinct()
-        .join(
-            edges.select(F.col("u").alias("doc_id")),
-            "doc_id",
-            "left_anti",
-        )
+        nodes.join(one_out.select("u"), "u", "left_anti")
+        .select(F.col("u").alias("doc_id"))
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
     )
     return members.unionByName(roots)

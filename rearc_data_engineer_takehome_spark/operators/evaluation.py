@@ -46,23 +46,44 @@ def roc_auc(
     integers; 2x the AUC numerator (n_pos * (2*cum_neg + n_neg)) stays
     an exact bigint, so the only float op is the final division —
     identical in any engine, rounded 6dp.
+
+    Edge semantics: NULL scores are dropped (AUC is undefined for an
+    unscored row, and engines disagree on NULL ordering — any oracle
+    must filter identically); a single-class input (no positives or no
+    negatives) raises when the guard is on rather than silently
+    returning a NULL auc.
     """
     lab = F.col(label_col).cast("bigint")
-    g = df.groupBy(F.col(score_col).alias("score")).agg(
+    g = df.where(F.col(score_col).isNotNull()).groupBy(
+        F.col(score_col).alias("score")
+    ).agg(
         F.sum(lab).cast("bigint").alias("n_pos"),
         F.sum(F.lit(1) - lab).cast("bigint").alias("n_neg"),
     )
     if max_distinct_scores is not None:
+        # one tiny action over the aggregated relation answers both
+        # guards; the checkpoint lets the windows reuse the same blocks
         g = g.localCheckpoint(eager=False)
-        n_distinct = g.count()
-        if n_distinct > max_distinct_scores:
+        guard = g.agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum("n_pos").alias("tp"),
+            F.sum("n_neg").alias("tn"),
+        ).first()
+        if (guard["nd"] or 0) > max_distinct_scores:
             raise ValueError(
-                f"roc_auc: {n_distinct} distinct scores exceed "
+                f"roc_auc: {guard['nd']} distinct scores exceed "
                 f"max_distinct_scores={max_distinct_scores}; the "
                 "rank-sum window runs single-partition over this "
                 "domain. Bucket or round the score upstream, or "
                 "raise/disable the guard if the domain is known "
                 "bounded."
+            )
+        if not guard["tp"] or not guard["tn"]:
+            raise ValueError(
+                "roc_auc: input has a single label class "
+                f"(n_pos={guard['tp']}, n_neg={guard['tn']}) — AUC is "
+                "undefined; a ranking cannot be graded without both "
+                "classes."
             )
     wprev = Window.orderBy("score").rowsBetween(
         Window.unboundedPreceding, -1

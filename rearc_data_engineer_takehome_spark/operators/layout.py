@@ -106,8 +106,13 @@ def table_file_audit(
         # file as URIs with potentially different scheme spellings
         # (file:/ vs file:///) and percent-encoding (spaces, unicode).
         # Strip the scheme + slash run to one leading '/', then decode.
+        # url_decode is FORM decoding ('+' -> space), but file URIs
+        # never encode a space as '+' — protect literal '+' first, or
+        # 'a+b' and 'a b' would collapse to one normalized path and
+        # re-inflate the join this normalization exists to fix.
         bare = F.regexp_replace(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
-        return F.coalesce(F.try_url_decode(bare), bare)
+        protected = F.regexp_replace(bare, r"\+", "%2B")
+        return F.coalesce(F.try_url_decode(protected), bare)
 
     audits = []
     for name, path in sorted(tables.items()):
@@ -173,13 +178,18 @@ def compact_table(
     (thousands of tiny files serialize scheduling and footer reads at
     100 TB; compaction is the act half of the audit->act loop).
 
-    Safety contract: the compacted copy is built in a sibling temp dir,
-    row-count-verified against the source, and swapped in with two
-    atomic renames (source preserved at ``<path>._pre_compact`` until
-    the swap succeeds, then removed). A crash mid-swap leaves either
-    the original or the compacted table, never a mix. Callers must
-    quiesce writers; concurrent readers of the OLD listing fail fast
-    rather than read half of each.
+    Safety contract (LOCAL filesystems only — rename semantics; raises
+    on URI paths): the compacted copy is built in a sibling temp dir,
+    row-count-verified against the source, then swapped in with two
+    renames. The swap itself is two syscalls, not one atomic exchange
+    (POSIX has no portable directory RENAME_EXCHANGE), so a crash
+    between them leaves the table at ``<path>._pre_compact`` and
+    nothing at ``path`` — never a mix of old and new files, and never
+    data loss. The next compact_table call self-recovers: a backup
+    with no live table is restored; a leftover backup BESIDE a live
+    table (crash after the swap landed, before cleanup) is deleted.
+    Callers must quiesce writers; a no-op when the table already has
+    the recommended file count, so re-runs are idempotent and cheap.
 
     Returns {"n_files_before", "n_files_after", "n_rows",
     "total_bytes"} for the run log.
@@ -188,10 +198,31 @@ def compact_table(
     import shutil
     import uuid
 
+    if "://" in path:
+        raise ValueError(
+            "compact_table swaps directories with os.replace — local "
+            f"filesystem paths only, got {path!r}. On object storage, "
+            "write the compacted copy to a new prefix and flip the "
+            "table location in the catalog instead."
+        )
+    backup = f"{path}._pre_compact"
+    if os.path.isdir(backup):
+        if not os.path.isdir(path):
+            os.replace(backup, path)  # crash landed mid-swap: restore
+        else:
+            shutil.rmtree(backup)  # crash landed post-swap: residue
     audit = table_file_audit(
         spark, {"t": path}, target_file_bytes=target_file_bytes
     ).collect()[0]
     n_target = int(audit["recommended_files"])
+    stats = {
+        "n_files_before": int(audit["n_files"]),
+        "n_files_after": int(audit["n_files"]),
+        "n_rows": int(audit["n_rows"]),
+        "total_bytes": int(audit["total_bytes"]),
+    }
+    if int(audit["n_files"]) == n_target:
+        return stats  # already right-sized: no rewrite, no reader gap
     tmp = f"{path}._compacting.{uuid.uuid4().hex[:12]}"
     (
         spark.read.parquet(path)
@@ -206,7 +237,6 @@ def compact_table(
             f"compact_table: row count changed ({audit['n_rows']} -> "
             f"{n_after}); source left untouched"
         )
-    backup = f"{path}._pre_compact"
     os.replace(path, backup)
     try:
         os.replace(tmp, path)
@@ -219,9 +249,5 @@ def compact_table(
         for f in os.listdir(path)
         if f.endswith(".parquet") and not f.startswith("_")
     ]
-    return {
-        "n_files_before": int(audit["n_files"]),
-        "n_files_after": len(files),
-        "n_rows": int(audit["n_rows"]),
-        "total_bytes": int(audit["total_bytes"]),
-    }
+    stats["n_files_after"] = len(files)
+    return stats

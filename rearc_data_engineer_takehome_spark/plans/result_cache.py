@@ -94,33 +94,54 @@ def cached_result(
     return spark.read.parquet(path)
 
 
-def prune_cache(cache_dir: str, max_bytes: int) -> list[str]:
+def prune_cache(
+    cache_dir: str,
+    max_bytes: int,
+    orphan_age_seconds: float = 6 * 3600,
+) -> list[str]:
     """Size-bounded LRU eviction for the fingerprint cache: delete
     least-recently-READ entries (dir atime, falling back to mtime)
-    until the total is under ``max_bytes``. In-flight ``._building.*``
-    temp dirs are never touched — their writer owns them. Returns the
-    evicted fingerprints.
+    until the total is under ``max_bytes``. Returns the evicted names.
 
-    Evicting a live entry is always SAFE (the key encodes everything;
-    the next call recomputes), so the policy only trades recompute
-    cost — which is what makes an unbounded cache dir the only real
-    operational risk of the design."""
+    ``._building.*`` temp dirs belong to an in-flight writer and are
+    left alone — UNLESS they are older than ``orphan_age_seconds``
+    (default 6h): a writer killed mid-build leaves its temp dir behind
+    forever, and without the age sweep those orphans would accumulate
+    outside the size accounting, silently unbounding the directory the
+    max_bytes contract claims to bound.
+
+    Concurrency: every per-entry stat tolerates the entry vanishing
+    between the listing and the stat (another pruner or a manual
+    cleanup racing this one) by skipping it — a prune must never abort
+    half-way because someone else cleaned first. Evicting a live entry
+    is always SAFE (the key encodes everything; the next call
+    recomputes), so the policy only trades recompute cost."""
+    import time
+
+    now = time.time()
     entries = []
     total = 0
+    evicted: list[str] = []
     for name in os.listdir(cache_dir):
-        if "._building." in name:
-            continue
         p = os.path.join(cache_dir, name)
-        if not os.path.isdir(p):
-            continue
-        size = sum(
-            os.path.getsize(os.path.join(p, f)) for f in os.listdir(p)
-        )
-        st = os.stat(p)
+        try:
+            if "._building." in name:
+                if now - os.stat(p).st_mtime > orphan_age_seconds:
+                    shutil.rmtree(p, ignore_errors=True)
+                    evicted.append(name)
+                continue
+            if not os.path.isdir(p):
+                continue
+            size = sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+            )
+            st = os.stat(p)
+        except OSError:
+            continue  # vanished mid-scan: someone else cleaned it
         entries.append((max(st.st_atime_ns, st.st_mtime_ns), size, name, p))
         total += size
     entries.sort()  # oldest first
-    evicted = []
     for _, size, name, p in entries:
         if total <= max_bytes:
             break

@@ -401,10 +401,20 @@ def revenue_by_region_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from .plans.result_cache import cached_result
+    from .plans.result_cache import cached_result, prune_cache
 
-    cache_dir = os.path.join(tempfile.gettempdir(), "spark_graft_result_cache")
-    return cached_result(spark, revenue_by_region(spark, sf_dir), cache_dir)
+    # per-uid dir: a fixed world-shared /tmp name would let any local
+    # user pre-create the directory (permission failures) or plant a
+    # poisoned materialization under a predictable fingerprint
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_result_cache_{os.getuid()}"
+    )
+    out = cached_result(spark, revenue_by_region(spark, sf_dir), cache_dir)
+    # size bound wired at the one production call site: old entries
+    # orphaned by data regenerations (new mtime = new fingerprint)
+    # must not grow /tmp without bound
+    prune_cache(cache_dir, max_bytes=1 << 30)
+    return out
 
 
 @query(

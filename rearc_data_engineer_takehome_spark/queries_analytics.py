@@ -3775,7 +3775,9 @@ def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS n_pos,
                sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)::BIGINT
                    AS n_neg
-        FROM lineitem GROUP BY l_discount
+        FROM lineitem
+        WHERE l_discount IS NOT NULL  -- operator drops unscored rows
+        GROUP BY l_discount
     ), r AS (
         SELECT n_pos, n_neg,
                n_pos * (2 * coalesce(sum(n_neg) OVER (

@@ -59,6 +59,23 @@ def test_roc_auc_distinct_score_guard(spark):
     assert 0.0 <= out["auc"] <= 1.0
 
 
+def test_roc_auc_null_scores_dropped_and_single_class_raises(spark):
+    # NULL scores are unrankable — dropped on both engines identically
+    withnull = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1), (None, 1), (None, 0)],
+        "score double, y int",
+    )
+    row = roc_auc(withnull, "score", "y").collect()[0]
+    assert (row["n_pos"], row["n_neg"], row["auc"]) == (2, 2, 1.0)
+
+    # a single label class cannot be graded: loud error, not NULL auc
+    one_class = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1)], "score double, y int"
+    )
+    with pytest.raises(ValueError, match="single label class"):
+        roc_auc(one_class, "score", "y")
+
+
 def test_cohens_kappa_known_values(spark):
     # perfect agreement -> kappa = 1
     same = spark.createDataFrame(

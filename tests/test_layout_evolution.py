@@ -140,7 +140,9 @@ def test_table_file_audit_partitioned_layout_identical_basenames(
         table_file_audit,
     )
 
-    part = str(tmp_path / "part ed")  # space: exercises percent-decoding
+    # space exercises percent-decoding; '+' must survive it literally
+    # (url_decode is FORM decoding — '+' would otherwise become a space)
+    part = str(tmp_path / "part ed+x")
     (
         spark.range(0, 1_000)
         .withColumn("p", F.col("id") % 4)
@@ -191,3 +193,28 @@ def test_compact_table_binpacks_and_preserves_rows(spark, tmp_path):
     assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
     assert not [d for d in os.listdir(tmp_path) if "_compacting" in d]
     assert not os.path.exists(f"{path}._pre_compact")
+
+    # idempotent re-run: already at the recommended count -> no rewrite
+    mtimes = {f: os.path.getmtime(os.path.join(path, f)) for f in files}
+    again = compact_table(spark, path)
+    assert again["n_files_before"] == again["n_files_after"] == 1
+    assert {
+        f: os.path.getmtime(os.path.join(path, f)) for f in files
+    } == mtimes  # files untouched
+
+    # crash recovery: a stale backup beside a live table is residue
+    # from a post-swap crash and must be cleared, not wedge the run
+    os.makedirs(f"{path}._pre_compact/x")
+    compact_table(spark, path)
+    assert not os.path.exists(f"{path}._pre_compact")
+    # a backup with NO live table is a mid-swap crash: restored
+    os.replace(path, f"{path}._pre_compact")
+    stats3 = compact_table(spark, path)
+    assert stats3["n_rows"] == 20_000
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+
+    # object-store paths are rejected before any work
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="local filesystem"):
+        compact_table(spark, "s3a://bucket/table")

@@ -981,6 +981,27 @@ def test_cluster_pairs_star_exhaustion_keeps_one_label_per_node(spark):
     assert dupes == {}, f"multiple labels after exhaustion: {dupes}"
     assert set(labels) == set(range(65))  # every node labeled
 
+    # denser adversarial shape: the min-collapse can delete a node's
+    # LAST incident edge — the node universe must come from the
+    # pre-collapse edges or that node vanishes from the output
+    import warnings as _w
+
+    dense = [(i, (i * 7 + 3) % 40) for i in range(40)] + [
+        (i, (i * 13 + 1) % 40) for i in range(40)
+    ]
+    pairs2 = spark.createDataFrame(
+        [(a, b) for a, b in dense if a != b], ["id_a", "id_b"]
+    )
+    expected_nodes = {n for a, b in dense if a != b for n in (a, b)}
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        rows2 = dedup.cluster_pairs_star(pairs2, max_iter=1).collect()
+    got: dict[int, list[int]] = {}
+    for r in rows2:
+        got.setdefault(r.doc_id, []).append(r.cluster_id)
+    assert {d for d, cs in got.items() if len(cs) != 1} == set()
+    assert set(got) == expected_nodes  # no node dropped by the collapse
+
 
 def test_cluster_pairs_star_empty_and_self_loops(spark):
     """Self-loops are ignored; an input of only self-loops yields no

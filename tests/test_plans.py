@@ -301,7 +301,7 @@ def test_result_cache_registry_query_hit_is_a_cache_scan(spark, sf_smoke):
     from rearc_data_engineer_takehome_spark.queries import REGISTRY
 
     cache_dir = os.path.join(
-        tempfile.gettempdir(), "spark_graft_result_cache"
+        tempfile.gettempdir(), f"spark_graft_result_cache_{os.getuid()}"
     )
     shutil.rmtree(cache_dir, ignore_errors=True)  # force a cold start
     os.makedirs(cache_dir)
@@ -361,6 +361,11 @@ def test_result_cache_prune_evicts_lru_and_keeps_hits(spark, tmp_path):
         # touch the first entry so it is the most recently used
         os.utime(os.path.join(cache, fps[0]))
     os.makedirs(os.path.join(cache, "x._building.deadbeef"))
+    # a crash-orphaned temp dir (old mtime) must be swept; a fresh one
+    # belongs to a live writer and must survive
+    orphan = os.path.join(cache, "y._building.orphaned0")
+    os.makedirs(orphan)
+    os.utime(orphan, (time.time() - 7 * 3600, time.time() - 7 * 3600))
 
     sizes = {
         n: sum(
@@ -375,6 +380,8 @@ def test_result_cache_prune_evicts_lru_and_keeps_hits(spark, tmp_path):
     assert evicted and fps[1] in evicted
     assert fps[0] not in evicted  # recently touched survives
     assert os.path.isdir(os.path.join(cache, "x._building.deadbeef"))
+    assert "y._building.orphaned0" in evicted
+    assert not os.path.exists(orphan)
     # surviving entry still hits: same values, no new cache entry
     want = sorted(tuple(r) for r in q(3).collect())
     got = sorted(tuple(r) for r in cached_result(spark, q(3), cache).collect())
