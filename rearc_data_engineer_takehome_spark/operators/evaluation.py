@@ -153,11 +153,17 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     n, agree, pn = F.col("n"), F.col("agree"), F.col("pe_num")
     po = agree.cast("double") / n.cast("double")
     pe = pn.cast("double") / (n.cast("double") * n.cast("double"))
+    # pe == 1 (both annotators constant AND identical) makes kappa the
+    # undefined 0/0 — return NULL rather than trip ANSI divide-by-zero
+    # (found by the hypothesis property sweep)
+    kappa = F.when(
+        pe < F.lit(1.0), F.round((po - pe) / (F.lit(1.0) - pe), 6)
+    )
     return totals.crossJoin(F.broadcast(pe_num)).select(
         n.alias("n_items"),
         F.round(po, 6).alias("po"),
         F.round(pe, 6).alias("pe"),
-        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+        kappa.alias("kappa"),
     )
 
 

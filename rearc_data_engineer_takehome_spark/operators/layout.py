@@ -178,6 +178,14 @@ def compact_table(
     (thousands of tiny files serialize scheduling and footer reads at
     100 TB; compaction is the act half of the audit->act loop).
 
+    Relationship to ``sources/writers.compact_parquet_dir``: that is
+    the low-level maintenance primitive — caller-chosen file count,
+    ``coalesce`` (no shuffle, file sizes inherit the input skew), no
+    verification. This operator is the audit-driven front door:
+    recommended count from footer stats, ``repartition`` for evenly
+    sized output, row-count verification before the swap, and
+    crash-recovery/idempotence semantics below.
+
     Safety contract (LOCAL filesystems only — rename semantics; raises
     on URI paths): the compacted copy is built in a sibling temp dir,
     row-count-verified against the source, then swapped in with two

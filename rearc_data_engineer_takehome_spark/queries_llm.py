@@ -2900,10 +2900,12 @@ def doc_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n AS n_items,
            round(agree::DOUBLE / n::DOUBLE, 6) AS po,
            round(pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE), 6) AS pe,
-           round((agree::DOUBLE / n::DOUBLE
-                  - pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE))
-                 / (1.0 - pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE)), 6)
-               AS kappa
+           CASE WHEN pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE) < 1.0
+                THEN round((agree::DOUBLE / n::DOUBLE
+                            - pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE))
+                           / (1.0 - pe_num::DOUBLE
+                                    / (n::DOUBLE * n::DOUBLE)), 6)
+           END AS kappa
     FROM tot CROSS JOIN pe
     """,
     doc="Cohen's kappa between the declared lang column and the n-gram "

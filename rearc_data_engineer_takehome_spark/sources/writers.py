@@ -131,6 +131,12 @@ def compact_parquet_dir(
     whose per-file open/footer overhead dominates scans at scale;
     periodic compaction restores healthy file sizes. Returns the new
     file count.
+
+    This is the low-level fixed-count primitive (``coalesce``: no
+    shuffle, sizes inherit input skew). For the audit-driven form —
+    recommended file count from footer stats, evenly-sized output,
+    row-count verification, crash recovery — use
+    ``operators/layout.compact_table``.
     """
     from pathlib import Path
 

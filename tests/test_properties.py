@@ -647,3 +647,76 @@ def test_kaplan_meier_properties(spark_session_holder, subjects):
                 rows[i + 1]["n_risk"] == r["n_risk"] - r["d"] - r["c"]
             )
         prev_s = r["survival"]
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),  # score (ties likely)
+            st.integers(min_value=0, max_value=1),  # label
+        ),
+        min_size=2,
+        max_size=60,
+    ).filter(
+        lambda rows: len({y for _, y in rows}) == 2  # both classes present
+    )
+)
+def test_roc_auc_matches_bruteforce_pairs(spark_session_holder, rows):
+    """For ANY scored sample with both classes: the grouped rank-sum
+    AUC equals the brute-force pair statistic
+    (wins + 0.5 * ties) / (n_pos * n_neg)."""
+    from rearc_data_engineer_takehome_spark.operators.evaluation import (
+        roc_auc,
+    )
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(
+        [(float(s), y) for s, y in rows], "score double, y int"
+    )
+    got = roc_auc(df, "score", "y").collect()[0]
+
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    expect = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert abs(got["auc"] - round(expect, 6)) < 1e-9
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_cohens_kappa_matches_direct_formula(spark_session_holder, pairs):
+    """For ANY pair of labelings over a shared vocabulary: kappa equals
+    the direct (po - pe) / (1 - pe) computed from raw counts — or po
+    and pe coincide when pe == 1 (both annotators constant and equal),
+    where kappa is undefined and the operator returns NULL/NaN-free
+    po == pe == 1."""
+    from rearc_data_engineer_takehome_spark.operators.evaluation import (
+        cohens_kappa,
+    )
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(pairs, "x string, y string")
+    got = cohens_kappa(df, "x", "y").collect()[0]
+
+    n = len(pairs)
+    po = sum(1 for a, b in pairs if a == b) / n
+    ma = {k: sum(1 for a, _ in pairs if a == k) for k in "abc"}
+    mb = {k: sum(1 for _, b in pairs if b == k) for k in "abc"}
+    pe = sum(ma[k] * mb[k] for k in "abc") / (n * n)
+    assert got["n_items"] == n
+    assert abs(got["po"] - round(po, 6)) < 1e-9
+    assert abs(got["pe"] - round(pe, 6)) < 1e-9
+    if pe < 1.0:
+        assert abs(got["kappa"] - round((po - pe) / (1 - pe), 6)) < 1e-5
