@@ -1149,7 +1149,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_language_confusion",
     "price_quantiles_scalable",
     "events_cohort_retention",
-    "doc_bm25_topk",
+    "orders_snapshot_increment",  # snapshot txn-log end-to-end (round 5)
     "top2_orders_per_customer_lateral",
     "revenue_by_region_cached",  # result-cache end-to-end (VERDICT r04 item 6)
 ]

@@ -4111,3 +4111,62 @@ def events_hll_audience_overlap(
             ).alias("err_pct"),
         )
     )
+
+
+@query(
+    "orders_snapshot_increment",
+    """
+    SELECT o_orderpriority,
+           (count(*) + CASE WHEN o_orderpriority = '1-URGENT'
+                            THEN count(*) ELSE 0 END)::BIGINT AS n_total,
+           (CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN count(*) ELSE 0 END)::BIGINT AS n_from_increment
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="The snapshot table layer (sources/snapshots.py) certified "
+    "end-to-end under the driver's value-hash gate: commit orders as a "
+    "version, commit the urgent subset as an APPEND (which references "
+    "the base files — no copies), then answer from the log — n_total "
+    "from the head manifest, n_from_increment from read_increment's "
+    "manifest DIFF (the change feed). The oracle reproduces both "
+    "readouts from the raw table, so manifest resolution, append "
+    "lineage, and increment isolation all have to be value-exact. "
+    "Each call commits fresh versions to a per-uid /tmp table and "
+    "vacuums to the last 6, bounding growth across runs.",
+)
+def orders_snapshot_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    orders = _t(spark, sf_dir, "orders")
+    tbl = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_snaptbl_{os.getuid()}",
+        os.path.basename(sf_dir.rstrip("/")) + "_orders",
+    )
+    base = sn.snapshot_write(orders, tbl, mode="overwrite")
+    sn.snapshot_write(
+        orders.where(F.col("o_orderpriority") == "1-URGENT"),
+        tbl,
+        mode="append",
+    )
+    head = (
+        sn.read_snapshot(spark, tbl)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    )
+    inc = (
+        sn.read_increment(spark, tbl, since_version=base.version)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inc"))
+    )
+    sn.vacuum(tbl, keep_last=6)
+    return head.join(F.broadcast(inc), "o_orderpriority", "left").select(
+        "o_orderpriority",
+        "n_total",
+        F.coalesce("n_inc", F.lit(0)).cast("bigint").alias(
+            "n_from_increment"
+        ),
+    )
