@@ -20,9 +20,13 @@ itself):
   copying them.
 * **Commit = exclusive create of the next manifest** (``open(..., 'x')``
   — atomic on POSIX). Two writers racing to commit version N collide
-  on the create; the loser re-reads state and retries against N+1:
-  optimistic concurrency, the Delta protocol's conflict rule with
-  "any overlap conflicts" as the (conservative) resolution.
+  on the create. What the loser does depends on whether its content
+  depends on the head it read: an OVERWRITE or ROLLBACK (content
+  head-independent) simply retries at N+1; an APPEND re-reads the new
+  head and REBASES its files onto it (so a concurrent writer's rows
+  are never lost); a MERGE raises ``ConcurrentCommitError`` — its
+  output was computed FROM the stale head, so only the caller can
+  redo it (Delta's "concurrent modification" rule).
 * **Time travel** = read an old manifest. **Rollback** = a NEW commit
   whose file list equals an old version's (history is append-only;
   nothing is erased by going back). **Vacuum** = delete data files no
@@ -113,7 +117,57 @@ def _write_data_files(df: DataFrame, table_dir: str) -> list[str]:
     )
 
 
-def _commit(
+class ConcurrentCommitError(RuntimeError):
+    """A competing commit landed on the version this writer's content
+    was computed against; the content must be rebuilt from the new
+    head before retrying."""
+
+
+def _try_commit(
+    table_dir: str,
+    version: int,
+    mode: str,
+    files: list[str],
+    schema: str,
+    n_added: int,
+) -> Snapshot:
+    """Attempt to commit exactly ``version``. Raises
+    ConcurrentCommitError if another writer took it — the CALLER
+    decides whether its content is still valid against the new head
+    (retry verbatim, rebase, or give up). A blind internal retry here
+    would silently publish a stale file list: the lost-update bug."""
+    os.makedirs(_snap_dir(table_dir), exist_ok=True)
+    path = _manifest_path(table_dir, version)
+    try:
+        with open(path, "x") as f:  # atomic exclusive create
+            json.dump(
+                {
+                    "mode": mode,
+                    "files": files,
+                    "schema": schema,
+                    "n_files_added": n_added,
+                },
+                f,
+            )
+    except FileExistsError as e:
+        raise ConcurrentCommitError(
+            f"version {version} of {table_dir} was committed by a "
+            "concurrent writer"
+        ) from e
+    return Snapshot(
+        version=version,
+        mode=mode,
+        files=tuple(files),
+        schema=schema,
+        n_files_added=n_added,
+    )
+
+
+def _next_version(table_dir: str) -> int:
+    return (list_versions(table_dir) or [-1])[-1] + 1
+
+
+def _commit_head_independent(
     table_dir: str,
     mode: str,
     files: list[str],
@@ -121,33 +175,17 @@ def _commit(
     n_added: int,
     max_retries: int = 20,
 ) -> Snapshot:
-    """Atomically create the next version manifest. On a commit race,
-    the LOSER retries at the next number — but only after re-checking
-    that its snapshot basis still makes sense for its mode; this
-    conservative rule (any concurrent commit conflicts with an
-    overwrite basis change) is resolved by the caller re-reading."""
-    os.makedirs(_snap_dir(table_dir), exist_ok=True)
-    body = {
-        "mode": mode,
-        "files": files,
-        "schema": schema,
-        "n_files_added": n_added,
-    }
+    """Commit content that does NOT depend on the current head
+    (overwrite: fresh files; rollback: an old version's files) — losing
+    a race just means taking the next number, verbatim."""
     for _ in range(max_retries):
-        nxt = (list_versions(table_dir) or [-1])[-1] + 1
-        path = _manifest_path(table_dir, nxt)
         try:
-            with open(path, "x") as f:  # atomic exclusive create
-                json.dump(body, f)
-            return Snapshot(
-                version=nxt,
-                mode=mode,
-                files=tuple(files),
-                schema=schema,
-                n_files_added=n_added,
+            return _try_commit(
+                table_dir, _next_version(table_dir), mode, files,
+                schema, n_added,
             )
-        except FileExistsError:
-            continue  # lost the race: re-resolve the head and retry
+        except ConcurrentCommitError:
+            continue
     raise RuntimeError(
         f"snapshot commit to {table_dir} lost {max_retries} races"
     )
@@ -158,24 +196,38 @@ def snapshot_write(
 ) -> Snapshot:
     """Commit ``df`` as the next table version. ``overwrite`` replaces
     the logical content (old files stay on disk for time travel until
-    vacuumed); ``append`` commits the previous version's file list
-    PLUS the new files — no data is copied."""
+    vacuumed); ``append`` commits the head's file list PLUS the new
+    files — no data is copied, and on losing a commit race the append
+    REBASES onto the winner's head (re-reads it and re-derives the
+    file list), so a concurrent writer's rows are never dropped."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-    schema = df.schema.simpleString()
-    if mode == "append" and list_versions(table_dir):
-        prev = read_manifest(table_dir)
-        if prev.schema != schema:
-            raise ValueError(
-                f"append schema {schema} != table schema {prev.schema}"
-            )
-        base = list(prev.files)
-    else:
-        base = []
+    schema = json.dumps(df.schema.jsonValue())
     new_files = _write_data_files(df, table_dir)
-    return _commit(
-        table_dir, mode, base + new_files, schema, len(new_files)
-    )
+    if mode == "overwrite":
+        return _commit_head_independent(
+            table_dir, mode, new_files, schema, len(new_files)
+        )
+    for _ in range(20):
+        versions = list_versions(table_dir)
+        if versions:
+            prev = read_manifest(table_dir)
+            if prev.schema != schema:
+                raise ValueError(
+                    f"append schema {schema} != table schema "
+                    f"{prev.schema}"
+                )
+            base, nxt = list(prev.files), prev.version + 1
+        else:
+            base, nxt = [], 0
+        try:
+            return _try_commit(
+                table_dir, nxt, mode, base + new_files, schema,
+                len(new_files),
+            )
+        except ConcurrentCommitError:
+            continue  # rebase: re-read the new head and re-derive
+    raise RuntimeError(f"snapshot append to {table_dir} lost 20 races")
 
 
 def read_snapshot(
@@ -186,27 +238,54 @@ def read_snapshot(
     yields an empty frame with the manifest's schema."""
     snap = read_manifest(table_dir, version)
     if not snap.files:
-        return spark.createDataFrame([], snap.schema)
+        return spark.createDataFrame([], _schema_of(snap))
     return spark.read.parquet(
         *[os.path.join(table_dir, f) for f in snap.files]
     )
 
 
+def _schema_of(snap: Snapshot):
+    """Manifest schema back to a StructType. Stored as StructType JSON,
+    which round-trips exactly (simpleString does NOT: unquoted
+    special-char field names fail to re-parse and nullability is
+    lost)."""
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(snap.schema))
+
+
 def rollback(table_dir: str, version: int) -> Snapshot:
     """Restore the table to an old version's content by committing a
     NEW version with that file list — the audit trail keeps both the
-    bad versions and the act of rolling them back."""
+    bad versions and the act of rolling them back. The file list comes
+    from the (immutable) old manifest, so losing a commit race just
+    means retrying at the next number."""
     old = read_manifest(table_dir, version)
-    return _commit(
+    return _commit_head_independent(
         table_dir, "rollback", list(old.files), old.schema, 0
     )
 
 
-def vacuum(table_dir: str, keep_last: int = 2) -> list[str]:
+def vacuum(
+    table_dir: str,
+    keep_last: int = 2,
+    orphan_age_seconds: float = 6 * 3600,
+) -> list[str]:
     """Delete data files referenced by NO retained manifest (the last
     ``keep_last`` versions keep both their manifests and their files;
     older manifests are dropped with their unshared files). Bounds
-    time-travel history, reclaims overwritten data."""
+    time-travel history, reclaims overwritten data.
+
+    A second pass sweeps ORPHANED commit dirs — ``data/<uuid>/``
+    prefixes none of the surviving manifests reference, left by a
+    writer that crashed (or lost every commit race) between
+    materializing its files and creating its manifest, plus dirs
+    holding only ``_SUCCESS``/crc markers after their parquet files
+    were individually reclaimed. Only dirs older than
+    ``orphan_age_seconds`` are swept: a younger unreferenced dir may
+    belong to a commit IN FLIGHT right now."""
+    import time
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = list_versions(table_dir)
@@ -223,13 +302,28 @@ def vacuum(table_dir: str, keep_last: int = 2) -> list[str]:
                     os.remove(p)
                 removed.append(f)
         os.remove(_manifest_path(table_dir, v))
-    # drop now-empty commit dirs (cosmetic; readers never list dirs)
+    # orphan sweep: aged commit dirs with no surviving reference
     data_root = os.path.join(table_dir, _DATADIR)
+    now = time.time()
     if os.path.isdir(data_root):
+        live_dirs = {f.split(os.sep)[1] for f in live}
         for d in os.listdir(data_root):
             full = os.path.join(data_root, d)
-            if os.path.isdir(full) and not os.listdir(full):
-                shutil.rmtree(full, ignore_errors=True)
+            try:
+                if (
+                    not os.path.isdir(full)
+                    or d in live_dirs
+                    or now - os.stat(full).st_mtime <= orphan_age_seconds
+                ):
+                    continue
+            except OSError:
+                continue  # vanished mid-scan
+            removed.extend(
+                os.path.join(_DATADIR, d, f)
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            )
+            shutil.rmtree(full, ignore_errors=True)
     return sorted(set(removed))
 
 
@@ -245,13 +339,21 @@ def snapshot_merge_upsert(
     bad merge is one :func:`rollback` away. Re-running the same updates
     converges (idempotent).
 
+    Concurrency: the merged content is computed FROM the head read at
+    the start, so this commit targets exactly head+1 and raises
+    :class:`ConcurrentCommitError` if anything landed in between —
+    silently winning would erase the concurrent commit's rows (the
+    read-merge-write TOCTOU). The caller re-runs the merge against the
+    new head; the updates are idempotent, so a re-run is always safe.
+
     Plan shape: current LEFT ANTI updates (broadcast when the update
     batch is small — the CDC case) ∪ updates. On plain parquet a merge
     rewrites the affected data; at 100 TB bound the affected data by
     partitioning on a key prefix (see writers.merge_upsert's note) —
     the snapshot layer adds versioning, not a different rewrite cost.
     """
-    current = read_snapshot(spark, table_dir)
+    basis = read_manifest(table_dir)
+    current = read_snapshot(spark, table_dir, basis.version)
     if set(current.columns) != set(updates.columns):
         raise ValueError(
             f"update schema {sorted(updates.columns)} != table schema "
@@ -260,9 +362,15 @@ def snapshot_merge_upsert(
     merged = current.join(updates, on=keys, how="left_anti").unionByName(
         updates
     )
-    schema = current.schema.simpleString()
     new_files = _write_data_files(merged, table_dir)
-    return _commit(table_dir, "overwrite", new_files, schema, len(new_files))
+    return _try_commit(
+        table_dir,
+        basis.version + 1,
+        "overwrite",
+        new_files,
+        basis.schema,
+        len(new_files),
+    )
 
 
 def read_increment(
@@ -288,7 +396,7 @@ def read_increment(
     base = read_manifest(table_dir, since_version)
     for v in list_versions(table_dir):
         if since_version < v <= head.version:
-            m = read_manifest(table_dir, v)
+            m = head if v == head.version else read_manifest(table_dir, v)
             if m.mode != "append":
                 raise ValueError(
                     f"version {v} is {m.mode!r}, not append: the "
@@ -296,9 +404,10 @@ def read_increment(
                     "well-defined — rebuild the downstream state from "
                     "a full read instead"
                 )
-    new = [f for f in head.files if f not in set(base.files)]
+    base_set = set(base.files)
+    new = [f for f in head.files if f not in base_set]
     if not new:
-        return spark.createDataFrame([], head.schema)
+        return spark.createDataFrame([], _schema_of(head))
     return spark.read.parquet(
         *[os.path.join(table_dir, f) for f in new]
     )

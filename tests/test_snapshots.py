@@ -77,12 +77,78 @@ def test_commit_race_loser_retries_to_next_version(spark, tmp_path):
     with open(competing, "x") as f:
         f.write(
             '{"mode": "overwrite", "files": [], "schema": '
-            '"struct<k:bigint>", "n_files_added": 0}'
+            '"{\\"type\\":\\"struct\\",\\"fields\\":[]}", '
+            '"n_files_added": 0}'
         )
     snap = sn.snapshot_write(spark.createDataFrame([(2,)], "k long"), t)
     assert snap.version == 2  # retried past the occupied slot
     assert sn.read_manifest(t, 1).files == ()  # winner untouched
     assert _rows(sn.read_snapshot(spark, t)) == [(2,)]
+
+
+def test_append_losing_race_rebases_onto_winner(spark, tmp_path, monkeypatch):
+    """The lost-update case: writer B's append loses the commit race to
+    writer A's append. B must NOT publish its stale pre-race file list
+    (which would silently drop A's rows) — it re-reads the new head and
+    rebases, so the final table is base ∪ A ∪ B."""
+    t = str(tmp_path / "tbl")
+    sn.snapshot_write(spark.createDataFrame([(0,)], "k long"), t)  # v0
+
+    real = sn._try_commit
+    state = {"raced": False}
+
+    def racy(table_dir, version, *a, **k):
+        if not state["raced"]:
+            state["raced"] = True
+            # winner A lands an append between B's head-read and commit
+            sn.snapshot_write(
+                spark.createDataFrame([(100,)], "k long"), t, "append"
+            )
+        return real(table_dir, version, *a, **k)
+
+    monkeypatch.setattr(sn, "_try_commit", racy)
+    snap = sn.snapshot_write(
+        spark.createDataFrame([(200,)], "k long"), t, "append"
+    )
+    # A took v1; B's first attempt at v1 collided, rebased, landed v2
+    assert snap.version == 2
+    assert _rows(sn.read_snapshot(spark, t)) == [(0,), (100,), (200,)]
+
+
+def test_merge_racing_commit_raises_not_clobbers(spark, tmp_path, monkeypatch):
+    """A merge's output is computed FROM the head it read; if anything
+    commits in between, silently winning would erase those rows — the
+    merge must raise ConcurrentCommitError and leave the interloper's
+    commit as the head."""
+    t = str(tmp_path / "tbl")
+    sn.snapshot_write(
+        spark.createDataFrame([(1, "a")], "k long, s string"), t
+    )
+
+    real = sn._write_data_files
+    state = {"raced": False}
+
+    def write_and_race(df, table_dir):
+        files = real(df, table_dir)
+        if not state["raced"]:
+            state["raced"] = True
+            sn.snapshot_write(
+                spark.createDataFrame([(9, "z")], "k long, s string"),
+                t,
+                "append",
+            )
+        return files
+
+    monkeypatch.setattr(sn, "_write_data_files", write_and_race)
+    with pytest.raises(sn.ConcurrentCommitError):
+        sn.snapshot_merge_upsert(
+            spark,
+            t,
+            spark.createDataFrame([(1, "A")], "k long, s string"),
+            ["k"],
+        )
+    # the concurrent append survived; the failed merge published nothing
+    assert _rows(sn.read_snapshot(spark, t)) == [(1, "a"), (9, "z")]
 
 
 def test_vacuum_reclaims_unreferenced_files_only(spark, tmp_path):
@@ -105,6 +171,26 @@ def test_vacuum_reclaims_unreferenced_files_only(spark, tmp_path):
     assert _rows(sn.read_snapshot(spark, t)) == [(4,)]
     with pytest.raises(ValueError, match="not in"):
         sn.read_snapshot(spark, t, 0)
+
+    # orphan sweep: an aged commit dir no manifest references (a
+    # writer that died before creating its manifest) is reclaimed;
+    # fresh unreferenced dirs (a commit in flight) are left alone
+    import time
+
+    data_root = os.path.join(t, "data")
+    orphan = os.path.join(data_root, "deadbeefcafe")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "w") as f:
+        f.write("x")
+    old = time.time() - 10
+    os.utime(orphan, (old, old))
+    fresh = os.path.join(data_root, "freshcommit00")
+    os.makedirs(fresh)
+    removed2 = sn.vacuum(t, keep_last=2, orphan_age_seconds=5)
+    assert any("deadbeefcafe" in f for f in removed2)
+    assert not os.path.exists(orphan)
+    assert os.path.isdir(fresh)  # too young: may be mid-commit
+    assert _rows(sn.read_snapshot(spark, t)) == [(4,)]  # live data intact
 
 
 def test_snapshot_merge_upsert_versioned_and_idempotent(spark, tmp_path):
@@ -193,3 +279,76 @@ def test_read_increment_feeds_incremental_aggregation(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not append"):
         sn.read_increment(spark, t, since_version=v0.version)
+
+
+def test_streaming_foreachbatch_commits_snapshot_appends(spark, tmp_path):
+    """Structured Streaming -> snapshot table: each micro-batch commits
+    an APPEND version via foreachBatch, so the stream's sink gains the
+    whole transaction-log contract for free — time travel to any
+    micro-batch boundary, and read_increment as the downstream change
+    feed. Three source files under maxFilesPerTrigger=1 -> three
+    append commits whose union equals the source."""
+    src = str(tmp_path / "stream_src")
+    tbl = str(tmp_path / "snap_tbl")
+    schema = "event_id long, v long"
+    for i in range(3):
+        spark.createDataFrame(
+            [(i * 10 + j, j) for j in range(4)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def sink(batch_df, batch_id):
+        sn.snapshot_write(batch_df, tbl, mode="append")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180), "stream did not drain in 180s"
+    finally:
+        q.stop()
+
+    versions = sn.list_versions(tbl)
+    assert len(versions) == 3
+    head = sn.read_snapshot(spark, tbl)
+    assert head.count() == 12
+    assert {r.event_id for r in head.collect()} == {
+        i * 10 + j for i in range(3) for j in range(4)
+    }
+    # every version boundary is a consistent micro-batch prefix
+    assert sn.read_snapshot(spark, tbl, versions[0]).count() == 4
+    assert sn.read_snapshot(spark, tbl, versions[1]).count() == 8
+    # the change feed between micro-batches is exactly one batch
+    inc = sn.read_increment(spark, tbl, since_version=versions[1])
+    assert inc.count() == 4
+
+
+def test_schema_roundtrip_special_names_and_nullability(spark, tmp_path):
+    """Empty reads rebuild the schema from the manifest; StructType
+    JSON round-trips field names simpleString cannot (spaces) and
+    preserves nullability."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    t = str(tmp_path / "tbl")
+    schema = StructType(
+        [
+            StructField("order date", LongType(), nullable=False),
+            StructField("v", LongType(), nullable=True),
+        ]
+    )
+    head = sn.snapshot_write(
+        spark.createDataFrame([(1, 2)], schema), t
+    )
+    empty = sn.read_increment(spark, t, since_version=head.version)
+    assert empty.count() == 0
+    assert empty.schema["order date"].dataType == LongType()
+    assert empty.schema["order date"].nullable is False
