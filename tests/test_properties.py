@@ -720,3 +720,72 @@ def test_cohens_kappa_matches_direct_formula(spark_session_holder, pairs):
     assert abs(got["pe"] - round(pe, 6)) < 1e-9
     if pe < 1.0:
         assert abs(got["kappa"] - round((po - pe) / (1 - pe), 6)) < 1e-5
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),   # quantity
+            st.integers(min_value=0, max_value=10),   # discount (hundredths)
+            st.integers(min_value=100, max_value=10_000_000),  # price cents
+        ),
+        min_size=8,
+        max_size=60,
+    )
+)
+def test_ols_cramer_matches_numpy_on_random_data(
+    spark_session_holder, rows
+):
+    """The closed-form normal-equation solution must track numpy's
+    least squares for ANY integer-moment input whose design matrix is
+    full rank (degenerate inputs — a constant regressor or perfectly
+    collinear pair — are skipped: Cramer and lstsq legitimately
+    diverge there)."""
+    import numpy as np
+    from hypothesis import assume
+
+    # import through the registry entry point: queries.py finishes the
+    # cross-module registration (importing queries_analytics directly
+    # first would hit the deliberate circular registration order)
+    from rearc_data_engineer_takehome_spark.queries import REGISTRY
+
+    ols_price_on_qty_discount = REGISTRY["ols_price_on_qty_discount"].spark
+
+    x1 = np.array([r[0] for r in rows], dtype="float64")
+    x2 = np.array([r[1] for r in rows], dtype="float64")
+    y = np.array([r[2] for r in rows], dtype="float64")
+    a = np.column_stack([np.ones_like(x1), x1, x2])
+    # full-rank guard: condition of the centered Gram must be sane
+    gram = a.T @ a
+    assume(np.linalg.matrix_rank(gram) == 3)
+    assume(np.linalg.cond(gram) < 1e10)
+
+    spark = spark_session_holder
+    import os
+    import tempfile
+
+    import shutil
+
+    sf_dir = tempfile.mkdtemp(prefix="ols_prop_")
+    try:
+        spark.createDataFrame(
+            [
+                (float(q), float(d) / 100.0, float(c) / 100.0)
+                for q, d, c in rows
+            ],
+            "l_quantity double, l_discount double, l_extendedprice double",
+        ).write.mode("overwrite").parquet(
+            os.path.join(sf_dir, "lineitem.parquet")
+        )
+        got = ols_price_on_qty_discount(spark, sf_dir).collect()[0]
+    finally:
+        shutil.rmtree(sf_dir, ignore_errors=True)
+    coef, *_ = np.linalg.lstsq(a, y, rcond=None)
+    assert got["n_rows"] == len(rows)
+    scale = max(1.0, abs(coef[1]))
+    assert abs(got["beta_qty"] - coef[1] / 100) < 1e-4 * scale
+    assert abs(got["beta_discount"] - coef[2]) < 1e-3 * max(1.0, abs(coef[2]))
+    assert abs(got["intercept"] - coef[0] / 100) < 1e-3 * max(
+        1.0, abs(coef[0] / 100)
+    )
