@@ -49,9 +49,13 @@ def roc_auc(
 
     Edge semantics: NULL scores are dropped (AUC is undefined for an
     unscored row, and engines disagree on NULL ordering — any oracle
-    must filter identically); a single-class input (no positives or no
-    negatives) raises when the guard is on rather than silently
-    returning a NULL auc.
+    must filter identically). A single-class input (no positives or no
+    negatives) raises LOUDLY when the guard is on; with
+    ``max_distinct_scores=None`` there is no eager action to host that
+    check, so the division is made NULL-safe instead: a single-class
+    input then returns a deterministic NULL ``auc`` on every engine
+    (never an ANSI divide-by-zero) — the documented trade for skipping
+    the guard's extra pass.
     """
     lab = F.col(label_col).cast("bigint")
     g = df.where(F.col(score_col).isNotNull()).groupBy(
@@ -94,15 +98,19 @@ def roc_auc(
         "n_neg",
         (F.col("n_pos") * (2 * cum_neg + F.col("n_neg"))).alias("num2"),
     )
+    # NULL-safe denominator: with the guard disabled the single-class
+    # case reaches this division, which must yield NULL deterministically
+    # rather than trip ANSI DIVIDE_BY_ZERO (see docstring edge semantics)
     return ranked.agg(
         F.sum("n_pos").cast("bigint").alias("n_pos"),
         F.sum("n_neg").cast("bigint").alias("n_neg"),
         F.round(
             F.sum("num2").cast("double")
-            / (
+            / F.nullif(
                 F.lit(2.0)
                 * F.sum("n_pos").cast("double")
-                * F.sum("n_neg").cast("double")
+                * F.sum("n_neg").cast("double"),
+                F.lit(0.0),
             ),
             6,
         ).alias("auc"),

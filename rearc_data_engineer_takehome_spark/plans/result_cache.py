@@ -66,7 +66,8 @@ def plan_fingerprint(df: DataFrame) -> str:
 
 
 def cached_result(
-    spark: SparkSession, df: DataFrame, cache_dir: str
+    spark: SparkSession, df: DataFrame, cache_dir: str,
+    max_bytes: int | None = None,
 ) -> DataFrame:
     """Return ``df``'s result, serving from the fingerprint cache when
     the same plan over the same input state was materialized before.
@@ -77,8 +78,16 @@ def cached_result(
     and commits with a rename, so a killed writer never leaves a
     half-cache a reader would trust, and when two sessions build the
     same entry concurrently the loser discards its copy and serves the
-    winner's (the two materializations are equivalent by key)."""
+    winner's (the two materializations are equivalent by key).
+
+    ``max_bytes`` bounds the cache dir by pruning BEFORE serving, with
+    the about-to-be-served fingerprint excluded from eviction — prune
+    must never run between serving and the caller's action, or the
+    returned lazy scan can point at files an eviction just deleted
+    (lost-read, the ordering bug a post-serve prune had)."""
     fp = plan_fingerprint(df)
+    if max_bytes is not None:
+        prune_cache(cache_dir, max_bytes, keep={fp})
     path = os.path.join(cache_dir, fp)
     if not os.path.isdir(path):
         tmp = f"{path}._building.{uuid.uuid4().hex[:12]}"
@@ -98,10 +107,22 @@ def prune_cache(
     cache_dir: str,
     max_bytes: int,
     orphan_age_seconds: float = 6 * 3600,
+    keep: frozenset[str] | set[str] = frozenset(),
 ) -> list[str]:
     """Size-bounded LRU eviction for the fingerprint cache: delete
     least-recently-READ entries (dir atime, falling back to mtime)
     until the total is under ``max_bytes``. Returns the evicted names.
+
+    ``keep`` names fingerprints this PROCESS is still holding lazy
+    DataFrames over — they are never evicted (but still count toward
+    the size total, so everything else shrinks around them). Serving
+    callers must prune BEFORE building/serving (or pass the served
+    fingerprint here): evicting an entry an un-collected
+    ``spark.read.parquet`` points at fails that reader with
+    FileNotFound at action time instead of a recompute. A CONCURRENT
+    process's prune can still do exactly that — cross-process pinning
+    needs refcounts no filesystem LRU has; callers retry the query on
+    a vanished-cache FileNotFound (the key recomputes correctly).
 
     ``._building.*`` temp dirs belong to an in-flight writer and are
     left alone — UNLESS they are older than ``orphan_age_seconds``
@@ -122,9 +143,17 @@ def prune_cache(
     entries = []
     total = 0
     evicted: list[str] = []
+    if not os.path.isdir(cache_dir):  # nothing cached yet: nothing to prune
+        return evicted
     for name in os.listdir(cache_dir):
         p = os.path.join(cache_dir, name)
         try:
+            if name in keep:
+                total += sum(
+                    os.path.getsize(os.path.join(p, f))
+                    for f in os.listdir(p)
+                )
+                continue
             if "._building." in name:
                 if now - os.stat(p).st_mtime > orphan_age_seconds:
                     shutil.rmtree(p, ignore_errors=True)

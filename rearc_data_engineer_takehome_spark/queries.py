@@ -401,7 +401,7 @@ def revenue_by_region_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from .plans.result_cache import cached_result, prune_cache
+    from .plans.result_cache import cached_result
 
     # per-uid dir: a fixed world-shared /tmp name would let any local
     # user pre-create the directory (permission failures) or plant a
@@ -409,12 +409,14 @@ def revenue_by_region_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache_dir = os.path.join(
         tempfile.gettempdir(), f"spark_graft_result_cache_{os.getuid()}"
     )
-    out = cached_result(spark, revenue_by_region(spark, sf_dir), cache_dir)
-    # size bound wired at the one production call site: old entries
-    # orphaned by data regenerations (new mtime = new fingerprint)
-    # must not grow /tmp without bound
-    prune_cache(cache_dir, max_bytes=1 << 30)
-    return out
+    # max_bytes prunes INSIDE cached_result, BEFORE serving and with the
+    # served fingerprint in the keep-set: a post-serve prune could evict
+    # the entry the returned lazy scan points at, failing the caller's
+    # collect with FileNotFound instead of recomputing (ADVICE r05)
+    return cached_result(
+        spark, revenue_by_region(spark, sf_dir), cache_dir,
+        max_bytes=1 << 30,
+    )
 
 
 @query(
@@ -1126,32 +1128,33 @@ DRIVER_WINDOW: list[str] = [
     "curation_pipeline",
     # --- pinned: streaming representative (§2.9) ---
     "events_hypertable_rollup",
-    # --- rotating slots, round 5: all 22 never-driver-checked ---
-    # (r4 window occupants evicted to strict local parity; VERDICT r04
-    # item 1 names the round-4 analytics tier below as this round's
-    # priority, plus long-tail evictees never driver-checked r1-r4)
-    "customer_survival_curve",  # Kaplan-Meier
-    "customer_cohort_ltv",
-    "customer_revenue_gini",  # exercises dense_row_numbers post-fix
-    "order_price_psi_by_year",
-    "orders_aqp_revenue_by_priority",
-    "join_size_estimate_cms",
-    "orders_neyman_allocation",
-    "events_seasonal_anomalies",
-    "source_zipf_slope",
-    "doc_tfidf_topk",
-    "embedding_int8_quantization",
-    "supplier_part_mutual_best",
-    "dedup_drop_manifest",
-    "order_value_distribution_scalable",
-    "events_histogram_merge_quantiles",
-    "part_two_hop_reach",
-    "doc_language_confusion",
-    "price_quantiles_scalable",
-    "events_cohort_retention",
-    "orders_snapshot_increment",  # snapshot txn-log end-to-end (round 5)
-    "top2_orders_per_customer_lateral",
-    "revenue_by_region_cached",  # result-cache end-to-end (VERDICT r04 item 6)
+    # --- rotating slots, round 6: all 22 never-driver-checked ---
+    # (r5 window occupants evicted to strict local parity; VERDICT r05
+    # item 1 names the round-5 evaluation/privacy/sketch tier below as
+    # this round's priority, plus long-tail evictees never checked
+    # r1-r5, plus the NEW guard-remediation query from item 6)
+    "returns_auc_by_discount",  # evaluation tier (r5)
+    "returns_auc_price_bucketed",  # NEW: guard remediation (r05 item 6)
+    "doc_lang_agreement_kappa",
+    "part_brand_woe_iv",
+    "ols_price_on_qty_discount",
+    "events_dp_released_counts",  # privacy tier (r5)
+    "source_ablation_quality",
+    "events_hll_audience_overlap",  # with the nullif err_pct fix
+    "bigram_pmi_collocations",
+    "doc_bm25_topk",
+    "events_rolling_7d",
+    "events_zscore_anomalies",
+    "revenue_cube",
+    "heavy_hitter_parts",
+    "monthly_revenue_growth",
+    "returnflag_status_grouping_sets",
+    "events_wau_hll",
+    "cheapest_supplier_per_part",
+    "nation_pair_trade_volume",
+    "lineitem_numeric_correlations",
+    "events_last_touch_attribution",
+    "fk_integrity_audit",
 ]
 
 

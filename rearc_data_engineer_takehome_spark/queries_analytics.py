@@ -3814,6 +3814,60 @@ def returns_auc_by_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "returns_auc_price_bucketed",
+    """
+    WITH g AS (
+        SELECT (round(l_extendedprice * 100)::BIGINT // 10000) AS score,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_pos,
+               sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)::BIGINT
+                   AS n_neg
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+        GROUP BY 1
+    ), r AS (
+        SELECT n_pos, n_neg,
+               n_pos * (2 * coalesce(sum(n_neg) OVER (
+                   ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + n_neg) AS num2
+        FROM g
+    )
+    SELECT sum(n_pos)::BIGINT AS n_pos, sum(n_neg)::BIGINT AS n_neg,
+           round(sum(num2)::DOUBLE
+                 / (2.0 * sum(n_pos)::DOUBLE * sum(n_neg)::DOUBLE), 6)
+               AS auc
+    FROM r
+    """,
+    doc="roc_auc's guard REMEDIATION recipe driver-certified end-to-end "
+    "(VERDICT r05 item 6): l_extendedprice is a continuous score whose "
+    "raw distinct-value domain grows with the fact table and would "
+    "(rightly) trip max_distinct_scores at scale — so the score is "
+    "bucketed UPSTREAM to 100-currency-unit bins exactly as the "
+    "guard's error message prescribes, and the guard is kept ON with a "
+    "bound (2000) that the bucketed domain satisfies at every SF while "
+    "the raw domain already violates it at sf0.1. Bucketing uses exact "
+    "integer arithmetic on cents (round(x*100) then integer div) — a "
+    "float divide-then-round could land on a half-boundary where Spark "
+    "HALF_UP and DuckDB half-even disagree (repo determinism rules).",
+)
+def returns_auc_price_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.evaluation import roc_auc
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()
+    ).select(
+        # exact cents, then 100-unit buckets via integer division: both
+        # engines agree bit-for-bit, no round-half or float-floor hazard
+        F.expr(
+            "cast(round(l_extendedprice * 100) as bigint) div 10000"
+        ).alias("score"),
+        (F.col("l_returnflag") == "R").cast("int").alias("is_return"),
+    )
+    return roc_auc(li, "score", "is_return", max_distinct_scores=2000)
+
+
+@query(
     "ols_price_on_qty_discount",
     """
     WITH m AS (
@@ -4045,7 +4099,7 @@ _OVL_UNION = _sk.hll_estimate_sql("u_regs")
            exact_intersection,
            round(100.0 * (round(est_a + est_b - hll_est, 4)
                           - exact_intersection)
-                 / exact_intersection, 4) AS err_pct
+                 / nullif(exact_intersection, 0), 4) AS err_pct
     FROM a CROSS JOIN b CROSS JOIN u_est CROSS JOIN ex
     """,
     doc="Audience-overlap estimation from mergeable HLL registers: "
@@ -4103,10 +4157,13 @@ def events_hll_audience_overlap(
             F.col("hll_est").alias("est_union"),
             est_int.alias("est_intersection"),
             "exact_intersection",
+            # zero overlap (no user has both types) must yield NULL
+            # err_pct deterministically on BOTH engines, not an ANSI
+            # divide-by-zero here and a NULL there — nullif twin in SQL
             F.round(
                 F.lit(100.0)
                 * (est_int - F.col("exact_intersection"))
-                / F.col("exact_intersection"),
+                / F.nullif(F.col("exact_intersection"), F.lit(0)),
                 4,
             ).alias("err_pct"),
         )

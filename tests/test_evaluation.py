@@ -75,6 +75,14 @@ def test_roc_auc_null_scores_dropped_and_single_class_raises(spark):
     with pytest.raises(ValueError, match="single label class"):
         roc_auc(one_class, "score", "y")
 
+    # ADVICE r05: with the guard (and thus the eager single-class
+    # check) disabled, the division must yield a deterministic NULL
+    # auc — never an ANSI DIVIDE_BY_ZERO at collect time
+    row = roc_auc(
+        one_class, "score", "y", max_distinct_scores=None
+    ).collect()[0]
+    assert (row["n_pos"], row["n_neg"], row["auc"]) == (2, 0, None)
+
 
 def test_cohens_kappa_known_values(spark):
     # perfect agreement -> kappa = 1

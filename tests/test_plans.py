@@ -386,3 +386,45 @@ def test_result_cache_prune_evicts_lru_and_keeps_hits(spark, tmp_path):
     want = sorted(tuple(r) for r in q(3).collect())
     got = sorted(tuple(r) for r in cached_result(spark, q(3), cache).collect())
     assert got == want
+
+
+def test_result_cache_keep_set_pins_served_entry(spark, tmp_path):
+    """ADVICE r05: a prune with a keep-set must never evict the pinned
+    fingerprint even when it is the LRU entry and the bound demands it —
+    the in-flight reader's files stay on disk; everything else shrinks
+    around it. And cached_result(max_bytes=...) prunes BEFORE serving,
+    so its own returned lazy scan collects fine afterwards."""
+    import os
+    import time
+
+    from rearc_data_engineer_takehome_spark.plans.result_cache import (
+        cached_result,
+        prune_cache,
+    )
+
+    src = str(tmp_path / "src")
+    cache = str(tmp_path / "cache")
+    spark.range(0, 200).withColumn("v", F.col("id") * 2).write.parquet(src)
+
+    def q(mod):
+        return (
+            spark.read.parquet(src)
+            .groupBy((F.col("id") % mod).alias("g"))
+            .agg(F.sum("v").alias("s"))
+        )
+
+    # max_bytes on the FIRST call must tolerate the not-yet-existing dir
+    df0 = cached_result(spark, q(3), cache, max_bytes=1)
+    fp0 = next(n for n in os.listdir(cache) if "._building." not in n)
+    assert df0.count() > 0  # served scan survives its own prune
+    time.sleep(0.02)
+    cached_result(spark, q(5), cache)
+    # bound of 0 demands total eviction; the keep-set overrides for fp0
+    evicted = prune_cache(cache, 0, keep={fp0})
+    assert fp0 not in evicted
+    assert os.path.isdir(os.path.join(cache, fp0))
+    assert len(evicted) == 1  # the unpinned entry went
+    # the pinned entry's lazy reader still collects
+    assert sorted(tuple(r) for r in df0.collect()) == sorted(
+        tuple(r) for r in q(3).collect()
+    )
