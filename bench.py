@@ -129,7 +129,7 @@ def main() -> None:
     # were observed to vary 1.5-4x run to run on identical code). The
     # run count is reported in the output so the estimator is explicit.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
     for _ in range(n_runs):
         for name in names:
@@ -138,7 +138,7 @@ def main() -> None:
             try:
                 n = q.spark(spark, SF_DIR).count()
                 t = round(time.perf_counter() - start, 4)
-                timings[name] = min(timings.get(name, t), t)
+                samples.setdefault(name, []).append(t)
                 # a query that failed in an earlier pass but succeeded in
                 # this one is timed, not failed — keep the sets disjoint
                 failures.pop(name, None)
@@ -162,7 +162,7 @@ def main() -> None:
     # (SPARK_GRAFT_BENCH_RUNS=1: the 30x/90x scale sweeps, where one
     # pass is already many minutes) keep exactly one pass.
     extra = (
-        [n for n in names if n in timings and n not in failures]
+        [n for n in names if n in samples and n not in failures]
         if n_runs >= 2
         else []
     )
@@ -171,11 +171,18 @@ def main() -> None:
         start = time.perf_counter()
         try:
             q.spark(spark, SF_DIR).count()
-            t = round(time.perf_counter() - start, 4)
-            timings[name] = min(timings[name], t)
+            samples[name].append(round(time.perf_counter() - start, 4))
         except Exception:  # noqa: S110 - already timed in the main passes
             pass
         _free_query_blocks()
+
+    # Per-query estimator: MIN of the samples (code cost); SPREAD =
+    # max-min (scheduler/host noise band, VERDICT r05 item 5) — a
+    # round-over-round delta inside the union of both rounds' spreads
+    # is noise, not regression; tools/bench_diff.py applies that test
+    # mechanically against a previous BENCH_DETAIL.json.
+    timings = {n: min(s) for n, s in samples.items()}
+    spread = {n: round(max(s) - min(s), 4) for n, s in samples.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else SF_DIR
@@ -202,6 +209,9 @@ def main() -> None:
         "n_queries": len(query_timings),
         # n_runs main passes + one extra min-of pass (none when n_runs=1)
         "runs": n_runs + (1 if n_runs >= 2 else 0),
+        # per-query max-min over the samples: the measured noise band
+        # this run; diffs smaller than spread are machine noise
+        "spread": spread,
         "scalable_twins": scalable_twins,
     }
     if failures:

@@ -8,36 +8,57 @@ environment (COVERAGE.md §2.9 note), so ``sources/writers.py`` falls
 back to parquet ``saveAsTable``. That fallback loses Delta's OTHER
 contract — the transaction log. This module supplies exactly that
 contract, clean-room, with the same mechanics every log-structured
-table format uses (Delta/Iceberg-shaped, minus compaction of the log
-itself):
+table format uses (Delta/Iceberg-shaped, including log checkpoints):
 
 * **Data files are immutable.** Every commit writes its files under a
   fresh ``data/<uuid>/`` prefix; nothing ever rewrites a live file.
-* **A version IS a manifest.** ``_snapshots/v<N>.json`` lists the
-  relative data files (plus schema and provenance) that make up
-  version N. Readers resolve a manifest, then scan exactly those
-  files — an append commit REFERENCES the previous files instead of
-  copying them.
+* **A version IS a manifest.** ``_snapshots/v<N>.json`` describes the
+  table at version N. Readers resolve a manifest, then scan exactly
+  its files — an append commit REFERENCES the previous files instead
+  of copying them.
+* **Append manifests are DELTAS; every Nth commit is a CHECKPOINT.**
+  A plain append records only ``adds`` + its base version, so commit
+  cost is O(files added), not O(table files). Every
+  ``checkpoint_interval``-th version (and every overwrite/rollback,
+  which resets the chain anyway) writes the consolidated full file
+  list, so resolving any version walks at most ``checkpoint_interval``
+  manifests — the same amortization as Delta's ``_last_checkpoint`` /
+  Iceberg's manifest lists. At 100 TB an append therefore writes KBs
+  regardless of table size; the O(table-files) consolidation cost is
+  paid once per interval and is itself just a JSON dump of paths.
 * **Commit = exclusive create of the next manifest** (``open(..., 'x')``
   — atomic on POSIX). Two writers racing to commit version N collide
   on the create. What the loser does depends on whether its content
   depends on the head it read: an OVERWRITE or ROLLBACK (content
   head-independent) simply retries at N+1; an APPEND re-reads the new
-  head and REBASES its files onto it (so a concurrent writer's rows
+  head and REBASES its adds onto it (so a concurrent writer's rows
   are never lost); a MERGE raises ``ConcurrentCommitError`` — its
   output was computed FROM the stale head, so only the caller can
   redo it (Delta's "concurrent modification" rule).
 * **Time travel** = read an old manifest. **Rollback** = a NEW commit
   whose file list equals an old version's (history is append-only;
   nothing is erased by going back). **Vacuum** = delete data files no
-  retained manifest references.
+  retained manifest references, consolidating the oldest retained
+  manifest first so retained delta chains never dangle.
 
-Scale posture: manifests hold file paths, not data — KBs per commit at
-any table size. Readers hand Spark an explicit file list, so partition
-pruning/pushdown work unchanged; at 100 TB the file list itself is the
-scaling limit (millions of entries), which real formats solve with
-manifest trees / log checkpoints — out of scope here and documented as
-such.
+Concurrency contract for the administrative ops (enforced + tested in
+tests/test_snapshots.py):
+
+* **vacuum vs writers**: safe. Writers materialize under fresh
+  ``data/<uuid>/`` dirs; vacuum never touches a dir younger than
+  ``orphan_age_seconds``, so an in-flight commit's files survive and
+  its manifest lands normally.
+* **vacuum vs rollback(v_old)**: rollback targets exactly the versions
+  vacuum deletes, so the race is inherent. The contract: rollback
+  FAILS LOUDLY and never leaves the table unreadable — it re-verifies
+  the restored files right before committing
+  (:class:`SnapshotVacuumedError` instead of a poisoned commit), and
+  if vacuum deletes the files inside the remaining commit window, the
+  post-commit validation heals the log by re-committing the previous
+  head's content before raising. Run vacuum and rollback from one
+  administrative actor if the error is unacceptable.
+* **vacuum vs vacuum**: not supported concurrently (each assumes it is
+  the only deleter); serialize administrative actions.
 """
 
 from __future__ import annotations
@@ -53,14 +74,33 @@ from pyspark.sql import DataFrame, SparkSession
 _SNAPDIR = "_snapshots"
 _DATADIR = "data"
 
+# Every Nth version stores the consolidated file list (a log
+# checkpoint); versions in between store only their delta. 10 bounds
+# manifest-chain walks to 10 reads while keeping the O(table-files)
+# consolidation rare — the Delta default is identical in spirit.
+CHECKPOINT_INTERVAL = 10
+
 
 @dataclass(frozen=True)
 class Snapshot:
     version: int
     mode: str  # overwrite | append | rollback
-    files: tuple[str, ...]  # relative to the table dir
-    schema: str  # DDL string
+    files: tuple[str, ...]  # FULL resolved list, relative to table dir
+    schema: str  # StructType JSON string
     n_files_added: int
+
+
+class ConcurrentCommitError(RuntimeError):
+    """A competing commit landed on the version this writer's content
+    was computed against; the content must be rebuilt from the new
+    head before retrying."""
+
+
+class SnapshotVacuumedError(RuntimeError):
+    """A rollback raced a vacuum that reclaimed the restored version's
+    data files. The log was left consistent (no commit, or a healed
+    re-commit of the pre-rollback head); the caller must pick a
+    still-retained version to restore."""
 
 
 def _snap_dir(table_dir: str) -> str:
@@ -82,6 +122,43 @@ def list_versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _raw_manifest(table_dir: str, version: int) -> dict:
+    """Load one manifest WITHOUT resolving delta chains. A manifest
+    that vanishes between listing and open was vacuumed concurrently —
+    surfaced as ValueError so callers see one error shape for 'version
+    gone' however the race interleaved."""
+    try:
+        with open(_manifest_path(table_dir, version)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"version {version} of {table_dir} does not exist (never "
+            "committed, or vacuumed — possibly concurrently)"
+        ) from None
+
+
+def _resolve_files(table_dir: str, version: int) -> tuple[list[str], dict]:
+    """Full file list of ``version`` by walking its delta chain back to
+    the nearest full manifest (any overwrite/rollback/checkpoint).
+    Returns (files, raw manifest of ``version``). Chain length is
+    bounded by CHECKPOINT_INTERVAL."""
+    raw = _raw_manifest(table_dir, version)
+    if "files" in raw:
+        return list(raw["files"]), raw
+    adds_stack = [list(raw["adds"])]
+    v = raw["base_version"]
+    while True:
+        m = _raw_manifest(table_dir, v)
+        if "files" in m:
+            files = list(m["files"])
+            break
+        adds_stack.append(list(m["adds"]))
+        v = m["base_version"]
+    for adds in reversed(adds_stack):
+        files.extend(adds)
+    return files, raw
+
+
 def read_manifest(table_dir: str, version: int | None = None) -> Snapshot:
     versions = list_versions(table_dir)
     if not versions:
@@ -90,16 +167,15 @@ def read_manifest(table_dir: str, version: int | None = None) -> Snapshot:
     if v not in versions:
         raise ValueError(
             f"version {v} not in {table_dir} (have {versions[0]}..."
-            f"{versions[-1]})"
+            f"{versions[-1]} — older versions may have been vacuumed)"
         )
-    with open(_manifest_path(table_dir, v)) as f:
-        m = json.load(f)
+    files, raw = _resolve_files(table_dir, v)
     return Snapshot(
         version=v,
-        mode=m["mode"],
-        files=tuple(m["files"]),
-        schema=m["schema"],
-        n_files_added=m["n_files_added"],
+        mode=raw["mode"],
+        files=tuple(files),
+        schema=raw["schema"],
+        n_files_added=raw["n_files_added"],
     )
 
 
@@ -117,47 +193,50 @@ def _write_data_files(df: DataFrame, table_dir: str) -> list[str]:
     )
 
 
-class ConcurrentCommitError(RuntimeError):
-    """A competing commit landed on the version this writer's content
-    was computed against; the content must be rebuilt from the new
-    head before retrying."""
-
-
 def _try_commit(
     table_dir: str,
     version: int,
     mode: str,
-    files: list[str],
     schema: str,
     n_added: int,
+    *,
+    files: list[str] | None = None,
+    adds: list[str] | None = None,
+    base_version: int | None = None,
 ) -> Snapshot:
-    """Attempt to commit exactly ``version``. Raises
-    ConcurrentCommitError if another writer took it — the CALLER
-    decides whether its content is still valid against the new head
-    (retry verbatim, rebase, or give up). A blind internal retry here
-    would silently publish a stale file list: the lost-update bug."""
+    """Attempt to commit exactly ``version`` — either a FULL manifest
+    (``files``) or a DELTA manifest (``adds`` + ``base_version``).
+    Raises ConcurrentCommitError if another writer took the number —
+    the CALLER decides whether its content is still valid against the
+    new head (retry verbatim, rebase, or give up). A blind internal
+    retry here would silently publish a stale file list: the
+    lost-update bug."""
+    if (files is None) == (adds is None):
+        raise ValueError("exactly one of files/adds must be given")
     os.makedirs(_snap_dir(table_dir), exist_ok=True)
+    payload: dict = {"mode": mode, "schema": schema, "n_files_added": n_added}
+    if files is not None:
+        payload["files"] = files
+    else:
+        payload["adds"] = adds
+        payload["base_version"] = base_version
     path = _manifest_path(table_dir, version)
     try:
         with open(path, "x") as f:  # atomic exclusive create
-            json.dump(
-                {
-                    "mode": mode,
-                    "files": files,
-                    "schema": schema,
-                    "n_files_added": n_added,
-                },
-                f,
-            )
+            json.dump(payload, f)
     except FileExistsError as e:
         raise ConcurrentCommitError(
             f"version {version} of {table_dir} was committed by a "
             "concurrent writer"
         ) from e
+    resolved = (
+        files if files is not None
+        else _resolve_files(table_dir, version)[0]
+    )
     return Snapshot(
         version=version,
         mode=mode,
-        files=tuple(files),
+        files=tuple(resolved),
         schema=schema,
         n_files_added=n_added,
     )
@@ -177,12 +256,13 @@ def _commit_head_independent(
 ) -> Snapshot:
     """Commit content that does NOT depend on the current head
     (overwrite: fresh files; rollback: an old version's files) — losing
-    a race just means taking the next number, verbatim."""
+    a race just means taking the next number, verbatim. Always a FULL
+    manifest: these modes reset the delta chain."""
     for _ in range(max_retries):
         try:
             return _try_commit(
-                table_dir, _next_version(table_dir), mode, files,
-                schema, n_added,
+                table_dir, _next_version(table_dir), mode, schema,
+                n_added, files=files,
             )
         except ConcurrentCommitError:
             continue
@@ -191,17 +271,58 @@ def _commit_head_independent(
     )
 
 
+def _norm_type(t):
+    """Structural normal form of a StructType-JSON type: nullability
+    and field metadata stripped, struct fields sorted by name — the
+    parquet-union compatibility relation (parquet resolves columns by
+    NAME; nullability is advisory on read; metadata is not data)."""
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            return (
+                "struct",
+                tuple(sorted(
+                    (f["name"], _norm_type(f["type"]))
+                    for f in t["fields"]
+                )),
+            )
+        if kind == "array":
+            return ("array", _norm_type(t["elementType"]))
+        if kind == "map":
+            return ("map", _norm_type(t["keyType"]), _norm_type(t["valueType"]))
+    return t
+
+
+def _schema_compatible(a_json: str, b_json: str) -> bool:
+    return _norm_type(json.loads(a_json)) == _norm_type(json.loads(b_json))
+
+
 def snapshot_write(
-    df: DataFrame, table_dir: str, mode: str = "overwrite"
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "overwrite",
+    checkpoint_interval: int = CHECKPOINT_INTERVAL,
 ) -> Snapshot:
     """Commit ``df`` as the next table version. ``overwrite`` replaces
     the logical content (old files stay on disk for time travel until
-    vacuumed); ``append`` commits the head's file list PLUS the new
-    files — no data is copied, and on losing a commit race the append
-    REBASES onto the winner's head (re-reads it and re-derives the
-    file list), so a concurrent writer's rows are never dropped."""
+    vacuumed); ``append`` commits a DELTA manifest (just the new files
+    + the base version) — or the consolidated full list when the
+    version number is a ``checkpoint_interval`` multiple — so append
+    cost is O(files added) regardless of table size. No data is
+    copied, and on losing a commit race the append REBASES onto the
+    winner's head (re-reads it and re-derives the manifest), so a
+    concurrent writer's rows are never dropped.
+
+    Append schema check is STRUCTURAL (same column names and types,
+    ignoring nullability, field metadata, and field order — parquet
+    resolves columns by name, so such unions read fine); the table
+    keeps its original schema string. A name or type change still
+    rejects loudly: that union would silently null-fill or fail at
+    read time."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if checkpoint_interval < 1:
+        raise ValueError("checkpoint_interval must be >= 1")
     schema = json.dumps(df.schema.jsonValue())
     new_files = _write_data_files(df, table_dir)
     if mode == "overwrite":
@@ -211,19 +332,33 @@ def snapshot_write(
     for _ in range(20):
         versions = list_versions(table_dir)
         if versions:
-            prev = read_manifest(table_dir)
-            if prev.schema != schema:
+            prev_v = versions[-1]
+            prev_raw = _raw_manifest(table_dir, prev_v)
+            if not _schema_compatible(prev_raw["schema"], schema):
                 raise ValueError(
-                    f"append schema {schema} != table schema "
-                    f"{prev.schema}"
+                    f"append schema is structurally incompatible with "
+                    f"the table schema (column name or type mismatch): "
+                    f"append={schema} table={prev_raw['schema']}"
                 )
-            base, nxt = list(prev.files), prev.version + 1
+            nxt = prev_v + 1
+            table_schema = prev_raw["schema"]  # table schema is sticky
         else:
-            base, nxt = [], 0
+            nxt, prev_v, table_schema = 0, None, schema
         try:
+            if prev_v is None or nxt % checkpoint_interval == 0:
+                # checkpoint (or first) version: consolidated full list
+                base = (
+                    _resolve_files(table_dir, prev_v)[0]
+                    if prev_v is not None
+                    else []
+                )
+                return _try_commit(
+                    table_dir, nxt, mode, table_schema, len(new_files),
+                    files=base + new_files,
+                )
             return _try_commit(
-                table_dir, nxt, mode, base + new_files, schema,
-                len(new_files),
+                table_dir, nxt, mode, table_schema, len(new_files),
+                adds=new_files, base_version=prev_v,
             )
         except ConcurrentCommitError:
             continue  # rebase: re-read the new head and re-derive
@@ -257,12 +392,58 @@ def _schema_of(snap: Snapshot):
 def rollback(table_dir: str, version: int) -> Snapshot:
     """Restore the table to an old version's content by committing a
     NEW version with that file list — the audit trail keeps both the
-    bad versions and the act of rolling them back. The file list comes
-    from the (immutable) old manifest, so losing a commit race just
-    means retrying at the next number."""
-    old = read_manifest(table_dir, version)
-    return _commit_head_independent(
+    bad versions and the act of rolling them back.
+
+    Vacuum-race contract (see module docstring): the restored files
+    are re-verified immediately before committing, so a vacuum that
+    already reclaimed them raises :class:`SnapshotVacuumedError`
+    without committing anything; a vacuum that deletes them INSIDE the
+    remaining commit window is caught by post-commit validation, which
+    heals the log (re-commits the pre-rollback head's content over the
+    poisoned version) and then raises. Either way the head stays
+    readable."""
+    old = read_manifest(table_dir, version)  # ValueError if vacuumed
+    missing = [
+        f for f in old.files
+        if not os.path.exists(os.path.join(table_dir, f))
+    ]
+    if missing:
+        raise SnapshotVacuumedError(
+            f"cannot roll back {table_dir} to v{version}: {len(missing)} "
+            f"of its data files were vacuumed (first: {missing[0]}); "
+            "pick a retained version"
+        )
+    snap = _commit_head_independent(
         table_dir, "rollback", list(old.files), old.schema, 0
+    )
+    return _validate_or_heal(table_dir, snap)
+
+
+def _validate_or_heal(table_dir: str, snap: Snapshot) -> Snapshot:
+    """Post-commit half of the rollback/vacuum race contract: if the
+    files ``snap`` references were deleted between rollback's pre-check
+    and its commit, the just-committed manifest is poisoned (the head
+    would be unreadable). Heal by re-committing the previous head's
+    content — still vacuum-retained, because vacuum keeps the newest
+    ``keep_last >= 1`` versions — then raise SnapshotVacuumedError."""
+    missing = [
+        f for f in snap.files
+        if not os.path.exists(os.path.join(table_dir, f))
+    ]
+    if not missing:
+        return snap
+    try:
+        prev = read_manifest(table_dir, snap.version - 1)
+        _commit_head_independent(
+            table_dir, "rollback", list(prev.files), prev.schema, 0
+        )
+        healed = f"healed: v{snap.version - 1} content re-committed as head"
+    except (ValueError, FileNotFoundError) as e:
+        healed = f"HEAL FAILED ({e}); repair the head manually"
+    raise SnapshotVacuumedError(
+        f"rollback of {table_dir} committed v{snap.version} but a "
+        f"concurrent vacuum deleted {len(missing)} of its files "
+        f"(first: {missing[0]}); {healed}"
     )
 
 
@@ -276,26 +457,54 @@ def vacuum(
     older manifests are dropped with their unshared files). Bounds
     time-travel history, reclaims overwritten data.
 
+    Delta-chain safety: the oldest RETAINED manifest is consolidated to
+    a full file list first (atomic in-place replace of logically
+    identical content), because retained delta manifests may resolve
+    through manifests about to be dropped — retained versions stay
+    readable at every instant of the vacuum.
+
     A second pass sweeps ORPHANED commit dirs — ``data/<uuid>/``
     prefixes none of the surviving manifests reference, left by a
     writer that crashed (or lost every commit race) between
     materializing its files and creating its manifest, plus dirs
     holding only ``_SUCCESS``/crc markers after their parquet files
     were individually reclaimed. Only dirs older than
-    ``orphan_age_seconds`` are swept: a younger unreferenced dir may
-    belong to a commit IN FLIGHT right now."""
+    ``orphan_age_seconds`` are swept: a younger unreferenced dir
+    belongs to a commit that may be IN FLIGHT right now — this is what
+    makes vacuum-vs-writer safe (module docstring)."""
     import time
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = list_versions(table_dir)
     kept, dropped = versions[-keep_last:], versions[:-keep_last]
+    # resolve everything BEFORE deleting any manifest: dropped versions'
+    # lists are needed to find their unshared files, and kept delta
+    # versions may resolve through dropped manifests
+    resolved = {v: _resolve_files(table_dir, v)[0] for v in versions}
     live: set[str] = set()
     for v in kept:
-        live |= set(read_manifest(table_dir, v).files)
+        live |= set(resolved[v])
+    if kept and dropped:
+        oldest = kept[0]
+        raw = _raw_manifest(table_dir, oldest)
+        if "files" not in raw:
+            # consolidate: same logical content, now chain-independent.
+            # tmp + os.replace is atomic — a concurrent reader sees
+            # either the delta (parents still present) or the full form
+            consolidated = {
+                "mode": raw["mode"],
+                "schema": raw["schema"],
+                "n_files_added": raw["n_files_added"],
+                "files": resolved[oldest],
+            }
+            tmp = _manifest_path(table_dir, oldest) + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(consolidated, f)
+            os.replace(tmp, _manifest_path(table_dir, oldest))
     removed: list[str] = []
     for v in dropped:
-        for f in read_manifest(table_dir, v).files:
+        for f in resolved[v]:
             if f not in live:
                 p = os.path.join(table_dir, f)
                 if os.path.exists(p):
@@ -367,9 +576,9 @@ def snapshot_merge_upsert(
         table_dir,
         basis.version + 1,
         "overwrite",
-        new_files,
         basis.schema,
         len(new_files),
+        files=new_files,
     )
 
 
@@ -385,7 +594,9 @@ def read_increment(
     change-data-capture system: an append-only consumer aggregates the
     increment and merges it into its state (the foreachBatch HLL/IVM
     pattern in tests/test_streaming_semantics.py), never rescanning
-    history.
+    history. Checkpoint manifests are transparent here: the diff is
+    computed on RESOLVED file lists, so a checkpoint (same logical
+    content, consolidated form) adds nothing to the increment.
 
     Raises if any version in the range was not an append: an overwrite
     or rollback invalidates incremental state, and a consumer MUST
@@ -396,10 +607,13 @@ def read_increment(
     base = read_manifest(table_dir, since_version)
     for v in list_versions(table_dir):
         if since_version < v <= head.version:
-            m = head if v == head.version else read_manifest(table_dir, v)
-            if m.mode != "append":
+            mode = (
+                head.mode if v == head.version
+                else _raw_manifest(table_dir, v)["mode"]
+            )
+            if mode != "append":
                 raise ValueError(
-                    f"version {v} is {m.mode!r}, not append: the "
+                    f"version {v} is {mode!r}, not append: the "
                     f"increment since v{since_version} is not "
                     "well-defined — rebuild the downstream state from "
                     "a full read instead"
