@@ -1147,7 +1147,7 @@ DRIVER_WINDOW: list[str] = [
     "events_zscore_anomalies",
     "revenue_cube",
     "heavy_hitter_parts",
-    "monthly_revenue_growth",
+    "orders_snapshot_pruned_scan",  # NEW: manifest-stats file skipping
     "returnflag_status_grouping_sets",
     "events_wau_hll",
     "cheapest_supplier_per_part",

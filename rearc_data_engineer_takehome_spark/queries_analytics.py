@@ -4245,3 +4245,66 @@ def orders_snapshot_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_from_increment"
         ),
     )
+
+
+@query(
+    "orders_snapshot_pruned_scan",
+    """
+    SELECT count(*)::BIGINT AS n_orders,
+           round(sum(round(o_totalprice * 100)::BIGINT) / 100.0, 2)
+               AS revenue,
+           min(o_orderkey)::BIGINT AS min_key,
+           max(o_orderkey)::BIGINT AS max_key
+    FROM orders
+    WHERE o_orderkey BETWEEN 200 AND 900
+    """,
+    doc="Manifest-stats data skipping certified end-to-end (round-6 "
+    "flagship): orders are committed as a snapshot version with "
+    "repartitionByRange(8, o_orderkey) + stats_cols, so the manifest "
+    "carries per-file [min, max] for the key; snapshot_scan then "
+    "answers a key-range query by PRUNING files whose stats prove a "
+    "miss (tests assert the inputFiles count) and re-applying the "
+    "predicate row-level. The oracle computes the same range query on "
+    "the raw table, so a single lost or duplicated file fails the "
+    "value hash. Revenue sums exact cents (BIGINT) before one final "
+    "division — float sum order can differ between engines. Same "
+    "pid-scoped /tmp lineage + vacuum hygiene as "
+    "orders_snapshot_increment.",
+)
+def orders_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    orders = _t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_snaptbl_{os.getuid()}"
+    )
+    tbl = os.path.join(
+        root,
+        f"{os.getpid()}_{os.path.basename(sf_dir.rstrip('/'))}"
+        "_orders_pruned",
+    )
+    sn.snapshot_write(
+        orders.repartitionByRange(8, "o_orderkey"),
+        tbl,
+        mode="overwrite",
+        stats_cols=["o_orderkey"],
+    )
+    pruned = sn.snapshot_scan(
+        spark, tbl, prune={"o_orderkey": (200, 900)}
+    )
+    sn.vacuum(tbl, keep_last=6)
+    return pruned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            )
+            / 100.0,
+            2,
+        ).alias("revenue"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    )

@@ -84,10 +84,14 @@ CHECKPOINT_INTERVAL = 10
 @dataclass(frozen=True)
 class Snapshot:
     version: int
-    mode: str  # overwrite | append | rollback
+    mode: str  # overwrite | append | rollback | compact
     files: tuple[str, ...]  # FULL resolved list, relative to table dir
     schema: str  # StructType JSON string
     n_files_added: int
+    # merged per-file column statistics ({rel_file: {col: {min, max,
+    # nulls}}}) for files whose commit collected them (stats_cols=...);
+    # files without stats are always scanned — pruning is conservative
+    stats: dict | None = None
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -137,18 +141,24 @@ def _raw_manifest(table_dir: str, version: int) -> dict:
         ) from None
 
 
-def _resolve_files(table_dir: str, version: int) -> tuple[list[str], dict]:
-    """Full file list of ``version`` by walking its delta chain back to
-    the nearest full manifest (any overwrite/rollback/checkpoint).
-    Returns (files, raw manifest of ``version``). Chain length is
-    bounded by CHECKPOINT_INTERVAL."""
+def _resolve_files(
+    table_dir: str, version: int
+) -> tuple[list[str], dict, dict]:
+    """Full file list + merged per-file stats of ``version`` by walking
+    its delta chain back to the nearest full manifest (any overwrite/
+    rollback/checkpoint). Returns (files, stats, raw manifest of
+    ``version``). Chain length is bounded by CHECKPOINT_INTERVAL.
+    Each manifest carries stats only for the files it introduced, so
+    the merge is a disjoint dict union."""
     raw = _raw_manifest(table_dir, version)
     if "files" in raw:
-        return list(raw["files"]), raw
+        return list(raw["files"]), dict(raw.get("stats", {})), raw
     adds_stack = [list(raw["adds"])]
+    stats: dict = dict(raw.get("stats", {}))
     v = raw["base_version"]
     while True:
         m = _raw_manifest(table_dir, v)
+        stats.update(m.get("stats", {}))
         if "files" in m:
             files = list(m["files"])
             break
@@ -156,7 +166,10 @@ def _resolve_files(table_dir: str, version: int) -> tuple[list[str], dict]:
         v = m["base_version"]
     for adds in reversed(adds_stack):
         files.extend(adds)
-    return files, raw
+    # stats may name files dropped from the list by an overwrite deeper
+    # in history only via full manifests, which carry their own stats —
+    # restrict to live files for a clean contract
+    return files, {f: s for f, s in stats.items() if f in set(files)}, raw
 
 
 def read_manifest(table_dir: str, version: int | None = None) -> Snapshot:
@@ -169,13 +182,14 @@ def read_manifest(table_dir: str, version: int | None = None) -> Snapshot:
             f"version {v} not in {table_dir} (have {versions[0]}..."
             f"{versions[-1]} — older versions may have been vacuumed)"
         )
-    files, raw = _resolve_files(table_dir, v)
+    files, stats, raw = _resolve_files(table_dir, v)
     return Snapshot(
         version=v,
         mode=raw["mode"],
         files=tuple(files),
         schema=raw["schema"],
         n_files_added=raw["n_files_added"],
+        stats=stats or None,
     )
 
 
@@ -203,6 +217,7 @@ def _try_commit(
     files: list[str] | None = None,
     adds: list[str] | None = None,
     base_version: int | None = None,
+    stats: dict | None = None,
 ) -> Snapshot:
     """Attempt to commit exactly ``version`` — either a FULL manifest
     (``files``) or a DELTA manifest (``adds`` + ``base_version``).
@@ -220,6 +235,8 @@ def _try_commit(
     else:
         payload["adds"] = adds
         payload["base_version"] = base_version
+    if stats:
+        payload["stats"] = stats
     path = _manifest_path(table_dir, version)
     try:
         with open(path, "x") as f:  # atomic exclusive create
@@ -229,16 +246,17 @@ def _try_commit(
             f"version {version} of {table_dir} was committed by a "
             "concurrent writer"
         ) from e
-    resolved = (
-        files if files is not None
-        else _resolve_files(table_dir, version)[0]
-    )
+    if files is not None:
+        resolved, merged_stats = files, (stats or {})
+    else:
+        resolved, merged_stats, _ = _resolve_files(table_dir, version)
     return Snapshot(
         version=version,
         mode=mode,
         files=tuple(resolved),
         schema=schema,
         n_files_added=n_added,
+        stats=merged_stats or None,
     )
 
 
@@ -253,6 +271,7 @@ def _commit_head_independent(
     schema: str,
     n_added: int,
     max_retries: int = 20,
+    stats: dict | None = None,
 ) -> Snapshot:
     """Commit content that does NOT depend on the current head
     (overwrite: fresh files; rollback: an old version's files) — losing
@@ -262,13 +281,69 @@ def _commit_head_independent(
         try:
             return _try_commit(
                 table_dir, _next_version(table_dir), mode, schema,
-                n_added, files=files,
+                n_added, files=files, stats=stats,
             )
         except ConcurrentCommitError:
             continue
     raise RuntimeError(
         f"snapshot commit to {table_dir} lost {max_retries} races"
     )
+
+
+def _footer_stats(
+    table_dir: str, rel_files: list[str], cols: list[str]
+) -> dict:
+    """Per-file column statistics ({rel: {col: {min, max, nulls}}})
+    read from the parquet FOOTERS of just-written files — O(footer
+    reads) over the files ADDED by one commit, never the whole table;
+    the same source every lakehouse format mines for its data-skipping
+    index. Only JSON-stable scalar types are recorded (int/float/str/
+    bool); a column whose footer lacks min/max (or holds another type)
+    is simply absent, and absent stats always mean "scan the file" —
+    pruning is conservative by construction."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for rel in rel_files:
+        md = pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+        per_col: dict = {}
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for c_i in range(rg.num_columns):
+                col = rg.column(c_i)
+                name = col.path_in_schema
+                if name not in cols:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    per_col[name] = None  # unknown somewhere: drop col
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        per_col[name] = None
+                        continue
+                if not isinstance(mn, (int, float, str, bool)):
+                    per_col[name] = None
+                    continue
+                prev = per_col.get(name)
+                if prev is None and name in per_col:
+                    continue  # already poisoned by an unknown row group
+                nulls = st.null_count if st.null_count is not None else 0
+                if prev is None:
+                    per_col[name] = {"min": mn, "max": mx, "nulls": nulls}
+                else:
+                    per_col[name] = {
+                        "min": min(prev["min"], mn),
+                        "max": max(prev["max"], mx),
+                        "nulls": prev["nulls"] + nulls,
+                    }
+        stats = {k: v for k, v in per_col.items() if v is not None}
+        if stats:
+            out[rel] = stats
+    return out
 
 
 def _norm_type(t):
@@ -302,6 +377,7 @@ def snapshot_write(
     table_dir: str,
     mode: str = "overwrite",
     checkpoint_interval: int = CHECKPOINT_INTERVAL,
+    stats_cols: list[str] | None = None,
 ) -> Snapshot:
     """Commit ``df`` as the next table version. ``overwrite`` replaces
     the logical content (old files stay on disk for time travel until
@@ -318,16 +394,28 @@ def snapshot_write(
     resolves columns by name, so such unions read fine); the table
     keeps its original schema string. A name or type change still
     rejects loudly: that union would silently null-fill or fail at
-    read time."""
+    read time.
+
+    ``stats_cols`` names columns whose per-file min/max/null-count are
+    mined from the just-written parquet footers and stored in the
+    manifest — the data-skipping index :func:`snapshot_scan` prunes
+    with. Cost is O(files ADDED) footer reads per commit; files
+    committed without stats are simply never pruned."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     if checkpoint_interval < 1:
         raise ValueError("checkpoint_interval must be >= 1")
     schema = json.dumps(df.schema.jsonValue())
     new_files = _write_data_files(df, table_dir)
+    new_stats = (
+        _footer_stats(table_dir, new_files, stats_cols)
+        if stats_cols
+        else {}
+    )
     if mode == "overwrite":
         return _commit_head_independent(
-            table_dir, mode, new_files, schema, len(new_files)
+            table_dir, mode, new_files, schema, len(new_files),
+            stats=new_stats,
         )
     for _ in range(20):
         versions = list_versions(table_dir)
@@ -346,19 +434,20 @@ def snapshot_write(
             nxt, prev_v, table_schema = 0, None, schema
         try:
             if prev_v is None or nxt % checkpoint_interval == 0:
-                # checkpoint (or first) version: consolidated full list
-                base = (
-                    _resolve_files(table_dir, prev_v)[0]
-                    if prev_v is not None
-                    else []
-                )
+                # checkpoint (or first) version: consolidated full
+                # list, carrying the chain's merged stats forward
+                if prev_v is not None:
+                    base, base_stats, _ = _resolve_files(table_dir, prev_v)
+                else:
+                    base, base_stats = [], {}
                 return _try_commit(
                     table_dir, nxt, mode, table_schema, len(new_files),
                     files=base + new_files,
+                    stats={**base_stats, **new_stats},
                 )
             return _try_commit(
                 table_dir, nxt, mode, table_schema, len(new_files),
-                adds=new_files, base_version=prev_v,
+                adds=new_files, base_version=prev_v, stats=new_stats,
             )
         except ConcurrentCommitError:
             continue  # rebase: re-read the new head and re-derive
@@ -414,7 +503,8 @@ def rollback(table_dir: str, version: int) -> Snapshot:
             "pick a retained version"
         )
     snap = _commit_head_independent(
-        table_dir, "rollback", list(old.files), old.schema, 0
+        table_dir, "rollback", list(old.files), old.schema, 0,
+        stats=old.stats,
     )
     return _validate_or_heal(table_dir, snap)
 
@@ -435,7 +525,8 @@ def _validate_or_heal(table_dir: str, snap: Snapshot) -> Snapshot:
     try:
         prev = read_manifest(table_dir, snap.version - 1)
         _commit_head_independent(
-            table_dir, "rollback", list(prev.files), prev.schema, 0
+            table_dir, "rollback", list(prev.files), prev.schema, 0,
+            stats=prev.stats,
         )
         healed = f"healed: v{snap.version - 1} content re-committed as head"
     except (ValueError, FileNotFoundError) as e:
@@ -481,7 +572,9 @@ def vacuum(
     # resolve everything BEFORE deleting any manifest: dropped versions'
     # lists are needed to find their unshared files, and kept delta
     # versions may resolve through dropped manifests
-    resolved = {v: _resolve_files(table_dir, v)[0] for v in versions}
+    resolved, res_stats = {}, {}
+    for v in versions:
+        resolved[v], res_stats[v], _ = _resolve_files(table_dir, v)
     live: set[str] = set()
     for v in kept:
         live |= set(resolved[v])
@@ -498,6 +591,8 @@ def vacuum(
                 "n_files_added": raw["n_files_added"],
                 "files": resolved[oldest],
             }
+            if res_stats[oldest]:
+                consolidated["stats"] = res_stats[oldest]
             tmp = _manifest_path(table_dir, oldest) + f".tmp.{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as f:
                 json.dump(consolidated, f)
@@ -579,6 +674,112 @@ def snapshot_merge_upsert(
         basis.schema,
         len(new_files),
         files=new_files,
+    )
+
+
+def _file_may_match(file_stats: dict | None, prune: dict) -> bool:
+    """Interval test against a file's manifest stats: drop the file
+    only when some pruned column's [min, max] range PROVABLY misses
+    [lo, hi]. Missing stats (file committed without stats_cols, column
+    unknown, or all-null footer) keep the file — row-level filtering
+    downstream guarantees correctness either way; stats only save IO."""
+    if not prune:
+        return True
+    for col, (lo, hi) in prune.items():
+        cs = (file_stats or {}).get(col)
+        if cs is None:
+            continue  # unknown: cannot prove a miss
+        if lo is not None and cs["max"] < lo:
+            return False
+        if hi is not None and cs["min"] > hi:
+            return False
+    return True
+
+
+def snapshot_scan(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    prune: dict | None = None,
+) -> DataFrame:
+    """Data-skipping read: resolve the manifest, drop every file whose
+    stored column stats prove it cannot contain a row in ``prune`` =
+    ``{col: (lo, hi)}`` (closed intervals; None = unbounded), scan
+    only the survivors, and re-apply the same predicates row-level so
+    the result is exact even for kept files that straddle a bound.
+
+    This is the manifest-stats half of lakehouse data skipping: at
+    100 TB the decision runs over the manifest (KBs of JSON), not the
+    storage listing, and a range query on a range-partitioned commit
+    (repartitionByRange before :func:`snapshot_write`) touches only
+    the files that can match — the same IO win as partition pruning,
+    without a directory layout. SQL NULL semantics note: a row-level
+    predicate ``col BETWEEN lo AND hi`` never keeps NULLs, and pruning
+    never drops a file for its nulls (null_count is stored but only
+    min/max decide), so pruned and unpruned reads agree exactly."""
+    snap = read_manifest(table_dir, version)
+    stats = snap.stats or {}
+    keep = [f for f in snap.files if _file_may_match(stats.get(f), prune)]
+    if not keep:
+        df = spark.createDataFrame([], _schema_of(snap))
+    else:
+        df = spark.read.parquet(
+            *[os.path.join(table_dir, f) for f in keep]
+        )
+    from pyspark.sql import functions as F
+
+    for col, (lo, hi) in (prune or {}).items():
+        if lo is not None:
+            df = df.where(F.col(col) >= lo)
+        if hi is not None:
+            df = df.where(F.col(col) <= hi)
+    return df
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int,
+    stats_cols: list[str] | None = None,
+) -> Snapshot:
+    """OPTIMIZE-style bin packing: rewrite the head's content into
+    ``target_files`` files and commit it as a new version (mode
+    ``compact``) — the small-files answer after many appends. History
+    is preserved (the pre-compact version stays time-travelable until
+    vacuumed); ``stats_cols`` re-mines the skipping index for the new
+    files.
+
+    Concurrency follows the merge rule, not the append rule: the
+    compacted content was computed FROM the head read at the start, so
+    the commit targets exactly head+1 and raises
+    :class:`ConcurrentCommitError` if anything landed in between —
+    re-run against the new head (idempotent).
+
+    Change-feed contract: :func:`read_increment` REFUSES across a
+    compaction (mode != append), because the file-list diff would
+    present every rewritten byte as new data. Delta avoids this with
+    dataChange=false commits its readers understand; this log keeps
+    the simpler loud-refusal contract — incremental consumers resync
+    from a full read after a compaction, and never double-count
+    silently."""
+    basis = read_manifest(table_dir)
+    current = read_snapshot(spark, table_dir, basis.version)
+    new_files = _write_data_files(
+        current.coalesce(max(1, target_files)), table_dir
+    )
+    new_stats = (
+        _footer_stats(table_dir, new_files, stats_cols)
+        if stats_cols
+        else {}
+    )
+    return _try_commit(
+        table_dir,
+        basis.version + 1,
+        "compact",
+        basis.schema,
+        len(new_files),
+        files=new_files,
+        stats=new_stats,
     )
 
 

@@ -567,3 +567,114 @@ def test_vacuum_racing_inflight_append_is_safe(spark, tmp_path):
         adds=new_files, base_version=prev.version,
     )
     assert _rows(sn.read_snapshot(spark, t)) == [(0,), (1,), (2,)]
+
+
+def test_manifest_stats_and_file_skipping_scan(spark, tmp_path):
+    """Round-6 flagship: per-file column stats mined from parquet
+    footers at commit time power snapshot_scan's file skipping — a
+    range predicate on a range-partitioned commit reads ONLY the files
+    that can match (verified via inputFiles), with values identical to
+    an unpruned scan + filter."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    snap = sn.snapshot_write(
+        df.repartitionByRange(8, "id"), t, stats_cols=["id"]
+    )
+    assert snap.stats and len(snap.stats) == len(snap.files) == 8
+    for fstats in snap.stats.values():
+        assert set(fstats) == {"id"}
+        assert fstats["id"]["min"] <= fstats["id"]["max"]
+        assert fstats["id"]["nulls"] == 0
+
+    pruned = sn.snapshot_scan(spark, t, prune={"id": (100, 220)})
+    full = sn.read_snapshot(spark, t).where(F.col("id").between(100, 220))
+    assert _rows(pruned) == _rows(full)
+    # 8 range-partitioned files over 0..999; [100, 220] spans ~1/8 of
+    # the domain -> at most 3 of 8 files can overlap it
+    assert 1 <= len(pruned.inputFiles()) <= 3
+    assert len(sn.read_snapshot(spark, t).inputFiles()) == 8
+
+    # half-open intervals + a provably-empty range
+    assert _rows(sn.snapshot_scan(spark, t, prune={"id": (990, None)})) \
+        == [(i, 2 * i) for i in range(990, 1000)]
+    empty = sn.snapshot_scan(spark, t, prune={"id": (5000, None)})
+    assert empty.count() == 0 and len(empty.inputFiles()) == 0
+
+
+def test_stats_survive_appends_checkpoints_and_vacuum(
+    spark, tmp_path
+):
+    """Stats attach to delta manifests, merge through checkpoint
+    consolidation and vacuum's oldest-kept rewrite, and files committed
+    WITHOUT stats are conservatively kept by every scan."""
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 1200, 100):  # 12 appends -> crosses v10 checkpoint
+        sn.snapshot_write(
+            spark.range(lo, lo + 100).coalesce(1), t, "append",
+            stats_cols=["id"],
+        )
+    # one stats-less append: never pruned
+    sn.snapshot_write(
+        spark.range(5000, 5100).coalesce(1), t, "append"
+    )
+    head = sn.read_manifest(t)
+    with_stats = [f for f in head.files if f in (head.stats or {})]
+    assert len(with_stats) == len(head.files) - 1
+    got = sn.snapshot_scan(spark, t, prune={"id": (250, 310)})
+    assert _rows(got) == [(i,) for i in range(250, 311)]
+    # 2 stats-pruned survivors + the 1 stats-less file always kept
+    assert len(got.inputFiles()) == 3
+
+    sn.vacuum(t, keep_last=2, orphan_age_seconds=10**9)
+    got2 = sn.snapshot_scan(spark, t, prune={"id": (250, 310)})
+    assert _rows(got2) == [(i,) for i in range(250, 311)]
+    assert len(got2.inputFiles()) == 3  # consolidation kept the stats
+
+
+def test_snapshot_compact_bin_packs_and_keeps_contract(
+    spark, tmp_path, monkeypatch
+):
+    """snapshot_compact rewrites many small files into few, preserves
+    content and time travel, re-mines stats, follows the merge
+    concurrency rule (ConcurrentCommitError, never silent clobber),
+    and read_increment refuses across it."""
+    t = str(tmp_path / "tbl")
+    writer = _fast_single_file_writer(monkeypatch)
+    df = spark.createDataFrame([(0,)], "k long")
+    for i in range(12):
+        writer["value"] = i
+        sn.snapshot_write(df, t, "append")
+    monkeypatch.undo()  # compact must really write through Spark
+    pre = sn.read_manifest(t)
+    assert len(pre.files) == 12
+
+    snap = sn.snapshot_compact(spark, t, target_files=2, stats_cols=["k"])
+    assert snap.mode == "compact" and len(snap.files) <= 2
+    assert _rows(sn.read_snapshot(spark, t)) == [(i,) for i in range(12)]
+    # pre-compact version still time-travels
+    assert _rows(sn.read_snapshot(spark, t, pre.version)) \
+        == [(i,) for i in range(12)]
+    # stats re-mined for the packed files
+    assert snap.stats and all("k" in s for s in snap.stats.values())
+
+    # change feed refuses across the compaction boundary
+    with pytest.raises(ValueError, match="not append"):
+        sn.read_increment(spark, t, since_version=pre.version - 1)
+
+    # merge concurrency rule: a commit landing between read and commit
+    real = sn._try_commit
+    state = {"raced": False}
+
+    def racy(table_dir, version, *a, **k):
+        if not state["raced"]:
+            state["raced"] = True
+            sn.snapshot_write(
+                spark.createDataFrame([(99,)], "k long"), t, "append"
+            )
+        return real(table_dir, version, *a, **k)
+
+    monkeypatch.setattr(sn, "_try_commit", racy)
+    with pytest.raises(sn.ConcurrentCommitError):
+        sn.snapshot_compact(spark, t, target_files=1)
+    # the concurrent append's row was NOT clobbered
+    assert (99,) in _rows(sn.read_snapshot(spark, t))
