@@ -145,6 +145,10 @@ def main() -> None:
                 _ = n
             except Exception as e:  # one broken query must not void the run
                 failures[name] = str(e).splitlines()[0][:200]
+                # disjoint in BOTH directions: a query that timed in an
+                # earlier pass but failed now is flaky — report it as
+                # failed only, never in the totals a diff would trust
+                samples.pop(name, None)
                 print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
             if name == "pq_codebook":
                 # it just REBUILT the codebook cache — protect the fresh

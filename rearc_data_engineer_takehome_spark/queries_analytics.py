@@ -4193,34 +4193,13 @@ def events_hll_audience_overlap(
 )
 def orders_snapshot_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import shutil
-    import tempfile
-    import time
 
     from .sources import snapshots as sn
 
     orders = _t(spark, sf_dir, "orders")
-    # pid-scoped lineage: two concurrent PROCESSES must not interleave
-    # overwrite/append commits on one log (the increment would then be
-    # ill-defined by design and the query would rightly refuse); within
-    # one process, calls are sequential and versions just accumulate
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_snaptbl_{os.getuid()}"
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_orders"
     )
-    tbl = os.path.join(
-        tbl_parent := root,
-        f"{os.getpid()}_{os.path.basename(sf_dir.rstrip('/'))}_orders",
-    )
-    # sweep dead processes' lineages so /tmp growth stays bounded
-    if os.path.isdir(tbl_parent):
-        now = time.time()
-        for d in os.listdir(tbl_parent):
-            full = os.path.join(tbl_parent, d)
-            try:
-                if full != tbl and now - os.stat(full).st_mtime > 86_400:
-                    shutil.rmtree(full, ignore_errors=True)
-            except OSError:
-                pass
     base = sn.snapshot_write(orders, tbl, mode="overwrite")
     sn.snapshot_write(
         orders.where(F.col("o_orderpriority") == "1-URGENT"),
@@ -4273,18 +4252,12 @@ def orders_snapshot_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from .sources import snapshots as sn
 
     orders = _t(spark, sf_dir, "orders")
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_snaptbl_{os.getuid()}"
-    )
-    tbl = os.path.join(
-        root,
-        f"{os.getpid()}_{os.path.basename(sf_dir.rstrip('/'))}"
-        "_orders_pruned",
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_orders_pruned"
     )
     sn.snapshot_write(
         orders.repartitionByRange(8, "o_orderkey"),

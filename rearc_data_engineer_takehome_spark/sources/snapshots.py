@@ -169,7 +169,8 @@ def _resolve_files(
     # stats may name files dropped from the list by an overwrite deeper
     # in history only via full manifests, which carry their own stats —
     # restrict to live files for a clean contract
-    return files, {f: s for f, s in stats.items() if f in set(files)}, raw
+    live = set(files)
+    return files, {f: s for f, s in stats.items() if f in live}, raw
 
 
 def read_manifest(table_dir: str, version: int | None = None) -> Snapshot:
@@ -515,7 +516,15 @@ def _validate_or_heal(table_dir: str, snap: Snapshot) -> Snapshot:
     and its commit, the just-committed manifest is poisoned (the head
     would be unreadable). Heal by re-committing the previous head's
     content — still vacuum-retained, because vacuum keeps the newest
-    ``keep_last >= 1`` versions — then raise SnapshotVacuumedError."""
+    ``keep_last >= 1`` versions — then raise SnapshotVacuumedError.
+
+    The heal targets EXACTLY ``snap.version + 1``: if any concurrent
+    commit landed there first, healing is REFUSED rather than retried
+    at a later number, because retrying would bury that commit's
+    content under the restored old head — a lost update the module
+    contract forbids. In that case the error reports the last version
+    known good so the operator (or the concurrent writer's own
+    validation) can roll back explicitly."""
     missing = [
         f for f in snap.files
         if not os.path.exists(os.path.join(table_dir, f))
@@ -524,11 +533,18 @@ def _validate_or_heal(table_dir: str, snap: Snapshot) -> Snapshot:
         return snap
     try:
         prev = read_manifest(table_dir, snap.version - 1)
-        _commit_head_independent(
-            table_dir, "rollback", list(prev.files), prev.schema, 0,
-            stats=prev.stats,
+        _try_commit(
+            table_dir, snap.version + 1, "rollback", prev.schema, 0,
+            files=list(prev.files), stats=prev.stats,
         )
         healed = f"healed: v{snap.version - 1} content re-committed as head"
+    except ConcurrentCommitError:
+        healed = (
+            f"HEAL SKIPPED: a concurrent commit landed at "
+            f"v{snap.version + 1} and healing over it would discard "
+            f"its rows; head may still reference vacuumed files — "
+            f"roll back to v{snap.version - 1} manually"
+        )
     except (ValueError, FileNotFoundError) as e:
         healed = f"HEAL FAILED ({e}); repair the head manually"
     raise SnapshotVacuumedError(
@@ -677,6 +693,34 @@ def snapshot_merge_upsert(
     )
 
 
+def scratch_table_dir(suffix: str) -> str:
+    """Per-process scratch table path under a per-uid /tmp root, with
+    hygiene: every call sweeps sibling lineages older than a day
+    (dead processes' tables) so growth stays bounded no matter which
+    snapshot-backed query runs. pid-scoping exists because two
+    concurrent PROCESSES must not interleave overwrite/append commits
+    on one log (the increment would be ill-defined by design); within
+    one process, calls are sequential and versions just accumulate."""
+    import shutil
+    import tempfile
+    import time
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_snaptbl_{os.getuid()}"
+    )
+    tbl = os.path.join(root, f"{os.getpid()}_{suffix}")
+    if os.path.isdir(root):
+        now = time.time()
+        for d in os.listdir(root):
+            full = os.path.join(root, d)
+            try:
+                if full != tbl and now - os.stat(full).st_mtime > 86_400:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
+    return tbl
+
+
 def _file_may_match(file_stats: dict | None, prune: dict) -> bool:
     """Interval test against a file's manifest stats: drop the file
     only when some pruned column's [min, max] range PROVABLY misses
@@ -689,10 +733,17 @@ def _file_may_match(file_stats: dict | None, prune: dict) -> bool:
         cs = (file_stats or {}).get(col)
         if cs is None:
             continue  # unknown: cannot prove a miss
-        if lo is not None and cs["max"] < lo:
-            return False
-        if hi is not None and cs["min"] > hi:
-            return False
+        try:
+            if lo is not None and cs["max"] < lo:
+                return False
+            if hi is not None and cs["min"] > hi:
+                return False
+        except TypeError:
+            # bound/stat type mismatch (e.g. int bound on a str
+            # column): cannot prove a miss — keep the file and let the
+            # row-level predicate decide (which will raise its own
+            # typed analysis error if the comparison is truly illegal)
+            continue
     return True
 
 

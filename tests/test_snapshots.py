@@ -540,6 +540,28 @@ def test_vacuum_racing_rollback_contract(spark, tmp_path):
     assert _rows(sn.read_snapshot(spark, t)) == [(2,)]
 
 
+def test_heal_refuses_to_bury_a_concurrent_commit(spark, tmp_path):
+    """Lost-update guard in the heal path (round-6 self-review): if a
+    concurrent commit lands between a poisoned rollback and its heal,
+    healing at a LATER version would bury that commit's rows — the
+    heal must refuse (loud SnapshotVacuumedError naming the skip) and
+    the concurrent commit's content must remain the head."""
+    t = str(tmp_path / "tbl")
+    sn.snapshot_write(spark.createDataFrame([(0,)], "k long"), t)  # v0
+    poisoned = sn._commit_head_independent(
+        t, "rollback", ["data/gone456/part-0.parquet"],
+        sn.read_manifest(t).schema, 0,
+    )  # v1, references dead files
+    # concurrent overwrite lands at v2 before the heal runs
+    sn.snapshot_write(spark.createDataFrame([(7,)], "k long"), t)
+    with pytest.raises(sn.SnapshotVacuumedError, match="HEAL SKIPPED"):
+        sn._validate_or_heal(t, poisoned)
+    # the concurrent commit was NOT buried under a restored old head
+    head = sn.read_manifest(t)
+    assert head.version == poisoned.version + 1
+    assert _rows(sn.read_snapshot(spark, t)) == [(7,)]
+
+
 def test_vacuum_racing_inflight_append_is_safe(spark, tmp_path):
     """VERDICT r05 item 3b: an append that has materialized its data
     files but not yet committed its manifest presents as an
@@ -599,6 +621,19 @@ def test_manifest_stats_and_file_skipping_scan(spark, tmp_path):
         == [(i, 2 * i) for i in range(990, 1000)]
     empty = sn.snapshot_scan(spark, t, prune={"id": (5000, None)})
     assert empty.count() == 0 and len(empty.inputFiles()) == 0
+
+
+def test_file_may_match_is_conservative_on_type_mismatch():
+    """An int prune bound against a str-stat column must KEEP the file
+    (cannot prove a miss), not crash the scan — pruning is
+    conservative by construction (round-6 self-review)."""
+    str_stats = {"c": {"min": "AAA", "max": "MMM", "nulls": 0}}
+    assert sn._file_may_match(str_stats, {"c": (100, 200)})
+    # matching types still prune
+    assert not sn._file_may_match(
+        {"c": {"min": 1, "max": 5, "nulls": 0}}, {"c": (100, 200)}
+    )
+    assert not sn._file_may_match(str_stats, {"c": ("N", None)})
 
 
 def test_stats_survive_appends_checkpoints_and_vacuum(
