@@ -1142,13 +1142,13 @@ DRIVER_WINDOW: list[str] = [
     "source_ablation_quality",
     "events_hll_audience_overlap",  # with the nullif err_pct fix
     "bigram_pmi_collocations",
-    "doc_bm25_topk",
-    "events_rolling_7d",
-    "events_zscore_anomalies",
-    "revenue_cube",
-    "heavy_hitter_parts",
+    "orders_snapshot_merge",  # NEW r6: MERGE commit mode end-to-end
+    "lineitem_snapshot_zorder_scan",  # NEW r6: z-order + 2-D skipping
+    "returns_calibration_ece",  # NEW r6: reliability diagram + ECE
+    "events_cuped_lift",  # NEW r6: CUPED variance-reduced readout
+    "source_lang_js_divergence",  # NEW r6: corpus-mix JSD drift
     "orders_snapshot_pruned_scan",  # NEW: manifest-stats file skipping
-    "returnflag_status_grouping_sets",
+    "events_zscore_anomalies",
     "events_wau_hll",
     "cheapest_supplier_per_part",
     "nation_pair_trade_volume",

@@ -4281,3 +4281,400 @@ def orders_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("bigint").alias("min_key"),
         F.max("o_orderkey").cast("bigint").alias("max_key"),
     )
+
+
+@query(
+    "orders_snapshot_merge",
+    """
+    WITH merged AS (
+        SELECT o_orderpriority, round(o_totalprice * 100)::BIGINT AS cents
+        FROM orders WHERE o_orderpriority <> '1-URGENT'
+        UNION ALL
+        SELECT o_orderpriority,
+               (round(o_totalprice * 100)::BIGINT * 110) // 100 AS cents
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT o_orderpriority, round(o_totalprice * 100)::BIGINT AS cents
+        FROM orders WHERE o_orderkey < 100
+    )
+    SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+           sum(cents)::BIGINT AS revenue_cents
+    FROM merged GROUP BY o_orderpriority
+    """,
+    doc="snapshot_merge_upsert certified end-to-end under the driver's "
+    "value-hash gate — the one snapshot commit mode that previously had "
+    "only pytest coverage. The update batch exercises BOTH merge paths "
+    "at once: every 1-URGENT order matches and is replaced with a +10% "
+    "price (exact integer cents: div(cents*110, 100) on both engines), "
+    "and 100 key-shifted rows are unmatched and insert. The oracle "
+    "rebuilds the merged content from the raw table, so the anti-join "
+    "replace semantics, the insert union, and the committed manifest "
+    "all have to be value-exact. Plan: current LEFT ANTI updates "
+    "(broadcast-able when the batch is small — the CDC case) + union; "
+    "at 100 TB the rewrite is bounded by key-prefix partitioning (see "
+    "snapshot_merge_upsert's note). Same scratch lineage + vacuum "
+    "hygiene as the other snapshot queries.",
+)
+def orders_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .sources import snapshots as sn
+
+    orders = _t(spark, sf_dir, "orders")
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_orders_merge"
+    )
+    sn.snapshot_write(orders, tbl, mode="overwrite")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    upd = orders.where(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice",
+        F.expr(
+            "div(cast(round(o_totalprice * 100) as bigint) * 110, 100)"
+        )
+        / 100.0,
+    )
+    ins = orders.where(F.col("o_orderkey") < 100).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100000
+    )
+    sn.snapshot_merge_upsert(
+        spark, tbl, upd.unionByName(ins), keys=["o_orderkey"]
+    )
+    head = sn.read_snapshot(spark, tbl)
+    sn.vacuum(tbl, keep_last=6)
+    return head.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(cents).cast("bigint").alias("revenue_cents"),
+    )
+
+
+@query(
+    "lineitem_snapshot_zorder_scan",
+    """
+    SELECT count(*)::BIGINT AS n_items,
+           sum(round(l_extendedprice * 100)::BIGINT)::BIGINT
+               AS revenue_cents,
+           min(l_partkey)::BIGINT AS min_part,
+           max(l_suppkey)::BIGINT AS max_supp
+    FROM lineitem
+    WHERE l_partkey BETWEEN 400 AND 700
+      AND l_suppkey BETWEEN 10 AND 40
+    """,
+    doc="Z-order clustering composed with manifest-stats skipping, "
+    "driver-certified: lineitem is committed sorted by the Morton key "
+    "over (l_partkey, l_suppkey) (layout.zorder_key — each file then "
+    "covers a compact 2-D rectangle) with stats_cols on both columns, "
+    "and snapshot_scan answers a 2-D range query by pruning on BOTH "
+    "columns' per-file [min, max] — the multi-dimensional win a plain "
+    "sort key cannot give (sorting on l_partkey alone leaves l_suppkey "
+    "stats full-range in every file). The oracle runs the same 2-D "
+    "range filter on the raw table, so a lost or double-counted file "
+    "fails the value hash; tests/test_snapshots.py asserts the "
+    "inputFiles count actually shrinks on both dimensions. Revenue "
+    "sums exact cents. At 100 TB this is the layout/skip pairing that "
+    "turns a needle query from a full scan into a few-file read.",
+)
+def lineitem_snapshot_zorder_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from .operators.layout import zorder_key
+    from .sources import snapshots as sn
+
+    li = _t(spark, sf_dir, "lineitem")
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_lineitem_zorder"
+    )
+    z = zorder_key(li, ["l_partkey", "l_suppkey"], bits=8)
+    clustered = (
+        li.withColumn("__zkey", z)
+        .repartitionByRange(16, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
+    sn.snapshot_write(
+        clustered, tbl, mode="overwrite",
+        stats_cols=["l_partkey", "l_suppkey"],
+    )
+    pruned = sn.snapshot_scan(
+        spark, tbl,
+        prune={"l_partkey": (400, 700), "l_suppkey": (10, 40)},
+    )
+    sn.vacuum(tbl, keep_last=4)
+    return pruned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).cast("bigint").alias("revenue_cents"),
+        F.min("l_partkey").cast("bigint").alias("min_part"),
+        F.max("l_suppkey").cast("bigint").alias("max_supp"),
+    )
+
+
+@query(
+    "returns_calibration_ece",
+    """
+    WITH b AS (
+        SELECT round(l_discount * 100)::INT AS bin,
+               (l_returnflag = 'R')::BIGINT AS r
+        FROM lineitem
+    ),
+    per AS (
+        SELECT bin, count(*)::BIGINT AS n, sum(r)::BIGINT AS nr
+        FROM b GROUP BY bin
+    ),
+    g AS (
+        SELECT bin, n,
+               (bin * 10000)::BIGINT AS predicted_ppm,
+               ((nr * 1000000) // n)::BIGINT AS empirical_ppm
+        FROM per
+    ),
+    w AS (
+        SELECT *,
+               abs(empirical_ppm - predicted_ppm)::BIGINT AS gap_ppm
+        FROM g
+    ),
+    t AS (
+        SELECT (sum(n * gap_ppm) // sum(n))::BIGINT AS ece_ppm FROM w
+    )
+    SELECT bin, n, predicted_ppm, empirical_ppm, gap_ppm, ece_ppm
+    FROM w CROSS JOIN t
+    """,
+    doc="Reliability diagram + Expected Calibration Error, the "
+    "standard classifier-calibration audit (Guo et al. 2017), with "
+    "l_discount read as a predicted return probability against the "
+    "l_returnflag='R' outcome. One fact scan reduces to the 11-bin "
+    "discount domain; per-bin empirical rates and the n-weighted ECE "
+    "are ALL integer arithmetic in parts-per-million (floor div on "
+    "both engines), so no float sum order or rounding tie can diverge "
+    "cross-engine. The bin-domain total joins back by broadcast, not "
+    "an unpartitioned window. At 100 TB: one shuffle of 11 keys.",
+)
+def returns_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per = (
+        li.select(
+            F.round(F.col("l_discount") * 100).cast("int").alias("bin"),
+            (F.col("l_returnflag") == "R").cast("bigint").alias("r"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("r").cast("bigint").alias("nr"),
+        )
+        .select(
+            "bin",
+            "n",
+            (F.col("bin") * 10000).cast("bigint").alias("predicted_ppm"),
+            F.expr("div(nr * 1000000, n)").cast("bigint").alias(
+                "empirical_ppm"
+            ),
+        )
+        .withColumn(
+            "gap_ppm",
+            F.abs(F.col("empirical_ppm") - F.col("predicted_ppm")).cast(
+                "bigint"
+            ),
+        )
+    )
+    tot = per.agg(
+        F.expr("div(sum(n * gap_ppm), sum(n))").cast("bigint").alias(
+            "ece_ppm"
+        )
+    )
+    return per.crossJoin(F.broadcast(tot))
+
+
+_CONF_HASH = (
+    "(('0x' || substr(md5('conf:' || l_orderkey::VARCHAR || ':' "
+    "|| l_linenumber::VARCHAR), 1, 15))::BIGINT % 100) < 50"
+)
+
+
+@query(
+    "ols_conformal_interval",
+    f"""
+    WITH r0 AS (
+        SELECT l_quantity::BIGINT AS q,
+               round(l_discount * 100)::BIGINT AS d,
+               round(l_extendedprice * 100)::BIGINT AS y,
+               {_CONF_HASH} AS is_train
+        FROM lineitem
+    ),
+    m AS (
+        SELECT count(*)::BIGINT AS n, sum(q)::BIGINT AS sq,
+               sum(d)::BIGINT AS sd, sum(y)::BIGINT AS sy,
+               sum(q * q)::BIGINT AS sqq, sum(d * d)::BIGINT AS sdd,
+               sum(q * d)::BIGINT AS sqd, sum(q * y)::BIGINT AS sqy,
+               sum(d * y)::BIGINT AS sdy
+        FROM r0 WHERE is_train
+    ),
+    c AS (
+        SELECT n,
+               n::DOUBLE * sqq::DOUBLE - sq::DOUBLE * sq::DOUBLE AS a11,
+               n::DOUBLE * sqd::DOUBLE - sq::DOUBLE * sd::DOUBLE AS a12,
+               n::DOUBLE * sdd::DOUBLE - sd::DOUBLE * sd::DOUBLE AS a22,
+               n::DOUBLE * sqy::DOUBLE - sq::DOUBLE * sy::DOUBLE AS b1,
+               n::DOUBLE * sdy::DOUBLE - sd::DOUBLE * sy::DOUBLE AS b2,
+               sq::DOUBLE AS sqf, sd::DOUBLE AS sdf, sy::DOUBLE AS syf
+        FROM m
+    ),
+    s AS (
+        SELECT n AS n_train,
+               (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) AS beta1,
+               (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12) AS beta2,
+               sqf, sdf, syf
+        FROM c
+    ),
+    s2 AS (
+        SELECT n_train, beta1, beta2,
+               (syf - beta1 * sqf - beta2 * sdf) / n_train::DOUBLE AS b0
+        FROM s
+    ),
+    res AS (
+        SELECT abs(y::DOUBLE
+                   - (b0 + beta1 * q::DOUBLE + beta2 * d::DOUBLE))
+                   AS absr
+        FROM r0, s2 WHERE NOT is_train
+    ),
+    qq AS (
+        SELECT list_sort(list(absr)) AS a, count(*)::BIGINT AS n_cal
+        FROM res
+    ),
+    qh AS (
+        SELECT n_cal, {spark_percentile_sql('a', 'n_cal', '0.9')} AS q0
+        FROM qq
+    ),
+    cov AS (
+        SELECT (sum((absr <= q0)::BIGINT) * 1000000 // max(n_cal))::BIGINT
+                   AS coverage_ppm
+        FROM res, qh GROUP BY ()
+    )
+    SELECT s2.n_train, qh.n_cal,
+           round(s2.beta1 / 100, 6) AS beta_qty,
+           round(s2.beta2, 6) AS beta_discount,
+           round(qh.q0 / 100, 6) AS qhat_dollars,
+           cov.coverage_ppm
+    FROM s2, qh, cov
+    """,
+    doc="Split-conformal prediction interval on the OLS price model "
+    "(Vovk; Lei et al. 2018): rows hash-split into train/calibration "
+    "with the portable salted hash, the two-regressor OLS fits on the "
+    "train half from nine EXACT integer moment sums (one map-side "
+    "combinable aggregate), calibration residuals |y - yhat| take "
+    "their 0.9 interpolated quantile via the two-bounded-pass "
+    "exact_quantiles_scalable (quantile_cont semantics — the "
+    "finite-sample (n+1)/n conformal correction shifts the rank by "
+    "<1 at any realistic n and is documented as the asymptotic "
+    "simplification), and the empirical coverage readback is exact "
+    "integer ppm. +/- qhat around any prediction then covers ~90% of "
+    "unseen rows, assumption-free. Float math happens only in 1-row "
+    "scalar algebra and per-row residuals derived from shared "
+    "broadcast betas — no float fold crosses a shuffle.",
+)
+def ols_conformal_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .functions.hashing import stable_hash64
+    from .operators.quality import exact_quantiles_scalable
+
+    li = _t(spark, sf_dir, "lineitem")
+    is_train = (
+        F.pmod(
+            stable_hash64(
+                F.concat(
+                    F.lit("conf:"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            F.lit(100),
+        )
+        < 50
+    )
+    rows = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+        is_train.alias("is_train"),
+    )
+    m = rows.where("is_train").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sqq"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sdd"),
+        F.sum(F.col("q") * F.col("d")).cast("bigint").alias("sqd"),
+        F.sum(F.col("q") * F.col("y")).cast("bigint").alias("sqy"),
+        F.sum(F.col("d") * F.col("y")).cast("bigint").alias("sdy"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    c = m.select(
+        F.col("n").alias("n_train"),
+        (dbl("n") * dbl("sqq") - dbl("sq") * dbl("sq")).alias("a11"),
+        (dbl("n") * dbl("sqd") - dbl("sq") * dbl("sd")).alias("a12"),
+        (dbl("n") * dbl("sdd") - dbl("sd") * dbl("sd")).alias("a22"),
+        (dbl("n") * dbl("sqy") - dbl("sq") * dbl("sy")).alias("b1"),
+        (dbl("n") * dbl("sdy") - dbl("sd") * dbl("sy")).alias("b2"),
+        dbl("sq").alias("sqf"),
+        dbl("sd").alias("sdf"),
+        dbl("sy").alias("syf"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    s2 = c.select(
+        "n_train",
+        ((F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")) / det)
+        .alias("beta1"),
+        ((F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1")) / det)
+        .alias("beta2"),
+        "sqf",
+        "sdf",
+        "syf",
+    ).select(
+        "n_train",
+        "beta1",
+        "beta2",
+        (
+            (
+                F.col("syf")
+                - F.col("beta1") * F.col("sqf")
+                - F.col("beta2") * F.col("sdf")
+            )
+            / F.col("n_train").cast("double")
+        ).alias("b0"),
+    ).localCheckpoint()  # 1 row; feeds residuals AND the final readout
+    res = (
+        rows.where(~F.col("is_train"))
+        .join(F.broadcast(s2))
+        .select(
+            F.abs(
+                dbl("y")
+                - (
+                    F.col("b0")
+                    + F.col("beta1") * dbl("q")
+                    + F.col("beta2") * dbl("d")
+                )
+            ).alias("absr")
+        )
+        .localCheckpoint()  # feeds the quantile AND the coverage pass
+    )
+    qh = exact_quantiles_scalable(res, "absr", [0.9]).select(
+        F.col("q_0").alias("q0")
+    )
+    cov = res.join(F.broadcast(qh)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+        F.expr(
+            "div(sum(cast(absr <= q0 as bigint)) * 1000000, count(1))"
+        ).cast("bigint").alias("coverage_ppm"),
+        F.first("q0").alias("q0"),
+    )
+    return s2.crossJoin(F.broadcast(cov)).select(
+        "n_train",
+        "n_cal",
+        F.round(F.col("beta1") / 100, 6).alias("beta_qty"),
+        F.round(F.col("beta2"), 6).alias("beta_discount"),
+        F.round(F.col("q0") / 100, 6).alias("qhat_dollars"),
+        "coverage_ppm",
+    )

@@ -2044,3 +2044,235 @@ def source_ablation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(loo, 4).alias("mean_chars_loo"),
         F.round(loo - tt / nn, 4).alias("loo_delta"),
     )
+
+
+@query(
+    "events_cuped_lift",
+    f"""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN ({stable_hash64_sql("'cuped:' || user_id::VARCHAR")}
+                          % 100) < 50 THEN 'A' ELSE 'B' END AS variant,
+               sum(CASE WHEN ts::DATE < DATE '2024-01-16'
+                        THEN round(value * 100)::BIGINT ELSE 0
+                   END)::BIGINT AS x,
+               sum(CASE WHEN ts::DATE >= DATE '2024-01-16'
+                        THEN round(value * 100)::BIGINT ELSE 0
+                   END)::BIGINT AS y
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id
+    ),
+    g AS (
+        SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+               sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+               sum(x * x)::BIGINT AS sxx
+        FROM u
+    ),
+    p AS (
+        SELECT variant, count(*)::BIGINT AS ng, sum(x)::BIGINT AS sxg,
+               sum(y)::BIGINT AS syg
+        FROM u GROUP BY variant
+    ),
+    th AS (
+        SELECT n, sx,
+               (n * sxy - sx * sy)::DOUBLE
+                   / nullif(n * sxx - sx * sx, 0)::DOUBLE AS theta
+        FROM g
+    )
+    SELECT a.ng AS n_a, b.ng AS n_b,
+           round(th.theta, 8) AS theta,
+           round((b.syg::DOUBLE / b.ng - a.syg::DOUBLE / a.ng) / 100.0,
+                 6) AS lift_raw,
+           round(((b.syg::DOUBLE / b.ng
+                   - th.theta * (b.sxg::DOUBLE / b.ng
+                                 - th.sx::DOUBLE / th.n))
+                  - (a.syg::DOUBLE / a.ng
+                     - th.theta * (a.sxg::DOUBLE / a.ng
+                                   - th.sx::DOUBLE / th.n))) / 100.0,
+                 6) AS lift_cuped
+    FROM p a, p b, th
+    WHERE a.variant = 'A' AND b.variant = 'B'
+    """,
+    doc="CUPED variance-reduced experiment readout (Deng et al. 2013, "
+    "the industry-standard pre-period adjustment): users hash-bucket "
+    "into variants via the portable salted hash, each user's PRE-period "
+    "spend (covariate X) and POST-period spend (metric Y) accumulate as "
+    "exact integer cents in one user-keyed aggregate, theta = "
+    "cov(X,Y)/var(X) comes from the same pass's global sums (all "
+    "BIGINT; the only float math is final 1-row scalar arithmetic in "
+    "fixed expression order, so no shuffle-order divergence), and the "
+    "adjusted lift Y - theta*(X - mean(X)) is compared across variants. "
+    "NULL-safe: a constant covariate makes theta NULL (nullif), never "
+    "an ANSI divide-by-zero. At 100 TB: one user-keyed shuffle, then "
+    "2-row + 1-row broadcast-joined aggregates.",
+)
+def events_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pre = F.to_date("ts") < F.lit("2024-01-16")
+    u = (
+        ev.select(
+            "user_id",
+            F.when(
+                F.pmod(
+                    stable_hash64(
+                        F.concat(
+                            F.lit("cuped:"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    F.lit(100),
+                )
+                < 50,
+                "A",
+            )
+            .otherwise("B")
+            .alias("variant"),
+            F.when(pre, cents).otherwise(F.lit(0)).alias("xc"),
+            F.when(~pre, cents).otherwise(F.lit(0)).alias("yc"),
+        )
+        .groupBy("user_id", "variant")
+        .agg(
+            F.sum("xc").cast("bigint").alias("x"),
+            F.sum("yc").cast("bigint").alias("y"),
+        )
+    )
+    g = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    ).select(
+        "n",
+        "sx",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.nullif(
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+                F.lit(0),
+            ).cast("double")
+        ).alias("theta"),
+    )
+    p = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("x").cast("bigint").alias("sxg"),
+        F.sum("y").cast("bigint").alias("syg"),
+    )
+    a = p.where(F.col("variant") == "A").alias("a")
+    b = p.where(F.col("variant") == "B").alias("b")
+
+    def _adj(side: str):
+        return (
+            F.col(f"{side}.syg").cast("double") / F.col(f"{side}.ng")
+            - F.col("theta")
+            * (
+                F.col(f"{side}.sxg").cast("double") / F.col(f"{side}.ng")
+                - F.col("sx").cast("double") / F.col("n")
+            )
+        )
+
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.col("a.ng").alias("n_a"),
+            F.col("b.ng").alias("n_b"),
+            F.round("theta", 8).alias("theta"),
+            F.round(
+                (
+                    F.col("b.syg").cast("double") / F.col("b.ng")
+                    - F.col("a.syg").cast("double") / F.col("a.ng")
+                )
+                / 100.0,
+                6,
+            ).alias("lift_raw"),
+            F.round((_adj("b") - _adj("a")) / 100.0, 6).alias(
+                "lift_cuped"
+            ),
+        )
+    )
+
+
+@query(
+    "source_lang_js_divergence",
+    """
+    WITH c AS (
+        SELECT source, lang, count(*)::BIGINT AS c
+        FROM documents
+        WHERE source IS NOT NULL AND lang IS NOT NULL
+        GROUP BY source, lang
+    ),
+    ns AS (SELECT source, sum(c)::BIGINT AS n FROM c GROUP BY source),
+    nl AS (SELECT lang, sum(c)::BIGINT AS cl FROM c GROUP BY lang),
+    tot AS (SELECT sum(c)::BIGINT AS nt FROM c),
+    f AS (
+        SELECT g.source,
+               coalesce(c.c, 0)::DOUBLE / g.n AS p,
+               g.cl::DOUBLE / g.nt AS q
+        FROM (SELECT s.source, s.n, l.lang, l.cl, t.nt
+              FROM ns s CROSS JOIN nl l CROSS JOIN tot t) g
+        LEFT JOIN c ON c.source = g.source AND c.lang = g.lang
+    ),
+    t2 AS (
+        SELECT source,
+               round((CASE WHEN p = 0 THEN 0.0
+                           ELSE p * round(ln(p / ((p + q) / 2)), 8)
+                      END
+                      + q * round(ln(q / ((p + q) / 2)), 8))
+                     * 1e12)::BIGINT AS term
+        FROM f
+    )
+    SELECT source,
+           round(0.5 * sum(term) / 1e12 / 0.69314718, 6) AS jsd_bits
+    FROM t2 GROUP BY source
+    """,
+    doc="Jensen-Shannon divergence of each source's language "
+    "distribution from the corpus-wide distribution, in bits — the "
+    "bounded, symmetric drift score used to flag sources whose "
+    "composition departs from the mixture plan (PSI's unbounded "
+    "cousin; JSD in [0,1] bits ranks sources comparably). The fact "
+    "scan reduces to the (source, lang) count grid once; zero cells "
+    "come from a broadcast dimension cross join (p=0 terms are "
+    "defined 0, q never 0 corpus-wide). Cross-engine determinism: "
+    "libm-divergent ln is rounded to 8dp BEFORE any fold, each "
+    "source's 5-term sum is quantized to integer e-12 units so "
+    "addition order cannot matter, and ln(2) enters as the shared "
+    "8dp literal. At 100 TB: one shuffle of |sources|*|langs| keys.",
+)
+def source_lang_js_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    )
+    c = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    c = c.localCheckpoint()  # feeds three derived dims + the fill join
+    ns = c.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    nl = c.groupBy("lang").agg(F.sum("c").cast("bigint").alias("cl"))
+    tot = c.agg(F.sum("c").cast("bigint").alias("nt"))
+    grid = ns.crossJoin(F.broadcast(nl)).crossJoin(F.broadcast(tot))
+    f = grid.join(c, ["source", "lang"], "left").select(
+        "source",
+        (F.coalesce("c", F.lit(0)).cast("double") / F.col("n")).alias("p"),
+        (F.col("cl").cast("double") / F.col("nt")).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = (
+        F.when(F.col("p") == 0, F.lit(0.0)).otherwise(
+            F.col("p") * F.round(F.log(F.col("p") / m), 8)
+        )
+        + F.col("q") * F.round(F.log(F.col("q") / m), 8)
+    )
+    t2 = f.select(
+        "source", F.round(term * 1e12).cast("bigint").alias("term")
+    )
+    return t2.groupBy("source").agg(
+        F.round(
+            0.5 * F.sum("term") / 1e12 / 0.69314718, 6
+        ).alias("jsd_bits")
+    )

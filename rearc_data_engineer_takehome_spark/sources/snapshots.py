@@ -373,12 +373,42 @@ def _schema_compatible(a_json: str, b_json: str) -> bool:
     return _norm_type(json.loads(a_json)) == _norm_type(json.loads(b_json))
 
 
+def _merge_schemas(table_json: str, append_json: str) -> str:
+    """Additive schema evolution (Delta's mergeSchema contract): the
+    merged schema keeps every table field's original definition, then
+    appends fields only the incoming batch has — forced nullable,
+    because every pre-evolution file lacks them and reads null-fill.
+    A field present in BOTH must be structurally identical (same
+    normal-form type); renames and type changes stay loud errors, as
+    they would silently corrupt reads."""
+    table = json.loads(table_json)
+    append = json.loads(append_json)
+    by_name = {f["name"]: f for f in append["fields"]}
+    merged = []
+    for f in table["fields"]:
+        inc = by_name.pop(f["name"], None)
+        if inc is not None and _norm_type(inc["type"]) != _norm_type(
+            f["type"]
+        ):
+            raise ValueError(
+                f"merge_schema cannot change column {f['name']!r}'s "
+                f"type ({f['type']} -> {inc['type']}); only ADDING "
+                "columns is supported"
+            )
+        merged.append(f)
+    for f in append["fields"]:  # preserve the batch's order for adds
+        if f["name"] in by_name:
+            merged.append({**f, "nullable": True})
+    return json.dumps({**table, "fields": merged})
+
+
 def snapshot_write(
     df: DataFrame,
     table_dir: str,
     mode: str = "overwrite",
     checkpoint_interval: int = CHECKPOINT_INTERVAL,
     stats_cols: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> Snapshot:
     """Commit ``df`` as the next table version. ``overwrite`` replaces
     the logical content (old files stay on disk for time travel until
@@ -401,7 +431,14 @@ def snapshot_write(
     mined from the just-written parquet footers and stored in the
     manifest — the data-skipping index :func:`snapshot_scan` prunes
     with. Cost is O(files ADDED) footer reads per commit; files
-    committed without stats are simply never pruned."""
+    committed without stats are simply never pruned.
+
+    ``merge_schema=True`` enables ADDITIVE schema evolution on append
+    (Delta's mergeSchema contract): a batch that only adds new columns
+    widens the table schema, and reads of every version resolve
+    against their manifest's schema explicitly, so pre-evolution files
+    null-fill the new columns. Renames and type changes stay loud
+    errors in both modes."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     if checkpoint_interval < 1:
@@ -423,14 +460,21 @@ def snapshot_write(
         if versions:
             prev_v = versions[-1]
             prev_raw = _raw_manifest(table_dir, prev_v)
-            if not _schema_compatible(prev_raw["schema"], schema):
+            if _schema_compatible(prev_raw["schema"], schema):
+                table_schema = prev_raw["schema"]  # sticky table schema
+            elif merge_schema:
+                # additive evolution: widen the table schema; raises
+                # if the batch renames or retypes an existing column
+                table_schema = _merge_schemas(prev_raw["schema"], schema)
+            else:
                 raise ValueError(
                     f"append schema is structurally incompatible with "
                     f"the table schema (column name or type mismatch): "
-                    f"append={schema} table={prev_raw['schema']}"
+                    f"append={schema} table={prev_raw['schema']} — "
+                    "pass merge_schema=True if the batch only ADDS "
+                    "columns"
                 )
             nxt = prev_v + 1
-            table_schema = prev_raw["schema"]  # table schema is sticky
         else:
             nxt, prev_v, table_schema = 0, None, schema
         try:
@@ -460,11 +504,15 @@ def read_snapshot(
 ) -> DataFrame:
     """Read the table as of ``version`` (default: latest) — time
     travel is just resolving an older manifest. An empty file list
-    yields an empty frame with the manifest's schema."""
+    yields an empty frame with the manifest's schema. The read pins
+    the manifest's schema explicitly (never samples a data file's
+    footer), so after additive evolution pre-evolution files
+    null-fill the added columns — and each time-travel version reads
+    with exactly the schema it was committed under."""
     snap = read_manifest(table_dir, version)
     if not snap.files:
         return spark.createDataFrame([], _schema_of(snap))
-    return spark.read.parquet(
+    return spark.read.schema(_schema_of(snap)).parquet(
         *[os.path.join(table_dir, f) for f in snap.files]
     )
 
@@ -774,7 +822,7 @@ def snapshot_scan(
     if not keep:
         df = spark.createDataFrame([], _schema_of(snap))
     else:
-        df = spark.read.parquet(
+        df = spark.read.schema(_schema_of(snap)).parquet(
             *[os.path.join(table_dir, f) for f in keep]
         )
     from pyspark.sql import functions as F
@@ -874,6 +922,6 @@ def read_increment(
     new = [f for f in head.files if f not in base_set]
     if not new:
         return spark.createDataFrame([], _schema_of(head))
-    return spark.read.parquet(
+    return spark.read.schema(_schema_of(head)).parquet(
         *[os.path.join(table_dir, f) for f in new]
     )

@@ -666,6 +666,109 @@ def test_stats_survive_appends_checkpoints_and_vacuum(
     assert len(got2.inputFiles()) == 3  # consolidation kept the stats
 
 
+def test_merge_schema_additive_evolution(spark, tmp_path):
+    """merge_schema=True append widens the table schema (Delta's
+    mergeSchema contract): pre-evolution files null-fill the added
+    column on every read path (head, time travel, increment), while
+    renames/type changes stay loud errors in both modes."""
+    t = str(tmp_path / "tbl")
+    v0 = sn.snapshot_write(
+        spark.createDataFrame([(1, "a")], "k long, s string"), t
+    )
+    # incompatible without the flag, with a pointer to it
+    wide = spark.createDataFrame(
+        [(2, "b", 9.5)], "k long, s string, score double"
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        sn.snapshot_write(wide, t, "append")
+    snap = sn.snapshot_write(wide, t, "append", merge_schema=True)
+    assert [f.name for f in _schema_fields(snap)] == ["k", "s", "score"]
+
+    head = sn.read_snapshot(spark, t)
+    assert head.schema["score"].dataType.typeName() == "double"
+    rows = {r.k: (r.s, r.score) for r in head.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    # time travel to v0 reads with v0's (narrow) schema
+    assert sn.read_snapshot(spark, t, v0.version).columns == ["k", "s"]
+    # the increment carries the widened schema
+    inc = sn.read_increment(spark, t, since_version=v0.version)
+    assert [r.score for r in inc.collect()] == [9.5]
+
+    # a type CHANGE is rejected even with merge_schema
+    with pytest.raises(ValueError, match="only ADDING"):
+        sn.snapshot_write(
+            spark.createDataFrame([("x", "b", 1.0)],
+                                  "k string, s string, score double"),
+            t, "append", merge_schema=True,
+        )
+    # post-evolution appends of the wide schema are plain-compatible
+    sn.snapshot_write(
+        spark.createDataFrame([(3, "c", 1.5)],
+                              "k long, s string, score double"),
+        t, "append",
+    )
+    assert sn.read_snapshot(spark, t).count() == 3
+
+
+def _schema_fields(snap):
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(_json.loads(snap.schema)).fields
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order clustering + manifest stats give MULTI-dimensional
+    skipping: a commit sorted by the Morton key over (a, b) prunes a
+    range predicate on EITHER column, where a plain sort on `a` alone
+    leaves `b` full-range in every file (referenced by the
+    lineitem_snapshot_zorder_scan query doc)."""
+    from rearc_data_engineer_takehome_spark.operators.layout import (
+        zorder_key,
+    )
+
+    df = (
+        spark.range(0, 4096)
+        .withColumn("a", (F.col("id") % 64).cast("long"))
+        .withColumn("b", (F.col("id") / 64).cast("long"))
+    )
+    tz = str(tmp_path / "zord")
+    z = zorder_key(df, ["a", "b"], bits=6)
+    clustered = (
+        df.withColumn("__z", z)
+        .repartitionByRange(16, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    sn.snapshot_write(clustered, tz, stats_cols=["a", "b"])
+
+    # plain sort on `a`: every file spans b's full domain
+    tp = str(tmp_path / "plain")
+    sn.snapshot_write(
+        df.repartitionByRange(16, "a").sortWithinPartitions("a"),
+        tp,
+        stats_cols=["a", "b"],
+    )
+
+    for t in (tz, tp):
+        got = sn.snapshot_scan(spark, t, prune={"b": (10, 15)})
+        assert got.count() == 64 * 6
+    n_z = len(
+        sn.snapshot_scan(spark, tz, prune={"b": (10, 15)}).inputFiles()
+    )
+    n_p = len(
+        sn.snapshot_scan(spark, tp, prune={"b": (10, 15)}).inputFiles()
+    )
+    assert n_p == 16  # sort key can't help the other column
+    assert n_z < 16  # z-order does
+    # and the z-ordered table still prunes on `a` as well
+    n_za = len(
+        sn.snapshot_scan(spark, tz, prune={"a": (0, 7)}).inputFiles()
+    )
+    assert n_za < 16
+
+
 def test_snapshot_compact_bin_packs_and_keeps_contract(
     spark, tmp_path, monkeypatch
 ):
