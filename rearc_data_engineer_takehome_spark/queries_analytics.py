@@ -4294,6 +4294,8 @@ def orders_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                (round(o_totalprice * 100)::BIGINT * 110) // 100 AS cents
         FROM orders WHERE o_orderpriority = '1-URGENT'
         UNION ALL
+        -- inserts are keyed above max(o_orderkey), so they can never
+        -- collide with a live key at ANY scale factor
         SELECT o_orderpriority, round(o_totalprice * 100)::BIGINT AS cents
         FROM orders WHERE o_orderkey < 100
     )
@@ -4333,8 +4335,16 @@ def orders_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / 100.0,
     )
-    ins = orders.where(F.col("o_orderkey") < 100).withColumn(
-        "o_orderkey", F.col("o_orderkey") + 100000
+    max_key = orders.agg(
+        F.max("o_orderkey").cast("bigint").alias("__maxk")
+    )
+    ins = (
+        orders.where(F.col("o_orderkey") < 100)
+        .join(F.broadcast(max_key))
+        .withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.col("__maxk") + 1
+        )
+        .drop("__maxk")
     )
     sn.snapshot_merge_upsert(
         spark, tbl, upd.unionByName(ins), keys=["o_orderkey"]
@@ -4485,10 +4495,12 @@ def returns_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.crossJoin(F.broadcast(tot))
 
 
-_CONF_HASH = (
-    "(('0x' || substr(md5('conf:' || l_orderkey::VARCHAR || ':' "
-    "|| l_linenumber::VARCHAR), 1, 15))::BIGINT % 100) < 50"
+from .functions.hashing import stable_hash64_sql as _h64sql  # noqa: E402
+
+_CONF_KEY = (
+    "'conf:' || l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR"
 )
+_CONF_HASH = f"({_h64sql(_CONF_KEY)} % 100) < 50"
 
 
 @query(

@@ -379,17 +379,26 @@ def _merge_schemas(table_json: str, append_json: str) -> str:
     appends fields only the incoming batch has — forced nullable,
     because every pre-evolution file lacks them and reads null-fill.
     A field present in BOTH must be structurally identical (same
-    normal-form type); renames and type changes stay loud errors, as
-    they would silently corrupt reads."""
+    normal-form type), and the batch must CARRY every existing table
+    column: a missing column is a loud error, because it is
+    indistinguishable from half of a rename — accepting it would turn
+    `s -> s2` into a silent (k, s, s2) table with complementary null
+    halves, exactly the read corruption this contract exists to
+    prevent."""
     table = json.loads(table_json)
     append = json.loads(append_json)
     by_name = {f["name"]: f for f in append["fields"]}
     merged = []
     for f in table["fields"]:
         inc = by_name.pop(f["name"], None)
-        if inc is not None and _norm_type(inc["type"]) != _norm_type(
-            f["type"]
-        ):
+        if inc is None:
+            raise ValueError(
+                f"merge_schema batch is missing table column "
+                f"{f['name']!r}: only ADDING columns is supported — a "
+                "missing column reads as half of a rename, which would "
+                "silently null-fill both halves"
+            )
+        if _norm_type(inc["type"]) != _norm_type(f["type"]):
             raise ValueError(
                 f"merge_schema cannot change column {f['name']!r}'s "
                 f"type ({f['type']} -> {inc['type']}); only ADDING "

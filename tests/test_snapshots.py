@@ -701,6 +701,14 @@ def test_merge_schema_additive_evolution(spark, tmp_path):
                                   "k string, s string, score double"),
             t, "append", merge_schema=True,
         )
+    # a RENAME (= drop s + add s2) is rejected, not silently accepted
+    # as an add with complementary null halves
+    with pytest.raises(ValueError, match="missing table column"):
+        sn.snapshot_write(
+            spark.createDataFrame([(9, "b", 1.0)],
+                                  "k long, s2 string, score double"),
+            t, "append", merge_schema=True,
+        )
     # post-evolution appends of the wide schema are plain-compatible
     sn.snapshot_write(
         spark.createDataFrame([(3, "c", 1.5)],
