@@ -789,3 +789,83 @@ def test_ols_cramer_matches_numpy_on_random_data(
     assert abs(got["intercept"] - coef[0] / 100) < 1e-3 * max(
         1.0, abs(coef[0] / 100)
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot schema evolution: _merge_schemas algebraic properties
+# ---------------------------------------------------------------------------
+
+_FIELD_TYPES = st.sampled_from(["long", "double", "string", "boolean", "date"])
+
+
+def _schema_json(names_types):
+    import json as _json
+
+    return _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": n, "type": t, "nullable": bool(i % 2),
+                 "metadata": {}}
+                for i, (n, t) in enumerate(names_types)
+            ],
+        }
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    base=st.lists(
+        st.tuples(
+            st.text("abcdefgh", min_size=1, max_size=4), _FIELD_TYPES
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda ft: ft[0],
+    ),
+    adds=st.lists(
+        st.tuples(
+            st.text("ijklmnop", min_size=1, max_size=4), _FIELD_TYPES
+        ),
+        min_size=0,
+        max_size=4,
+        unique_by=lambda ft: ft[0],
+    ),
+)
+def test_merge_schemas_add_only_properties(base, adds):
+    """For any table schema and any add-only batch (disjoint new
+    names): the merge keeps every table field's definition and order,
+    appends exactly the new fields as nullable, is idempotent, and a
+    batch that drops or retypes a table column always raises."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from rearc_data_engineer_takehome_spark.sources.snapshots import (
+        _merge_schemas,
+    )
+
+    table = _schema_json(base)
+    batch = _schema_json(base + adds)
+    merged = _merge_schemas(table, batch)
+    mf = _json.loads(merged)["fields"]
+    tf = _json.loads(table)["fields"]
+    assert mf[: len(tf)] == tf  # table fields verbatim, in order
+    assert [f["name"] for f in mf[len(tf):]] == [n for n, _ in adds]
+    assert all(f["nullable"] for f in mf[len(tf):])
+    # idempotent: merging the widened batch into the merged schema is
+    # a no-op
+    assert _merge_schemas(merged, batch) == merged
+
+    if base:
+        # dropping the first table column (rename half) raises
+        dropped = _schema_json(base[1:] + adds)
+        with _pytest.raises(ValueError, match="missing table column"):
+            _merge_schemas(table, dropped)
+        # retyping the first table column raises
+        n0, t0 = base[0]
+        other = "double" if t0 != "double" else "string"
+        with _pytest.raises(ValueError, match="cannot change"):
+            _merge_schemas(
+                table, _schema_json([(n0, other)] + base[1:] + adds)
+            )
