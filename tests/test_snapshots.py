@@ -718,6 +718,30 @@ def test_merge_schema_additive_evolution(spark, tmp_path):
     assert sn.read_snapshot(spark, t).count() == 3
 
 
+def test_pruned_scan_composes_with_schema_evolution(spark, tmp_path):
+    """Pruning on a column ADDED by evolution: pre-evolution files have
+    no stats (and no column) for it, so they are conservatively kept,
+    read with the pinned widened schema (null-fill), and the row-level
+    predicate drops their NULLs — exact results, skipping only where
+    stats prove a miss."""
+    t = str(tmp_path / "tbl")
+    sn.snapshot_write(
+        spark.range(0, 100).select(F.col("id").alias("k")).coalesce(1), t
+    )
+    for lo in (0, 500):
+        sn.snapshot_write(
+            spark.range(lo, lo + 100)
+            .select(F.col("id").alias("k"), F.col("id").alias("score"))
+            .coalesce(1),
+            t, "append", merge_schema=True, stats_cols=["score"],
+        )
+    got = sn.snapshot_scan(spark, t, prune={"score": (500, 540)})
+    assert sorted(r.k for r in got.collect()) == list(range(500, 541))
+    # kept: the stats-pruned matching file + the stats-less v0 file;
+    # skipped: the scored file whose [0, 99] range provably misses
+    assert len(got.inputFiles()) == 2
+
+
 def _schema_fields(snap):
     import json as _json
 
