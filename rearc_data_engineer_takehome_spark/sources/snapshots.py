@@ -750,6 +750,50 @@ def snapshot_merge_upsert(
     )
 
 
+def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY for the snapshot log: one row per retained
+    version — mode, files added this commit, total live files, and
+    whether the manifest is full (checkpoint/overwrite/rollback/
+    compact) or a delta. Reads only manifests (KBs of JSON at any
+    table size — never the storage listing), and the row count is the
+    retention window, so collecting it driver-side is bounded by
+    ``vacuum``'s keep_last, not by data volume."""
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rows = []
+    for v in list_versions(table_dir):
+        raw = _raw_manifest(table_dir, v)
+        files, stats, _ = _resolve_files(table_dir, v)
+        rows.append(
+            (
+                v,
+                raw["mode"],
+                int(raw["n_files_added"]),
+                len(files),
+                "files" in raw,
+                len(stats),
+            )
+        )
+    schema = StructType(
+        [
+            StructField("version", IntegerType(), False),
+            StructField("mode", StringType(), False),
+            StructField("n_files_added", IntegerType(), False),
+            StructField("n_files_live", LongType(), False),
+            StructField("is_full_manifest", BooleanType(), False),
+            StructField("n_files_with_stats", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def scratch_table_dir(suffix: str) -> str:
     """Per-process scratch table path under a per-uid /tmp root, with
     hygiene: every call sweeps sibling lineages older than a day

@@ -718,6 +718,29 @@ def test_merge_schema_additive_evolution(spark, tmp_path):
     assert sn.read_snapshot(spark, t).count() == 3
 
 
+def test_table_history_describes_retained_versions(spark, tmp_path):
+    """table_history = DESCRIBE HISTORY: one row per retained version
+    with mode / files-added / live-files / manifest form, computed
+    from manifests alone, shrinking with vacuum."""
+    t = str(tmp_path / "tbl")
+    sn.snapshot_write(spark.range(0, 10).coalesce(1), t)  # v0 overwrite
+    sn.snapshot_write(spark.range(10, 20).coalesce(1), t, "append")
+    sn.snapshot_write(spark.range(20, 30).coalesce(1), t, "append",
+                      stats_cols=["id"])
+    h = {r.version: r for r in sn.table_history(spark, t).collect()}
+    assert [h[v].mode for v in (0, 1, 2)] == [
+        "overwrite", "append", "append",
+    ]
+    assert h[0].is_full_manifest and not h[2].is_full_manifest
+    assert (h[2].n_files_added, h[2].n_files_live) == (1, 3)
+    assert h[2].n_files_with_stats == 1
+
+    sn.vacuum(t, keep_last=2, orphan_age_seconds=10**9)
+    left = sn.table_history(spark, t).collect()
+    assert sorted(r.version for r in left) == [1, 2]
+    assert all(r.n_files_live == r.version + 1 for r in left)
+
+
 def test_pruned_scan_composes_with_schema_evolution(spark, tmp_path):
     """Pruning on a column ADDED by evolution: pre-evolution files have
     no stats (and no column) for it, so they are conservatively kept,
