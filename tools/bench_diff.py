@@ -13,9 +13,13 @@ This replaces the judge-eyeball exoneration of sub-second swings
 mechanically without the band).
 
 Usage:
-    python tools/bench_diff.py OLD_DETAIL.json NEW_DETAIL.json [out.md]
-    python tools/bench_diff.py <(git show HEAD:BENCH_DETAIL.json) \
-        BENCH_DETAIL.json
+    python tools/bench_diff.py [OLD_DETAIL.json] [NEW_DETAIL.json] [out.md]
+
+With no args, OLD defaults to the newest pinned per-round artifact
+``BENCH_DETAIL_rNN.json`` in the repo root and NEW to
+``BENCH_DETAIL.json`` (VERDICT r06 item 2: round-over-round claims must
+diff against the *committed* previous-round basis, never a mid-round
+refresh — the README r6 claim was wrong for exactly that reason).
 
 Exit code 0 always (reporting tool, not a gate); the regression count
 is in the last stdout line for scripting.
@@ -64,9 +68,30 @@ def compare(old: dict, new: dict) -> dict:
     }
 
 
+def _latest_pinned() -> str:
+    """Newest committed per-round artifact (BENCH_DETAIL_rNN.json)."""
+    import glob
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pinned = sorted(
+        p
+        for p in glob.glob(os.path.join(root, "BENCH_DETAIL_r*.json"))
+        if re.search(r"BENCH_DETAIL_r\d+\.json$", p)
+    )
+    if not pinned:
+        raise SystemExit(
+            "no pinned BENCH_DETAIL_rNN.json found; pass OLD explicitly"
+        )
+    return pinned[-1]
+
+
 def main() -> None:
-    old_path, new_path = sys.argv[1], sys.argv[2]
-    out_path = sys.argv[3] if len(sys.argv) > 3 else None
+    argv = sys.argv[1:]
+    old_path = argv[0] if len(argv) >= 1 else _latest_pinned()
+    new_path = argv[1] if len(argv) >= 2 else "BENCH_DETAIL.json"
+    out_path = argv[2] if len(argv) >= 3 else None
     old = json.load(open(old_path))
     new = json.load(open(new_path))
     if old.get("sf") != new.get("sf"):
