@@ -70,6 +70,20 @@ def get_spark(
         # dedup_minhash_lsh alone in battery state; classes are KB-sized
         # so the cache is noise against the 8g heap.
         .config("spark.sql.codegen.cache.maxEntries", "8000")
+        # Round 7 (VERDICT r06 item 3): the generated-class cache keeps
+        # *bytecode* alive, but HotSpot's JIT code cache (default
+        # ReservedCodeCacheSize=240m) holds the *compiled* methods — at
+        # ~211 distinct whole-stage-codegen plans it fills mid-battery,
+        # JIT compilation stops ("CodeCache is full" in stderr), and
+        # every later query runs partially interpreted: exactly the
+        # distributed sub-band drift r06 measured (~5 s across the
+        # battery, nothing per-query actionable). 512m keeps steady-state
+        # compiled execution for the whole battery. First-JVM-launch
+        # only, like driver.memory above.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         # NOTE: parquet timestamp inference is left at Spark defaults
         # (TIMESTAMP_NTZ) on purpose — the correctness driver builds its
         # own default-config session, so queries must behave identically
