@@ -4582,7 +4582,15 @@ _CONF_HASH = f"({_h64sql(_CONF_KEY)} % 100) < 50"
     "integer ppm. +/- qhat around any prediction then covers ~90% of "
     "unseen rows, assumption-free. Float math happens only in 1-row "
     "scalar algebra and per-row residuals derived from shared "
-    "broadcast betas — no float fold crosses a shuffle.",
+    "broadcast betas — no float fold crosses a shuffle. PERF "
+    "(VERDICT r06 item 4): the fitted betas are a 1-row driver "
+    "collect embedded as literals, and each residual consumer "
+    "recomputes |y-yhat| from a column-pruned scan instead of a "
+    "localCheckpoint — at 100 TB that trades ~3 bounded 3-column "
+    "scans for zero non-recoverable executor-local state (an "
+    "executor loss recomputes instead of killing the query). "
+    "Recompute is bit-stable: the moments are exact integer sums, so "
+    "the literal betas are identical whichever pass derives them.",
 )
 def ols_conformal_interval(
     spark: SparkSession, sf_dir: str
@@ -4656,21 +4664,24 @@ def ols_conformal_interval(
             )
             / F.col("n_train").cast("double")
         ).alias("b0"),
-    ).localCheckpoint()  # 1 row; feeds residuals AND the final readout
-    res = (
-        rows.where(~F.col("is_train"))
-        .join(F.broadcast(s2))
-        .select(
-            F.abs(
-                dbl("y")
-                - (
-                    F.col("b0")
-                    + F.col("beta1") * dbl("q")
-                    + F.col("beta2") * dbl("d")
-                )
-            ).alias("absr")
-        )
-        .localCheckpoint()  # feeds the quantile AND the coverage pass
+    )
+    # 1-row bounded driver collect (the audited pattern): embedding the
+    # betas as literals keeps every downstream residual pass a pure,
+    # recomputable lineage — no localCheckpoint, no non-recoverable
+    # executor-local state at scale (VERDICT r06 item 4).
+    fit = s2.collect()[0]
+    n_train, beta1, beta2, b0 = (
+        fit["n_train"], fit["beta1"], fit["beta2"], fit["b0"],
+    )
+    res = rows.where(~F.col("is_train")).select(
+        F.abs(
+            dbl("y")
+            - (
+                F.lit(b0)
+                + F.lit(beta1) * dbl("q")
+                + F.lit(beta2) * dbl("d")
+            )
+        ).alias("absr")
     )
     qh = exact_quantiles_scalable(res, "absr", [0.9]).select(
         F.col("q_0").alias("q0")
@@ -4682,11 +4693,135 @@ def ols_conformal_interval(
         ).cast("bigint").alias("coverage_ppm"),
         F.first("q0").alias("q0"),
     )
-    return s2.crossJoin(F.broadcast(cov)).select(
-        "n_train",
+    return cov.select(
+        F.lit(n_train).cast("bigint").alias("n_train"),
         "n_cal",
-        F.round(F.col("beta1") / 100, 6).alias("beta_qty"),
-        F.round(F.col("beta2"), 6).alias("beta_discount"),
+        F.round(F.lit(beta1) / 100, 6).alias("beta_qty"),
+        F.round(F.lit(beta2), 6).alias("beta_discount"),
         F.round(F.col("q0") / 100, 6).alias("qhat_dollars"),
         "coverage_ppm",
     )
+
+
+@query(
+    "events_hll_ivm_maintenance",
+    """
+    WITH ev AS (
+        SELECT floor(epoch(ts) / 86400)::BIGINT AS day,
+               user_id::VARCHAR AS k, user_id
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND event_id IS NOT NULL
+    ),
+    regs AS ({regs}),
+    est AS ({est}),
+    exact AS (
+        SELECT day, count(DISTINCT user_id)::BIGINT AS exact_users
+        FROM ev GROUP BY day
+    )
+    SELECT (day * 86400)::BIGINT AS day_start,
+           hll_est AS maintained_users,
+           hll_est AS rebuilt_users,
+           exact_users
+    FROM est JOIN exact USING (day)
+    """,
+    doc="Streaming-maintenance certification (VERDICT r06 item 6): the "
+    "foreachBatch incremental-view-maintenance pattern the streaming "
+    "tier pytest-gates (tests/test_streaming_semantics.py "
+    "foreachbatch HLL IVM; snapshot-append sink f0d8ee6), replayed "
+    "batch-deterministically under the driver's value-hash gate. "
+    "Events split into three deterministic micro-batches "
+    "(event_id % 3) committed as snapshot versions (overwrite + 2 "
+    "appends); the maintained state starts from the base version's "
+    "per-day HLL registers and folds each read_increment's registers "
+    "in by MAX-merge — exactly what the foreachBatch sink does with "
+    "its register table, state bounded at O(days x 2^p) registers "
+    "with the fact table read once per increment. The query emits the "
+    "MAINTAINED estimate next to a single-pass REBUILT estimate and "
+    "the exact distinct count; the oracle computes the one-pass "
+    "estimate, so the hash gate proves maintained == rebuilt == "
+    "oracle — merge associativity through real increments, not just "
+    "in pytest. (The register fold is a sum of dyadic rationals, "
+    "exact in double, so the equality is bit-for-bit.) Same pid-"
+    "scoped /tmp lineage + vacuum(keep_last=6) hygiene as "
+    "orders_snapshot_increment.",
+)
+def events_hll_ivm_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from .sources import snapshots as sn
+
+    ev = (
+        _events(spark, sf_dir)
+        .where(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select(
+            F.floor(epoch_seconds("ts") / F.lit(86400))
+            .cast("bigint")
+            .alias("day"),
+            F.col("user_id").cast("string").alias("k"),
+            "user_id",
+            F.pmod(F.col("event_id"), F.lit(3)).alias("batch"),
+        )
+    )
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_ev_hll_ivm"
+    )
+    base = sn.snapshot_write(
+        ev.where(F.col("batch") == 0).drop("batch"), tbl, mode="overwrite"
+    )
+    for b in (1, 2):
+        sn.snapshot_write(
+            ev.where(F.col("batch") == b).drop("batch"), tbl, mode="append"
+        )
+    head = sn.read_manifest(tbl)
+    state = _sk.hll_registers(
+        sn.read_snapshot(spark, tbl, base.version), "k", ("day",)
+    )
+    for v in range(base.version + 1, head.version + 1):
+        inc = sn.read_increment(
+            spark, tbl, since_version=v - 1, version=v
+        )
+        state = _sk.hll_merge(
+            state.unionByName(_sk.hll_registers(inc, "k", ("day",))),
+            ("day",),
+        )
+    maintained = _sk.hll_estimate(state, ("day",)).withColumnRenamed(
+        "hll_est", "maintained_users"
+    )
+    full = sn.read_snapshot(spark, tbl)
+    rebuilt = _sk.hll_estimate(
+        _sk.hll_registers(full, "k", ("day",)), ("day",)
+    ).withColumnRenamed("hll_est", "rebuilt_users")
+    exact = full.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    sn.vacuum(tbl, keep_last=6)
+    return (
+        maintained.join(rebuilt, "day")
+        .join(exact, "day")
+        .select(
+            (F.col("day") * 86400).cast("bigint").alias("day_start"),
+            "maintained_users",
+            "rebuilt_users",
+            "exact_users",
+        )
+    )
+
+
+REGISTRY["events_hll_ivm_maintenance"] = type(
+    REGISTRY["events_hll_ivm_maintenance"]
+)(
+    name="events_hll_ivm_maintenance",
+    spark=REGISTRY["events_hll_ivm_maintenance"].spark,
+    oracle=REGISTRY["events_hll_ivm_maintenance"].oracle.format(
+        regs=_sk.hll_registers_sql("ev", "k", ("day",)),
+        est=_sk.hll_estimate_sql("regs", ("day",)),
+    ),
+    doc=REGISTRY["events_hll_ivm_maintenance"].doc,
+)
