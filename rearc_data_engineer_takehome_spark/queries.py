@@ -1128,33 +1128,35 @@ DRIVER_WINDOW: list[str] = [
     "curation_pipeline",
     # --- pinned: streaming representative (§2.9) ---
     "events_hypertable_rollup",
-    # --- rotating slots, round 6: all 22 never-driver-checked ---
-    # (r5 window occupants evicted to strict local parity; VERDICT r05
-    # item 1 names the round-5 evaluation/privacy/sketch tier below as
-    # this round's priority, plus long-tail evictees never checked
-    # r1-r5, plus the NEW guard-remediation query from item 6)
-    "returns_auc_by_discount",  # evaluation tier (r5)
-    "returns_auc_price_bucketed",  # NEW: guard remediation (r05 item 6)
-    "doc_lang_agreement_kappa",
-    "part_brand_woe_iv",
-    "ols_price_on_qty_discount",
-    "events_dp_released_counts",  # privacy tier (r5)
-    "source_ablation_quality",
-    "events_hll_audience_overlap",  # with the nullif err_pct fix
-    "bigram_pmi_collocations",
-    "orders_snapshot_merge",  # NEW r6: MERGE commit mode end-to-end
-    "lineitem_snapshot_zorder_scan",  # NEW r6: z-order + 2-D skipping
-    "returns_calibration_ece",  # NEW r6: reliability diagram + ECE
-    "events_cuped_lift",  # NEW r6: CUPED variance-reduced readout
-    "source_lang_js_divergence",  # NEW r6: corpus-mix JSD drift
-    "orders_snapshot_pruned_scan",  # NEW: manifest-stats file skipping
-    "events_zscore_anomalies",
-    "events_wau_hll",
-    "cheapest_supplier_per_part",
-    "nation_pair_trade_volume",
-    "lineitem_numeric_correlations",
-    "events_last_touch_attribution",
-    "fk_integrity_audit",
+    # --- rotating slots, round 7: all 22 never-driver-checked ---
+    # (r6 window occupants evicted to strict local parity; VERDICT r06
+    # item 1 names the priority order: round 6's own conformal flagship
+    # and the named long-tail queries first, then the r1-r2 relational
+    # tail that has never had a driver-green row)
+    "ols_conformal_interval",  # r6 flagship, never driver-checked
+    "orders_constraint_suite",
+    "snapshot_table_diff",
+    "events_user_skew_profile",
+    "returnflag_price_deciles_scalable",  # scalable twin deserves a row
+    "perplexity_bands",  # deliberately-exact twin
+    "order_value_distribution",  # deliberately-exact twin
+    # r1-r2 relational tail
+    "revenue_cube",
+    "heavy_hitter_parts",
+    "order_price_mad",
+    "monthly_revenue_growth",
+    "large_order_customers",
+    "sole_return_suppliers",
+    "idle_capital_customers",
+    "order_price_histogram",
+    "top_parts_per_brand_ties",
+    "ship_lag_by_priority",
+    "repeat_vs_lapsed_customers",
+    "revenue_by_dow",
+    "top_revenue_supplier",
+    "nation_market_share",
+    # NEW r7: streaming-maintenance certification (VERDICT r06 item 6)
+    "events_hll_ivm_maintenance",
 ]
 
 

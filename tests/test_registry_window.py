@@ -91,6 +91,7 @@ def test_window_rotates_in_never_driver_checked_queries():
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
         "CORRECTNESS_r05.json",
+        "CORRECTNESS_r06.json",
     )
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     prior: set[str] = set()
