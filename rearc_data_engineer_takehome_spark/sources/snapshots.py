@@ -149,7 +149,31 @@ def _resolve_files(
     rollback/checkpoint). Returns (files, stats, raw manifest of
     ``version``). Chain length is bounded by CHECKPOINT_INTERVAL.
     Each manifest carries stats only for the files it introduced, so
-    the merge is a disjoint dict union."""
+    the merge is a disjoint dict union.
+
+    Concurrent-vacuum robustness (round 7): vacuum consolidates the
+    oldest RETAINED manifest to a full file list BEFORE deleting any
+    dropped manifest, so every retained chain is walkable at every
+    instant — but a walker that read the oldest-retained manifest's
+    pre-consolidation DELTA form can still follow ``base_version``
+    into a just-deleted parent. That race is transient by
+    construction: a fresh walk reads the consolidated full form and
+    terminates there. Retry the whole walk (parents are re-read, never
+    reused from the failed attempt) while the REQUESTED version's
+    manifest still exists; if the requested version itself was
+    vacuumed, the ValueError is real and propagates immediately."""
+    for _ in range(3):
+        try:
+            return _resolve_files_once(table_dir, version)
+        except ValueError:
+            if not os.path.exists(_manifest_path(table_dir, version)):
+                raise
+    return _resolve_files_once(table_dir, version)
+
+
+def _resolve_files_once(
+    table_dir: str, version: int
+) -> tuple[list[str], dict, dict]:
     raw = _raw_manifest(table_dir, version)
     if "files" in raw:
         return list(raw["files"]), dict(raw.get("stats", {})), raw
