@@ -1,0 +1,533 @@
+"""Clean-room native Delta Lake transaction-log interop.
+
+The reference pipeline persists its curated tables in Delta format
+(reference: notebooks/20_analytics.ipynb:653, 2200, 2561;
+21_EDA.ipynb:33360). The ``delta-spark`` package is unavailable in
+this environment, but the on-disk format needs no package: the Delta
+transaction protocol is a public specification (delta-io/delta
+PROTOCOL.md) — a ``_delta_log/`` directory of newline-delimited JSON
+action files named ``<version:020d>.json``, optional parquet
+checkpoints, and plain parquet data files. This module implements that
+format directly from the public spec:
+
+* ``write_delta`` / ``read_delta`` — a native-format writer/reader
+  pair: versioned commits (protocol, metaData, add, remove,
+  commitInfo actions), optimistic concurrency via atomic
+  put-if-absent of the commit file (the same primitive the spec
+  prescribes for filesystems with atomic create), time travel, and
+  per-file ``stats`` JSON (numRecords/minValues/maxValues/nullCount)
+  mined from parquet footers for data skipping by any Delta reader.
+* ``write_checkpoint`` — a single-file parquet checkpoint of the
+  replayed state plus ``_last_checkpoint``, so readers (ours or
+  native) start from the checkpoint instead of replaying from 0 and
+  old JSON commits become garbage-collectable.
+* ``mirror_snapshot_to_delta`` — zero-copy export of a
+  ``sources/snapshots.py`` table: builds a ``_delta_log`` IN PLACE
+  over the snapshot table's existing immutable parquet files (add/
+  remove diffs between consecutive resolved manifests), making the
+  same directory simultaneously a valid snapshot table and a valid
+  native Delta table. Compactions mirror with ``dataChange: false``,
+  exactly how OPTIMIZE commits in native Delta.
+
+Scale posture: the log is O(commits) driver-side metadata — data
+files are written once by Spark executors and never rewritten;
+reads hand Spark the resolved file list with the log's schema pinned
+(additive evolution null-fills old files, same contract as
+snapshots.py). Checkpoints bound replay cost exactly as in native
+Delta. Interop with the real ``delta-spark`` reader is asserted by an
+env-gated test (tests/test_delta_log.py) that runs wherever the
+package exists; format conformance (action shapes, naming, relative
+paths, stats encoding) is asserted unconditionally.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import snapshots as _sn
+
+_LOGDIR = "_delta_log"
+_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+@dataclass(frozen=True)
+class DeltaState:
+    """Replayed log state as of one version."""
+
+    version: int
+    files: tuple[str, ...]  # relative paths, replay order
+    schema: str  # Spark StructType JSON (metaData.schemaString)
+    metadata_id: str
+    adds: dict  # rel path -> full add action dict
+
+
+def _log_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, _LOGDIR)
+
+
+def _commit_path(table_dir: str, version: int) -> str:
+    return os.path.join(_log_dir(table_dir), f"{version:020d}.json")
+
+
+def _checkpoint_path(table_dir: str, version: int) -> str:
+    return os.path.join(
+        _log_dir(table_dir), f"{version:020d}.checkpoint.parquet"
+    )
+
+
+def list_delta_versions(table_dir: str) -> list[int]:
+    """Every version the log can still serve: JSON commits plus
+    checkpoint versions (after GC of old JSONs, the checkpoint IS the
+    oldest readable version — forgetting this would make the next
+    writer restart numbering at 0 and corrupt the table)."""
+    d = _log_dir(table_dir)
+    if not os.path.isdir(d):
+        return []
+    out = set()
+    for name in os.listdir(d):
+        if name.endswith(".json") and name[:-5].isdigit():
+            out.add(int(name[:-5]))
+        elif name.endswith(".checkpoint.parquet") and \
+                name[:-19].isdigit():
+            out.add(int(name[:-19]))
+    return sorted(out)
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def _atomic_commit(table_dir: str, version: int, actions: list[dict]):
+    """Put-if-absent of one commit file — the spec's concurrency
+    primitive. Loses the race => ConcurrentCommitError (shared with
+    snapshots.py so callers handle one exception type); the caller
+    rebases or renumbers, never blind-retries content computed against
+    a stale head."""
+    os.makedirs(_log_dir(table_dir), exist_ok=True)
+    path = _commit_path(table_dir, version)
+    body = "".join(json.dumps(a, separators=(",", ":")) + "\n"
+                   for a in actions)
+    try:
+        with open(path, "x") as f:
+            f.write(body)
+    except FileExistsError as e:
+        raise _sn.ConcurrentCommitError(
+            f"delta version {version} of {table_dir} was committed by "
+            "a concurrent writer"
+        ) from e
+
+
+def _last_checkpoint(table_dir: str) -> int | None:
+    try:
+        with open(os.path.join(_log_dir(table_dir),
+                               "_last_checkpoint")) as f:
+            return int(json.load(f)["version"])
+    except (FileNotFoundError, ValueError, KeyError):
+        return None
+
+
+def _read_checkpoint_state(table_dir: str, version: int) -> DeltaState:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_checkpoint_path(table_dir, version))
+    adds: dict = {}
+    schema = ""
+    meta_id = ""
+    order: list[str] = []
+    for row in tbl.to_pylist():
+        md = row.get("metaData")
+        if md and md.get("id"):
+            schema = md["schemaString"]
+            meta_id = md["id"]
+        add = row.get("add")
+        if add and add.get("path"):
+            add = {k: v for k, v in add.items() if v is not None}
+            adds[add["path"]] = add
+            order.append(add["path"])
+    return DeltaState(
+        version=version,
+        files=tuple(order),
+        schema=schema,
+        metadata_id=meta_id,
+        adds=adds,
+    )
+
+
+def replay(table_dir: str, version: int | None = None) -> DeltaState:
+    """Replay the log to ``version`` (default: head): start from the
+    newest eligible checkpoint, then apply each JSON commit's actions
+    in order — adds keyed by path, removes delete, metaData swaps the
+    schema. O(commits since checkpoint), as in native Delta."""
+    versions = list_delta_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no _delta_log at {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(
+            f"delta version {v} not in {table_dir} "
+            f"(have {versions[0]}...{versions[-1]})"
+        )
+    cp = _last_checkpoint(table_dir)
+    state = None
+    start = 0
+    if cp is not None and cp <= v:
+        state = _read_checkpoint_state(table_dir, cp)
+        start = cp + 1
+    adds = dict(state.adds) if state else {}
+    order = list(state.files) if state else []
+    schema = state.schema if state else ""
+    meta_id = state.metadata_id if state else ""
+    for cv in range(start, v + 1):
+        try:
+            f = open(_commit_path(table_dir, cv))
+        except FileNotFoundError:
+            raise ValueError(
+                f"delta version {v} of {table_dir} is not "
+                f"reconstructable: commit {cv} was garbage-collected "
+                "and no checkpoint at or before it covers this read"
+            ) from None
+        with f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    schema = action["metaData"]["schemaString"]
+                    meta_id = action["metaData"]["id"]
+                elif "add" in action:
+                    p = action["add"]["path"]
+                    if p not in adds:
+                        order.append(p)
+                    adds[p] = action["add"]
+                elif "remove" in action:
+                    p = action["remove"]["path"]
+                    adds.pop(p, None)
+                    if p in order:
+                        order.remove(p)
+    if not schema:
+        raise ValueError(f"no metaData action found in {table_dir}")
+    return DeltaState(
+        version=v,
+        files=tuple(order),
+        schema=schema,
+        metadata_id=meta_id,
+        adds=adds,
+    )
+
+
+def read_delta(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read a Delta table (ours or written by native Delta Lake) as of
+    ``version``. The read pins the log's schemaString (never samples a
+    data file), so additive evolution null-fills pre-evolution files —
+    the same contract as snapshots.read_snapshot."""
+    from pyspark.sql.types import StructType
+
+    state = replay(table_dir, version)
+    schema = StructType.fromJson(json.loads(state.schema))
+    if not state.files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(table_dir, f) for f in state.files]
+    )
+
+
+def _delta_stats_json(
+    table_dir: str, rel: str, stats_cols: list[str] | None
+) -> str:
+    """Per-file ``add.stats`` JSON in the spec's shape: numRecords
+    always (from the footer row count), min/max/nullCount for the
+    requested columns where the footer has JSON-stable scalars —
+    reusing snapshots._footer_stats' conservative extraction."""
+    import pyarrow.parquet as pq
+
+    num = pq.ParquetFile(os.path.join(table_dir, rel)).metadata.num_rows
+    out: dict = {"numRecords": num}
+    if stats_cols:
+        per = _sn._footer_stats(table_dir, [rel], stats_cols).get(rel, {})
+        if per:
+            out["minValues"] = {c: s["min"] for c, s in per.items()}
+            out["maxValues"] = {c: s["max"] for c, s in per.items()}
+            out["nullCount"] = {c: s["nulls"] for c, s in per.items()}
+    return json.dumps(out, separators=(",", ":"))
+
+
+def _add_action(
+    table_dir: str,
+    rel: str,
+    stats_cols: list[str] | None,
+    data_change: bool = True,
+) -> dict:
+    full = os.path.join(table_dir, rel)
+    return {
+        "add": {
+            "path": rel,
+            "partitionValues": {},
+            "size": os.path.getsize(full),
+            "modificationTime": int(os.path.getmtime(full) * 1000),
+            "dataChange": data_change,
+            "stats": _delta_stats_json(table_dir, rel, stats_cols),
+        }
+    }
+
+
+def _meta_action(schema_json: str, meta_id: str | None = None) -> dict:
+    return {
+        "metaData": {
+            "id": meta_id or str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_json,
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": _now_ms(),
+        }
+    }
+
+
+def write_delta(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "overwrite",
+    stats_cols: list[str] | None = None,
+    max_retries: int = 20,
+) -> DeltaState:
+    """Write ``df`` as one Delta commit. ``overwrite`` removes every
+    previously-live file and adds the new ones (emitting a fresh
+    metaData when the schema changed); ``append`` requires a
+    structurally compatible schema, same rule as snapshots. Data files
+    are written ONCE by executors to an immutable ``data/<uuid>/``
+    prefix and referenced by relative path — losing a commit race
+    never rewrites data, the writer just renumbers (overwrite) or
+    re-reads the head and re-validates (append)."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    import pyarrow.parquet as pq
+
+    schema_json = df.schema.json()
+    # zero-row part files (empty input partitions) are valid parquet
+    # but native writers never register them — skip, like they do
+    rel_files = [
+        rel
+        for rel in _sn._write_data_files(df, table_dir)
+        if pq.ParquetFile(os.path.join(table_dir, rel)).metadata.num_rows
+    ]
+    adds = [_add_action(table_dir, rel, stats_cols) for rel in rel_files]
+    for _ in range(max_retries):
+        versions = list_delta_versions(table_dir)
+        head = replay(table_dir) if versions else None
+        version = (versions[-1] + 1) if versions else 0
+        actions: list[dict] = []
+        if head is None:
+            actions.append({"protocol": dict(_PROTOCOL)})
+            actions.append(_meta_action(schema_json))
+        elif mode == "overwrite":
+            # overwrite may replace the schema outright (the spec's
+            # overwriteSchema path) — emit a fresh metaData on change
+            if head.schema != schema_json:
+                actions.append(_meta_action(schema_json))
+        else:
+            if not _sn._schema_compatible(head.schema, schema_json):
+                raise ValueError(
+                    "append schema incompatible with table schema "
+                    "(Delta appends never silently rename/retype)"
+                )
+            schema_json = head.schema  # pin: appends keep table schema
+        if mode == "overwrite" and head is not None:
+            ts = _now_ms()
+            actions.extend(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": ts,
+                        "dataChange": True,
+                    }
+                }
+                for p in head.files
+            )
+        actions.extend(adds)
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": _now_ms(),
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": mode.upper()},
+                    "engineInfo": "rearc-takehome-spark-cleanroom",
+                }
+            }
+        )
+        try:
+            _atomic_commit(table_dir, version, actions)
+            return replay(table_dir, version)
+        except _sn.ConcurrentCommitError:
+            continue  # re-read the head; our data files stay valid
+    raise RuntimeError(f"delta commit to {table_dir} lost "
+                       f"{max_retries} races")
+
+
+def write_checkpoint(
+    table_dir: str, version: int | None = None
+) -> int:
+    """Write ``<v>.checkpoint.parquet`` (single file — pyarrow, since
+    a Spark write would produce a directory) + ``_last_checkpoint``.
+    One row per action with sparse protocol/metaData/add columns, the
+    spec's checkpoint layout. Readers then replay from here; JSON
+    commits <= v become garbage-collectable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    state = replay(table_dir, version)
+    rows = [
+        {"protocol": dict(_PROTOCOL), "metaData": None, "add": None},
+        {
+            "protocol": None,
+            "metaData": {
+                "id": state.metadata_id,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": state.schema,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": _now_ms(),
+            },
+            "add": None,
+        },
+    ]
+    for p in state.files:
+        a = dict(state.adds[p])
+        a.setdefault("stats", None)
+        rows.append({
+            "protocol": None,
+            "metaData": None,
+            "add": {
+                "path": a["path"],
+                "partitionValues": a.get("partitionValues", {}),
+                "size": a.get("size", 0),
+                "modificationTime": a.get("modificationTime", 0),
+                "dataChange": False,
+                "stats": a.get("stats"),
+            },
+        })
+    schema = pa.schema([
+        ("protocol", pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+        ])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([
+                ("provider", pa.string()),
+                ("options", pa.map_(pa.string(), pa.string())),
+            ])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ])),
+        ("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ])),
+    ])
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema),
+        _checkpoint_path(table_dir, state.version),
+    )
+    tmp = os.path.join(_log_dir(table_dir), "_last_checkpoint.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": state.version, "size": len(rows)}, f)
+    os.replace(tmp, os.path.join(_log_dir(table_dir),
+                                 "_last_checkpoint"))
+    return state.version
+
+
+def mirror_snapshot_to_delta(
+    table_dir: str, stats_cols: list[str] | None = None
+) -> int:
+    """Zero-copy export: build a ``_delta_log`` inside a
+    ``sources/snapshots.py`` table, referencing the SAME immutable
+    parquet files, one Delta commit per retained snapshot version
+    (vacuumed history simply starts the Delta log at the oldest
+    retained manifest). Idempotent/resumable: each commit records its
+    source snapshot version in commitInfo and re-runs extend from
+    there. Compactions mirror as remove+add with ``dataChange: false``
+    (native OPTIMIZE semantics); schema changes emit a fresh metaData.
+    Returns the head Delta version. The directory is then readable as
+    BOTH a snapshot table and a native Delta table."""
+    snap_versions = _sn.list_versions(table_dir)
+    if not snap_versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    delta_versions = list_delta_versions(table_dir)
+    mirrored_through = -1
+    meta_id = None
+    prev_files: list[str] = []
+    prev_schema = None
+    if delta_versions:
+        head = replay(table_dir)
+        with open(_commit_path(table_dir, head.version)) as f:
+            for line in f:
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    mirrored_through = int(
+                        a["commitInfo"]["operationParameters"]
+                        ["snapshotVersion"]
+                    )
+        meta_id = head.metadata_id
+        prev_files = list(head.files)
+        prev_schema = head.schema
+    next_delta = (delta_versions[-1] + 1) if delta_versions else 0
+    for sv in snap_versions:
+        if sv <= mirrored_through:
+            continue
+        snap = _sn.read_manifest(table_dir, sv)
+        actions: list[dict] = []
+        if next_delta == 0:
+            actions.append({"protocol": dict(_PROTOCOL)})
+        if prev_schema != snap.schema:
+            meta = _meta_action(snap.schema, meta_id)
+            meta_id = meta["metaData"]["id"]
+            actions.append(meta)
+        data_change = snap.mode != "compact"
+        ts = _now_ms()
+        new = set(snap.files)
+        actions.extend(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": ts,
+                    "dataChange": data_change,
+                }
+            }
+            for p in prev_files
+            if p not in new
+        )
+        old = set(prev_files)
+        actions.extend(
+            _add_action(table_dir, p, stats_cols, data_change)
+            for p in snap.files
+            if p not in old
+        )
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": ts,
+                    "operation": "MIRROR",
+                    "operationParameters": {"snapshotVersion": sv},
+                    "engineInfo": "rearc-takehome-spark-cleanroom",
+                }
+            }
+        )
+        _atomic_commit(table_dir, next_delta, actions)
+        prev_files = list(snap.files)
+        prev_schema = snap.schema
+        next_delta += 1
+    return next_delta - 1
