@@ -4825,3 +4825,161 @@ REGISTRY["events_hll_ivm_maintenance"] = type(
     ),
     doc=REGISTRY["events_hll_ivm_maintenance"].doc,
 )
+
+
+# ---------------------------------------------------------------------------
+# Native Delta transaction-log format (sources/delta_log.py) — round 7
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_deltalog_roundtrip",
+    """
+    WITH head AS (
+        SELECT o_orderpriority,
+               count(*)::BIGINT AS n_orders,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+        FROM orders GROUP BY o_orderpriority
+    ),
+    mid AS (
+        SELECT count(*)::BIGINT AS n_at_mid FROM orders
+        WHERE (o_orderkey % 3) IN (0, 1)
+    )
+    SELECT o_orderpriority, n_orders, sum_cents, n_at_mid
+    FROM head CROSS JOIN mid
+    """,
+    doc="The clean-room NATIVE Delta log format "
+    "(sources/delta_log.py; public delta-io PROTOCOL.md — the format "
+    "the reference persists its tables in, "
+    "notebooks/20_analytics.ipynb:653, 2200, 2561) certified "
+    "end-to-end under the driver's value-hash gate: orders split into "
+    "three deterministic batches (o_orderkey % 3) written as Delta "
+    "commit 0 (overwrite: protocol+metaData+adds) and two appends, "
+    "then answered FROM THE LOG — the head aggregate via full replay, "
+    "n_at_mid via time travel to the mid version (batches 0+1). The "
+    "oracle reproduces both from the raw table, so commit atomicity, "
+    "add/remove replay, and time-travel version resolution all have "
+    "to be value-exact. A per-run uuid lineage under the per-uid /tmp "
+    "root keeps version numbers run-stable (overwrite in a reused dir "
+    "would renumber the mid version); the scratch root's daily sweep "
+    "bounds growth. Revenue sums exact cents (BIGINT) before any "
+    "display math, per the repo's float-fold convention.",
+)
+def orders_deltalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid as _uuid
+
+    from .sources import delta_log as dl
+    from .sources import snapshots as sn
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.pmod(F.col("o_orderkey"), F.lit(3)).alias("batch"),
+    )
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_odelta_"
+        f"{_uuid.uuid4().hex[:8]}"
+    )
+    dl.write_delta(
+        orders.where(F.col("batch") == 0).drop("batch"),
+        tbl,
+        stats_cols=["o_orderkey"],
+    )
+    mid = dl.write_delta(
+        orders.where(F.col("batch") == 1).drop("batch"), tbl, "append"
+    )
+    dl.write_delta(
+        orders.where(F.col("batch") == 2).drop("batch"), tbl, "append"
+    )
+    head = (
+        dl.read_delta(spark, tbl)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    n_mid = (
+        dl.read_delta(spark, tbl, mid.version)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_at_mid"))
+    )
+    # bound replay for any later reader of this lineage, then let the
+    # scratch root's daily sweep reclaim the uuid dir
+    dl.write_checkpoint(tbl)
+    return head.crossJoin(F.broadcast(n_mid)).select(
+        "o_orderpriority", "n_orders", "sum_cents", "n_at_mid"
+    )
+
+
+@query(
+    "lineitem_snapshot_delta_mirror",
+    """
+    WITH head AS (
+        SELECT l_returnflag,
+               count(*)::BIGINT AS n_items,
+               sum(l_quantity::BIGINT)::BIGINT AS sum_qty
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    base AS (
+        SELECT count(*)::BIGINT AS n_at_base FROM lineitem
+        WHERE l_linenumber <= 2
+    )
+    SELECT l_returnflag, n_items, sum_qty, n_at_base
+    FROM head CROSS JOIN base
+    """,
+    doc="Zero-copy snapshot->Delta export "
+    "(delta_log.mirror_snapshot_to_delta) certified under the value-"
+    "hash gate: lineitem committed to a snapshots.py table as "
+    "overwrite (l_linenumber <= 2), append (the rest), then an "
+    "OPTIMIZE-style compaction; the mirror builds a _delta_log over "
+    "the SAME immutable parquet files (compaction mirrored as "
+    "dataChange=false) and every readout comes from the DELTA side — "
+    "the head aggregate from the mirrored head, n_at_base by time "
+    "travel to delta version 0 (the pre-append overwrite). The oracle "
+    "recomputes both from the raw table, so manifest-to-action "
+    "diffing, schema pinning, and mirror version mapping must be "
+    "value-exact. Per-run uuid lineage under the per-uid /tmp root "
+    "(daily sweep bounds growth); l_quantity is integral in TPC-H so "
+    "the BIGINT cast is exact on both engines.",
+)
+def lineitem_snapshot_delta_mirror(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import uuid as _uuid
+
+    from .sources import delta_log as dl
+    from .sources import snapshots as sn
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_limirror_"
+        f"{_uuid.uuid4().hex[:8]}"
+    )
+    sn.snapshot_write(li.where(F.col("l_linenumber") <= 2), tbl)
+    sn.snapshot_write(li.where(F.col("l_linenumber") > 2), tbl, "append")
+    sn.snapshot_compact(spark, tbl, target_files=4)
+    dl.mirror_snapshot_to_delta(tbl)
+    head = (
+        dl.read_delta(spark, tbl)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum("qty").cast("bigint").alias("sum_qty"),
+        )
+    )
+    n_base = dl.read_delta(spark, tbl, 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_at_base")
+    )
+    return head.crossJoin(F.broadcast(n_base)).select(
+        "l_returnflag", "n_items", "sum_qty", "n_at_base"
+    )

@@ -450,6 +450,78 @@ def write_checkpoint(
     return state.version
 
 
+def vacuum_delta(table_dir: str) -> int:
+    """Retention-0 VACUUM: checkpoint the head, garbage-collect every
+    older JSON commit and checkpoint, and delete data files the head
+    no longer references. Time travel before the checkpoint ends —
+    exactly native ``VACUUM ... RETAIN 0 HOURS`` semantics, which is
+    the documented trade. Returns the number of data files deleted.
+    Single-writer maintenance op (like snapshot_compact): run it from
+    the table's owning process, not concurrently with writers.
+
+    Refuses on a MIRRORED table (one that also carries a
+    ``_snapshots`` log): there the data files are shared with snapshot
+    history and snapshots.vacuum owns their lifecycle — deleting
+    delta-unreferenced files here would tear files out from under
+    retained snapshot versions."""
+    if os.path.isdir(_sn._snap_dir(table_dir)):
+        raise ValueError(
+            f"{table_dir} is a mirrored snapshot table; use "
+            "snapshots.vacuum (it owns the shared data files)"
+        )
+    head = write_checkpoint(table_dir)
+    live = set(replay(table_dir, head).files)
+    log = _log_dir(table_dir)
+    for name in os.listdir(log):
+        v = None
+        if name.endswith(".json") and name[:-5].isdigit():
+            v = int(name[:-5])
+        elif name.endswith(".checkpoint.parquet") and name[:-19].isdigit():
+            v = int(name[:-19])
+        if v is not None and v < head:
+            os.remove(os.path.join(log, name))
+    deleted = 0
+    for root, _dirs, files in os.walk(os.path.join(table_dir, "data")):
+        for f in files:
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, table_dir)
+            if f.endswith(".parquet") and rel not in live:
+                os.remove(full)
+                deleted += 1
+    return deleted
+
+
+def delta_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY twin over the delta log (parallel to
+    snapshots.table_history): one row per still-reconstructable
+    version from its commitInfo — version, timestamp, operation,
+    operationParameters JSON. Versions whose JSON was vacuumed (only
+    the checkpointed head remains) report operation 'CHECKPOINT'."""
+    rows = []
+    for v in list_delta_versions(table_dir):
+        info = {"timestamp": None, "operation": "CHECKPOINT",
+                "operationParameters": {}}
+        path = _commit_path(table_dir, v)
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        info = a["commitInfo"]
+        rows.append((
+            v,
+            info.get("timestamp"),
+            info.get("operation", ""),
+            json.dumps(info.get("operationParameters", {}),
+                       sort_keys=True),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "version long, timestamp long, operation string, "
+        "operation_parameters string",
+    )
+
+
 def mirror_snapshot_to_delta(
     table_dir: str, stats_cols: list[str] | None = None
 ) -> int:

@@ -266,3 +266,47 @@ def test_native_delta_interop(spark, tmp_path):
     )
     native = spark.read.format("delta").load(t)
     assert _rows(native) == [(1, "a"), (2, "b")]
+
+
+def test_vacuum_delta_and_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t)
+    dl.write_delta(spark.createDataFrame([(2,)], "k long"), t, "append")
+    dl.write_delta(spark.createDataFrame([(9,)], "k long"), t)  # orphans v0/v1 files
+
+    hist = {r["version"]: r["operation"]
+            for r in dl.delta_history(spark, t).collect()}
+    assert hist == {0: "WRITE", 1: "WRITE", 2: "WRITE"}
+
+    n_before = sum(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(os.path.join(t, "data")) for f in fs
+    )
+    deleted = dl.vacuum_delta(t)
+    assert deleted > 0
+    # head still reads exactly; pre-checkpoint time travel is gone
+    assert _rows(dl.read_delta(spark, t)) == [(9,)]
+    with pytest.raises(ValueError, match="not reconstructable|not in"):
+        dl.read_delta(spark, t, 0)
+    # every surviving data file is live
+    n_after = sum(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(os.path.join(t, "data")) for f in fs
+    )
+    assert n_after == n_before - deleted
+    assert n_after == len(dl.replay(t).files)
+    # history over the vacuumed log: the checkpointed head survives
+    hist = {r["version"]: r["operation"]
+            for r in dl.delta_history(spark, t).collect()}
+    assert hist == {2: "WRITE"}
+    # ...and the table keeps accepting commits with correct numbering
+    dl.write_delta(spark.createDataFrame([(10,)], "k long"), t, "append")
+    assert _rows(dl.read_delta(spark, t)) == [(9,), (10,)]
+
+    # a MIRRORED table refuses retention-0 vacuum: data files there
+    # are shared with snapshot history, snapshots.vacuum owns them
+    m = str(tmp_path / "mirrored")
+    sn.snapshot_write(spark.createDataFrame([(1,)], "k long"), m)
+    dl.mirror_snapshot_to_delta(m)
+    with pytest.raises(ValueError, match="mirrored snapshot table"):
+        dl.vacuum_delta(m)
