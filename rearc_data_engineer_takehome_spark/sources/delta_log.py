@@ -48,6 +48,7 @@ import time
 import uuid
 from dataclasses import dataclass
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from . import snapshots as _sn
@@ -65,6 +66,7 @@ class DeltaState:
     schema: str  # Spark StructType JSON (metaData.schemaString)
     metadata_id: str
     adds: dict  # rel path -> full add action dict
+    partition_cols: tuple[str, ...] = ()  # metaData.partitionColumns
 
 
 def _log_dir(table_dir: str) -> str:
@@ -139,15 +141,19 @@ def _read_checkpoint_state(table_dir: str, version: int) -> DeltaState:
     adds: dict = {}
     schema = ""
     meta_id = ""
+    pcols: tuple = ()
     order: list[str] = []
     for row in tbl.to_pylist():
         md = row.get("metaData")
         if md and md.get("id"):
             schema = md["schemaString"]
             meta_id = md["id"]
+            pcols = tuple(md.get("partitionColumns") or ())
         add = row.get("add")
         if add and add.get("path"):
             add = {k: v for k, v in add.items() if v is not None}
+            if isinstance(add.get("partitionValues"), list):
+                add["partitionValues"] = dict(add["partitionValues"])
             adds[add["path"]] = add
             order.append(add["path"])
     return DeltaState(
@@ -156,6 +162,7 @@ def _read_checkpoint_state(table_dir: str, version: int) -> DeltaState:
         schema=schema,
         metadata_id=meta_id,
         adds=adds,
+        partition_cols=pcols,
     )
 
 
@@ -183,6 +190,7 @@ def replay(table_dir: str, version: int | None = None) -> DeltaState:
     order = list(state.files) if state else []
     schema = state.schema if state else ""
     meta_id = state.metadata_id if state else ""
+    pcols = state.partition_cols if state else ()
     for cv in range(start, v + 1):
         try:
             f = open(_commit_path(table_dir, cv))
@@ -200,6 +208,9 @@ def replay(table_dir: str, version: int | None = None) -> DeltaState:
                 if "metaData" in action:
                     schema = action["metaData"]["schemaString"]
                     meta_id = action["metaData"]["id"]
+                    pcols = tuple(
+                        action["metaData"].get("partitionColumns") or ()
+                    )
                 elif "add" in action:
                     p = action["add"]["path"]
                     if p not in adds:
@@ -218,6 +229,7 @@ def replay(table_dir: str, version: int | None = None) -> DeltaState:
         schema=schema,
         metadata_id=meta_id,
         adds=adds,
+        partition_cols=pcols,
     )
 
 
@@ -227,16 +239,67 @@ def read_delta(
     """Read a Delta table (ours or written by native Delta Lake) as of
     ``version``. The read pins the log's schemaString (never samples a
     data file), so additive evolution null-fills pre-evolution files —
-    the same contract as snapshots.read_snapshot."""
+    the same contract as snapshots.read_snapshot.
+
+    Partitioned tables: per the spec, partition-column values live in
+    each add action's ``partitionValues`` (as strings), NOT in the
+    data files — the reader groups files by partition tuple, reads
+    each group with the data-only schema, and restores the partition
+    columns as casted literals. Group count = live partitions of the
+    version being read; each group is one distributed parquet scan, so
+    this stays a metadata-size concern (like any Delta reader), never
+    a data shuffle."""
+    import itertools
+
     from pyspark.sql.types import StructType
 
     state = replay(table_dir, version)
     schema = StructType.fromJson(json.loads(state.schema))
     if not state.files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *[os.path.join(table_dir, f) for f in state.files]
+    if not state.partition_cols:
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(table_dir, f) for f in state.files]
+        )
+    pcols = list(state.partition_cols)
+    ptypes = {f.name: f.dataType for f in schema.fields}
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in pcols]
     )
+
+    def pkey(rel):
+        pv = state.adds[rel].get("partitionValues") or {}
+        # None sorts before any string (null partitions group cleanly)
+        return tuple(
+            (v is not None, v or "") for v in (pv.get(c) for c in pcols)
+        )
+
+    def pvals(rel):
+        pv = state.adds[rel].get("partitionValues") or {}
+        return tuple(pv.get(c) for c in pcols)
+
+    parts = []
+    for _, group_iter in itertools.groupby(
+        sorted(state.files, key=pkey), key=pkey
+    ):
+        group = list(group_iter)
+        df = spark.read.schema(data_schema).parquet(
+            *[os.path.join(table_dir, f) for f in group]
+        )
+        for c, v in zip(pcols, pvals(group[0])):
+            # spec: null partition value is serialized as JSON null /
+            # __HIVE_DEFAULT_PARTITION__ on disk
+            lit = (
+                F.lit(None)
+                if v is None or v == "__HIVE_DEFAULT_PARTITION__"
+                else F.lit(v)
+            )
+            df = df.withColumn(c, lit.cast(ptypes[c]))
+        parts.append(df.select(*[f.name for f in schema.fields]))
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 def _delta_stats_json(
@@ -264,12 +327,13 @@ def _add_action(
     rel: str,
     stats_cols: list[str] | None,
     data_change: bool = True,
+    partition_values: dict | None = None,
 ) -> dict:
     full = os.path.join(table_dir, rel)
     return {
         "add": {
             "path": rel,
-            "partitionValues": {},
+            "partitionValues": partition_values or {},
             "size": os.path.getsize(full),
             "modificationTime": int(os.path.getmtime(full) * 1000),
             "dataChange": data_change,
@@ -278,17 +342,66 @@ def _add_action(
     }
 
 
-def _meta_action(schema_json: str, meta_id: str | None = None) -> dict:
+def _meta_action(
+    schema_json: str,
+    meta_id: str | None = None,
+    partition_cols: list[str] | None = None,
+) -> dict:
     return {
         "metaData": {
             "id": meta_id or str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_json,
-            "partitionColumns": [],
+            "partitionColumns": list(partition_cols or []),
             "configuration": {},
             "createdTime": _now_ms(),
         }
     }
+
+
+def _hive_partition_values(rel: str, partition_by: list[str]) -> dict:
+    """Parse ``col=value`` segments of a hive-layout relative path into
+    the spec's partitionValues string map (Spark URL-escapes special
+    chars in dir names; ``__HIVE_DEFAULT_PARTITION__`` means null)."""
+    from urllib.parse import unquote
+
+    vals: dict = {}
+    for seg in rel.split(os.sep):
+        if "=" in seg:
+            c, _, v = seg.partition("=")
+            if c in partition_by:
+                vals[c] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__"
+                    else unquote(v)
+                )
+    missing = [c for c in partition_by if c not in vals]
+    if missing:
+        raise ValueError(
+            f"data file {rel!r} lacks hive segments for partition "
+            f"columns {missing}"
+        )
+    return vals
+
+
+def _write_partitioned_data_files(
+    df: DataFrame, table_dir: str, partition_by: list[str]
+) -> list[str]:
+    """Hive-layout twin of snapshots._write_data_files: executors
+    write ``data/<uuid>/col=value/.../part-*.parquet`` once; partition
+    columns live in the directory names (and the log), not the data
+    files — the spec's layout for partitioned tables."""
+    commit_id = uuid.uuid4().hex[:12]
+    rel = os.path.join("data", commit_id)
+    out = os.path.join(table_dir, rel)
+    df.write.mode("errorifexists").partitionBy(*partition_by).parquet(out)
+    files = []
+    for root, _dirs, fs in os.walk(out):
+        for f in fs:
+            if f.endswith(".parquet"):
+                files.append(
+                    os.path.relpath(os.path.join(root, f), table_dir)
+                )
+    return sorted(files)
 
 
 def write_delta(
@@ -297,28 +410,46 @@ def write_delta(
     mode: str = "overwrite",
     stats_cols: list[str] | None = None,
     max_retries: int = 20,
+    partition_by: list[str] | None = None,
+    operation_parameters: dict | None = None,
 ) -> DeltaState:
     """Write ``df`` as one Delta commit. ``overwrite`` removes every
     previously-live file and adds the new ones (emitting a fresh
-    metaData when the schema changed); ``append`` requires a
-    structurally compatible schema, same rule as snapshots. Data files
-    are written ONCE by executors to an immutable ``data/<uuid>/``
-    prefix and referenced by relative path — losing a commit race
-    never rewrites data, the writer just renumbers (overwrite) or
-    re-reads the head and re-validates (append)."""
+    metaData when the schema or partitioning changed — the spec's
+    overwriteSchema path); ``append`` requires a structurally
+    compatible schema AND identical partitioning, same rules as
+    native. Data files are written ONCE by executors to an immutable
+    ``data/<uuid>/`` prefix (hive layout when ``partition_by``) and
+    referenced by relative path — losing a commit race never rewrites
+    data, the writer just renumbers (overwrite) or re-reads the head
+    and re-validates (append)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
     import pyarrow.parquet as pq
 
     schema_json = df.schema.json()
+    pcols = list(partition_by or [])
+    if pcols:
+        written = _write_partitioned_data_files(df, table_dir, pcols)
+    else:
+        written = _sn._write_data_files(df, table_dir)
     # zero-row part files (empty input partitions) are valid parquet
     # but native writers never register them — skip, like they do
     rel_files = [
         rel
-        for rel in _sn._write_data_files(df, table_dir)
+        for rel in written
         if pq.ParquetFile(os.path.join(table_dir, rel)).metadata.num_rows
     ]
-    adds = [_add_action(table_dir, rel, stats_cols) for rel in rel_files]
+    adds = [
+        _add_action(
+            table_dir,
+            rel,
+            stats_cols,
+            True,
+            _hive_partition_values(rel, pcols) if pcols else None,
+        )
+        for rel in rel_files
+    ]
     for _ in range(max_retries):
         versions = list_delta_versions(table_dir)
         head = replay(table_dir) if versions else None
@@ -326,13 +457,24 @@ def write_delta(
         actions: list[dict] = []
         if head is None:
             actions.append({"protocol": dict(_PROTOCOL)})
-            actions.append(_meta_action(schema_json))
+            actions.append(_meta_action(schema_json, None, pcols))
         elif mode == "overwrite":
-            # overwrite may replace the schema outright (the spec's
-            # overwriteSchema path) — emit a fresh metaData on change
-            if head.schema != schema_json:
-                actions.append(_meta_action(schema_json))
+            # overwrite may replace the schema/partitioning outright
+            # (the spec's overwriteSchema path) — fresh metaData then
+            if head.schema != schema_json or \
+                    head.partition_cols != tuple(pcols):
+                actions.append(_meta_action(schema_json, None, pcols))
         else:
+            if partition_by is None and head.partition_cols:
+                raise ValueError(
+                    "append to a partitioned table must pass "
+                    f"partition_by={list(head.partition_cols)}"
+                )
+            if tuple(pcols) != head.partition_cols:
+                raise ValueError(
+                    f"append partitioning {pcols} differs from table "
+                    f"partitioning {list(head.partition_cols)}"
+                )
             if not _sn._schema_compatible(head.schema, schema_json):
                 raise ValueError(
                     "append schema incompatible with table schema "
@@ -357,7 +499,14 @@ def write_delta(
                 "commitInfo": {
                     "timestamp": _now_ms(),
                     "operation": "WRITE",
-                    "operationParameters": {"mode": mode.upper()},
+                    # caller-supplied params ride along (e.g. a
+                    # streaming sink's batch id for restart
+                    # idempotency — the txn/appId pattern); commit
+                    # files stay immutable, so stamping happens HERE
+                    "operationParameters": {
+                        "mode": mode.upper(),
+                        **(operation_parameters or {}),
+                    },
                     "engineInfo": "rearc-takehome-spark-cleanroom",
                 }
             }
@@ -391,7 +540,7 @@ def write_checkpoint(
                 "id": state.metadata_id,
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": state.schema,
-                "partitionColumns": [],
+                "partitionColumns": list(state.partition_cols),
                 "configuration": {},
                 "createdTime": _now_ms(),
             },

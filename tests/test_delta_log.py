@@ -310,3 +310,142 @@ def test_vacuum_delta_and_history(spark, tmp_path):
     dl.mirror_snapshot_to_delta(m)
     with pytest.raises(ValueError, match="mirrored snapshot table"):
         dl.vacuum_delta(m)
+
+
+def test_partitioned_table_roundtrip(spark, tmp_path):
+    """Hive-partitioned tables per the spec: partition values live in
+    add.partitionValues (strings) and directory names, NOT the data
+    files; metaData.partitionColumns names them; the reader restores
+    them with the schema's types. Covers null partitions
+    (__HIVE_DEFAULT_PARTITION__), append partitioning enforcement,
+    overwrite re-partitioning, and checkpoint replay of a partitioned
+    state."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "us", 10), (2, "us", 20), (3, "eu", 30), (4, None, 40)],
+        "k long, region string, v long",
+    )
+    s0 = dl.write_delta(df, t, partition_by=["region"],
+                        stats_cols=["k"])
+    assert s0.partition_cols == ("region",)
+    got = dl.read_delta(spark, t)
+    assert sorted(got.columns) == ["k", "region", "v"]
+    assert _rows(got.select("k", "region", "v")) == [
+        (1, "us", 10), (2, "us", 20), (3, "eu", 30), (4, None, 40),
+    ]
+    # region really is absent from the data files (spec layout)
+    import pyarrow.parquet as pq
+    for rel in s0.files:
+        assert "region=" in rel
+        names = pq.ParquetFile(os.path.join(t, rel)).schema_arrow.names
+        assert "region" not in names and "k" in names
+    # partitionValues in the log are the string-typed spec map
+    pvs = {a["partitionValues"]["region"] for a in s0.adds.values()}
+    assert pvs == {"us", "eu", None}
+
+    # appends must match the table partitioning
+    with pytest.raises(ValueError, match="must pass partition_by"):
+        dl.write_delta(
+            spark.createDataFrame([(5, "ap", 50)], df.schema), t,
+            "append",
+        )
+    with pytest.raises(ValueError, match="differs from table"):
+        dl.write_delta(
+            spark.createDataFrame([(5, "ap", 50)], df.schema), t,
+            "append", partition_by=["v"],
+        )
+    dl.write_delta(
+        spark.createDataFrame([(5, "ap", 50)], df.schema), t,
+        "append", partition_by=["region"],
+    )
+    assert dl.read_delta(spark, t).count() == 5
+    # partition-pruning predicate answers correctly through the
+    # literal-restore path
+    assert _rows(
+        dl.read_delta(spark, t).where(F.col("region") == "us")
+        .select("k")
+    ) == [(1,), (2,)]
+
+    # checkpoint replay preserves partitioning
+    cp = dl.write_checkpoint(t)
+    log = os.path.join(t, "_delta_log")
+    for v in range(0, cp + 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    again = dl.read_delta(spark, t)
+    assert _rows(again.select("k", "region", "v")) == [
+        (1, "us", 10), (2, "us", 20), (3, "eu", 30), (4, None, 40),
+        (5, "ap", 50),
+    ]
+
+    # overwrite may change the partitioning (fresh metaData)
+    s = dl.write_delta(df, t, partition_by=["v"])
+    assert s.partition_cols == ("v",)
+    assert _rows(dl.read_delta(spark, t).select("k", "v")) == [
+        (1, 10), (2, 20), (3, 30), (4, 40),
+    ]
+
+
+def test_streaming_foreachbatch_commits_delta_appends(spark, tmp_path):
+    """Structured Streaming -> native Delta table: each micro-batch
+    commits an APPEND via foreachBatch (with idempotent-restart
+    protection: the sink skips batch ids already recorded in the log's
+    commitInfo, the spec's txn/appId pattern expressed through
+    operationParameters). Three source files under
+    maxFilesPerTrigger=1 -> three delta commits whose union equals the
+    source and whose version boundaries are micro-batch prefixes —
+    readable by ANY Delta reader."""
+    src = str(tmp_path / "stream_src")
+    tbl = str(tmp_path / "delta_tbl")
+    schema = "event_id long, v long"
+    for i in range(3):
+        spark.createDataFrame(
+            [(i * 10 + j, j) for j in range(4)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    dl.write_delta(spark.createDataFrame([], schema), tbl)
+
+    def seen_batch_ids():
+        out = set()
+        for r in dl.delta_history(spark, tbl).collect():
+            p = json.loads(r["operation_parameters"])
+            if "streamingBatchId" in p:
+                out.add(int(p["streamingBatchId"]))
+        return out
+
+    def sink(batch_df, batch_id):
+        if batch_id in seen_batch_ids():
+            return  # replayed batch after a restart: already committed
+        dl.write_delta(
+            batch_df,
+            tbl,
+            mode="append",
+            operation_parameters={"streamingBatchId": batch_id},
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180), "stream did not drain in 180s"
+    finally:
+        q.stop()
+
+    versions = dl.list_delta_versions(tbl)
+    assert len(versions) == 4  # empty init + 3 micro-batches
+    head = dl.read_delta(spark, tbl)
+    assert head.count() == 12
+    assert {r.event_id for r in head.collect()} == {
+        i * 10 + j for i in range(3) for j in range(4)
+    }
+    # version boundaries are consistent micro-batch prefixes
+    assert dl.read_delta(spark, tbl, versions[1]).count() == 4
+    assert dl.read_delta(spark, tbl, versions[2]).count() == 8
+    # a replayed batch id is a no-op (restart idempotency)
+    sink(spark.createDataFrame([(0, 0)], schema), 0)
+    assert dl.read_delta(spark, tbl).count() == 12
