@@ -115,14 +115,22 @@ def _atomic_commit(table_dir: str, version: int, actions: list[dict]):
     path = _commit_path(table_dir, version)
     body = "".join(json.dumps(a, separators=(",", ":")) + "\n"
                    for a in actions)
+    # tmp + os.link: atomic fail-if-exists AND never observable
+    # half-written (same reader-vs-writer race snapshots._try_commit
+    # fixes — exclusive-create-then-write lets a concurrent replay
+    # read a truncated commit)
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(body)
     try:
-        with open(path, "x") as f:
-            f.write(body)
+        os.link(tmp, path)
     except FileExistsError as e:
         raise _sn.ConcurrentCommitError(
             f"delta version {version} of {table_dir} was committed by "
             "a concurrent writer"
         ) from e
+    finally:
+        os.unlink(tmp)
 
 
 def _last_checkpoint(table_dir: str) -> int | None:
@@ -142,7 +150,6 @@ def _read_checkpoint_state(table_dir: str, version: int) -> DeltaState:
     schema = ""
     meta_id = ""
     pcols: tuple = ()
-    order: list[str] = []
     for row in tbl.to_pylist():
         md = row.get("metaData")
         if md and md.get("id"):
@@ -155,10 +162,9 @@ def _read_checkpoint_state(table_dir: str, version: int) -> DeltaState:
             if isinstance(add.get("partitionValues"), list):
                 add["partitionValues"] = dict(add["partitionValues"])
             adds[add["path"]] = add
-            order.append(add["path"])
     return DeltaState(
         version=version,
-        files=tuple(order),
+        files=tuple(adds),
         schema=schema,
         metadata_id=meta_id,
         adds=adds,
@@ -186,8 +192,10 @@ def replay(table_dir: str, version: int | None = None) -> DeltaState:
     if cp is not None and cp <= v:
         state = _read_checkpoint_state(table_dir, cp)
         start = cp + 1
+    # adds is insertion-ordered (python dict), so it IS the file order
+    # — a separate list would make every remove an O(n) scan and
+    # overwrite-heavy replays O(n^2)
     adds = dict(state.adds) if state else {}
-    order = list(state.files) if state else []
     schema = state.schema if state else ""
     meta_id = state.metadata_id if state else ""
     pcols = state.partition_cols if state else ()
@@ -212,20 +220,14 @@ def replay(table_dir: str, version: int | None = None) -> DeltaState:
                         action["metaData"].get("partitionColumns") or ()
                     )
                 elif "add" in action:
-                    p = action["add"]["path"]
-                    if p not in adds:
-                        order.append(p)
-                    adds[p] = action["add"]
+                    adds[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
-                    p = action["remove"]["path"]
-                    adds.pop(p, None)
-                    if p in order:
-                        order.remove(p)
+                    adds.pop(action["remove"]["path"], None)
     if not schema:
         raise ValueError(f"no metaData action found in {table_dir}")
     return DeltaState(
         version=v,
-        files=tuple(order),
+        files=tuple(adds),
         schema=schema,
         metadata_id=meta_id,
         adds=adds,
@@ -302,19 +304,14 @@ def read_delta(
     return out
 
 
-def _delta_stats_json(
-    table_dir: str, rel: str, stats_cols: list[str] | None
-) -> str:
-    """Per-file ``add.stats`` JSON in the spec's shape: numRecords
-    always (from the footer row count), min/max/nullCount for the
-    requested columns where the footer has JSON-stable scalars —
-    reusing snapshots._footer_stats' conservative extraction."""
-    import pyarrow.parquet as pq
-
-    num = pq.ParquetFile(os.path.join(table_dir, rel)).metadata.num_rows
-    out: dict = {"numRecords": num}
+def _delta_stats_json(md, stats_cols: list[str] | None) -> str:
+    """Per-file ``add.stats`` JSON in the spec's shape from ONE
+    already-read parquet footer: numRecords always, min/max/nullCount
+    for the requested columns where the footer has JSON-stable scalars
+    — snapshots._stats_from_metadata's conservative extraction."""
+    out: dict = {"numRecords": md.num_rows}
     if stats_cols:
-        per = _sn._footer_stats(table_dir, [rel], stats_cols).get(rel, {})
+        per = _sn._stats_from_metadata(md, stats_cols)
         if per:
             out["minValues"] = {c: s["min"] for c, s in per.items()}
             out["maxValues"] = {c: s["max"] for c, s in per.items()}
@@ -328,8 +325,16 @@ def _add_action(
     stats_cols: list[str] | None,
     data_change: bool = True,
     partition_values: dict | None = None,
+    md=None,
 ) -> dict:
+    """One add action; ``md`` is the file's parquet metadata if the
+    caller already read the footer (write_delta does — one open per
+    file, not three)."""
+    import pyarrow.parquet as pq
+
     full = os.path.join(table_dir, rel)
+    if md is None:
+        md = pq.ParquetFile(full).metadata
     return {
         "add": {
             "path": rel,
@@ -337,7 +342,7 @@ def _add_action(
             "size": os.path.getsize(full),
             "modificationTime": int(os.path.getmtime(full) * 1000),
             "dataChange": data_change,
-            "stats": _delta_stats_json(table_dir, rel, stats_cols),
+            "stats": _delta_stats_json(md, stats_cols),
         }
     }
 
@@ -433,13 +438,13 @@ def write_delta(
         written = _write_partitioned_data_files(df, table_dir, pcols)
     else:
         written = _sn._write_data_files(df, table_dir)
-    # zero-row part files (empty input partitions) are valid parquet
-    # but native writers never register them — skip, like they do
-    rel_files = [
-        rel
+    # one footer read per file: zero-row filter (empty input
+    # partitions are valid parquet but native writers never register
+    # them) AND the stats JSON come from the same metadata object
+    metas = {
+        rel: pq.ParquetFile(os.path.join(table_dir, rel)).metadata
         for rel in written
-        if pq.ParquetFile(os.path.join(table_dir, rel)).metadata.num_rows
-    ]
+    }
     adds = [
         _add_action(
             table_dir,
@@ -447,8 +452,10 @@ def write_delta(
             stats_cols,
             True,
             _hive_partition_values(rel, pcols) if pcols else None,
+            md=md,
         )
-        for rel in rel_files
+        for rel, md in metas.items()
+        if md.num_rows
     ]
     for _ in range(max_retries):
         versions = list_delta_versions(table_dir)
@@ -587,10 +594,13 @@ def write_checkpoint(
             ("stats", pa.string()),
         ])),
     ])
-    pq.write_table(
-        pa.Table.from_pylist(rows, schema=schema),
-        _checkpoint_path(table_dir, state.version),
+    cp_path = _checkpoint_path(table_dir, state.version)
+    cp_tmp = os.path.join(
+        _log_dir(table_dir),
+        f"checkpoint.tmp.{uuid.uuid4().hex[:8]}",
     )
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), cp_tmp)
+    os.replace(cp_tmp, cp_path)  # never observable half-written
     tmp = os.path.join(_log_dir(table_dir), "_last_checkpoint.tmp")
     with open(tmp, "w") as f:
         json.dump({"version": state.version, "size": len(rows)}, f)
@@ -694,14 +704,30 @@ def mirror_snapshot_to_delta(
     prev_schema = None
     if delta_versions:
         head = replay(table_dir)
-        with open(_commit_path(table_dir, head.version)) as f:
-            for line in f:
-                a = json.loads(line)
-                if "commitInfo" in a:
-                    mirrored_through = int(
-                        a["commitInfo"]["operationParameters"]
-                        ["snapshotVersion"]
-                    )
+        info: dict = {}
+        path = _commit_path(table_dir, head.version)
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        info = a["commitInfo"]
+        params = info.get("operationParameters") or {}
+        if "snapshotVersion" not in params:
+            # a direct write_delta landed after the last mirror (or
+            # the head JSON was GC'd): resuming would diff against a
+            # state the snapshot log never produced and silently
+            # REMOVE the direct write's data from the delta view —
+            # refuse loudly instead
+            raise ValueError(
+                f"delta log of {table_dir} has diverged from the "
+                f"snapshot log (head commit {head.version} is "
+                f"{info.get('operation', 'unreadable')!r}, not "
+                "MIRROR); mirror resume would bury the non-mirror "
+                "commit — keep writing via write_delta, or mirror "
+                "into a fresh directory"
+            )
+        mirrored_through = int(params["snapshotVersion"])
         meta_id = head.metadata_id
         prev_files = list(head.files)
         prev_schema = head.schema

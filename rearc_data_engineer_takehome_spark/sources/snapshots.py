@@ -263,14 +263,25 @@ def _try_commit(
     if stats:
         payload["stats"] = stats
     path = _manifest_path(table_dir, version)
+    # exclusive-create-then-write is NOT atomic for readers: between
+    # create and write-complete a concurrent manifest read sees an
+    # empty/truncated file (the round-7 stress test caught exactly
+    # that as a JSONDecodeError inside vacuum). Write the full payload
+    # to a tmp name first, then os.link it in — link is atomic AND
+    # fails-if-exists, so commit-race semantics are unchanged while
+    # the manifest is never observable half-written.
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
     try:
-        with open(path, "x") as f:  # atomic exclusive create
-            json.dump(payload, f)
+        os.link(tmp, path)
     except FileExistsError as e:
         raise ConcurrentCommitError(
             f"version {version} of {table_dir} was committed by a "
             "concurrent writer"
         ) from e
+    finally:
+        os.unlink(tmp)
     if files is not None:
         resolved, merged_stats = files, (stats or {})
     else:
@@ -331,44 +342,51 @@ def _footer_stats(
     out: dict = {}
     for rel in rel_files:
         md = pq.ParquetFile(os.path.join(table_dir, rel)).metadata
-        per_col: dict = {}
-        for rg_i in range(md.num_row_groups):
-            rg = md.row_group(rg_i)
-            for c_i in range(rg.num_columns):
-                col = rg.column(c_i)
-                name = col.path_in_schema
-                if name not in cols:
-                    continue
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    per_col[name] = None  # unknown somewhere: drop col
-                    continue
-                mn, mx = st.min, st.max
-                if isinstance(mn, bytes):
-                    try:
-                        mn, mx = mn.decode(), mx.decode()
-                    except UnicodeDecodeError:
-                        per_col[name] = None
-                        continue
-                if not isinstance(mn, (int, float, str, bool)):
-                    per_col[name] = None
-                    continue
-                prev = per_col.get(name)
-                if prev is None and name in per_col:
-                    continue  # already poisoned by an unknown row group
-                nulls = st.null_count if st.null_count is not None else 0
-                if prev is None:
-                    per_col[name] = {"min": mn, "max": mx, "nulls": nulls}
-                else:
-                    per_col[name] = {
-                        "min": min(prev["min"], mn),
-                        "max": max(prev["max"], mx),
-                        "nulls": prev["nulls"] + nulls,
-                    }
-        stats = {k: v for k, v in per_col.items() if v is not None}
+        stats = _stats_from_metadata(md, cols)
         if stats:
             out[rel] = stats
     return out
+
+
+def _stats_from_metadata(md, cols: list[str]) -> dict:
+    """Column statistics ({col: {min, max, nulls}}) from ONE parquet
+    footer's metadata object — split out so callers that already hold
+    the footer (delta_log's writer) don't re-open the file."""
+    per_col: dict = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            name = col.path_in_schema
+            if name not in cols:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                per_col[name] = None  # unknown somewhere: drop col
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    per_col[name] = None
+                    continue
+            if not isinstance(mn, (int, float, str, bool)):
+                per_col[name] = None
+                continue
+            prev = per_col.get(name)
+            if prev is None and name in per_col:
+                continue  # already poisoned by an unknown row group
+            nulls = st.null_count if st.null_count is not None else 0
+            if prev is None:
+                per_col[name] = {"min": mn, "max": mx, "nulls": nulls}
+            else:
+                per_col[name] = {
+                    "min": min(prev["min"], mn),
+                    "max": max(prev["max"], mx),
+                    "nulls": prev["nulls"] + nulls,
+                }
+    return {k: v for k, v in per_col.items() if v is not None}
 
 
 def _norm_type(t):

@@ -449,3 +449,20 @@ def test_streaming_foreachbatch_commits_delta_appends(spark, tmp_path):
     # a replayed batch id is a no-op (restart idempotency)
     sink(spark.createDataFrame([(0, 0)], schema), 0)
     assert dl.read_delta(spark, tbl).count() == 12
+
+
+def test_mirror_refuses_resume_over_diverged_log(spark, tmp_path):
+    """A direct write_delta commit on a mirrored table diverges the
+    delta log from the snapshot log; resuming the mirror would diff
+    against a state the snapshot log never produced and silently bury
+    the direct write — must refuse loudly instead."""
+    t = str(tmp_path / "tbl")
+    sn.snapshot_write(spark.createDataFrame([(1,)], "k long"), t)
+    dl.mirror_snapshot_to_delta(t)
+    dl.write_delta(spark.createDataFrame([(2,)], "k long"), t, "append")
+    sn.snapshot_write(spark.createDataFrame([(3,)], "k long"), t, "append")
+    with pytest.raises(ValueError, match="diverged"):
+        dl.mirror_snapshot_to_delta(t)
+    # both views still read consistently on their own
+    assert _rows(dl.read_delta(spark, t)) == [(1,), (2,)]
+    assert _rows(sn.read_snapshot(spark, t)) == [(1,), (3,)]

@@ -68,29 +68,44 @@ def compare(old: dict, new: dict) -> dict:
     }
 
 
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def _latest_pinned() -> str:
-    """Newest committed per-round artifact (BENCH_DETAIL_rNN.json)."""
+    """Newest committed per-round artifact (BENCH_DETAIL_rNN.json) —
+    by ROUND NUMBER, not lexicographically (r9 vs r10 and any unpadded
+    name would otherwise pick the older basis, the exact wrong-basis
+    failure this default exists to prevent)."""
     import glob
     import os
     import re
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    pinned = sorted(
-        p
-        for p in glob.glob(os.path.join(root, "BENCH_DETAIL_r*.json"))
-        if re.search(r"BENCH_DETAIL_r\d+\.json$", p)
-    )
+    pinned = []
+    for p in glob.glob(os.path.join(_repo_root(),
+                                    "BENCH_DETAIL_r*.json")):
+        m = re.search(r"BENCH_DETAIL_r(\d+)\.json$", p)
+        if m:
+            pinned.append((int(m.group(1)), p))
     if not pinned:
         raise SystemExit(
             "no pinned BENCH_DETAIL_rNN.json found; pass OLD explicitly"
         )
-    return pinned[-1]
+    return max(pinned)[1]
 
 
 def main() -> None:
+    import os
+
     argv = sys.argv[1:]
     old_path = argv[0] if len(argv) >= 1 else _latest_pinned()
-    new_path = argv[1] if len(argv) >= 2 else "BENCH_DETAIL.json"
+    # default NEW resolves against the repo root like OLD does — a
+    # cwd-relative default would read a stale/absent file elsewhere
+    new_path = argv[1] if len(argv) >= 2 else os.path.join(
+        _repo_root(), "BENCH_DETAIL.json"
+    )
     out_path = argv[2] if len(argv) >= 3 else None
     old = json.load(open(old_path))
     new = json.load(open(new_path))
