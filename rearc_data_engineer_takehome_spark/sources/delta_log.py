@@ -88,6 +88,8 @@ def list_delta_versions(table_dir: str) -> list[int]:
     checkpoint versions (after GC of old JSONs, the checkpoint IS the
     oldest readable version — forgetting this would make the next
     writer restart numbering at 0 and corrupt the table)."""
+    import re
+
     d = _log_dir(table_dir)
     if not os.path.isdir(d):
         return []
@@ -95,10 +97,29 @@ def list_delta_versions(table_dir: str) -> list[int]:
     for name in os.listdir(d):
         if name.endswith(".json") and name[:-5].isdigit():
             out.add(int(name[:-5]))
-        elif name.endswith(".checkpoint.parquet") and \
-                name[:-19].isdigit():
-            out.add(int(name[:-19]))
+        else:
+            # single-file (<v>.checkpoint.parquet) or native
+            # multi-part (<v>.checkpoint.<i>.<n>.parquet) checkpoints
+            m = re.match(
+                r"(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet$", name
+            )
+            if m:
+                out.add(int(m.group(1)))
     return sorted(out)
+
+
+def _checkpoint_files(table_dir: str, version: int) -> list[str]:
+    """All parquet files of the checkpoint at ``version`` — one file
+    for ours, N for a native multi-part checkpoint."""
+    import re
+
+    d = _log_dir(table_dir)
+    pat = re.compile(
+        rf"{version:020d}\.checkpoint(?:\.\d+\.\d+)?\.parquet$"
+    )
+    return sorted(
+        os.path.join(d, n) for n in os.listdir(d) if pat.match(n)
+    )
 
 
 def _now_ms() -> int:
@@ -133,6 +154,28 @@ def _atomic_commit(table_dir: str, version: int, actions: list[dict]):
         os.unlink(tmp)
 
 
+def _check_protocol(table_dir: str, protocols) -> None:
+    """Honest-reader gate: a table whose protocol demands reader
+    capabilities this module does not implement (minReaderVersion > 1:
+    column mapping, deletion vectors, v2 checkpoints, ...) must FAIL
+    LOUDLY — silently ignoring, say, deletion vectors would return
+    deleted rows as live data. Writers bump minReaderVersion exactly
+    so naive readers stop; honoring that is part of the spec."""
+    for p in protocols:
+        if not p:
+            continue
+        mrv = p.get("minReaderVersion", 1) or 1
+        feats = p.get("readerFeatures") or []
+        if mrv > 1 or feats:
+            raise NotImplementedError(
+                f"{table_dir} requires Delta minReaderVersion {mrv} "
+                f"(readerFeatures={list(feats)}); this clean-room "
+                "reader implements reader protocol 1 only — reading "
+                "anyway could silently resurrect deleted rows or "
+                "misname columns"
+            )
+
+
 def _last_checkpoint(table_dir: str) -> int | None:
     try:
         with open(os.path.join(_log_dir(table_dir),
@@ -145,12 +188,18 @@ def _last_checkpoint(table_dir: str) -> int | None:
 def _read_checkpoint_state(table_dir: str, version: int) -> DeltaState:
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(_checkpoint_path(table_dir, version))
+    rows: list[dict] = []
+    for path in _checkpoint_files(table_dir, version):
+        part = pq.read_table(path)
+        _check_protocol(table_dir, [
+            r["protocol"] for r in part.to_pylist() if r.get("protocol")
+        ])
+        rows.extend(part.to_pylist())
     adds: dict = {}
     schema = ""
     meta_id = ""
     pcols: tuple = ()
-    for row in tbl.to_pylist():
+    for row in rows:
         md = row.get("metaData")
         if md and md.get("id"):
             schema = md["schemaString"]
@@ -213,7 +262,9 @@ def replay(table_dir: str, version: int | None = None) -> DeltaState:
                 if not line.strip():
                     continue
                 action = json.loads(line)
-                if "metaData" in action:
+                if "protocol" in action:
+                    _check_protocol(table_dir, [action["protocol"]])
+                elif "metaData" in action:
                     schema = action["metaData"]["schemaString"]
                     meta_id = action["metaData"]["id"]
                     pcols = tuple(

@@ -466,3 +466,54 @@ def test_mirror_refuses_resume_over_diverged_log(spark, tmp_path):
     # both views still read consistently on their own
     assert _rows(dl.read_delta(spark, t)) == [(1,), (2,)]
     assert _rows(sn.read_snapshot(spark, t)) == [(1,), (3,)]
+
+
+def test_native_multipart_checkpoint_and_protocol_gate(spark, tmp_path):
+    """Native writers emit multi-part checkpoints
+    (<v>.checkpoint.<i>.<n>.parquet) — the reader must assemble all
+    parts. And a table whose protocol demands reader capabilities we
+    don't implement (minReaderVersion > 1 / readerFeatures) must fail
+    loudly, never silently misread (deletion vectors would resurrect
+    deleted rows)."""
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "tbl")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t)
+    dl.write_delta(spark.createDataFrame([(2,)], "k long"), t, "append")
+    cp = dl.write_checkpoint(t)
+    # split our single-file checkpoint into a native-shaped 2-parter
+    single = dl._checkpoint_path(t, cp)
+    tbl = pq.read_table(single)
+    n = tbl.num_rows
+    log = os.path.join(t, "_delta_log")
+    pq.write_table(
+        tbl.slice(0, n // 2),
+        os.path.join(log, f"{cp:020d}.checkpoint.0000000001.0000000002.parquet"),
+    )
+    pq.write_table(
+        tbl.slice(n // 2),
+        os.path.join(log, f"{cp:020d}.checkpoint.0000000002.0000000002.parquet"),
+    )
+    os.remove(single)
+    for v in range(0, cp + 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    assert _rows(dl.read_delta(spark, t)) == [(1,), (2,)]
+
+    # protocol gate: a v3 table with deletion vectors must refuse
+    t2 = str(tmp_path / "tbl2")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t2)
+    path = dl._commit_path(t2, 0)
+    lines = [json.loads(x) for x in open(path)]
+    for a in lines:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+    with open(path, "w") as f:
+        for a in lines:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    with pytest.raises(NotImplementedError, match="minReaderVersion 3"):
+        dl.read_delta(spark, t2)
