@@ -235,7 +235,26 @@ def replay(table_dir: str, version: int | None = None) -> DeltaState:
             f"delta version {v} not in {table_dir} "
             f"(have {versions[0]}...{versions[-1]})"
         )
+    # newest checkpoint at or before v: prefer _last_checkpoint (one
+    # stat, the fast path), but fall back to scanning the directory
+    # for older checkpoint files — time travel to an old checkpointed
+    # version must survive GC of its JSON commits even though the
+    # newest checkpoint is past it
     cp = _last_checkpoint(table_dir)
+    if cp is not None and cp > v:
+        import re
+
+        cps = [
+            int(m.group(1))
+            for m in (
+                re.match(r"(\d{20})\.checkpoint(?:\.\d+\.\d+)?"
+                         r"\.parquet$", n)
+                for n in os.listdir(_log_dir(table_dir))
+            )
+            if m
+        ]
+        eligible = [c for c in cps if c <= v]
+        cp = max(eligible) if eligible else None
     state = None
     start = 0
     if cp is not None and cp <= v:

@@ -517,3 +517,107 @@ def test_native_multipart_checkpoint_and_protocol_gate(spark, tmp_path):
             f.write(json.dumps(a, separators=(",", ":")) + "\n")
     with pytest.raises(NotImplementedError, match="minReaderVersion 3"):
         dl.read_delta(spark, t2)
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _raw_commit(table_dir, version, actions):
+    """Author a commit file directly (log-level test harness — no
+    Spark), same ndjson shape the writer emits."""
+    os.makedirs(os.path.join(table_dir, "_delta_log"), exist_ok=True)
+    with open(dl._commit_path(table_dir, version), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.one_of(
+            # add a file id (re-add allowed: upsert of the same path)
+            st.tuples(st.just("add"), st.integers(0, 14)),
+            # remove a file id (removing an absent path is legal)
+            st.tuples(st.just("remove"), st.integers(0, 14)),
+            st.tuples(st.just("checkpoint"), st.just(0)),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_replay_state_machine_matches_model(tmp_path_factory, ops):
+    """Log-level property: for ANY interleaving of add/remove/upsert
+    commits and checkpoints (including GC of all pre-checkpoint
+    JSONs), replay reconstructs exactly the model's live-file dict —
+    at head AND at every still-reconstructable historical version."""
+    t = str(tmp_path_factory.mktemp("dlog") / "tbl")
+    schema_json = (
+        '{"type":"struct","fields":[{"name":"k","type":"long",'
+        '"nullable":true,"metadata":{}}]}'
+    )
+    _raw_commit(t, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "test-id", "format": {"provider": "parquet",
+                                        "options": {}},
+            "schemaString": schema_json, "partitionColumns": [],
+            "configuration": {}, "createdTime": 0,
+        }},
+    ])
+    model: dict = {}
+    history = {0: dict(model)}
+    v = 0
+    last_cp = None
+    checkpoints: list[int] = []
+    for kind, arg in ops:
+        if kind == "checkpoint":
+            if last_cp is None or v > last_cp:
+                dl.write_checkpoint(t)
+                last_cp = v
+                checkpoints.append(v)
+                # GC every pre-checkpoint JSON commit (worst case)
+                for gv in range(0, v + 1):
+                    p = dl._commit_path(t, gv)
+                    if os.path.exists(p):
+                        os.remove(p)
+            continue
+        v += 1
+        path = f"data/f{arg}.parquet"
+        if kind == "add":
+            _raw_commit(t, v, [{
+                "add": {"path": path, "partitionValues": {},
+                        "size": 1, "modificationTime": 0,
+                        "dataChange": True},
+            }])
+            model[path] = True
+        else:
+            _raw_commit(t, v, [{
+                "remove": {"path": path, "deletionTimestamp": 0,
+                           "dataChange": True},
+            }])
+            model.pop(path, None)
+        history[v] = dict(model)
+
+    state = dl.replay(t)
+    assert state.version == v
+    assert set(state.files) == set(history[v])
+    assert state.schema == schema_json
+    # every still-reconstructable version replays to its model state:
+    # everything from the newest checkpoint forward, PLUS every older
+    # checkpointed version (replay falls back past _last_checkpoint)
+    floor = last_cp if last_cp is not None else 0
+    for hv in range(floor, v + 1):
+        assert set(dl.replay(t, hv).files) == set(history[hv]), hv
+    for hv in checkpoints:
+        assert set(dl.replay(t, hv).files) == set(history[hv]), hv
+    # any other GC'd version refuses loudly (never a wrong answer)
+    gced = [
+        hv for hv in range(0, floor)
+        if hv not in checkpoints
+        and not os.path.exists(dl._commit_path(t, hv))
+    ]
+    if gced:
+        with pytest.raises(ValueError):
+            dl.replay(t, gced[-1])
