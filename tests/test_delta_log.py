@@ -621,3 +621,43 @@ def test_replay_state_machine_matches_model(tmp_path_factory, ops):
     if gced:
         with pytest.raises(ValueError):
             dl.replay(t, gced[-1])
+
+
+def test_read_delta_increment_change_feed(spark, tmp_path):
+    """Append-only change feed between delta versions: appends feed
+    through, compaction (dataChange=false) is excluded instead of
+    poisoning the feed (native CDF semantics), overwrites refuse
+    loudly, and partitioned increments restore partition columns."""
+    t = str(tmp_path / "tbl")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t)
+    dl.write_delta(spark.createDataFrame([(2,)], "k long"), t, "append")
+    dl.write_delta(spark.createDataFrame([(3,)], "k long"), t, "append")
+    assert _rows(dl.read_delta_increment(spark, t, 0)) == [(2,), (3,)]
+    assert _rows(dl.read_delta_increment(spark, t, 0, 1)) == [(2,)]
+    assert _rows(dl.read_delta_increment(spark, t, 1, 2)) == [(3,)]
+
+    # compaction via the mirror path: dataChange=false excluded
+    m = str(tmp_path / "mirrored")
+    sn.snapshot_write(spark.createDataFrame([(1,)], "k long"), m)
+    sn.snapshot_write(spark.createDataFrame([(2,)], "k long"), m, "append")
+    sn.snapshot_compact(spark, m, target_files=1)
+    sn.snapshot_write(spark.createDataFrame([(3,)], "k long"), m, "append")
+    dl.mirror_snapshot_to_delta(m)
+    # range spans the compaction commit: only real appends surface
+    assert _rows(dl.read_delta_increment(spark, m, 0)) == [(2,), (3,)]
+
+    # an overwrite in range refuses
+    dl.write_delta(spark.createDataFrame([(9,)], "k long"), t)
+    with pytest.raises(ValueError, match="not an append stream"):
+        dl.read_delta_increment(spark, t, 0)
+
+    # partitioned increment restores partition columns
+    p = str(tmp_path / "part")
+    df0 = spark.createDataFrame([(1, "us")], "k long, region string")
+    dl.write_delta(df0, p, partition_by=["region"])
+    dl.write_delta(
+        spark.createDataFrame([(2, "eu")], df0.schema), p, "append",
+        partition_by=["region"],
+    )
+    inc = dl.read_delta_increment(spark, p, 0)
+    assert _rows(inc.select("k", "region")) == [(2, "eu")]
