@@ -67,6 +67,11 @@ class DeltaState:
     metadata_id: str
     adds: dict  # rel path -> full add action dict
     partition_cols: tuple[str, ...] = ()  # metaData.partitionColumns
+    # latest txn action per appId ({appId: version}) — the spec's
+    # idempotent-writer mechanism: a streaming sink records its
+    # (appId, batch version) with each commit and skips batches whose
+    # version it has already transacted
+    txns: dict | None = None
 
 
 def _log_dir(table_dir: str) -> str:
@@ -199,6 +204,7 @@ def _read_checkpoint_state(table_dir: str, version: int) -> DeltaState:
     schema = ""
     meta_id = ""
     pcols: tuple = ()
+    txns: dict = {}
     for row in rows:
         md = row.get("metaData")
         if md and md.get("id"):
@@ -211,6 +217,9 @@ def _read_checkpoint_state(table_dir: str, version: int) -> DeltaState:
             if isinstance(add.get("partitionValues"), list):
                 add["partitionValues"] = dict(add["partitionValues"])
             adds[add["path"]] = add
+        txn = row.get("txn")
+        if txn and txn.get("appId"):
+            txns[txn["appId"]] = txn["version"]
     return DeltaState(
         version=version,
         files=tuple(adds),
@@ -218,6 +227,7 @@ def _read_checkpoint_state(table_dir: str, version: int) -> DeltaState:
         metadata_id=meta_id,
         adds=adds,
         partition_cols=pcols,
+        txns=txns,
     )
 
 
@@ -267,6 +277,7 @@ def replay(table_dir: str, version: int | None = None) -> DeltaState:
     schema = state.schema if state else ""
     meta_id = state.metadata_id if state else ""
     pcols = state.partition_cols if state else ()
+    txns = dict(state.txns or {}) if state else {}
     for cv in range(start, v + 1):
         try:
             f = open(_commit_path(table_dir, cv))
@@ -293,6 +304,9 @@ def replay(table_dir: str, version: int | None = None) -> DeltaState:
                     adds[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     adds.pop(action["remove"]["path"], None)
+                elif "txn" in action:
+                    txns[action["txn"]["appId"]] = \
+                        action["txn"]["version"]
     if not schema:
         raise ValueError(f"no metaData action found in {table_dir}")
     return DeltaState(
@@ -302,6 +316,7 @@ def replay(table_dir: str, version: int | None = None) -> DeltaState:
         metadata_id=meta_id,
         adds=adds,
         partition_cols=pcols,
+        txns=txns,
     )
 
 
@@ -492,6 +507,7 @@ def write_delta(
     max_retries: int = 20,
     partition_by: list[str] | None = None,
     operation_parameters: dict | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> DeltaState:
     """Write ``df`` as one Delta commit. ``overwrite`` removes every
     previously-live file and adds the new ones (emitting a fresh
@@ -502,13 +518,27 @@ def write_delta(
     ``data/<uuid>/`` prefix (hive layout when ``partition_by``) and
     referenced by relative path — losing a commit race never rewrites
     data, the writer just renumbers (overwrite) or re-reads the head
-    and re-validates (append)."""
+    and re-validates (append).
+
+    ``txn=(app_id, version)`` emits the spec's transaction identifier
+    action and makes THIS write idempotent for that application: if
+    the table has already transacted ``version`` (or newer) for
+    ``app_id``, the write is skipped and the current head returned —
+    exactly how native streaming sinks make micro-batch replays
+    no-ops. The check re-runs inside the retry loop, so two racing
+    writers with the same txn commit it once."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
     import pyarrow.parquet as pq
 
     schema_json = df.schema.json()
     pcols = list(partition_by or [])
+    if txn is not None and list_delta_versions(table_dir):
+        # early idempotency exit BEFORE materializing data files; the
+        # same check re-runs inside the commit loop to close the race
+        seen = (replay(table_dir).txns or {}).get(txn[0])
+        if seen is not None and seen >= txn[1]:
+            return replay(table_dir)
     if pcols:
         written = _write_partitioned_data_files(df, table_dir, pcols)
     else:
@@ -535,6 +565,11 @@ def write_delta(
     for _ in range(max_retries):
         versions = list_delta_versions(table_dir)
         head = replay(table_dir) if versions else None
+        if txn is not None and head is not None:
+            app_id, txn_version = txn
+            seen = (head.txns or {}).get(app_id)
+            if seen is not None and seen >= txn_version:
+                return head  # already transacted: idempotent no-op
         version = (versions[-1] + 1) if versions else 0
         actions: list[dict] = []
         if head is None:
@@ -576,6 +611,14 @@ def write_delta(
                 for p in head.files
             )
         actions.extend(adds)
+        if txn is not None:
+            actions.append({
+                "txn": {
+                    "appId": txn[0],
+                    "version": txn[1],
+                    "lastUpdated": _now_ms(),
+                }
+            })
         actions.append(
             {
                 "commitInfo": {
@@ -615,9 +658,11 @@ def write_checkpoint(
 
     state = replay(table_dir, version)
     rows = [
-        {"protocol": dict(_PROTOCOL), "metaData": None, "add": None},
+        {"protocol": dict(_PROTOCOL), "metaData": None, "add": None,
+         "txn": None},
         {
             "protocol": None,
+            "txn": None,
             "metaData": {
                 "id": state.metadata_id,
                 "format": {"provider": "parquet", "options": {}},
@@ -629,12 +674,21 @@ def write_checkpoint(
             "add": None,
         },
     ]
+    for app_id, tv in sorted((state.txns or {}).items()):
+        rows.append({
+            "protocol": None,
+            "metaData": None,
+            "add": None,
+            "txn": {"appId": app_id, "version": tv,
+                    "lastUpdated": None},
+        })
     for p in state.files:
         a = dict(state.adds[p])
         a.setdefault("stats", None)
         rows.append({
             "protocol": None,
             "metaData": None,
+            "txn": None,
             "add": {
                 "path": a["path"],
                 "partitionValues": a.get("partitionValues", {}),
@@ -645,6 +699,11 @@ def write_checkpoint(
             },
         })
     schema = pa.schema([
+        ("txn", pa.struct([
+            ("appId", pa.string()),
+            ("version", pa.int64()),
+            ("lastUpdated", pa.int64()),
+        ])),
         ("protocol", pa.struct([
             ("minReaderVersion", pa.int32()),
             ("minWriterVersion", pa.int32()),

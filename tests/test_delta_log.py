@@ -404,22 +404,11 @@ def test_streaming_foreachbatch_commits_delta_appends(spark, tmp_path):
 
     dl.write_delta(spark.createDataFrame([], schema), tbl)
 
-    def seen_batch_ids():
-        out = set()
-        for r in dl.delta_history(spark, tbl).collect():
-            p = json.loads(r["operation_parameters"])
-            if "streamingBatchId" in p:
-                out.add(int(p["streamingBatchId"]))
-        return out
-
     def sink(batch_df, batch_id):
-        if batch_id in seen_batch_ids():
-            return  # replayed batch after a restart: already committed
+        # the spec's txn action IS the idempotency mechanism: a
+        # replayed (appId, version) is a no-op inside write_delta
         dl.write_delta(
-            batch_df,
-            tbl,
-            mode="append",
-            operation_parameters={"streamingBatchId": batch_id},
+            batch_df, tbl, mode="append", txn=("events-sink", batch_id)
         )
 
     q = (
@@ -446,8 +435,21 @@ def test_streaming_foreachbatch_commits_delta_appends(spark, tmp_path):
     # version boundaries are consistent micro-batch prefixes
     assert dl.read_delta(spark, tbl, versions[1]).count() == 4
     assert dl.read_delta(spark, tbl, versions[2]).count() == 8
-    # a replayed batch id is a no-op (restart idempotency)
+    # a replayed batch id is a no-op (restart idempotency) and the
+    # latest transacted version is queryable state
+    assert dl.replay(tbl).txns == {"events-sink": 2}
     sink(spark.createDataFrame([(0, 0)], schema), 0)
+    assert dl.read_delta(spark, tbl).count() == 12
+    # txn state survives checkpoint replay (spec checkpoint layout
+    # carries txn rows)
+    cp = dl.write_checkpoint(tbl)
+    log = os.path.join(tbl, "_delta_log")
+    for v in range(0, cp + 1):
+        p = os.path.join(log, f"{v:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    assert dl.replay(tbl).txns == {"events-sink": 2}
+    sink(spark.createDataFrame([(777, 7)], schema), 1)  # still a no-op
     assert dl.read_delta(spark, tbl).count() == 12
 
 
