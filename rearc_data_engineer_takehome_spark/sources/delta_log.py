@@ -743,6 +743,203 @@ def write_checkpoint(
     return state.version
 
 
+def _add_stats_view(add: dict) -> dict | None:
+    """An add action's ``stats`` JSON reshaped to snapshots'
+    ``{col: {min, max, nulls}}`` so _file_may_match's conservative
+    interval test (type-mismatch keeps, absence keeps) is shared."""
+    raw = add.get("stats")
+    if not raw:
+        return None
+    try:
+        st = json.loads(raw) if isinstance(raw, str) else raw
+    except ValueError:
+        return None
+    mins = st.get("minValues") or {}
+    maxs = st.get("maxValues") or {}
+    nulls = st.get("nullCount") or {}
+    out = {
+        c: {"min": mins[c], "max": maxs[c], "nulls": nulls.get(c, 0)}
+        for c in mins
+        if c in maxs
+    }
+    return out or None
+
+
+def _partition_pruned(
+    add: dict, pcols: tuple, ptypes: dict, prune: dict
+) -> bool:
+    """True when a file's partitionValues PROVE no row can match: the
+    partition value is the column's single value for every row, so a
+    typed interval miss (or a null value against any bound) drops the
+    file. Unparseable values keep the file — conservative, exact."""
+    pv = add.get("partitionValues") or {}
+    for col, (lo, hi) in prune.items():
+        if col not in pcols:
+            continue
+        v = pv.get(col)
+        if v is None or v == "__HIVE_DEFAULT_PARTITION__":
+            # all rows have NULL here; any bound excludes NULLs
+            if lo is not None or hi is not None:
+                return True
+            continue
+        t = ptypes.get(col, "").lower()
+        try:
+            if t in ("tinyint", "smallint", "int", "integer", "long",
+                     "bigint"):
+                tv = int(v)
+            elif t in ("float", "double"):
+                tv = float(v)
+            else:
+                tv = v
+            if lo is not None and tv < lo:
+                return True
+            if hi is not None and tv > hi:
+                return True
+        except (ValueError, TypeError):
+            continue  # cannot prove a miss
+    return False
+
+
+def delta_scan(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    prune: dict | None = None,
+) -> DataFrame:
+    """Data-skipping read over the delta log — the twin of
+    snapshots.snapshot_scan: drop every file whose add-action ``stats``
+    (min/max per column) or ``partitionValues`` PROVE it cannot hold a
+    row in ``prune`` = ``{col: (lo, hi)}``, scan the survivors, and
+    re-apply the predicates row-level so straddling files stay exact.
+    Missing/type-mismatched stats always scan. At 100 TB the skip
+    decision runs over the log's metadata (KBs), never the storage
+    listing — the same IO win any native Delta reader gets from the
+    same stats."""
+    import pyspark.sql.functions as F  # noqa: F811 (local clarity)
+
+    state = replay(table_dir, version)
+    prune = prune or {}
+    ptypes = {
+        f["name"]: (
+            f["type"] if isinstance(f["type"], str) else "complex"
+        )
+        for f in json.loads(state.schema)["fields"]
+    }
+    keep = {
+        p: a
+        for p, a in state.adds.items()
+        if _sn._file_may_match(_add_stats_view(a), prune)
+        and not _partition_pruned(
+            a, state.partition_cols, ptypes, prune
+        )
+    }
+    sub = DeltaState(
+        version=state.version,
+        files=tuple(keep),
+        schema=state.schema,
+        metadata_id=state.metadata_id,
+        adds=keep,
+        partition_cols=state.partition_cols,
+        txns=state.txns,
+    )
+    df = _read_state(spark, table_dir, sub)
+    for col, (lo, hi) in prune.items():
+        if lo is not None:
+            df = df.where(F.col(col) >= lo)
+        if hi is not None:
+            df = df.where(F.col(col) <= hi)
+    return df
+
+
+def delta_compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int,
+    stats_cols: list[str] | None = None,
+    max_retries: int = 20,
+) -> DeltaState:
+    """OPTIMIZE: rewrite the head's content into ``target_files``
+    files and commit remove+add with ``dataChange: false`` — history
+    stays time-travelable, the change feed skips the rewrite (native
+    semantics). Race rule, slightly stronger than snapshot_compact's
+    raise-on-any-race: a concurrent APPEND composes with a verbatim
+    retry (its files are not in our remove set, so the retried commit
+    yields append's rows + the rewrite = exactly the right content),
+    but any interleaved REMOVE (overwrite/another compact) raises
+    ConcurrentCommitError — retrying verbatim would resurrect its
+    removed rows."""
+    if target_files < 1:
+        raise ValueError("target_files must be >= 1")
+    head = replay(table_dir)
+    if head.partition_cols:
+        raise NotImplementedError(
+            "compaction of partitioned delta tables is per-partition "
+            "bin packing — not implemented; compact before "
+            "partitioned writes or rewrite via write_delta(overwrite)"
+        )
+    df = _read_state(spark, table_dir, head).coalesce(target_files)
+    rel_files = _sn._write_data_files(df, table_dir)
+    import pyarrow.parquet as pq
+
+    metas = {
+        rel: pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+        for rel in rel_files
+    }
+    adds = [
+        _add_action(table_dir, rel, stats_cols, False, None, md=md)
+        for rel, md in metas.items()
+        if md.num_rows
+    ]
+    computed_against = head.version
+    for _ in range(max_retries):
+        versions = list_delta_versions(table_dir)
+        version = versions[-1] + 1
+        # inspect commits that landed since we computed the rewrite
+        for cv in range(computed_against + 1, version):
+            with open(_commit_path(table_dir, cv)) as f:
+                for line in f:
+                    a = json.loads(line)
+                    if "remove" in a:
+                        raise _sn.ConcurrentCommitError(
+                            f"compaction of {table_dir} computed "
+                            f"against v{computed_against} raced a "
+                            f"remove in v{cv}; re-run against the "
+                            "new head"
+                        )
+        ts = _now_ms()
+        actions: list[dict] = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": ts,
+                    "dataChange": False,
+                }
+            }
+            for p in head.files
+        ]
+        actions.extend(adds)
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": ts,
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {
+                        "targetFiles": target_files
+                    },
+                    "engineInfo": "rearc-takehome-spark-cleanroom",
+                }
+            }
+        )
+        try:
+            _atomic_commit(table_dir, version, actions)
+            return replay(table_dir, version)
+        except _sn.ConcurrentCommitError:
+            continue  # appends compose; removes raised above
+    raise RuntimeError(
+        f"delta compaction of {table_dir} lost {max_retries} races"
+    )
+
+
 def read_delta_increment(
     spark: SparkSession,
     table_dir: str,

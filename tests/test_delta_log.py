@@ -663,3 +663,117 @@ def test_read_delta_increment_change_feed(spark, tmp_path):
     )
     inc = dl.read_delta_increment(spark, p, 0)
     assert _rows(inc.select("k", "region")) == [(2, "eu")]
+
+
+def test_delta_scan_data_skipping(spark, tmp_path):
+    """Data skipping over add-action stats and partitionValues:
+    provable misses are dropped (inputFiles-asserted), straddling
+    files re-filter row-level, stat-less files always scan, and every
+    pruned scan is value-exact vs the unpruned read."""
+    t = str(tmp_path / "tbl")
+    dl.write_delta(
+        spark.range(100).select(F.col("id").alias("k"),
+                                (F.col("id") * 2).alias("v"))
+        .repartitionByRange(4, "k"),
+        t, stats_cols=["k"],
+    )
+    # stat-less append — never prunable
+    dl.write_delta(
+        spark.range(100, 200).select(F.col("id").alias("k"),
+                                     (F.col("id") * 2).alias("v"))
+        .repartitionByRange(4, "k"),
+        t, "append",
+    )
+
+    def ref(prune):
+        df = dl.read_delta(spark, t)
+        for c, (lo, hi) in prune.items():
+            if lo is not None:
+                df = df.where(F.col(c) >= lo)
+            if hi is not None:
+                df = df.where(F.col(c) <= hi)
+        return _rows(df)
+
+    got = dl.delta_scan(spark, t, prune={"k": (10, 15)})
+    assert _rows(got) == ref({"k": (10, 15)})
+    state = dl.replay(t)
+    with_stats = [p for p, a in state.adds.items()
+                  if json.loads(a["stats"]).get("minValues")]
+    without = [p for p in state.files if p not in with_stats]
+    scanned = {f.split(t.rstrip('/') + '/')[-1]
+               for f in got.inputFiles()}
+    # all stat-less files kept; only 1 of the 4 range files survives
+    assert set(without) <= scanned
+    assert len(scanned & set(with_stats)) == 1
+
+    # partition-value pruning, typed, with null partitions
+    p = str(tmp_path / "part")
+    dl.write_delta(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, None)], "k long, bucket long"
+        ),
+        p, partition_by=["bucket"],
+    )
+    got = dl.delta_scan(spark, p, prune={"bucket": (15, 25)})
+    assert _rows(got.select("k")) == [(2,)]
+    assert len(got.inputFiles()) == 1  # 10 and null pruned by metadata
+
+
+def test_delta_compact_optimize(spark, tmp_path):
+    """OPTIMIZE bin-packs with dataChange=false: content identical,
+    change feed skips the rewrite, history time-travelable, a racing
+    append composes, a racing remove refuses."""
+    t = str(tmp_path / "tbl")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t)
+    for i in (2, 3, 4):
+        dl.write_delta(
+            spark.createDataFrame([(i,)], "k long"), t, "append"
+        )
+    before = _rows(dl.read_delta(spark, t))
+    n_before = len(dl.replay(t).files)
+    s = dl.delta_compact(spark, t, target_files=1, stats_cols=["k"])
+    assert len(s.files) == 1 < n_before
+    assert _rows(dl.read_delta(spark, t)) == before
+    assert _rows(dl.read_delta(spark, t, s.version - 1)) == before
+    # the rewrite is invisible to the change feed
+    assert _rows(dl.read_delta_increment(spark, t, 0)) == [
+        (2,), (3,), (4,),
+    ]
+    # a racing APPEND composes: interleave one between the compact's
+    # content computation and its commit (monkeypatch the data-file
+    # write to sneak the append in first)
+    real_write = sn._write_data_files
+
+    def write_with_append_race(df, table_dir):
+        out = real_write(df, table_dir)
+        sn._write_data_files = real_write  # one-shot: avoid recursion
+        dl.write_delta(
+            spark.createDataFrame([(5,)], "k long"), t, "append"
+        )
+        return out
+
+    sn._write_data_files = write_with_append_race
+    try:
+        dl.delta_compact(spark, t, target_files=1)
+    finally:
+        sn._write_data_files = real_write
+    # the concurrent append's row survived the compaction commit
+    assert _rows(dl.read_delta(spark, t)) == [(1,), (2,), (3,), (4,), (5,)]
+
+    # a racing REMOVE (overwrite) refuses instead of resurrecting rows
+    def write_with_remove_race(df, table_dir):
+        out = real_write(df, table_dir)
+        sn._write_data_files = real_write  # one-shot: avoid recursion
+        dl.write_delta(spark.createDataFrame([(9,)], "k long"), t)
+        return out
+
+    sn._write_data_files = write_with_remove_race
+    try:
+        with pytest.raises(sn.ConcurrentCommitError, match="remove"):
+            dl.delta_compact(spark, t, target_files=1)
+    finally:
+        sn._write_data_files = real_write
+    # the overwrite's state is intact; a clean re-run compacts it
+    assert _rows(dl.read_delta(spark, t)) == [(9,)]
+    dl.delta_compact(spark, t, target_files=1)
+    assert _rows(dl.read_delta(spark, t)) == [(9,)]
