@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -88,42 +89,48 @@ def _checkpoint_path(table_dir: str, version: int) -> str:
     )
 
 
+# single-file (<v>.checkpoint.parquet) or native multi-part
+# (<v>.checkpoint.<i>.<n>.parquet) checkpoint names — the ONE naming
+# authority; list/read/GC must never diverge on what counts as a
+# checkpoint (a GC that misses a naming leaves stale versions
+# advertised over deleted data)
+_CP_NAME = re.compile(r"(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet$")
+
+
+def _checkpoint_versions(table_dir: str) -> list[int]:
+    d = _log_dir(table_dir)
+    if not os.path.isdir(d):
+        return []
+    return sorted({
+        int(m.group(1))
+        for m in (_CP_NAME.match(n) for n in os.listdir(d))
+        if m
+    })
+
+
 def list_delta_versions(table_dir: str) -> list[int]:
     """Every version the log can still serve: JSON commits plus
     checkpoint versions (after GC of old JSONs, the checkpoint IS the
     oldest readable version — forgetting this would make the next
     writer restart numbering at 0 and corrupt the table)."""
-    import re
-
     d = _log_dir(table_dir)
     if not os.path.isdir(d):
         return []
-    out = set()
+    out = set(_checkpoint_versions(table_dir))
     for name in os.listdir(d):
         if name.endswith(".json") and name[:-5].isdigit():
             out.add(int(name[:-5]))
-        else:
-            # single-file (<v>.checkpoint.parquet) or native
-            # multi-part (<v>.checkpoint.<i>.<n>.parquet) checkpoints
-            m = re.match(
-                r"(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet$", name
-            )
-            if m:
-                out.add(int(m.group(1)))
     return sorted(out)
 
 
 def _checkpoint_files(table_dir: str, version: int) -> list[str]:
     """All parquet files of the checkpoint at ``version`` — one file
     for ours, N for a native multi-part checkpoint."""
-    import re
-
     d = _log_dir(table_dir)
-    pat = re.compile(
-        rf"{version:020d}\.checkpoint(?:\.\d+\.\d+)?\.parquet$"
-    )
     return sorted(
-        os.path.join(d, n) for n in os.listdir(d) if pat.match(n)
+        os.path.join(d, n)
+        for n in os.listdir(d)
+        if (m := _CP_NAME.match(n)) and int(m.group(1)) == version
     )
 
 
@@ -193,13 +200,24 @@ def _last_checkpoint(table_dir: str) -> int | None:
 def _read_checkpoint_state(table_dir: str, version: int) -> DeltaState:
     import pyarrow.parquet as pq
 
+    paths = _checkpoint_files(table_dir, version)
+    if not paths:
+        # a stale/corrupt _last_checkpoint or an unsupported naming
+        # (e.g. v2 UUID checkpoints) must NOT silently become an empty
+        # base state — replay would then return a table missing every
+        # pre-checkpoint file
+        raise ValueError(
+            f"checkpoint {version} of {table_dir} has no readable "
+            "parquet parts (stale _last_checkpoint, or an unsupported "
+            "checkpoint naming)"
+        )
     rows: list[dict] = []
-    for path in _checkpoint_files(table_dir, version):
-        part = pq.read_table(path)
+    for path in paths:
+        part_rows = pq.read_table(path).to_pylist()
         _check_protocol(table_dir, [
-            r["protocol"] for r in part.to_pylist() if r.get("protocol")
+            r["protocol"] for r in part_rows if r.get("protocol")
         ])
-        rows.extend(part.to_pylist())
+        rows.extend(part_rows)
     adds: dict = {}
     schema = ""
     meta_id = ""
@@ -247,23 +265,17 @@ def replay(table_dir: str, version: int | None = None) -> DeltaState:
         )
     # newest checkpoint at or before v: prefer _last_checkpoint (one
     # stat, the fast path), but fall back to scanning the directory
-    # for older checkpoint files — time travel to an old checkpointed
-    # version must survive GC of its JSON commits even though the
-    # newest checkpoint is past it
+    # whenever the hint overshoots v OR is absent/corrupt —
+    # _last_checkpoint is a best-effort pointer per the spec (a writer
+    # can crash between checkpoint and pointer), and time travel to an
+    # old checkpointed version must survive GC of its JSON commits
     cp = _last_checkpoint(table_dir)
-    if cp is not None and cp > v:
-        import re
-
-        cps = [
-            int(m.group(1))
-            for m in (
-                re.match(r"(\d{20})\.checkpoint(?:\.\d+\.\d+)?"
-                         r"\.parquet$", n)
-                for n in os.listdir(_log_dir(table_dir))
-            )
-            if m
-        ]
-        eligible = [c for c in cps if c <= v]
+    if cp is None or cp > v or not _checkpoint_files(table_dir, cp):
+        # pointer absent, overshooting, or pointing at vanished files:
+        # scan for the newest real checkpoint at or before v; with
+        # none, JSON replay from 0 (which fails loudly if GC'd)
+        eligible = [c for c in _checkpoint_versions(table_dir)
+                    if c <= v]
         cp = max(eligible) if eligible else None
     state = None
     start = 0
@@ -536,9 +548,10 @@ def write_delta(
     if txn is not None and list_delta_versions(table_dir):
         # early idempotency exit BEFORE materializing data files; the
         # same check re-runs inside the commit loop to close the race
-        seen = (replay(table_dir).txns or {}).get(txn[0])
+        head0 = replay(table_dir)
+        seen = (head0.txns or {}).get(txn[0])
         if seen is not None and seen >= txn[1]:
-            return replay(table_dir)
+            return head0
     if pcols:
         written = _write_partitioned_data_files(df, table_dir, pcols)
     else:
@@ -960,10 +973,15 @@ def read_delta_increment(
     end = replay(table_dir, version)
     if version is None:
         version = end.version
-    if since_version >= version:
+    if since_version > version:
         raise ValueError(
-            f"since_version {since_version} must precede version "
-            f"{version}"
+            f"since_version {since_version} is past version {version}"
+        )
+    if since_version == version:
+        # no new commits: an empty increment, same contract as the
+        # snapshots twin — pollers must not have to special-case it
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(end.schema))
         )
     added: dict = {}
     for cv in range(since_version + 1, version + 1):
@@ -1043,8 +1061,13 @@ def vacuum_delta(table_dir: str) -> int:
         v = None
         if name.endswith(".json") and name[:-5].isdigit():
             v = int(name[:-5])
-        elif name.endswith(".checkpoint.parquet") and name[:-19].isdigit():
-            v = int(name[:-19])
+        else:
+            # shared naming authority: GC must recognize EVERY
+            # checkpoint naming that list/read do, or stale versions
+            # stay advertised over deleted data files
+            m = _CP_NAME.match(name)
+            if m:
+                v = int(m.group(1))
         if v is not None and v < head:
             os.remove(os.path.join(log, name))
     deleted = 0

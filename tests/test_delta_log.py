@@ -777,3 +777,65 @@ def test_delta_compact_optimize(spark, tmp_path):
     assert _rows(dl.read_delta(spark, t)) == [(9,)]
     dl.delta_compact(spark, t, target_files=1)
     assert _rows(dl.read_delta(spark, t)) == [(9,)]
+
+
+def test_checkpoint_pointer_loss_and_empty_increment(spark, tmp_path):
+    """Second-review regressions: (a) _last_checkpoint is a
+    best-effort hint — a table whose pointer is lost but whose
+    checkpoint parquet survives must still replay after JSON GC;
+    (b) a stale pointer at a version with no checkpoint files fails
+    loudly, never an empty base state; (c) an increment with no new
+    commits is an EMPTY frame (snapshots-twin contract), not an
+    error; (d) vacuum_delta GCs multi-part-named checkpoints too."""
+    t = str(tmp_path / "tbl")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t)
+    dl.write_delta(spark.createDataFrame([(2,)], "k long"), t, "append")
+    cp = dl.write_checkpoint(t)
+    log = os.path.join(t, "_delta_log")
+    for v in range(0, cp + 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    # (a) lose the pointer: replay must find the checkpoint by scan
+    os.remove(os.path.join(log, "_last_checkpoint"))
+    assert _rows(dl.read_delta(spark, t)) == [(1,), (2,)]
+
+    # (c) empty increment at head
+    head = dl.replay(t).version
+    assert dl.read_delta_increment(spark, t, head).count() == 0
+    with pytest.raises(ValueError, match="past version"):
+        dl.read_delta_increment(spark, t, head + 1)
+
+    # (b) stale pointer to a checkpointless version fails loudly
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": cp + 99, "size": 1}, f)
+    with pytest.raises(ValueError, match="delta version"):
+        # the pointed-at version doesn't exist at all -> version error;
+        # now point at a REAL version that lacks checkpoint files:
+        dl.read_delta(spark, t, cp + 99)
+    dl.write_delta(spark.createDataFrame([(3,)], "k long"), t, "append")
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": cp + 1, "size": 1}, f)
+    # pointer at a real version with NO checkpoint files: replay falls
+    # back to the newest real checkpoint (cp) and still answers
+    assert _rows(dl.read_delta(spark, t)) == [(1,), (2,), (3,)]
+    # ...and if the real checkpoint ALSO vanishes with the JSON chain
+    # GC'd, the failure is loud, never an empty state
+    saved = os.path.join(log, "cp.bak")
+    os.rename(os.path.join(log, f"{cp:020d}.checkpoint.parquet"), saved)
+    with pytest.raises(ValueError, match="garbage-collected|not in"):
+        dl.read_delta(spark, t)
+    os.rename(saved, os.path.join(log, f"{cp:020d}.checkpoint.parquet"))
+    os.remove(os.path.join(log, "_last_checkpoint"))
+
+    # (d) rename the old checkpoint to the multi-part naming; a later
+    # vacuum_delta must still GC it
+    old_cp = os.path.join(log, f"{cp:020d}.checkpoint.parquet")
+    os.rename(
+        old_cp,
+        os.path.join(
+            log, f"{cp:020d}.checkpoint.0000000001.0000000001.parquet"
+        ),
+    )
+    assert cp in dl.list_delta_versions(t)  # still readable pre-GC
+    dl.vacuum_delta(t)
+    assert cp not in dl.list_delta_versions(t)  # GC'd, not stale
+    assert _rows(dl.read_delta(spark, t)) == [(1,), (2,), (3,)]
