@@ -520,6 +520,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     operation_parameters: dict | None = None,
     txn: tuple[str, int] | None = None,
+    merge_schema: bool = False,
 ) -> DeltaState:
     """Write ``df`` as one Delta commit. ``overwrite`` removes every
     previously-live file and adds the new ones (emitting a fresh
@@ -590,10 +591,13 @@ def write_delta(
             actions.append(_meta_action(schema_json, None, pcols))
         elif mode == "overwrite":
             # overwrite may replace the schema/partitioning outright
-            # (the spec's overwriteSchema path) — fresh metaData then
+            # (the spec's overwriteSchema path) — fresh metaData, but
+            # the table's id is immutable: new schema, same identity
             if head.schema != schema_json or \
                     head.partition_cols != tuple(pcols):
-                actions.append(_meta_action(schema_json, None, pcols))
+                actions.append(
+                    _meta_action(schema_json, head.metadata_id, pcols)
+                )
         else:
             if partition_by is None and head.partition_cols:
                 raise ValueError(
@@ -606,11 +610,29 @@ def write_delta(
                     f"partitioning {list(head.partition_cols)}"
                 )
             if not _sn._schema_compatible(head.schema, schema_json):
-                raise ValueError(
-                    "append schema incompatible with table schema "
-                    "(Delta appends never silently rename/retype)"
-                )
-            schema_json = head.schema  # pin: appends keep table schema
+                if merge_schema:
+                    # additive evolution (mergeSchema): ADD-only,
+                    # renames/drops/retypes stay loud errors — the
+                    # same contract as snapshots (shared validator);
+                    # old files null-fill the new columns because
+                    # every read pins the metaData schema
+                    schema_json = _sn._merge_schemas(
+                        head.schema, schema_json
+                    )
+                    actions.append(
+                        _meta_action(
+                            schema_json, head.metadata_id, pcols
+                        )
+                    )
+                else:
+                    raise ValueError(
+                        "append schema incompatible with table schema "
+                        "(Delta appends never silently rename/retype; "
+                        "pass merge_schema=True for add-only "
+                        "evolution)"
+                    )
+            else:
+                schema_json = head.schema  # appends keep table schema
         if mode == "overwrite" and head is not None:
             ts = _now_ms()
             actions.extend(
@@ -1033,6 +1055,83 @@ def read_delta_increment(
     return spark.read.schema(schema).parquet(
         *[os.path.join(table_dir, p) for p in added]
     )
+
+
+def delta_merge_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    keys: list[str],
+) -> DeltaState:
+    """MERGE as a delta commit — the twin of
+    snapshots.snapshot_merge_upsert: rows whose key matches an update
+    are replaced, unmatched updates inserted, full result committed as
+    remove(all)+add with ``dataChange: true`` so the pre-merge version
+    stays time-travelable and re-running the same updates converges.
+
+    Concurrency (read-merge-write TOCTOU): the merged content is
+    computed FROM the head read at the start, so the commit targets
+    exactly head+1 and raises ConcurrentCommitError if anything landed
+    in between — silently renumbering would erase the concurrent
+    commit's rows. The caller re-runs against the new head; updates
+    are idempotent, so a re-run is always safe."""
+    head = replay(table_dir)
+    current = _read_state(spark, table_dir, head)
+    if set(current.columns) != set(updates.columns):
+        raise ValueError(
+            f"update schema {sorted(updates.columns)} != table schema "
+            f"{sorted(current.columns)}"
+        )
+    merged = current.join(
+        updates, on=keys, how="left_anti"
+    ).unionByName(updates)
+    pcols = list(head.partition_cols)
+    if pcols:
+        written = _write_partitioned_data_files(merged, table_dir, pcols)
+    else:
+        written = _sn._write_data_files(merged, table_dir)
+    import pyarrow.parquet as pq
+
+    metas = {
+        rel: pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+        for rel in written
+    }
+    adds = [
+        _add_action(
+            table_dir,
+            rel,
+            None,
+            True,
+            _hive_partition_values(rel, pcols) if pcols else None,
+            md=md,
+        )
+        for rel, md in metas.items()
+        if md.num_rows
+    ]
+    ts = _now_ms()
+    actions: list[dict] = [
+        {
+            "remove": {
+                "path": p,
+                "deletionTimestamp": ts,
+                "dataChange": True,
+            }
+        }
+        for p in head.files
+    ]
+    actions.extend(adds)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "MERGE",
+                "operationParameters": {"keys": list(keys)},
+                "engineInfo": "rearc-takehome-spark-cleanroom",
+            }
+        }
+    )
+    _atomic_commit(table_dir, head.version + 1, actions)
+    return replay(table_dir, head.version + 1)
 
 
 def vacuum_delta(table_dir: str) -> int:

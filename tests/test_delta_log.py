@@ -839,3 +839,92 @@ def test_checkpoint_pointer_loss_and_empty_increment(spark, tmp_path):
     dl.vacuum_delta(t)
     assert cp not in dl.list_delta_versions(t)  # GC'd, not stale
     assert _rows(dl.read_delta(spark, t)) == [(1,), (2,), (3,)]
+
+
+def test_merge_schema_append_and_merge_upsert(spark, tmp_path):
+    """mergeSchema appends (add-only evolution, shared validator with
+    snapshots — renames stay loud) and MERGE upsert (replace-matched +
+    insert-unmatched as one commit, TOCTOU-guarded)."""
+    t = str(tmp_path / "tbl")
+    dl.write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
+        t,
+    )
+    # add-only evolution
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        dl.write_delta(
+            spark.createDataFrame(
+                [(3, "c", 30)], "k long, s string, extra long"
+            ),
+            t, "append",
+        )
+    dl.write_delta(
+        spark.createDataFrame(
+            [(3, "c", 30)], "k long, s string, extra long"
+        ),
+        t, "append", merge_schema=True,
+    )
+    got = dl.read_delta(spark, t)
+    assert sorted(got.columns) == ["extra", "k", "s"]
+    # pre-evolution rows null-fill; pre-evolution version keeps its schema
+    assert _rows(got.select("k", "extra")) == [
+        (1, None), (2, None), (3, 30),
+    ]
+    assert dl.read_delta(spark, t, 0).columns == ["k", "s"]
+    # rename rejected even with merge_schema (missing column = half a rename)
+    with pytest.raises(ValueError, match="missing table column"):
+        dl.write_delta(
+            spark.createDataFrame(
+                [(4, "d", 0)], "k long, s2 string, extra long"
+            ),
+            t, "append", merge_schema=True,
+        )
+    # the table id is stable across evolution (spec: id is immutable)
+    ids = set()
+    for v in dl.list_delta_versions(t):
+        with open(dl._commit_path(t, v)) as f:
+            for line in f:
+                a = json.loads(line)
+                if "metaData" in a:
+                    ids.add(a["metaData"]["id"])
+    assert len(ids) == 1
+
+    # MERGE upsert: replace matched, insert unmatched, idempotent
+    up = spark.createDataFrame(
+        [(2, "B!", 20), (9, "new", 90)], "k long, s string, extra long"
+    )
+    s = dl.delta_merge_upsert(spark, t, up, ["k"])
+    expect = [(1, "a", None), (2, "B!", 20), (3, "c", 30),
+              (9, "new", 90)]
+    assert _rows(dl.read_delta(spark, t)) == expect
+    # pre-merge version still time-travelable
+    assert _rows(dl.read_delta(spark, t, s.version - 1)) == [
+        (1, "a", None), (2, "b", None), (3, "c", 30),
+    ]
+    # re-run converges (idempotent)
+    dl.delta_merge_upsert(spark, t, up, ["k"])
+    assert _rows(dl.read_delta(spark, t)) == expect
+    # TOCTOU: a commit interleaved between read and merge-commit refuses
+    real_write = sn._write_data_files
+
+    def write_with_race(df, table_dir):
+        out = real_write(df, table_dir)
+        sn._write_data_files = real_write
+        dl.write_delta(
+            spark.createDataFrame(
+                [(7, "x", 70)], "k long, s string, extra long"
+            ),
+            t, "append",
+        )
+        return out
+
+    sn._write_data_files = write_with_race
+    try:
+        with pytest.raises(sn.ConcurrentCommitError):
+            dl.delta_merge_upsert(spark, t, up, ["k"])
+    finally:
+        sn._write_data_files = real_write
+    # the interleaved append survived; a clean re-run merges over it
+    assert (7, "x", 70) in _rows(dl.read_delta(spark, t))
+    dl.delta_merge_upsert(spark, t, up, ["k"])
+    assert (7, "x", 70) in _rows(dl.read_delta(spark, t))
