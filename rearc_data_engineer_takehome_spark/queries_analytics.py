@@ -4983,3 +4983,61 @@ def lineitem_snapshot_delta_mirror(
     return head.crossJoin(F.broadcast(n_base)).select(
         "l_returnflag", "n_items", "sum_qty", "n_at_base"
     )
+
+
+@query(
+    "orders_delta_pruned_scan",
+    """
+    SELECT count(*)::BIGINT AS n_orders,
+           round(sum(round(o_totalprice * 100)::BIGINT) / 100.0, 2)
+               AS revenue,
+           min(o_orderkey)::BIGINT AS min_key,
+           max(o_orderkey)::BIGINT AS max_key
+    FROM orders
+    WHERE o_orderkey BETWEEN 200 AND 900
+    """,
+    doc="Delta-log data skipping certified end-to-end — the native-"
+    "format twin of orders_snapshot_pruned_scan: orders committed via "
+    "write_delta with repartitionByRange(8, o_orderkey) + stats_cols, "
+    "so each add action carries the spec's stats JSON (numRecords/"
+    "minValues/maxValues/nullCount mined from parquet footers); "
+    "delta_scan answers the key-range query by pruning files whose "
+    "add-stats prove a miss and re-applying the predicate row-level. "
+    "The oracle computes the same range on the raw table, so a lost "
+    "or duplicated file — or a wrong min/max in the emitted stats — "
+    "fails the value hash. Per-run uuid lineage under the per-uid "
+    "/tmp root (daily sweep bounds growth); exact-cents sum before "
+    "the one final division, per the float-fold convention.",
+)
+def orders_delta_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid as _uuid
+
+    from .sources import delta_log as dl
+    from .sources import snapshots as sn
+
+    orders = _t(spark, sf_dir, "orders")
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_odpruned_"
+        f"{_uuid.uuid4().hex[:8]}"
+    )
+    dl.write_delta(
+        orders.repartitionByRange(8, "o_orderkey"),
+        tbl,
+        stats_cols=["o_orderkey"],
+    )
+    pruned = dl.delta_scan(
+        spark, tbl, prune={"o_orderkey": (200, 900)}
+    )
+    return pruned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            )
+            / 100.0,
+            2,
+        ).alias("revenue"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    )
