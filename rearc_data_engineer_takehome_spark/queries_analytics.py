@@ -1705,33 +1705,43 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ps AS (
         SELECT l_partkey, l_suppkey,
-               round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+               min((round(l_extendedprice * 100)::BIGINT * 100)
+                   // l_quantity::BIGINT) AS cost_e4
         FROM lineitem GROUP BY l_partkey, l_suppkey
     )
-    SELECT p.p_partkey, p.p_brand, s.s_name, ps.unit_cost
+    SELECT p.p_partkey, p.p_brand, s.s_name,
+           ps.cost_e4 / 10000.0 AS unit_cost
     FROM ps
     JOIN part p ON p.p_partkey = ps.l_partkey
     JOIN supplier s ON s.s_suppkey = ps.l_suppkey
     WHERE p.p_size <= 5
-      AND ps.unit_cost = (SELECT min(ps2.unit_cost) FROM ps ps2
-                          WHERE ps2.l_partkey = ps.l_partkey)
+      AND ps.cost_e4 = (SELECT min(ps2.cost_e4) FROM ps ps2
+                        WHERE ps2.l_partkey = ps.l_partkey)
     """,
     doc="TPC-H Q2 shape (min-cost supplier): a correlated scalar-MIN "
     "subquery selects, per part, every supplier achieving the minimum "
     "unit cost (ties kept, like the real Q2). Spark expresses the "
     "correlation as a broadcast of the per-part min re-joined to the "
     "supplier-level aggregate — no correlated execution, two small "
-    "aggregates + broadcast dims. Unit costs round to 4dp on both "
-    "sides BEFORE the min/equality so the tie set is identical.",
+    "aggregates + broadcast dims. Determinism (r7 fix, caught by the "
+    "full-registry sf0.1 parity sweep): unit cost is the EXACT "
+    "integer e4-unit quotient cents*100 DIV quantity, so min/equality "
+    "tie sets are integer-exact — the old round(p/q, 4) hit a 4dp "
+    "half-boundary at sf0.1 (the true cost is a rational that can "
+    "land exactly on .xxxx5) where the engines' scaled round() of "
+    "the same double disagree; display divides the same integer by "
+    "10000.0 on both engines.",
 )
 def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
-            "unit_cost"
-        )
+    cost_e4 = F.expr(
+        "(cast(round(l_extendedprice * 100) as bigint) * 100) "
+        "div cast(l_quantity as bigint)"
     )
-    min_cost = ps.groupBy("l_partkey").agg(F.min("unit_cost").alias("mc"))
+    ps = li.select("l_partkey", "l_suppkey", cost_e4.alias("c")).groupBy(
+        "l_partkey", "l_suppkey"
+    ).agg(F.min("c").alias("cost_e4"))
+    min_cost = ps.groupBy("l_partkey").agg(F.min("cost_e4").alias("mc"))
     part = (
         _t(spark, sf_dir, "part")
         .where(F.col("p_size") <= 5)
@@ -1740,10 +1750,15 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         ps.join(min_cost, "l_partkey")
-        .where(F.col("unit_cost") == F.col("mc"))
+        .where(F.col("cost_e4") == F.col("mc"))
         .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
-        .select("p_partkey", "p_brand", "s_name", "unit_cost")
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            (F.col("cost_e4") / 10000.0).alias("unit_cost"),
+        )
     )
 
 
@@ -3093,19 +3108,21 @@ def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
         SELECT l_suppkey, l_partkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               sum(round(l_extendedprice * 100)::BIGINT
+                   * round((1 - l_discount) * 100)::BIGINT)::BIGINT
+                   AS rev_e4
         FROM lineitem GROUP BY 1, 2
     ),
     r AS (
         SELECT *,
                row_number() OVER (PARTITION BY l_suppkey
-                                  ORDER BY revenue DESC, l_partkey) AS r1,
+                                  ORDER BY rev_e4 DESC, l_partkey) AS r1,
                row_number() OVER (PARTITION BY l_partkey
-                                  ORDER BY revenue DESC, l_suppkey) AS r2
+                                  ORDER BY rev_e4 DESC, l_suppkey) AS r2
         FROM rev
     )
     SELECT s_suppkey AS suppkey, s_name, p_partkey AS partkey, p_name,
-           revenue
+           ((rev_e4 + 50) // 100) / 100.0 AS revenue
     FROM r
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN part ON p_partkey = l_partkey
@@ -3116,23 +3133,31 @@ def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "part's top-revenue supplier — the mutual-best join used for "
     "stable assignment seeding and entity reconciliation. Both ranks "
     "are per-group top-1 windows over the SAME (suppkey, partkey) "
-    "aggregate (vocab-sized, never the fact), ranking on the "
-    "round(2) revenue with key tie-breaks so order is total on both "
-    "engines; dimension lookups broadcast. Extends the one-sided W1 "
-    "flagship (best_part_by_supplier) to the bidirectional fixpoint.",
+    "aggregate (vocab-sized, never the fact); dimension lookups "
+    "broadcast. Extends the one-sided W1 flagship "
+    "(best_part_by_supplier) to the bidirectional fixpoint. "
+    "Determinism (r7 fix, caught by the full-registry sf0.1 parity "
+    "sweep): revenue folds as EXACT integer e4 units (2dp price x "
+    "2dp discount factor), ranks compare those exact integers, and "
+    "the display rounds to cents with integer HALF_UP ((x+50) DIV "
+    "100) — the old float sum + round(2) hit a genuine half-tie at "
+    "sf0.1 (…:585 exactly) where the engines' round() disagree.",
 )
 def supplier_part_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_suppkey", "l_partkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * F.round((1 - F.col("l_discount")) * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("rev_e4")
     )
     r1 = Window.partitionBy("l_suppkey").orderBy(
-        F.col("revenue").desc(), "l_partkey"
+        F.col("rev_e4").desc(), "l_partkey"
     )
     r2 = Window.partitionBy("l_partkey").orderBy(
-        F.col("revenue").desc(), "l_suppkey"
+        F.col("rev_e4").desc(), "l_suppkey"
     )
     mutual = (
         rev.select(
@@ -3154,7 +3179,10 @@ def supplier_part_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             F.col("p_partkey").alias("partkey"),
             "p_name",
-            "revenue",
+            # integer HALF_UP to cents, then one exact display division
+            (
+                F.expr("(rev_e4 + 50) div 100") / 100.0
+            ).alias("revenue"),
         )
     )
 

@@ -2662,17 +2662,17 @@ def source_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
     n AS (SELECT count(*)::BIGINT AS n FROM d),
     sc AS (
-        SELECT doc_id, tf.term,
+        SELECT doc_id, tf.term, dl,
                round(round(ln((n + 1.0) / (df + 1.0)) + 1.0, 8)
-                     * tf / dl, 8) AS score
+                     * 1000000)::BIGINT * tf AS num_e6
         FROM tf JOIN df USING (term) CROSS JOIN n
     ),
     rk AS (
         SELECT *, row_number() OVER (PARTITION BY doc_id
-                                     ORDER BY score DESC, term) AS rnk
+                                     ORDER BY num_e6 DESC, term) AS rnk
         FROM sc
     )
-    SELECT doc_id, term, round(score, 6) AS score, rnk
+    SELECT doc_id, term, (num_e6 // dl) AS score_e6, rnk
     FROM rk WHERE rnk <= 3
     """,
     doc="TF-IDF keyword extraction: top-3 characteristic terms per "
@@ -2682,9 +2682,18 @@ def source_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and cluster labeling. One token-stream shuffle builds (doc, "
     "term) tfs; document frequencies are a vocabulary-keyed "
     "aggregate joined back on the same key; the top-3 window is "
-    "bounded by per-document vocabulary. idf rounds 8dp after ln "
-    "(the libm step), tf/dl is an exact int-ratio division, so both "
-    "engines rank identical doubles with a term tie-break.",
+    "bounded by per-document vocabulary. Determinism (r7 fix, "
+    "caught by the full-registry sf0.1 parity sweep): dl is "
+    "CONSTANT within a document partition, so ranking on the exact "
+    "integer idf_e6 * tf orders identically to tf-idf itself, and "
+    "the displayed score is the exact integer micro-unit quotient "
+    "num_e6 DIV dl — the old round(score, 6) double hit a 6dp "
+    "half-tie at sf0.1 where the engines' round() disagree. idf "
+    "still rounds 8dp after ln (the libm step) before the e6 "
+    "quantization (safe even on an exact .5: idf is positive and "
+    "both engines round positive halves AWAY from zero — the "
+    "divergent case is only scaled round() of sums landing between "
+    "representable doubles).",
 )
 def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.relational import spread_compute
@@ -2719,15 +2728,23 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
-            F.round(idf8 * F.col("tf") / F.col("dl"), 8).alias("score"),
+            "dl",
+            (
+                F.round(idf8 * 1000000).cast("bigint") * F.col("tf")
+            ).alias("num_e6"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("num_e6").desc(), "term"
+    )
     return (
         sc.select("*", F.row_number().over(w).alias("rnk"))
         .where(F.col("rnk") <= 3)
         .select(
-            "doc_id", "term", F.round("score", 6).alias("score"), "rnk"
+            "doc_id",
+            "term",
+            F.expr("num_e6 div dl").alias("score_e6"),
+            "rnk"
         )
     )
 
