@@ -73,6 +73,11 @@ class DeltaState:
     # (appId, batch version) with each commit and skips batches whose
     # version it has already transacted
     txns: dict | None = None
+    # the table's latest protocol action — carried so WRITERS can gate
+    # on minWriterVersion/writerFeatures before committing (the spec
+    # requires writers to reject unsupported writer protocols, not
+    # just readers)
+    protocol: dict | None = None
 
 
 def _log_dir(table_dir: str) -> str:
@@ -94,18 +99,63 @@ def _checkpoint_path(table_dir: str, version: int) -> str:
 # authority; list/read/GC must never diverge on what counts as a
 # checkpoint (a GC that misses a naming leaves stale versions
 # advertised over deleted data)
-_CP_NAME = re.compile(r"(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet$")
+_CP_NAME = re.compile(
+    r"(\d{20})\.checkpoint(?:\.(\d+)\.(\d+))?\.parquet$"
+)
+
+
+def _complete_checkpoint_parts(
+    d: str, version: int
+) -> list[str] | None:
+    """The readable file set of the checkpoint at ``version``, or None
+    when no COMPLETE checkpoint exists there. A native writer that
+    crashed mid-multi-part leaves i-of-n parquet parts with no
+    ``_last_checkpoint``; treating that partial set as a base state
+    would silently drop every add action in the missing parts — the
+    exact silent-base corruption _read_checkpoint_state's empty-set
+    guard exists to prevent. A single-file checkpoint is complete by
+    itself; a multi-part one only counts when parts 1..n are ALL
+    present with a consistent n."""
+    single: list[str] = []
+    parts: dict[int, str] = {}
+    totals: set[int] = set()
+    for n in os.listdir(d):
+        m = _CP_NAME.match(n)
+        if not m or int(m.group(1)) != version:
+            continue
+        if m.group(2) is None:
+            single.append(os.path.join(d, n))
+        else:
+            parts[int(m.group(2))] = os.path.join(d, n)
+            totals.add(int(m.group(3)))
+    if single:
+        return sorted(single)
+    if not parts:
+        return None
+    if len(totals) != 1:
+        return None  # conflicting <n> declarations: unreadable
+    total = totals.pop()
+    if set(parts) != set(range(1, total + 1)):
+        return None  # partial multi-part: NOT a usable base state
+    return [parts[i] for i in range(1, total + 1)]
 
 
 def _checkpoint_versions(table_dir: str) -> list[int]:
+    """Versions with a COMPLETE checkpoint — partial multi-part sets
+    are invisible here so replay's directory-scan fallback can never
+    select one as its base."""
     d = _log_dir(table_dir)
     if not os.path.isdir(d):
         return []
-    return sorted({
+    candidates = {
         int(m.group(1))
         for m in (_CP_NAME.match(n) for n in os.listdir(d))
         if m
-    })
+    }
+    return sorted(
+        v for v in candidates
+        if _complete_checkpoint_parts(d, v) is not None
+    )
 
 
 def list_delta_versions(table_dir: str) -> list[int]:
@@ -125,13 +175,14 @@ def list_delta_versions(table_dir: str) -> list[int]:
 
 def _checkpoint_files(table_dir: str, version: int) -> list[str]:
     """All parquet files of the checkpoint at ``version`` — one file
-    for ours, N for a native multi-part checkpoint."""
+    for ours, N for a native multi-part checkpoint. Empty when the
+    checkpoint is absent OR incomplete (crashed multi-part writer), so
+    every caller's no-files path treats a partial checkpoint exactly
+    like no checkpoint."""
     d = _log_dir(table_dir)
-    return sorted(
-        os.path.join(d, n)
-        for n in os.listdir(d)
-        if (m := _CP_NAME.match(n)) and int(m.group(1)) == version
-    )
+    if not os.path.isdir(d):
+        return []
+    return _complete_checkpoint_parts(d, version) or []
 
 
 def _now_ms() -> int:
@@ -188,6 +239,30 @@ def _check_protocol(table_dir: str, protocols) -> None:
             )
 
 
+def _check_writer_protocol(table_dir: str, protocol) -> None:
+    """Honest-writer gate, symmetric with _check_protocol: a table
+    whose protocol demands writer capabilities this module does not
+    implement (minWriterVersion > 2: invariants, appendOnly, CDC,
+    generated columns, ...) must refuse to commit — appending or
+    overwriting anyway would silently violate those constraints for
+    native readers (e.g. new rows into an appendOnly table's
+    overwrite, unchecked invariants). Per the spec, writers reject
+    unsupported writer protocols even when the READER protocol is
+    satisfied."""
+    if not protocol:
+        return
+    mwv = protocol.get("minWriterVersion", 2) or 2
+    feats = protocol.get("writerFeatures") or []
+    if mwv > 2 or feats:
+        raise NotImplementedError(
+            f"{table_dir} requires Delta minWriterVersion {mwv} "
+            f"(writerFeatures={list(feats)}); this clean-room writer "
+            "implements writer protocol 2 only — committing anyway "
+            "could silently violate the table's invariants/appendOnly/"
+            "CDC constraints for native readers"
+        )
+
+
 def _last_checkpoint(table_dir: str) -> int | None:
     try:
         with open(os.path.join(_log_dir(table_dir),
@@ -212,8 +287,12 @@ def _read_checkpoint_state(table_dir: str, version: int) -> DeltaState:
             "checkpoint naming)"
         )
     rows: list[dict] = []
+    protocol: dict | None = None
     for path in paths:
         part_rows = pq.read_table(path).to_pylist()
+        for r in part_rows:
+            if r.get("protocol"):
+                protocol = r["protocol"]
         _check_protocol(table_dir, [
             r["protocol"] for r in part_rows if r.get("protocol")
         ])
@@ -246,6 +325,7 @@ def _read_checkpoint_state(table_dir: str, version: int) -> DeltaState:
         adds=adds,
         partition_cols=pcols,
         txns=txns,
+        protocol=protocol,
     )
 
 
@@ -290,6 +370,7 @@ def replay(table_dir: str, version: int | None = None) -> DeltaState:
     meta_id = state.metadata_id if state else ""
     pcols = state.partition_cols if state else ()
     txns = dict(state.txns or {}) if state else {}
+    protocol = state.protocol if state else None
     for cv in range(start, v + 1):
         try:
             f = open(_commit_path(table_dir, cv))
@@ -306,6 +387,7 @@ def replay(table_dir: str, version: int | None = None) -> DeltaState:
                 action = json.loads(line)
                 if "protocol" in action:
                     _check_protocol(table_dir, [action["protocol"]])
+                    protocol = action["protocol"]
                 elif "metaData" in action:
                     schema = action["metaData"]["schemaString"]
                     meta_id = action["metaData"]["id"]
@@ -329,6 +411,7 @@ def replay(table_dir: str, version: int | None = None) -> DeltaState:
         adds=adds,
         partition_cols=pcols,
         txns=txns,
+        protocol=protocol,
     )
 
 
@@ -550,6 +633,7 @@ def write_delta(
         # early idempotency exit BEFORE materializing data files; the
         # same check re-runs inside the commit loop to close the race
         head0 = replay(table_dir)
+        _check_writer_protocol(table_dir, head0.protocol)
         seen = (head0.txns or {}).get(txn[0])
         if seen is not None and seen >= txn[1]:
             return head0
@@ -579,6 +663,10 @@ def write_delta(
     for _ in range(max_retries):
         versions = list_delta_versions(table_dir)
         head = replay(table_dir) if versions else None
+        if head is not None:
+            # a concurrent writer may have UPGRADED the protocol since
+            # the last iteration — re-gate on every head read
+            _check_writer_protocol(table_dir, head.protocol)
         if txn is not None and head is not None:
             app_id, txn_version = txn
             seen = (head.txns or {}).get(app_id)
@@ -906,6 +994,7 @@ def delta_compact(
     if target_files < 1:
         raise ValueError("target_files must be >= 1")
     head = replay(table_dir)
+    _check_writer_protocol(table_dir, head.protocol)
     if head.partition_cols:
         raise NotImplementedError(
             "compaction of partitioned delta tables is per-partition "
@@ -1076,11 +1165,21 @@ def delta_merge_upsert(
     commit's rows. The caller re-runs against the new head; updates
     are idempotent, so a re-run is always safe."""
     head = replay(table_dir)
+    _check_writer_protocol(table_dir, head.protocol)
     current = _read_state(spark, table_dir, head)
-    if set(current.columns) != set(updates.columns):
+    # structural check, not column-name sets: unionByName would
+    # silently WIDEN the merged data files' type (long table + double
+    # updates), and since no metaData action is emitted the commit
+    # keeps the old schemaString — later pinned-schema reads would
+    # fail with a parquet type mismatch. Same normal-form comparison
+    # as appends (shared with snapshots).
+    if not _sn._schema_compatible(head.schema, updates.schema.json()):
         raise ValueError(
-            f"update schema {sorted(updates.columns)} != table schema "
-            f"{sorted(current.columns)}"
+            f"MERGE updates schema is structurally incompatible with "
+            f"the table schema (column name or TYPE mismatch): "
+            f"updates={updates.schema.simpleString()} table="
+            f"{current.schema.simpleString()}"
+            " — cast the updates to the table's exact types first"
         )
     merged = current.join(
         updates, on=keys, how="left_anti"
@@ -1134,28 +1233,93 @@ def delta_merge_upsert(
     return replay(table_dir, head.version + 1)
 
 
-def vacuum_delta(table_dir: str) -> int:
-    """Retention-0 VACUUM: checkpoint the head, garbage-collect every
-    older JSON commit and checkpoint, and delete data files the head
-    no longer references. Time travel before the checkpoint ends —
-    exactly native ``VACUUM ... RETAIN 0 HOURS`` semantics, which is
-    the documented trade. Returns the number of data files deleted.
+def vacuum_delta(table_dir: str, retention_ms: int = 0) -> int:
+    """VACUUM with a retention window, matching native
+    ``VACUUM ... RETAIN N HOURS`` semantics: checkpoint the head, then
+
+    * delete unreferenced DATA files only when their ``remove``
+      tombstone's ``deletionTimestamp`` is older than ``retention_ms``
+      (orphans with no tombstone — crashed writers — age by file
+      mtime). Native Delta keeps tombstoned files for the window
+      precisely so a concurrent reader holding an older DeltaState can
+      finish its scan and the change feed stays reconstructable.
+    * garbage-collect a JSON commit / old checkpoint only when the
+      version was SUPERSEDED before the window (a later commit's
+      timestamp is older than the cutoff) — a reader inside the window
+      can still time-travel to the version it pinned.
+
+    ``retention_ms=0`` is the documented aggressive trade (history
+    ends at the checkpoint, every unreferenced file dies now); any
+    ``retention_ms>0`` keeps both replayability and tombstoned data
+    alive for the window. Returns the number of data files deleted.
     Single-writer maintenance op (like snapshot_compact): run it from
     the table's owning process, not concurrently with writers.
+
+    Checkpoint-then-GC is one guarded operation: GC refuses to run
+    unless the just-written checkpoint is durably readable (complete
+    part set on disk) — deleting JSON commits on the strength of a
+    checkpoint that didn't land would destroy the only copy of the
+    log.
 
     Refuses on a MIRRORED table (one that also carries a
     ``_snapshots`` log): there the data files are shared with snapshot
     history and snapshots.vacuum owns their lifecycle — deleting
     delta-unreferenced files here would tear files out from under
     retained snapshot versions."""
+    if retention_ms < 0:
+        raise ValueError("retention_ms must be >= 0")
     if os.path.isdir(_sn._snap_dir(table_dir)):
         raise ValueError(
             f"{table_dir} is a mirrored snapshot table; use "
             "snapshots.vacuum (it owns the shared data files)"
         )
     head = write_checkpoint(table_dir)
+    if not _checkpoint_files(table_dir, head):
+        # the GC below deletes JSON commits <= head on the strength of
+        # this checkpoint; if it is not durably readable the log's
+        # only copy would be destroyed
+        raise RuntimeError(
+            f"checkpoint {head} of {table_dir} did not land readable; "
+            "refusing to garbage-collect the JSON log"
+        )
     live = set(replay(table_dir, head).files)
+    cutoff = _now_ms() - retention_ms
     log = _log_dir(table_dir)
+    # one pass over the readable JSON commits: tombstone ages for the
+    # data-file decision (newest remove wins — a re-added then
+    # re-removed file ages from its LAST removal) and per-version
+    # commit timestamps for the supersession rule
+    tombstone_ms: dict[str, int] = {}
+    commit_ts: dict[int, int] = {}
+    for name in sorted(os.listdir(log)):
+        if not (name.endswith(".json") and name[:-5].isdigit()):
+            continue
+        v = int(name[:-5])
+        ts_v = None
+        with open(os.path.join(log, name)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "remove" in a:
+                    r = a["remove"]
+                    dts = r.get("deletionTimestamp") or 0
+                    p = r["path"]
+                    tombstone_ms[p] = max(tombstone_ms.get(p, 0), dts)
+                elif "commitInfo" in a:
+                    ts_v = a["commitInfo"].get("timestamp")
+        commit_ts[v] = ts_v if ts_v is not None else 0
+    # version v is GC-able when some later readable commit is older
+    # than the cutoff — i.e. v was superseded at least retention ago.
+    # (retention 0: cutoff=now, the head commit itself qualifies, so
+    # everything below head goes — the old aggressive behavior.)
+    superseded_before_cutoff: set[int] = set()
+    later_commit_is_old = False
+    for v in sorted(commit_ts, reverse=True):
+        if later_commit_is_old:
+            superseded_before_cutoff.add(v)
+        if commit_ts[v] <= cutoff:
+            later_commit_is_old = True
     for name in os.listdir(log):
         v = None
         if name.endswith(".json") and name[:-5].isdigit():
@@ -1167,16 +1331,25 @@ def vacuum_delta(table_dir: str) -> int:
             m = _CP_NAME.match(name)
             if m:
                 v = int(m.group(1))
-        if v is not None and v < head:
+        if v is not None and v < head and (
+            retention_ms == 0 or v in superseded_before_cutoff
+        ):
             os.remove(os.path.join(log, name))
     deleted = 0
     for root, _dirs, files in os.walk(os.path.join(table_dir, "data")):
         for f in files:
             full = os.path.join(root, f)
             rel = os.path.relpath(full, table_dir)
-            if f.endswith(".parquet") and rel not in live:
-                os.remove(full)
-                deleted += 1
+            if not f.endswith(".parquet") or rel in live:
+                continue
+            if retention_ms:
+                aged = tombstone_ms.get(rel)
+                if aged is None:  # orphan (no tombstone): file mtime
+                    aged = int(os.path.getmtime(full) * 1000)
+                if aged > cutoff:
+                    continue  # inside the window: a reader may hold it
+            os.remove(full)
+            deleted += 1
     return deleted
 
 

@@ -928,3 +928,192 @@ def test_merge_schema_append_and_merge_upsert(spark, tmp_path):
     assert (7, "x", 70) in _rows(dl.read_delta(spark, t))
     dl.delta_merge_upsert(spark, t, up, ["k"])
     assert (7, "x", 70) in _rows(dl.read_delta(spark, t))
+
+
+def test_partial_multipart_checkpoint_is_never_a_base(spark, tmp_path):
+    """A crashed native writer leaves i-of-n checkpoint parts with no
+    _last_checkpoint. Reading that partial set as a base state would
+    silently drop every add in the missing parts — replay must treat
+    it exactly like NO checkpoint: fall back to JSON replay while the
+    commits exist, and fail LOUDLY (never return partial data) once
+    they are gone."""
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "tbl")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t)
+    dl.write_delta(spark.createDataFrame([(2,)], "k long"), t, "append")
+    dl.write_delta(spark.createDataFrame([(3,)], "k long"), t, "append")
+    cp = dl.write_checkpoint(t)
+    single = dl._checkpoint_path(t, cp)
+    tbl = pq.read_table(single)
+    log = os.path.join(t, "_delta_log")
+    # crash mid-write: only part 1 of 2 landed, no pointer update
+    pq.write_table(
+        tbl.slice(0, tbl.num_rows // 2),
+        os.path.join(
+            log, f"{cp:020d}.checkpoint.0000000001.0000000002.parquet"
+        ),
+    )
+    os.remove(single)
+    os.remove(os.path.join(log, "_last_checkpoint"))
+    # partial set is invisible to listing...
+    assert dl._checkpoint_versions(t) == []
+    assert dl._checkpoint_files(t, cp) == []
+    # ...so replay falls back to full JSON replay: complete data
+    assert _rows(dl.read_delta(spark, t)) == [(1,), (2,), (3,)]
+    # with the JSON commits gone the table is UNREADABLE, not partial
+    for v in range(0, cp + 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    with pytest.raises((FileNotFoundError, ValueError)):
+        dl.read_delta(spark, t)
+
+    # a stale _last_checkpoint pointing AT the partial set must also
+    # refuse, not silently base on half the adds
+    t2 = str(tmp_path / "tbl2")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t2)
+    dl.write_delta(spark.createDataFrame([(2,)], "k long"), t2, "append")
+    cp2 = dl.write_checkpoint(t2)
+    single2 = dl._checkpoint_path(t2, cp2)
+    tbl2 = pq.read_table(single2)
+    log2 = os.path.join(t2, "_delta_log")
+    pq.write_table(
+        tbl2.slice(0, tbl2.num_rows // 2),
+        os.path.join(
+            log2, f"{cp2:020d}.checkpoint.0000000001.0000000002.parquet"
+        ),
+    )
+    os.remove(single2)  # _last_checkpoint still points at cp2
+    # fallback path: JSON commits still present -> complete data
+    assert _rows(dl.read_delta(spark, t2)) == [(1,), (2,)]
+
+    # conflicting <n> declarations at one version are likewise unusable
+    pq.write_table(
+        tbl2.slice(tbl2.num_rows // 2),
+        os.path.join(
+            log2, f"{cp2:020d}.checkpoint.0000000002.0000000003.parquet"
+        ),
+    )
+    assert dl._checkpoint_files(t2, cp2) == []
+
+
+def test_writer_protocol_gate(spark, tmp_path):
+    """The spec requires WRITERS to reject unsupported writer
+    protocols even when the reader protocol is satisfied: a table
+    demanding e.g. appendOnly/invariants (minWriterVersion > 2 or
+    writerFeatures) stays readable but must refuse every mutating
+    entry point — committing anyway would silently violate those
+    constraints for native readers."""
+    t = str(tmp_path / "tbl")
+    dl.write_delta(
+        spark.createDataFrame([(1, "a")], "k long, s string"), t
+    )
+    path = dl._commit_path(t, 0)
+    lines = [json.loads(x) for x in open(path)]
+    for a in lines:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["appendOnly"],
+            }
+    with open(path, "w") as f:
+        for a in lines:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    # reads still fine (reader protocol 1 is satisfied)
+    assert _rows(dl.read_delta(spark, t)) == [(1, "a")]
+    up = spark.createDataFrame([(2, "b")], "k long, s string")
+    with pytest.raises(NotImplementedError, match="minWriterVersion 7"):
+        dl.write_delta(up, t, "append")
+    with pytest.raises(NotImplementedError, match="minWriterVersion 7"):
+        dl.write_delta(up, t, "overwrite")
+    with pytest.raises(NotImplementedError, match="minWriterVersion 7"):
+        dl.delta_compact(spark, t, 1)
+    with pytest.raises(NotImplementedError, match="minWriterVersion 7"):
+        dl.delta_merge_upsert(spark, t, up, ["k"])
+    # nothing committed: head is still version 0 with the same rows
+    assert dl.replay(t).version == 0
+    assert _rows(dl.read_delta(spark, t)) == [(1, "a")]
+
+
+def test_merge_upsert_rejects_type_mismatch(spark, tmp_path):
+    """MERGE validates STRUCTURE, not just column-name sets:
+    unionByName would widen long+double to double in the new data
+    files while the commit keeps the old schemaString, so later
+    pinned-schema reads die on a parquet type mismatch. Reject the
+    type change loudly before any files are written."""
+    t = str(tmp_path / "tbl")
+    dl.write_delta(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"), t
+    )
+    bad = spark.createDataFrame([(2, 2.5)], "k long, v double")
+    with pytest.raises(ValueError, match="structurally incompatible"):
+        dl.delta_merge_upsert(spark, t, bad, ["k"])
+    # no files written, no commit: table unchanged at version 0
+    assert dl.replay(t).version == 0
+    assert _rows(dl.read_delta(spark, t)) == [(1, 10), (2, 20)]
+    # exact-type updates still merge
+    good = bad.select("k", F.col("v").cast("long").alias("v"))
+    dl.delta_merge_upsert(spark, t, good, ["k"])
+    assert _rows(dl.read_delta(spark, t)) == [(1, 10), (2, 2)]
+
+
+def test_vacuum_retention_window(spark, tmp_path):
+    """VACUUM RETAIN N: tombstoned data files younger than the window
+    survive (a reader holding an older DeltaState finishes its scan;
+    time travel inside the window keeps working), while retention-0
+    stays the documented aggressive trade. Aged tombstones (rewritten
+    to the past) are collected at retention-N."""
+    t = str(tmp_path / "tbl")
+    dl.write_delta(spark.createDataFrame([(1,), (2,)], "k long"), t)
+    old_files = dl.replay(t).files
+    dl.write_delta(spark.createDataFrame([(9,)], "k long"), t)  # overwrite
+    # reader pins the old version BEFORE vacuum
+    pinned = dl.read_delta(spark, t, 0)
+
+    deleted = dl.vacuum_delta(t, retention_ms=3_600_000)
+    assert deleted == 0  # tombstones are seconds old: inside window
+    for rel in old_files:
+        assert os.path.exists(os.path.join(t, rel))
+    # the pinned reader still scans, and v0 is still replayable
+    assert _rows(pinned) == [(1,), (2,)]
+    assert _rows(dl.read_delta(spark, t, 0)) == [(1,), (2,)]
+    assert _rows(dl.read_delta(spark, t)) == [(9,)]
+
+    # age the tombstones + commit timestamps a day into the past
+    log = os.path.join(t, "_delta_log")
+    for name in os.listdir(log):
+        if not (name.endswith(".json") and name[:-5].isdigit()):
+            continue
+        path = os.path.join(log, name)
+        lines = [json.loads(x) for x in open(path)]
+        for a in lines:
+            if "remove" in a:
+                a["remove"]["deletionTimestamp"] -= 86_400_000
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] -= 86_400_000
+        with open(path, "w") as f:
+            for a in lines:
+                f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    deleted = dl.vacuum_delta(t, retention_ms=3_600_000)
+    assert deleted == len(old_files)
+    for rel in old_files:
+        assert not os.path.exists(os.path.join(t, rel))
+    with pytest.raises(ValueError, match="not reconstructable|not in"):
+        dl.read_delta(spark, t, 0)
+    assert _rows(dl.read_delta(spark, t)) == [(9,)]
+
+    # retention-0 on a fresh table: immediate collection (old trade)
+    t2 = str(tmp_path / "tbl2")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t2)
+    old2 = dl.replay(t2).files
+    dl.write_delta(spark.createDataFrame([(2,)], "k long"), t2)
+    # >=: retention-0 also sweeps zero-row orphan part files the
+    # writes left unregistered
+    assert dl.vacuum_delta(t2) >= len(old2)
+    for rel in old2:
+        assert not os.path.exists(os.path.join(t2, rel))
+    with pytest.raises(ValueError, match="not reconstructable|not in"):
+        dl.read_delta(spark, t2, 0)
+    assert _rows(dl.read_delta(spark, t2)) == [(2,)]
+    with pytest.raises(ValueError, match="retention_ms"):
+        dl.vacuum_delta(t2, retention_ms=-1)
