@@ -17,6 +17,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
@@ -34,6 +35,52 @@ def spread_compute(df: DataFrame, min_partitions: int | None = None) -> DataFram
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def materialize_small(df: DataFrame, max_rows: int) -> DataFrame:
+    """Materialize a PROVABLY small relation that feeds several
+    consumers: one bounded driver collect, re-embedded as a local
+    DataFrame. The bound is enforced — ``max_rows`` exceeded is a loud
+    error, never a silent driver OOM.
+
+    This is the audited alternative to ``localCheckpoint`` for
+    domain-bounded aggregates (|categories| cells, month grids,
+    strata): localCheckpoint pins blocks in *executor* memory, so at
+    cluster scale any executor loss kills the query with "RDD was
+    locally checkpointed ... cannot be recomputed"; a local-relation
+    re-embed keeps every consumer a pure recomputable lineage (the
+    data rides in the plan, as with the OLS betas pattern) while still
+    computing the expensive upstream exactly once."""
+    rows = df.take(max_rows + 1)
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"materialize_small bound exceeded: >{max_rows} rows — "
+            "this relation is not driver-bounded; checkpoint it to "
+            "reliable storage instead"
+        )
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
+def checkpoint_reliable(df: DataFrame, label: str) -> DataFrame:
+    """Materialize a multi-consumer intermediate to RELIABLE storage
+    (scratch parquet under the per-uid /tmp root; on a cluster this
+    path is the job's scratch prefix on the shared filesystem) and
+    read it back. The scale-safe sibling of ``materialize_small`` for
+    relations too big to re-embed driver-side: unlike localCheckpoint
+    — whose blocks live in executor memory, so one lost executor kills
+    the whole query with "RDD was locally checkpointed ... cannot be
+    recomputed" — recovery here is just a parquet re-scan. Costs one
+    write + one read per consumer; worth it exactly when >=2 consumers
+    would otherwise recompute an expensive upstream."""
+    import uuid as _uuid
+
+    from ..sources.snapshots import scratch_table_dir
+
+    path = os.path.join(
+        scratch_table_dir(f"ckpt_{label}"), _uuid.uuid4().hex[:12]
+    )
+    df.write.mode("errorifexists").parquet(path)
+    return df.sparkSession.read.schema(df.schema).parquet(path)
 
 
 def global_stats(

@@ -1117,3 +1117,62 @@ def test_vacuum_retention_window(spark, tmp_path):
     assert _rows(dl.read_delta(spark, t2)) == [(2,)]
     with pytest.raises(ValueError, match="retention_ms"):
         dl.vacuum_delta(t2, retention_ms=-1)
+
+
+def test_delta_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order composed with the NATIVE Delta format: a write_delta
+    commit sorted by the Morton key over (a, b) with stats_cols on
+    both dims prunes a range predicate on EITHER column through
+    delta_scan's add-stats skipping, where a plain sort on `a` leaves
+    `b` full-range in every file (referenced by the
+    lineitem_delta_zorder_scan query doc)."""
+    from rearc_data_engineer_takehome_spark.operators.layout import (
+        zorder_key,
+    )
+
+    df = (
+        spark.range(0, 4096)
+        .withColumn("a", (F.col("id") % 64).cast("long"))
+        .withColumn("b", (F.col("id") / 64).cast("long"))
+    )
+    tz = str(tmp_path / "zord")
+    z = zorder_key(df, ["a", "b"], bits=6)
+    clustered = (
+        df.withColumn("__z", z)
+        .repartitionByRange(16, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    dl.write_delta(clustered, tz, stats_cols=["a", "b"])
+
+    # plain sort on `a`: every file spans b's full domain
+    tp = str(tmp_path / "plain")
+    dl.write_delta(
+        df.repartitionByRange(16, "a").sortWithinPartitions("a"),
+        tp,
+        stats_cols=["a", "b"],
+    )
+
+    for t in (tz, tp):
+        got = dl.delta_scan(spark, t, prune={"b": (10, 15)})
+        assert got.count() == 64 * 6
+    n_z = len(
+        dl.delta_scan(spark, tz, prune={"b": (10, 15)}).inputFiles()
+    )
+    n_p = len(
+        dl.delta_scan(spark, tp, prune={"b": (10, 15)}).inputFiles()
+    )
+    assert n_p == 16  # sort key can't help the other column
+    assert n_z < 16  # z-order does
+    # and the z-ordered table still prunes on `a` as well
+    n_za = len(
+        dl.delta_scan(spark, tz, prune={"a": (0, 7)}).inputFiles()
+    )
+    assert n_za < 16
+    # 2-D prune is at least as tight as either 1-D prune alone
+    n_2d = len(
+        dl.delta_scan(
+            spark, tz, prune={"a": (0, 7), "b": (10, 15)}
+        ).inputFiles()
+    )
+    assert n_2d <= min(n_z, n_za)
