@@ -1097,70 +1097,68 @@ def categorical_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries stay gated by the strict local parity suite
 # (tests/test_oracle_parity.py, driver-identical hash semantics).
 DRIVER_WINDOW: list[str] = [
-    # --- pinned: core relational §2 gates ---
-    "pricing_summary",
-    "best_part_by_supplier",
-    "lineitem_part_report",
-    "null_profile_orders",
+    # --- pinned (round-8 slim, VERDICT r07 item 1): the 9 SURVEY §2
+    # gates with no other driver-visible row + 4 LLM-tier
+    # representatives. Every formerly-pinned family now has a
+    # cumulative driver-green row (r01-r07), so the old 28-pin set
+    # wasted rotating slots; evicted pins stay gated by the strict
+    # local parity suite and their prior CORRECTNESS rows. ---
+    "pricing_summary",  # §2 A2
+    "best_part_by_supplier",  # §2 W1 (flagship, entry() smoke)
+    "lineitem_part_report",  # §2 J1
+    "null_profile_orders",  # §2 A8 / V4
     "describe_lineitem",  # §2 A9
     "events_value_domain",  # §2 P8 / V7
     "events_user_completeness",  # §2 V8
     "orders_priority_union",  # §2.7 set ops
     "iqr_outliers_price",  # §2 A10 / V9
-    # --- pinned: LLM-tier family representatives ---
-    "dedup_exact_docs",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "knn_bruteforce",
-    "knn_lsh",
-    "knn_ivf",
-    "knn_pq",
-    "kmeans_embeddings",
-    "hybrid_retrieval_rrf",
-    "cms_partkey_frequencies",
-    "bloom_prefilter_urgent_orders",
-    "multimodal_features",
-    "doc_chunks",
-    "doc_pii_redaction",
-    "corpus_split_sizes",
-    "curation_pipeline",
-    # --- pinned: streaming representative (§2.9) ---
-    "events_hypertable_rollup",
-    # --- rotating slots, round 7: all 22 never-driver-checked ---
-    # (r6 window occupants evicted to strict local parity; VERDICT r06
-    # item 1 names the priority order: round 6's own conformal flagship
-    # and the named long-tail queries first, then the r1-r2 relational
-    # tail that has never had a driver-green row)
-    "ols_conformal_interval",  # r6 flagship, never driver-checked
-    "orders_constraint_suite",
-    "snapshot_table_diff",
-    "events_user_skew_profile",
-    "returnflag_price_deciles_scalable",  # scalable twin deserves a row
-    "perplexity_bands",  # deliberately-exact twin
-    "order_value_distribution",  # deliberately-exact twin
-    # r1-r2 relational tail
-    "revenue_cube",
-    "heavy_hitter_parts",
-    "order_price_mad",
-    "monthly_revenue_growth",
-    "large_order_customers",
-    "sole_return_suppliers",
-    "idle_capital_customers",
-    "order_price_histogram",
-    "top_parts_per_brand_ties",
-    "ship_lag_by_priority",
-    "repeat_vs_lapsed_customers",
-    "top_revenue_supplier",
-    # NEW r7: streaming-maintenance certification (VERDICT r06 item 6)
-    "events_hll_ivm_maintenance",
-    # NEW r7: native Delta log format + zero-copy snapshot mirror —
-    # the round-7 headline (closes the judge's top "missing" item as
-    # far as the env permits); both never-driver-checked like every
-    # other rotating slot
-    "orders_deltalog_roundtrip",
-    "lineitem_snapshot_delta_mirror",
+    "dedup_minhash_lsh",  # LLM tier: dedup family
+    "knn_ivf",  # LLM tier: ANN family
+    "doc_pii_redaction",  # LLM tier: text/chunking family
+    "curation_pipeline",  # LLM tier: curation family
+    # --- rotating slots, round 8: 37 never-driver-checked queries
+    # (VERDICT r07 item 1 priority order: the operator-bearing ones
+    # first — IGNORE-NULLS window tier, the round-7/8 native-Delta
+    # gates, multimodal, samplers, VARIANT, salting, fuzzy joins —
+    # then the relational/LLM long tail; 9 + events_wau_approx
+    # (rows-only by design) remain for round 9) ---
+    "lineitem_delta_zorder_scan",  # NEW r8: Z-order x native Delta
+    "orders_delta_pruned_scan",  # r7 delta_scan stats-skipping gate
+    "user_value_window_nulls",  # IGNORE NULLS window tier
+    "multimodal_inventory",
+    "multimodal_resize_audit",
+    "sample_weighted_docs",
+    "sample_docs_per_lang",
+    "events_props_variant",  # VARIANT tier
+    "salted_event_user_deviation",  # skew-salting loop, apply half
+    "fuzzy_part_name_pairs",
+    "doc_metadata_consistency",
+    "events_gapfill_daily",
+    "doc_bm25_topk",
+    "events_rolling_7d",
+    "doc_repetition_scores",
+    "event_type_transitions",
+    "priority_status_chi2",
+    "user_activity_streaks",
+    "brand_type_rollup_csv",
+    "events_wau",
+    "returnflag_status_grouping_sets",
+    "events_daily_growth_accounting",
+    "supplier_counts_by_part_attrs",
+    "ship_priority_revenue_topk",
+    "nation_market_share",
+    "priority_status_mutual_info",
+    "orders_global_rownum_sample",
+    "doc_length_buckets",
+    "temperature_mixture_plan",
+    "tokenizer_fertility",
+    "mixture_sample_manifest",
+    "embedding_split_drift",
+    "cross_source_duplication",
+    "events_decayed_user_value",
+    "top_revenue_share_customers",
+    "order_price_winsorized",
+    "categorical_entropy_profile",
 ]
 
 
