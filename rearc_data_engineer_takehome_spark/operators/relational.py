@@ -61,6 +61,22 @@ def materialize_small(df: DataFrame, max_rows: int) -> DataFrame:
     return df.sparkSession.createDataFrame(rows, df.schema)
 
 
+# latest scratch path per checkpoint_reliable label: each new call
+# for a label supersedes the previous run's copy (runs are sequential
+# within a process), so disk usage stays at ONE copy per label instead
+# of accumulating a copy per invocation across a bench session; the
+# atexit hook sweeps whatever is left when the process ends
+_RELIABLE_SCRATCH: dict[str, str] = {}
+
+
+def _sweep_reliable_scratch() -> None:
+    import shutil
+
+    for path in _RELIABLE_SCRATCH.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _RELIABLE_SCRATCH.clear()
+
+
 def checkpoint_reliable(df: DataFrame, label: str) -> DataFrame:
     """Materialize a multi-consumer intermediate to RELIABLE storage
     (scratch parquet under the per-uid /tmp root; on a cluster this
@@ -71,15 +87,29 @@ def checkpoint_reliable(df: DataFrame, label: str) -> DataFrame:
     the whole query with "RDD was locally checkpointed ... cannot be
     recomputed" — recovery here is just a parquet re-scan. Costs one
     write + one read per consumer; worth it exactly when >=2 consumers
-    would otherwise recompute an expensive upstream."""
+    would otherwise recompute an expensive upstream.
+
+    Lifecycle: the previous invocation's copy for the same ``label``
+    is deleted on the next call (a re-run's DataFrame must not be
+    consumed after a newer run of the same query begins), and an
+    atexit sweep removes the final copies — nothing survives the
+    process, unlike the day-scoped scratch_table_dir fallback."""
+    import atexit
+    import shutil
     import uuid as _uuid
 
     from ..sources.snapshots import scratch_table_dir
 
+    if not _RELIABLE_SCRATCH:
+        atexit.register(_sweep_reliable_scratch)
+    prev = _RELIABLE_SCRATCH.pop(label, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
     path = os.path.join(
         scratch_table_dir(f"ckpt_{label}"), _uuid.uuid4().hex[:12]
     )
     df.write.mode("errorifexists").parquet(path)
+    _RELIABLE_SCRATCH[label] = path
     return df.sparkSession.read.schema(df.schema).parquet(path)
 
 

@@ -629,14 +629,19 @@ def write_delta(
 
     schema_json = df.schema.json()
     pcols = list(partition_by or [])
-    if txn is not None and list_delta_versions(table_dir):
-        # early idempotency exit BEFORE materializing data files; the
-        # same check re-runs inside the commit loop to close the race
+    if list_delta_versions(table_dir):
+        # cheap metadata replay BEFORE materializing data files: the
+        # writer-protocol gate must refuse up front (or a refused
+        # write strands a full physical copy of df under data/), and
+        # a txn that has already transacted exits without writing
+        # anything. Both checks re-run inside the commit loop to
+        # close the concurrent-upgrade / concurrent-txn races.
         head0 = replay(table_dir)
         _check_writer_protocol(table_dir, head0.protocol)
-        seen = (head0.txns or {}).get(txn[0])
-        if seen is not None and seen >= txn[1]:
-            return head0
+        if txn is not None:
+            seen = (head0.txns or {}).get(txn[0])
+            if seen is not None and seen >= txn[1]:
+                return head0
     if pcols:
         written = _write_partitioned_data_files(df, table_dir, pcols)
     else:
@@ -780,8 +785,20 @@ def write_checkpoint(
     import pyarrow.parquet as pq
 
     state = replay(table_dir, version)
+    # checkpointing is a WRITER operation (native reader-only
+    # processes never emit checkpoints): gate on the table's writer
+    # protocol, and stamp the table's OWN protocol into the checkpoint
+    # row — stamping this module's _PROTOCOL would silently DOWNGRADE
+    # a stricter table's protocol the moment replay starts basing on
+    # the checkpoint, disarming _check_writer_protocol for every
+    # subsequent writer (and lying to native readers)
+    _check_writer_protocol(table_dir, state.protocol)
+    proto = state.protocol or dict(_PROTOCOL)
     rows = [
-        {"protocol": dict(_PROTOCOL), "metaData": None, "add": None,
+        {"protocol": {
+            "minReaderVersion": proto.get("minReaderVersion", 1) or 1,
+            "minWriterVersion": proto.get("minWriterVersion", 2) or 2,
+        }, "metaData": None, "add": None,
          "txn": None},
         {
             "protocol": None,
@@ -1273,53 +1290,69 @@ def vacuum_delta(table_dir: str, retention_ms: int = 0) -> int:
             f"{table_dir} is a mirrored snapshot table; use "
             "snapshots.vacuum (it owns the shared data files)"
         )
+    now = _now_ms()
+    cutoff = now - retention_ms
+    log = _log_dir(table_dir)
+    # one metadata pass over the readable JSON commits BEFORE any
+    # checkpoint/GC: tombstone ages for the data-file decision (newest
+    # remove wins — a re-added then re-removed file ages from its LAST
+    # removal) and per-version commit timestamps for the retention
+    # floor. Per PROTOCOL.md both commitInfo and deletionTimestamp are
+    # OPTIONAL; a missing timestamp defaults to NOW (keep), never 0 —
+    # epoch-0 would be "infinitely old" and silently delete data a
+    # concurrent in-window reader of a native-written log still holds
+    tombstone_ms: dict[str, int] = {}
+    commit_ts: dict[int, int] = {}
+    if os.path.isdir(log):
+        for name in sorted(os.listdir(log)):
+            if not (name.endswith(".json") and name[:-5].isdigit()):
+                continue
+            v = int(name[:-5])
+            ts_v = None
+            with open(os.path.join(log, name)) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if "remove" in a:
+                        r = a["remove"]
+                        dts = r.get("deletionTimestamp") or now
+                        p = r["path"]
+                        tombstone_ms[p] = max(
+                            tombstone_ms.get(p, 0), dts
+                        )
+                    elif "commitInfo" in a:
+                        ts_v = a["commitInfo"].get("timestamp")
+            commit_ts[v] = ts_v if ts_v is not None else now
+    # retention floor: the NEWEST commit already older than the window
+    # — every version >= v_floor is retained (a reader inside the
+    # window may still pin it), every commit < v_floor is GC-able.
+    # Replay of a retained version w needs a complete checkpoint <= w
+    # plus the commits (cp, w], so the floor itself gets a checkpoint
+    # BEFORE any GC — the head checkpoint alone would leave retained
+    # non-head versions unreconstructable the moment commit 0 dies.
+    # (retention 0: cutoff=now, the head commit qualifies, v_floor =
+    # head — the documented aggressive trade.)
+    old_vs = [v for v, ts in commit_ts.items() if ts <= cutoff]
+    v_floor = max(old_vs) if old_vs else None
+    if v_floor is not None and v_floor < max(commit_ts):
+        fl = write_checkpoint(table_dir, v_floor)
+        if not _checkpoint_files(table_dir, fl):
+            raise RuntimeError(
+                f"floor checkpoint {fl} of {table_dir} did not land "
+                "readable; refusing to garbage-collect the JSON log"
+            )
+    # head checkpoint LAST so _last_checkpoint points at the head
     head = write_checkpoint(table_dir)
     if not _checkpoint_files(table_dir, head):
-        # the GC below deletes JSON commits <= head on the strength of
-        # this checkpoint; if it is not durably readable the log's
+        # the GC below deletes JSON commits on the strength of the
+        # checkpoints; if this one is not durably readable the log's
         # only copy would be destroyed
         raise RuntimeError(
             f"checkpoint {head} of {table_dir} did not land readable; "
             "refusing to garbage-collect the JSON log"
         )
     live = set(replay(table_dir, head).files)
-    cutoff = _now_ms() - retention_ms
-    log = _log_dir(table_dir)
-    # one pass over the readable JSON commits: tombstone ages for the
-    # data-file decision (newest remove wins — a re-added then
-    # re-removed file ages from its LAST removal) and per-version
-    # commit timestamps for the supersession rule
-    tombstone_ms: dict[str, int] = {}
-    commit_ts: dict[int, int] = {}
-    for name in sorted(os.listdir(log)):
-        if not (name.endswith(".json") and name[:-5].isdigit()):
-            continue
-        v = int(name[:-5])
-        ts_v = None
-        with open(os.path.join(log, name)) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                a = json.loads(line)
-                if "remove" in a:
-                    r = a["remove"]
-                    dts = r.get("deletionTimestamp") or 0
-                    p = r["path"]
-                    tombstone_ms[p] = max(tombstone_ms.get(p, 0), dts)
-                elif "commitInfo" in a:
-                    ts_v = a["commitInfo"].get("timestamp")
-        commit_ts[v] = ts_v if ts_v is not None else 0
-    # version v is GC-able when some later readable commit is older
-    # than the cutoff — i.e. v was superseded at least retention ago.
-    # (retention 0: cutoff=now, the head commit itself qualifies, so
-    # everything below head goes — the old aggressive behavior.)
-    superseded_before_cutoff: set[int] = set()
-    later_commit_is_old = False
-    for v in sorted(commit_ts, reverse=True):
-        if later_commit_is_old:
-            superseded_before_cutoff.add(v)
-        if commit_ts[v] <= cutoff:
-            later_commit_is_old = True
     for name in os.listdir(log):
         v = None
         if name.endswith(".json") and name[:-5].isdigit():
@@ -1331,9 +1364,7 @@ def vacuum_delta(table_dir: str, retention_ms: int = 0) -> int:
             m = _CP_NAME.match(name)
             if m:
                 v = int(m.group(1))
-        if v is not None and v < head and (
-            retention_ms == 0 or v in superseded_before_cutoff
-        ):
+        if v is not None and v_floor is not None and v < v_floor:
             os.remove(os.path.join(log, name))
     deleted = 0
     for root, _dirs, files in os.walk(os.path.join(table_dir, "data")):

@@ -1176,3 +1176,187 @@ def test_delta_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
         ).inputFiles()
     )
     assert n_2d <= min(n_z, n_za)
+
+
+def test_checkpoint_preserves_table_protocol_and_gates_writers(
+    spark, tmp_path
+):
+    """write_checkpoint must stamp the TABLE's protocol, not this
+    module's — stamping {1,2} into a checkpoint of a stricter table
+    would silently downgrade the protocol as soon as replay bases on
+    the checkpoint, disarming the writer gate (and lying to native
+    readers). And checkpointing/vacuuming ARE writer operations: both
+    must refuse a table demanding writer capabilities we lack."""
+    import pyarrow.parquet as pq
+
+    # normal table: checkpoint protocol row mirrors the table's
+    t = str(tmp_path / "tbl")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t)
+    cp = dl.write_checkpoint(t)
+    rows = pq.read_table(dl._checkpoint_path(t, cp)).to_pylist()
+    protos = [r["protocol"] for r in rows if r.get("protocol")]
+    assert protos == [{"minReaderVersion": 1, "minWriterVersion": 2}]
+
+    # stricter table: checkpoint/vacuum refuse instead of downgrading
+    t2 = str(tmp_path / "tbl2")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t2)
+    path = dl._commit_path(t2, 0)
+    lines = [json.loads(x) for x in open(path)]
+    for a in lines:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["appendOnly"],
+            }
+    with open(path, "w") as f:
+        for a in lines:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    with pytest.raises(NotImplementedError, match="minWriterVersion 7"):
+        dl.write_checkpoint(t2)
+    with pytest.raises(NotImplementedError, match="minWriterVersion 7"):
+        dl.vacuum_delta(t2)
+    # no checkpoint landed, the real protocol is intact, reads fine
+    assert dl._checkpoint_versions(t2) == []
+    assert _rows(dl.read_delta(spark, t2)) == [(1,)]
+
+
+def test_refused_write_leaves_no_orphan_data_files(spark, tmp_path):
+    """The writer-protocol gate fires BEFORE data files materialize:
+    a refused append must not strand a full physical copy of the
+    batch under data/."""
+    t = str(tmp_path / "tbl")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t)
+    n_before = sum(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(os.path.join(t, "data")) for f in fs
+    )
+    path = dl._commit_path(t, 0)
+    lines = [json.loads(x) for x in open(path)]
+    for a in lines:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["appendOnly"],
+            }
+    with open(path, "w") as f:
+        for a in lines:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    with pytest.raises(NotImplementedError):
+        dl.write_delta(
+            spark.createDataFrame([(2,)], "k long"), t, "append"
+        )
+    n_after = sum(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(os.path.join(t, "data")) for f in fs
+    )
+    assert n_after == n_before
+
+
+def test_vacuum_retention_mixed_age_keeps_retained_versions(
+    spark, tmp_path
+):
+    """The mixed-age case: v0 and v1 superseded long ago, v2 fresh.
+    Retention-N vacuum must keep every version inside the window
+    REPLAYABLE — the floor version gets its own checkpoint before v0's
+    JSON dies, so a reader pinning v1 still time-travels to it."""
+    t = str(tmp_path / "tbl")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t)
+    dl.write_delta(spark.createDataFrame([(2,)], "k long"), t)
+    dl.write_delta(spark.createDataFrame([(3,)], "k long"), t)
+    log = os.path.join(t, "_delta_log")
+    # age v0/v1 a day into the past; v2 (head) stays fresh
+    for v in (0, 1):
+        path = os.path.join(log, f"{v:020d}.json")
+        lines = [json.loads(x) for x in open(path)]
+        for a in lines:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] -= 86_400_000
+            if "remove" in a:
+                a["remove"]["deletionTimestamp"] -= 86_400_000
+        with open(path, "w") as f:
+            for a in lines:
+                f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    v1_files = dl.replay(t, 1).files
+    dl.vacuum_delta(t, retention_ms=3_600_000)
+    # floor = v1 (newest commit older than the window): v0 is gone...
+    assert not os.path.exists(os.path.join(log, f"{0:020d}.json"))
+    with pytest.raises(ValueError, match="not reconstructable|not in"):
+        dl.read_delta(spark, t, 0)
+    # ...but v1 — retained, superseded only INSIDE the window — still
+    # replays (via its floor checkpoint) with its data files present
+    assert _rows(dl.read_delta(spark, t, 1)) == [(2,)]
+    for rel in v1_files:
+        assert os.path.exists(os.path.join(t, rel))
+    assert _rows(dl.read_delta(spark, t)) == [(3,)]
+    # the head checkpoint is the _last_checkpoint pointer
+    assert dl._last_checkpoint(t) == 2
+
+
+def test_vacuum_missing_timestamps_fail_safe(spark, tmp_path):
+    """PROTOCOL.md makes commitInfo and remove.deletionTimestamp
+    OPTIONAL. A native-written log lacking them must age as NOW
+    (keep), never epoch-0 (delete) — otherwise retention-N vacuum
+    deletes data a concurrent in-window reader still holds."""
+    t = str(tmp_path / "tbl")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t)
+    old_files = dl.replay(t).files
+    dl.write_delta(spark.createDataFrame([(2,)], "k long"), t)
+    log = os.path.join(t, "_delta_log")
+    # strip ALL timestamps, as a minimal native writer may
+    for name in list(os.listdir(log)):
+        if not (name.endswith(".json") and name[:-5].isdigit()):
+            continue
+        path = os.path.join(log, name)
+        lines = [json.loads(x) for x in open(path)]
+        out = []
+        for a in lines:
+            if "commitInfo" in a:
+                continue  # commitInfo itself is optional
+            if "remove" in a:
+                a["remove"].pop("deletionTimestamp", None)
+            out.append(a)
+        with open(path, "w") as f:
+            for a in out:
+                f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    deleted = dl.vacuum_delta(t, retention_ms=3_600_000)
+    assert deleted == 0
+    for rel in old_files:
+        assert os.path.exists(os.path.join(t, rel))
+    # both versions still readable: nothing was GC'd
+    assert _rows(dl.read_delta(spark, t, 0)) == [(1,)]
+    assert _rows(dl.read_delta(spark, t)) == [(2,)]
+
+
+def test_checkpoint_reliable_supersedes_previous_copy(spark, tmp_path):
+    """checkpoint_reliable keeps at most ONE scratch copy per label:
+    a second call for the same label deletes the first run's files
+    (bench sessions re-run each query; without this every run leaks a
+    full materialized copy for up to a day)."""
+    from rearc_data_engineer_takehome_spark.operators import (
+        relational as rel,
+    )
+
+    d1 = rel.checkpoint_reliable(
+        spark.createDataFrame([(1,)], "k long"), "ut_label"
+    )
+    p1 = rel._RELIABLE_SCRATCH["ut_label"]
+    assert os.path.isdir(p1)
+    assert _rows(d1) == [(1,)]
+    d2 = rel.checkpoint_reliable(
+        spark.createDataFrame([(2,)], "k long"), "ut_label"
+    )
+    p2 = rel._RELIABLE_SCRATCH["ut_label"]
+    assert not os.path.exists(p1)  # previous copy swept
+    assert os.path.isdir(p2)
+    assert _rows(d2) == [(2,)]
+    # other labels are untouched
+    rel.checkpoint_reliable(
+        spark.createDataFrame([(3,)], "k long"), "ut_other"
+    )
+    assert os.path.isdir(p2)
+    # explicit sweep clears everything (the atexit path)
+    rel._sweep_reliable_scratch()
+    assert not os.path.exists(p2)
+    assert rel._RELIABLE_SCRATCH == {}
