@@ -1013,10 +1013,9 @@ def delta_compact(
     head = replay(table_dir)
     _check_writer_protocol(table_dir, head.protocol)
     if head.partition_cols:
-        raise NotImplementedError(
-            "compaction of partitioned delta tables is per-partition "
-            "bin packing — not implemented; compact before "
-            "partitioned writes or rewrite via write_delta(overwrite)"
+        return _delta_compact_partitioned(
+            spark, table_dir, head, target_files, stats_cols,
+            max_retries,
         )
     df = _read_state(spark, table_dir, head).coalesce(target_files)
     rel_files = _sn._write_data_files(df, table_dir)
@@ -1066,6 +1065,139 @@ def delta_compact(
                     "operation": "OPTIMIZE",
                     "operationParameters": {
                         "targetFiles": target_files
+                    },
+                    "engineInfo": "rearc-takehome-spark-cleanroom",
+                }
+            }
+        )
+        try:
+            _atomic_commit(table_dir, version, actions)
+            return replay(table_dir, version)
+        except _sn.ConcurrentCommitError:
+            continue  # appends compose; removes raised above
+    raise RuntimeError(
+        f"delta compaction of {table_dir} lost {max_retries} races"
+    )
+
+
+def _hive_segment(col: str, value: str | None) -> str:
+    """One ``col=value`` directory segment, the inverse of
+    _hive_partition_values: URL-escape the value, null serializes as
+    __HIVE_DEFAULT_PARTITION__ (the spec/Hive convention)."""
+    from urllib.parse import quote
+
+    if value is None:
+        return f"{col}=__HIVE_DEFAULT_PARTITION__"
+    return f"{col}={quote(value, safe='')}"
+
+
+def _delta_compact_partitioned(
+    spark: SparkSession,
+    table_dir: str,
+    head: DeltaState,
+    target_files: int,
+    stats_cols: list[str] | None,
+    max_retries: int,
+) -> DeltaState:
+    """Per-partition bin packing — how OPTIMIZE works on partitioned
+    tables (files never combine across partition boundaries): every
+    partition holding more than ``target_files`` files is rewritten to
+    ``target_files`` within its own hive directory; partitions already
+    at or below the target keep their files untouched (no needless
+    churn, no stats loss). Removes cover ONLY the replaced files, so
+    the same concurrency rule as the unpartitioned path holds: a
+    concurrent append composes with a verbatim retry (even an append
+    INTO a compacted partition — its files are not in the remove set),
+    any interleaved remove raises. Work scales with the partitions
+    that need packing, not table size; each partition rewrite is one
+    distributed read+write of just that partition's files."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(head.schema))
+    pcols = list(head.partition_cols)
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in pcols]
+    )
+    groups: dict[tuple, list[str]] = {}
+    for rel, a in head.adds.items():
+        pv = a.get("partitionValues") or {}
+        key = tuple(
+            None if pv.get(c) == "__HIVE_DEFAULT_PARTITION__"
+            else pv.get(c)
+            for c in pcols
+        )
+        groups.setdefault(key, []).append(rel)
+    to_pack = {k: fs for k, fs in groups.items()
+               if len(fs) > target_files}
+    if not to_pack:
+        return head  # nothing exceeds the target: no empty commit
+    commit_id = uuid.uuid4().hex[:12]
+    replaced: list[str] = []
+    new_rels: list[str] = []
+    for key, fs in sorted(to_pack.items()):
+        seg = os.path.join(
+            *[_hive_segment(c, v) for c, v in zip(pcols, key)]
+        )
+        out = os.path.join(table_dir, "data", commit_id, seg)
+        df = spark.read.schema(data_schema).parquet(
+            *[os.path.join(table_dir, f) for f in fs]
+        ).coalesce(target_files)
+        df.write.mode("errorifexists").parquet(out)
+        replaced.extend(fs)
+        for root, _dirs, names in os.walk(out):
+            for n in names:
+                if n.endswith(".parquet"):
+                    new_rels.append(os.path.relpath(
+                        os.path.join(root, n), table_dir
+                    ))
+    metas = {
+        rel: pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+        for rel in sorted(new_rels)
+    }
+    adds = [
+        _add_action(
+            table_dir, rel, stats_cols, False,
+            _hive_partition_values(rel, pcols), md=md,
+        )
+        for rel, md in metas.items()
+        if md.num_rows
+    ]
+    computed_against = head.version
+    for _ in range(max_retries):
+        versions = list_delta_versions(table_dir)
+        version = versions[-1] + 1
+        for cv in range(computed_against + 1, version):
+            with open(_commit_path(table_dir, cv)) as f:
+                for line in f:
+                    a = json.loads(line)
+                    if "remove" in a:
+                        raise _sn.ConcurrentCommitError(
+                            f"compaction of {table_dir} computed "
+                            f"against v{computed_against} raced a "
+                            f"remove in v{cv}; re-run against the "
+                            "new head"
+                        )
+        ts = _now_ms()
+        actions: list[dict] = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": ts,
+                    "dataChange": False,
+                }
+            }
+            for p in replaced
+        ]
+        actions.extend(adds)
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": ts,
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {
+                        "targetFiles": target_files,
+                        "partitionsRewritten": len(to_pack),
                     },
                     "engineInfo": "rearc-takehome-spark-cleanroom",
                 }

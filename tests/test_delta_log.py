@@ -1360,3 +1360,65 @@ def test_checkpoint_reliable_supersedes_previous_copy(spark, tmp_path):
     rel._sweep_reliable_scratch()
     assert not os.path.exists(p2)
     assert rel._RELIABLE_SCRATCH == {}
+
+
+def test_delta_compact_partitioned_bin_packs_per_partition(
+    spark, tmp_path
+):
+    """OPTIMIZE on a partitioned table: per-partition bin packing —
+    files never combine across partition boundaries, partitions at or
+    below the target are untouched, removes cover only replaced files,
+    history stays time-travelable, the change feed skips the rewrite,
+    and null / special-char partition values round-trip the hive
+    naming."""
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k long, region string, v long"
+    )
+    dl.write_delta(
+        mk([(1, "us", 10), (2, "eu e/1", 20), (3, None, 30)]),
+        t, partition_by=["region"], stats_cols=["k"],
+    )
+    # three appends fragment 'us' (4 files) and 'eu e/1' (2 files);
+    # the null partition stays single-file
+    dl.write_delta(mk([(4, "us", 40)]), t, "append",
+                   partition_by=["region"])
+    dl.write_delta(mk([(5, "us", 50), (6, "eu e/1", 60)]), t,
+                   "append", partition_by=["region"])
+    dl.write_delta(mk([(7, "us", 70)]), t, "append",
+                   partition_by=["region"])
+    pre = dl.replay(t)
+
+    def by_partition(state):
+        out = {}
+        for rel, a in state.adds.items():
+            out.setdefault(a["partitionValues"]["region"], []).append(rel)
+        return out
+
+    pre_parts = by_partition(pre)
+    assert len(pre_parts["us"]) == 4
+    # partitionValues hold the RAW value; escaping is dir-name-only
+    assert len(pre_parts["eu e/1"]) == 2
+    expect = _rows(dl.read_delta(spark, t))
+
+    s = dl.delta_compact(spark, t, target_files=1, stats_cols=["k"])
+    post_parts = by_partition(s)
+    # every partition now holds exactly one file; null partition's
+    # original file survived untouched (it was already at target)
+    for part, fs in post_parts.items():
+        assert len(fs) == 1, (part, fs)
+    assert post_parts[None] == pre_parts[None]
+    # content identical, partition values restored with their types
+    assert _rows(dl.read_delta(spark, t)) == expect
+    # pre-compaction version still time travels
+    assert _rows(dl.read_delta(spark, t, pre.version)) == expect
+    # idempotent second OPTIMIZE: nothing exceeds the target, no
+    # empty commit is appended
+    s2 = dl.delta_compact(spark, t, target_files=1)
+    assert s2.version == s.version
+    # the rewrite is dataChange=false: the feed across it sees ONLY
+    # the append that follows
+    dl.write_delta(mk([(8, "us", 80)]), t, "append",
+                   partition_by=["region"])
+    inc = dl.read_delta_increment(spark, t, pre.version)
+    assert _rows(inc) == [(8, "us", 80)]
