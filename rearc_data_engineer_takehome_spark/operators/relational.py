@@ -51,12 +51,17 @@ def materialize_small(df: DataFrame, max_rows: int) -> DataFrame:
     re-embed keeps every consumer a pure recomputable lineage (the
     data rides in the plan, as with the OLS betas pattern) while still
     computing the expensive upstream exactly once."""
-    rows = df.take(max_rows + 1)
+    # collect(), not take(n+1): limit's incremental execution (try 1
+    # partition, grow) re-runs stages on aggregates and measured ~4x
+    # slower on the contingency-table queries; the callers' relations
+    # are domain-bounded by construction, so the bound check is a
+    # post-hoc audit, not the OOM guard
+    rows = df.collect()
     if len(rows) > max_rows:
         raise ValueError(
-            f"materialize_small bound exceeded: >{max_rows} rows — "
-            "this relation is not driver-bounded; checkpoint it to "
-            "reliable storage instead"
+            f"materialize_small bound exceeded: {len(rows)} > "
+            f"{max_rows} rows — this relation is not driver-bounded; "
+            "checkpoint it to reliable storage instead"
         )
     return df.sparkSession.createDataFrame(rows, df.schema)
 

@@ -189,24 +189,28 @@ def priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("double").alias("n"))
     )
-    # the |p|x|s|-cell table (<=5x3=15 rows, domain-bounded at any SF)
-    # feeds FOUR consumers (cells + three margins); one bounded collect
-    # + local re-embed computes the scan+agg once (measured 8 exchanges
-    # -> 3) with fully recomputable lineage — no executor-pinned
-    # localCheckpoint blocks to lose at cluster scale
-    o = materialize_small(o, 64)
-    tot = o.agg(F.sum("n").alias("t"))
-    rm = o.groupBy("p").agg(F.sum("n").alias("rp"))
-    cm = o.groupBy("s").agg(F.sum("n").alias("cs"))
+    # margins as WINDOWS over the |p|x|s|-cell aggregate (<=5x3=15
+    # rows, domain-bounded at any SF): one plan, one orders scan, and
+    # no materialization primitive at all — strictly better than both
+    # localCheckpoint (executor-pinned, non-recomputable) and a
+    # collect/re-embed round trip (measured ~0.6s of driver<->JVM
+    # overhead). The windows run post-shuffle on the tiny aggregate;
+    # the unpartitioned total window is domain-bounded. Margin sums
+    # are integer-valued doubles, so window order cannot perturb them.
+    w = o.select(
+        "n",
+        F.sum("n").over(Window.partitionBy("p")).alias("rp"),
+        F.sum("n").over(Window.partitionBy("s")).alias("cs"),
+        F.sum("n").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("t"),
+    )
     exp = F.col("rp") * F.col("cs") / F.col("t")
-    return (
-        o.join(F.broadcast(rm), "p")
-        .join(F.broadcast(cm), "s")
-        .join(F.broadcast(tot))
-        .agg(
-            F.count(F.lit(1)).alias("n_cells"),
-            F.round(F.sum(F.pow(F.col("n") - exp, 2) / exp), 6).alias("chi2"),
-        )
+    return w.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum(F.pow(F.col("n") - exp, 2) / exp), 6).alias("chi2"),
     )
 
 
@@ -2366,37 +2370,49 @@ def priority_status_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("double").alias("n"))
     )
-    # feeds four consumers (cells + two margins + total), same
-    # materialize-once rationale and |p|x|s|<=15-row domain bound as
-    # priority_status_chi2: bounded collect + local re-embed
-    o = materialize_small(o, 64)
-    tot = o.agg(F.sum("n").alias("t"))
-    rm = o.groupBy("p").agg(F.sum("n").alias("rp"))
-    cm = o.groupBy("s").agg(F.sum("n").alias("cs"))
-    hp = rm.join(F.broadcast(tot)).agg(
-        F.sum((F.col("rp") / F.col("t")) * F.log(F.col("t") / F.col("rp"))).alias("hp")
+    # margins, total, AND both entropies from windows over the
+    # |p|x|s|<=15-row aggregate — one plan, one orders scan, no
+    # materialization (same rationale as priority_status_chi2). Each
+    # margin's entropy term must count ONCE per margin value, not once
+    # per cell: the row_number-==-1 guard nominates one cell per
+    # p-group (and per s-group) to carry that group's term.
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    hs = cm.join(F.broadcast(tot)).agg(
-        F.sum((F.col("cs") / F.col("t")) * F.log(F.col("t") / F.col("cs"))).alias("hs")
+    w = o.select(
+        "n",
+        F.sum("n").over(Window.partitionBy("p")).alias("rp"),
+        F.sum("n").over(Window.partitionBy("s")).alias("cs"),
+        F.sum("n").over(wall).alias("t"),
+        F.row_number().over(
+            Window.partitionBy("p").orderBy("s")
+        ).alias("rn_p"),
+        F.row_number().over(
+            Window.partitionBy("s").orderBy("p")
+        ).alias("rn_s"),
     )
-    mi = F.sum(
-        (F.col("n") / F.col("t"))
-        * F.log(F.col("n") * F.col("t") / (F.col("rp") * F.col("cs")))
+    mi_term = (F.col("n") / F.col("t")) * F.log(
+        F.col("n") * F.col("t") / (F.col("rp") * F.col("cs"))
     )
-    return (
-        o.join(F.broadcast(rm), "p")
-        .join(F.broadcast(cm), "s")
-        .join(F.broadcast(tot))
-        .agg(F.count(F.lit(1)).alias("n_cells"), mi.alias("__mi"))
-        .join(F.broadcast(hp))
-        .join(F.broadcast(hs))
-        .select(
-            "n_cells",
-            F.round("__mi", 6).alias("mi_nats"),
-            F.round(
-                F.col("__mi") / F.sqrt(F.col("hp") * F.col("hs")), 6
-            ).alias("nmi"),
-        )
+    hp_term = F.when(
+        F.col("rn_p") == 1,
+        (F.col("rp") / F.col("t")) * F.log(F.col("t") / F.col("rp")),
+    ).otherwise(F.lit(0.0))
+    hs_term = F.when(
+        F.col("rn_s") == 1,
+        (F.col("cs") / F.col("t")) * F.log(F.col("t") / F.col("cs")),
+    ).otherwise(F.lit(0.0))
+    return w.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(mi_term).alias("__mi"),
+        F.sum(hp_term).alias("__hp"),
+        F.sum(hs_term).alias("__hs"),
+    ).select(
+        "n_cells",
+        F.round("__mi", 6).alias("mi_nats"),
+        F.round(
+            F.col("__mi") / F.sqrt(F.col("__hp") * F.col("__hs")), 6
+        ).alias("nmi"),
     )
 
 
