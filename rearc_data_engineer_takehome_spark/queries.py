@@ -1123,6 +1123,7 @@ DRIVER_WINDOW: list[str] = [
     # then the relational/LLM long tail; 9 + events_wau_approx
     # (rows-only by design) remain for round 9) ---
     "lineitem_delta_zorder_scan",  # NEW r8: Z-order x native Delta
+    "orders_dv_delete_scan",  # NEW r8: deletion vectors (DELETE+purge)
     "orders_delta_pruned_scan",  # r7 delta_scan stats-skipping gate
     "user_value_window_nulls",  # IGNORE NULLS window tier
     "multimodal_inventory",
@@ -1156,7 +1157,6 @@ DRIVER_WINDOW: list[str] = [
     "embedding_split_drift",
     "cross_source_duplication",
     "events_decayed_user_value",
-    "top_revenue_share_customers",
     "order_price_winsorized",
     "categorical_entropy_profile",
 ]

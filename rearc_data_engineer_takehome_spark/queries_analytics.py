@@ -5193,3 +5193,85 @@ def lineitem_delta_zorder_scan(
         F.min("l_partkey").cast("bigint").alias("min_part"),
         F.max("l_suppkey").cast("bigint").alias("max_supp"),
     )
+
+
+@query(
+    "orders_dv_delete_scan",
+    """
+    WITH kept AS (
+        SELECT o_orderstatus,
+               round(o_totalprice * 100)::BIGINT AS cents
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND (o_orderkey % 7) = 0)
+          AND NOT (o_orderpriority = '1-URGENT'
+                   AND (o_orderkey % 7) = 1)
+    ),
+    base AS (SELECT count(*)::BIGINT AS n_before FROM orders)
+    SELECT o_orderstatus,
+           count(*)::BIGINT AS n_orders,
+           sum(cents)::BIGINT AS sum_cents,
+           n_before
+    FROM kept CROSS JOIN base
+    GROUP BY o_orderstatus, n_before
+    """,
+    doc="Deletion vectors on the NATIVE Delta log (sources/dv.py + "
+    "delta_log.delta_delete; public delta-io PROTOCOL.md 'Deletion "
+    "Vectors' — the DELETE mechanism of the Delta format the "
+    "reference persists its tables in, notebooks/20_analytics.ipynb:"
+    "653) certified under the driver's value-hash gate: orders "
+    "written as a multi-file Delta table, TWO DV deletes (the second "
+    "must roaring-merge into the first's positions per file), an "
+    "OPTIMIZE that must purge the DVs into rewritten files, and the "
+    "head aggregate read AFTER the purge — so z85/roaring/DV-file "
+    "byte formats, (path, dvId) replay keying, the _metadata."
+    "row_index scan filter, and the purge's dataChange=false rewrite "
+    "all have to be value-exact vs the oracle's plain NOT(pred) "
+    "WHERE. n_before time-travels to v0 across the whole history. "
+    "At 100 TB a selective DELETE costs one scan plus kilobytes of "
+    "log — no data file is rewritten until OPTIMIZE chooses to.",
+)
+def orders_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid as _uuid
+
+    from .sources import delta_log as dl
+    from .sources import snapshots as sn
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_odvdel_"
+        f"{_uuid.uuid4().hex[:8]}"
+    )
+    dl.write_delta(
+        orders.repartition(4), tbl, stats_cols=["o_orderkey"]
+    )
+    dl.delta_delete(
+        spark, tbl,
+        "o_orderstatus = 'F' AND pmod(o_orderkey, 7) = 0",
+    )
+    dl.delta_delete(
+        spark, tbl,
+        "o_orderpriority = '1-URGENT' AND pmod(o_orderkey, 7) = 1",
+    )
+    dl.delta_compact(spark, tbl, 2)  # purges the DVs
+    head = (
+        dl.read_delta(spark, tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    n_before = dl.read_delta(spark, tbl, 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before")
+    )
+    return head.crossJoin(F.broadcast(n_before)).select(
+        "o_orderstatus", "n_orders", "sum_cents", "n_before"
+    )

@@ -52,10 +52,25 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from . import dv as _dv
 from . import snapshots as _sn
 
 _LOGDIR = "_delta_log"
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+# table-features protocol stamped when deletion vectors first appear
+# on a table (PROTOCOL.md: DVs require reader version 3 + the
+# deletionVectors reader feature, writer version 7 + the matching
+# writer feature)
+_DV_PROTOCOL = {
+    "minReaderVersion": 3,
+    "minWriterVersion": 7,
+    "readerFeatures": ["deletionVectors"],
+    "writerFeatures": ["deletionVectors"],
+}
+# the table-feature sets this module actually implements; protocol
+# gates admit exactly these and refuse everything else loudly
+_READER_FEATURES = {"deletionVectors"}
+_WRITER_FEATURES = {"deletionVectors"}
 
 
 @dataclass(frozen=True)
@@ -219,24 +234,30 @@ def _atomic_commit(table_dir: str, version: int, actions: list[dict]):
 
 def _check_protocol(table_dir: str, protocols) -> None:
     """Honest-reader gate: a table whose protocol demands reader
-    capabilities this module does not implement (minReaderVersion > 1:
-    column mapping, deletion vectors, v2 checkpoints, ...) must FAIL
-    LOUDLY — silently ignoring, say, deletion vectors would return
-    deleted rows as live data. Writers bump minReaderVersion exactly
-    so naive readers stop; honoring that is part of the spec."""
+    capabilities this module does not implement (column mapping, v2
+    checkpoints, timestampNtz, ...) must FAIL LOUDLY — silently
+    ignoring an unknown reader feature could misname columns or read
+    the wrong base state. Deletion vectors (reader version 3 +
+    ``deletionVectors`` feature) ARE implemented (sources/dv.py), so
+    exactly that feature set passes; everything else still refuses.
+    Writers bump minReaderVersion exactly so incapable readers stop;
+    honoring that is part of the spec."""
     for p in protocols:
         if not p:
             continue
         mrv = p.get("minReaderVersion", 1) or 1
-        feats = p.get("readerFeatures") or []
-        if mrv > 1 or feats:
-            raise NotImplementedError(
-                f"{table_dir} requires Delta minReaderVersion {mrv} "
-                f"(readerFeatures={list(feats)}); this clean-room "
-                "reader implements reader protocol 1 only — reading "
-                "anyway could silently resurrect deleted rows or "
-                "misname columns"
-            )
+        feats = set(p.get("readerFeatures") or [])
+        if mrv <= 1 and not feats:
+            continue
+        if mrv == 3 and feats <= _READER_FEATURES:
+            continue
+        raise NotImplementedError(
+            f"{table_dir} requires Delta minReaderVersion {mrv} "
+            f"(readerFeatures={sorted(feats)}); this clean-room "
+            f"reader implements reader protocol 1 plus "
+            f"{sorted(_READER_FEATURES)} only — reading anyway could "
+            "silently resurrect deleted rows or misname columns"
+        )
 
 
 def _check_writer_protocol(table_dir: str, protocol) -> None:
@@ -252,15 +273,22 @@ def _check_writer_protocol(table_dir: str, protocol) -> None:
     if not protocol:
         return
     mwv = protocol.get("minWriterVersion", 2) or 2
-    feats = protocol.get("writerFeatures") or []
-    if mwv > 2 or feats:
-        raise NotImplementedError(
-            f"{table_dir} requires Delta minWriterVersion {mwv} "
-            f"(writerFeatures={list(feats)}); this clean-room writer "
-            "implements writer protocol 2 only — committing anyway "
-            "could silently violate the table's invariants/appendOnly/"
-            "CDC constraints for native readers"
-        )
+    feats = set(protocol.get("writerFeatures") or [])
+    if mwv <= 2 and not feats:
+        return
+    if mwv == 7 and feats <= _WRITER_FEATURES:
+        # table-features writer protocol whose every listed feature
+        # this module implements (deletionVectors: removes carry the
+        # cancelled add's DV descriptor, delete/compact maintain them)
+        return
+    raise NotImplementedError(
+        f"{table_dir} requires Delta minWriterVersion {mwv} "
+        f"(writerFeatures={sorted(feats)}); this clean-room writer "
+        f"implements writer protocol 2 plus {sorted(_WRITER_FEATURES)}"
+        " only — committing anyway could silently violate the "
+        "table's invariants/appendOnly/CDC constraints for native "
+        "readers"
+    )
 
 
 def _last_checkpoint(table_dir: str) -> int | None:
@@ -313,6 +341,14 @@ def _read_checkpoint_state(table_dir: str, version: int) -> DeltaState:
             add = {k: v for k, v in add.items() if v is not None}
             if isinstance(add.get("partitionValues"), list):
                 add["partitionValues"] = dict(add["partitionValues"])
+            if add.get("deletionVector"):
+                # strip null offset so dv_unique_id and descriptor
+                # round-trips match the JSON-commit representation
+                add["deletionVector"] = {
+                    k: v
+                    for k, v in add["deletionVector"].items()
+                    if v is not None
+                }
             adds[add["path"]] = add
         txn = row.get("txn")
         if txn and txn.get("appId"):
@@ -397,7 +433,23 @@ def replay(table_dir: str, version: int | None = None) -> DeltaState:
                 elif "add" in action:
                     adds[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
-                    adds.pop(action["remove"]["path"], None)
+                    # spec: the primary key of add/remove is (path,
+                    # deletionVector.uniqueId). A DELETE that swaps a
+                    # file's DV commits remove(path, oldDV) + add(path,
+                    # newDV) in either order; matching the uid keeps
+                    # the new add alive whichever lands second. A
+                    # bare-path remove has uid "" and cancels only a
+                    # DV-less add — legacy tables unchanged (every
+                    # add there has uid ""), and our own writers
+                    # always stamp the cancelled add's descriptor.
+                    r = action["remove"]
+                    live = adds.get(r["path"])
+                    if live is not None and _dv.dv_unique_id(
+                        r.get("deletionVector")
+                    ) == _dv.dv_unique_id(
+                        live.get("deletionVector")
+                    ):
+                        adds.pop(r["path"])
                 elif "txn" in action:
                     txns[action["txn"]["appId"]] = \
                         action["txn"]["version"]
@@ -434,20 +486,159 @@ def read_delta(
     return _read_state(spark, table_dir, replay(table_dir, version))
 
 
-def _read_state(
-    spark: SparkSession, table_dir: str, state: DeltaState
+def _normalize_file_uri(p: str) -> str:
+    """Spark's ``_metadata.file_path`` URI -> filesystem path."""
+    from urllib.parse import unquote, urlparse
+
+    return unquote(urlparse(p).path)
+
+
+def _dv_live_filter(spark: SparkSession, table_dir: str, adds: dict):
+    """A pandas-UDF filter dropping deleted row positions for every
+    add carrying a deletionVector, or None when no file in ``adds``
+    has one (the common case pays nothing). Only O(DV'd files)
+    DESCRIPTORS are broadcast — each scan task resolves and decodes
+    its own file's bitmap from table storage (cached per worker),
+    exactly how a native Delta scan distributes DV work; membership
+    is vectorized searchsorted per Arrow batch. Rows of files
+    without a DV pass through untouched."""
+    desc_map = {}
+    for rel, a in adds.items():
+        desc = a.get("deletionVector")
+        if not desc:
+            continue
+        ap = os.path.abspath(os.path.join(table_dir, rel))
+        desc_map[ap] = desc
+    if not desc_map:
+        return None
+    bc = spark.sparkContext.broadcast((table_dir, desc_map))
+
+    from pyspark.sql.functions import pandas_udf
+
+    decoded: dict = {}  # per-worker positions cache
+
+    @pandas_udf("boolean")
+    def _live(paths, idxs):
+        import numpy as np
+        import pandas as pd
+
+        tdir, descs = bc.value
+        out = np.ones(len(paths), dtype=bool)
+        vals = idxs.to_numpy(dtype=np.int64)
+        cache: dict = {}
+        norm = paths.map(
+            lambda p: cache.setdefault(p, _normalize_file_uri(p))
+        )
+        for ap in norm.unique():
+            desc = descs.get(ap)
+            if desc is None:
+                continue
+            if ap not in decoded:
+                decoded[ap] = _dv.read_dv_positions(tdir, desc)
+            pos = decoded[ap]
+            if not len(pos):
+                continue
+            rows = np.flatnonzero((norm == ap).to_numpy())
+            v = vals[rows]
+            j = np.searchsorted(pos, v)
+            hit = (j < len(pos)) & (
+                pos[np.minimum(j, len(pos) - 1)] == v
+            )
+            out[rows[hit]] = False
+        return pd.Series(out)
+
+    return _live
+
+
+# hidden row-provenance columns: file path + row index from Spark's
+# parquet _metadata column, used to apply deletion vectors and to
+# compute new ones in delta_delete
+_DV_PATH = "__dv_path"
+_DV_IDX = "__dv_idx"
+
+
+def _scan_files(
+    spark: SparkSession,
+    table_dir: str,
+    rels: list[str],
+    read_schema,
+    adds: dict,
+    live_udf,
+    keep_rowmeta: bool = False,
 ) -> DataFrame:
+    """One distributed parquet scan over ``rels`` with deletion
+    vectors applied; returns the columns of ``read_schema``
+    (+ rowmeta when requested). Files without a DV take the plain
+    scan — zero overhead on the common path."""
+    dv_set = {
+        r for r in rels if adds[r].get("deletionVector")
+    }
+    plain = [r for r in rels if r not in dv_set]
+    dvd = [r for r in rels if r in dv_set]
+    cols = [f.name for f in read_schema.fields]
+    parts = []
+    for group, need_meta in ((plain, keep_rowmeta), (dvd, True)):
+        if not group:
+            continue
+        df = spark.read.schema(read_schema).parquet(
+            *[os.path.join(table_dir, f) for f in group]
+        )
+        if need_meta:
+            df = df.select(
+                *cols,
+                F.col("_metadata.file_path").alias(_DV_PATH),
+                F.col("_metadata.row_index").alias(_DV_IDX),
+            )
+        if group is dvd:
+            df = df.where(
+                live_udf(F.col(_DV_PATH), F.col(_DV_IDX))
+            )
+            if not keep_rowmeta:
+                df = df.drop(_DV_PATH, _DV_IDX)
+        parts.append(df)
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _read_state(
+    spark: SparkSession,
+    table_dir: str,
+    state: DeltaState,
+    keep_rowmeta: bool = False,
+) -> DataFrame:
+    """Resolve a DeltaState to a DataFrame. Files carrying deletion
+    vectors are scanned with parquet ``_metadata.row_index`` and their
+    deleted positions filtered out (broadcast bitmap membership);
+    files without DVs take the plain scan, zero overhead. With
+    ``keep_rowmeta`` every row keeps (__dv_path, __dv_idx) — the
+    provenance delta_delete needs to build NEW deletion vectors."""
     import itertools
 
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(state.schema))
+    live_udf = _dv_live_filter(spark, table_dir, state.adds)
     if not state.files:
-        return spark.createDataFrame([], schema)
-    if not state.partition_cols:
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(table_dir, f) for f in state.files]
+        empty = spark.createDataFrame([], schema)
+        if keep_rowmeta:
+            empty = empty.select(
+                "*",
+                F.lit(None).cast("string").alias(_DV_PATH),
+                F.lit(None).cast("long").alias(_DV_IDX),
+            )
+        return empty
+
+    def scan(rels, read_schema):
+        return _scan_files(
+            spark, table_dir, rels, read_schema, state.adds,
+            live_udf, keep_rowmeta,
         )
+
+    meta_cols = [_DV_PATH, _DV_IDX] if keep_rowmeta else []
+    if not state.partition_cols:
+        return scan(list(state.files), schema)
     pcols = list(state.partition_cols)
     ptypes = {f.name: f.dataType for f in schema.fields}
     data_schema = StructType(
@@ -470,9 +661,7 @@ def _read_state(
         sorted(state.files, key=pkey), key=pkey
     ):
         group = list(group_iter)
-        df = spark.read.schema(data_schema).parquet(
-            *[os.path.join(table_dir, f) for f in group]
-        )
+        df = scan(group, data_schema)
         for c, v in zip(pcols, pvals(group[0])):
             # spec: null partition value is serialized as JSON null /
             # __HIVE_DEFAULT_PARTITION__ on disk
@@ -482,7 +671,11 @@ def _read_state(
                 else F.lit(v)
             )
             df = df.withColumn(c, lit.cast(ptypes[c]))
-        parts.append(df.select(*[f.name for f in schema.fields]))
+        parts.append(
+            df.select(
+                *[f.name for f in schema.fields], *meta_cols
+            )
+        )
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)
@@ -530,6 +723,22 @@ def _add_action(
             "stats": _delta_stats_json(md, stats_cols),
         }
     }
+
+
+def _remove_action(add: dict, ts: int, data_change: bool) -> dict:
+    """The remove action cancelling ``add``: per the spec the pair
+    (path, deletionVector.uniqueId) is the primary key of add/remove,
+    so a remove for a DV-carrying add must carry the same descriptor
+    — a bare-path remove would be a different key for native readers
+    (and vacuum could not age the DV file)."""
+    r: dict = {
+        "path": add["path"],
+        "deletionTimestamp": ts,
+        "dataChange": data_change,
+    }
+    if add.get("deletionVector"):
+        r["deletionVector"] = add["deletionVector"]
+    return {"remove": r}
 
 
 def _meta_action(
@@ -729,13 +938,7 @@ def write_delta(
         if mode == "overwrite" and head is not None:
             ts = _now_ms()
             actions.extend(
-                {
-                    "remove": {
-                        "path": p,
-                        "deletionTimestamp": ts,
-                        "dataChange": True,
-                    }
-                }
+                _remove_action(head.adds[p], ts, True)
                 for p in head.files
             )
         actions.extend(adds)
@@ -798,6 +1001,11 @@ def write_checkpoint(
         {"protocol": {
             "minReaderVersion": proto.get("minReaderVersion", 1) or 1,
             "minWriterVersion": proto.get("minWriterVersion", 2) or 2,
+            # table-features lists must survive checkpointing — a
+            # checkpoint that dropped readerFeatures would let naive
+            # readers scan a DV table and resurrect deleted rows
+            "readerFeatures": proto.get("readerFeatures"),
+            "writerFeatures": proto.get("writerFeatures"),
         }, "metaData": None, "add": None,
          "txn": None},
         {
@@ -825,6 +1033,7 @@ def write_checkpoint(
     for p in state.files:
         a = dict(state.adds[p])
         a.setdefault("stats", None)
+        dvd = a.get("deletionVector")
         rows.append({
             "protocol": None,
             "metaData": None,
@@ -836,6 +1045,16 @@ def write_checkpoint(
                 "modificationTime": a.get("modificationTime", 0),
                 "dataChange": False,
                 "stats": a.get("stats"),
+                # a checkpoint that dropped the descriptor would
+                # resurrect the file's deleted rows for every reader
+                # that bases replay on it
+                "deletionVector": {
+                    "storageType": dvd["storageType"],
+                    "pathOrInlineDv": dvd["pathOrInlineDv"],
+                    "offset": dvd.get("offset"),
+                    "sizeInBytes": dvd["sizeInBytes"],
+                    "cardinality": dvd["cardinality"],
+                } if dvd else None,
             },
         })
     schema = pa.schema([
@@ -847,6 +1066,8 @@ def write_checkpoint(
         ("protocol", pa.struct([
             ("minReaderVersion", pa.int32()),
             ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
         ])),
         ("metaData", pa.struct([
             ("id", pa.string()),
@@ -866,6 +1087,13 @@ def write_checkpoint(
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            ("deletionVector", pa.struct([
+                ("storageType", pa.string()),
+                ("pathOrInlineDv", pa.string()),
+                ("offset", pa.int32()),
+                ("sizeInBytes", pa.int32()),
+                ("cardinality", pa.int64()),
+            ])),
         ])),
     ])
     cp_path = _checkpoint_path(table_dir, state.version)
@@ -1048,13 +1276,7 @@ def delta_compact(
                         )
         ts = _now_ms()
         actions: list[dict] = [
-            {
-                "remove": {
-                    "path": p,
-                    "deletionTimestamp": ts,
-                    "dataChange": False,
-                }
-            }
+            _remove_action(head.adds[p], ts, False)
             for p in head.files
         ]
         actions.extend(adds)
@@ -1135,13 +1357,17 @@ def _delta_compact_partitioned(
     commit_id = uuid.uuid4().hex[:12]
     replaced: list[str] = []
     new_rels: list[str] = []
+    # DV-aware rewrite: a direct parquet read here would resurrect
+    # rows deleted by deletion vectors into the dataChange=false
+    # rewrite — the purge must ride the same filtered scan as reads
+    live_udf = _dv_live_filter(spark, table_dir, head.adds)
     for key, fs in sorted(to_pack.items()):
         seg = os.path.join(
             *[_hive_segment(c, v) for c, v in zip(pcols, key)]
         )
         out = os.path.join(table_dir, "data", commit_id, seg)
-        df = spark.read.schema(data_schema).parquet(
-            *[os.path.join(table_dir, f) for f in fs]
+        df = _scan_files(
+            spark, table_dir, fs, data_schema, head.adds, live_udf
         ).coalesce(target_files)
         df.write.mode("errorifexists").parquet(out)
         replaced.extend(fs)
@@ -1180,13 +1406,7 @@ def _delta_compact_partitioned(
                         )
         ts = _now_ms()
         actions: list[dict] = [
-            {
-                "remove": {
-                    "path": p,
-                    "deletionTimestamp": ts,
-                    "dataChange": False,
-                }
-            }
+            _remove_action(head.adds[p], ts, False)
             for p in replaced
         ]
         actions.extend(adds)
@@ -1260,6 +1480,19 @@ def read_delta_increment(
                     continue
                 action = json.loads(line)
                 if "add" in action:
+                    if action["add"].get("deletionVector") and \
+                            action["add"].get("dataChange", True):
+                        # a DV add means rows were DELETED from an
+                        # existing file — that change cannot be
+                        # expressed as appended rows (its remove in
+                        # the same commit also raises below; this
+                        # gate just names the cause)
+                        raise ValueError(
+                            f"commit {cv} of {table_dir} added a "
+                            "deletion vector (DELETE) — the "
+                            "increment is not an append stream; "
+                            "read full versions instead"
+                        )
                     if action["add"].get("dataChange", True):
                         added[action["add"]["path"]] = action["add"]
                     # dataChange=false (compaction) rewrites existing
@@ -1358,13 +1591,7 @@ def delta_merge_upsert(
     ]
     ts = _now_ms()
     actions: list[dict] = [
-        {
-            "remove": {
-                "path": p,
-                "deletionTimestamp": ts,
-                "dataChange": True,
-            }
-        }
+        _remove_action(head.adds[p], ts, True)
         for p in head.files
     ]
     actions.extend(adds)
@@ -1374,6 +1601,185 @@ def delta_merge_upsert(
                 "timestamp": ts,
                 "operation": "MERGE",
                 "operationParameters": {"keys": list(keys)},
+                "engineInfo": "rearc-takehome-spark-cleanroom",
+            }
+        }
+    )
+    _atomic_commit(table_dir, head.version + 1, actions)
+    return replay(table_dir, head.version + 1)
+
+
+def delta_delete(
+    spark: SparkSession,
+    table_dir: str,
+    predicate,
+) -> DeltaState:
+    """DELETE via deletion vectors — rows matching ``predicate`` (SQL
+    string or Column) are marked dead WITHOUT rewriting any parquet,
+    exactly how native Delta's DV-enabled DELETE works (PROTOCOL.md
+    "Deletion Vectors"): each touched file's add is re-committed with
+    a descriptor pointing into a freshly written
+    ``deletion_vector_<uuid>.bin``, the old add is cancelled by a
+    remove carrying its descriptor, and files whose every physical
+    row is now dead get a plain remove. First DV on a table upgrades
+    the protocol to reader 3 / writer 7 with the deletionVectors
+    feature, so incapable readers refuse instead of resurrecting the
+    deleted rows.
+
+    Scale posture: the predicate scan is a normal distributed read
+    (existing DVs applied); each touched file's NEW positions are
+    serialized to roaring bytes ON ITS EXECUTOR (applyInPandas per
+    file — a group is bounded by one file's row count, the same
+    working set native DV construction uses), and only O(touched
+    files) compressed blobs reach the driver, which merges old
+    positions and writes ONE .bin for the whole commit. Data files
+    are never read twice nor rewritten — at 100 TB a selective
+    DELETE costs one scan plus kilobytes of log.
+
+    Concurrency: computed against the head, committed at head+1;
+    anything landing in between raises ConcurrentCommitError (a
+    silent renumber could double-delete against a rewritten file).
+    Re-running the same predicate converges (already-dead rows no
+    longer match)."""
+    head = replay(table_dir)
+    _check_writer_protocol(table_dir, head.protocol)
+    live = _read_state(spark, table_dir, head, keep_rowmeta=True)
+    cond = (
+        F.expr(predicate) if isinstance(predicate, str) else predicate
+    )
+    hits = live.where(cond).select(_DV_PATH, _DV_IDX)
+
+    old_descs = {
+        os.path.abspath(os.path.join(table_dir, rel)): a[
+            "deletionVector"
+        ]
+        for rel, a in head.adds.items()
+        if a.get("deletionVector")
+    }
+    bc_old = spark.sparkContext.broadcast((table_dir, old_descs))
+
+    def _ser(pdf):
+        import numpy as np
+        import pandas as pd
+
+        tdir, descs = bc_old.value
+        ap = _normalize_file_uri(pdf[_DV_PATH].iloc[0])
+        pos = np.sort(pdf[_DV_IDX].to_numpy(dtype=np.int64))
+        old = descs.get(ap)
+        if old is not None:
+            # scan rows were live, so the new positions are disjoint
+            # from the old DV's; union1d also re-sorts. Merging HERE
+            # keeps the whole per-file bitmap lifecycle on the
+            # executor that owns the group — the driver only ever
+            # sees O(touched files) compressed blobs.
+            pos = np.union1d(
+                _dv.read_dv_positions(tdir, old), pos
+            )
+        return pd.DataFrame(
+            {
+                "path": [ap],
+                "blob": [_dv.serialize_positions(pos)],
+                "card": [len(pos)],
+            }
+        )
+
+    per_file = (
+        hits.groupBy(_DV_PATH)
+        .applyInPandas(_ser, "path string, blob binary, card long")
+        .collect()
+    )
+    if not per_file:
+        return head  # nothing matched: no commit, converged
+
+    table_abs = os.path.abspath(table_dir)
+    merged: dict[str, tuple[bytes, int]] = {}
+    for row in per_file:
+        rel = os.path.relpath(row.path, table_abs)
+        if rel not in head.adds:
+            raise RuntimeError(
+                f"delete scan surfaced {rel}, which is not a live "
+                f"file of {table_dir} v{head.version}"
+            )
+        merged[rel] = (bytes(row.blob), int(row.card))
+
+    import pyarrow.parquet as pq
+
+    def _num_records(rel: str) -> int:
+        raw = head.adds[rel].get("stats")
+        if raw:
+            try:
+                n = json.loads(raw).get("numRecords")
+                if n is not None:
+                    return int(n)
+            except ValueError:
+                pass
+        return pq.ParquetFile(
+            os.path.join(table_dir, rel)
+        ).metadata.num_rows
+
+    ts = _now_ms()
+    removes = [
+        _remove_action(head.adds[rel], ts, True) for rel in merged
+    ]
+    dv_rels = [
+        rel
+        for rel, (_, card) in merged.items()
+        if card < _num_records(rel)  # else: whole file dead
+    ]
+    adds: list[dict] = []
+    if dv_rels:
+        blobs = [merged[rel][0] for rel in dv_rels]
+        enc_uuid, offsets = _dv.write_dv_file(table_dir, blobs)
+        for rel, blob, off in zip(dv_rels, blobs, offsets):
+            a = dict(head.adds[rel])
+            a["deletionVector"] = _dv.make_descriptor(
+                enc_uuid, off, len(blob), merged[rel][1]
+            )
+            a["dataChange"] = True
+            if a.get("stats"):
+                try:
+                    st = json.loads(a["stats"])
+                    # physical min/max/numRecords are now WIDE bounds
+                    # over the live rows — still valid for pruning
+                    # (conservative), flagged per the spec
+                    st["tightBounds"] = False
+                    a["stats"] = json.dumps(
+                        st, separators=(",", ":")
+                    )
+                except ValueError:
+                    pass
+            adds.append({"add": a})
+
+    actions: list[dict] = []
+    proto = head.protocol or dict(_PROTOCOL)
+    if (proto.get("minReaderVersion", 1) or 1) < 3:
+        actions.append({"protocol": dict(_DV_PROTOCOL)})
+    actions.extend(removes)
+    actions.extend(adds)
+    n_deleted = sum(
+        card
+        - (
+            head.adds[rel].get("deletionVector", {}).get(
+                "cardinality", 0
+            )
+            if head.adds[rel].get("deletionVector")
+            else 0
+        )
+        for rel, (_, card) in merged.items()
+    )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "DELETE",
+                "operationParameters": {
+                    "predicate": str(predicate)
+                },
+                "operationMetrics": {
+                    "numDeletedRows": int(n_deleted),
+                    "numDeletionVectorsAdded": len(dv_rels),
+                    "numRemovedFiles": len(merged) - len(dv_rels),
+                },
                 "engineInfo": "rearc-takehome-spark-cleanroom",
             }
         }
@@ -1434,6 +1840,7 @@ def vacuum_delta(table_dir: str, retention_ms: int = 0) -> int:
     # epoch-0 would be "infinitely old" and silently delete data a
     # concurrent in-window reader of a native-written log still holds
     tombstone_ms: dict[str, int] = {}
+    dv_tombstone_ms: dict[str, int] = {}
     commit_ts: dict[int, int] = {}
     if os.path.isdir(log):
         for name in sorted(os.listdir(log)):
@@ -1453,6 +1860,16 @@ def vacuum_delta(table_dir: str, retention_ms: int = 0) -> int:
                         tombstone_ms[p] = max(
                             tombstone_ms.get(p, 0), dts
                         )
+                        rdv = r.get("deletionVector")
+                        if rdv:
+                            # the remove also tombstones the DV file
+                            # it referenced (keyed by abs path so the
+                            # bin GC below can age it)
+                            dvp = _dv.absolute_dv_path(table_dir, rdv)
+                            if dvp:
+                                dv_tombstone_ms[dvp] = max(
+                                    dv_tombstone_ms.get(dvp, 0), dts
+                                )
                     elif "commitInfo" in a:
                         ts_v = a["commitInfo"].get("timestamp")
             commit_ts[v] = ts_v if ts_v is not None else now
@@ -1484,7 +1901,18 @@ def vacuum_delta(table_dir: str, retention_ms: int = 0) -> int:
             f"checkpoint {head} of {table_dir} did not land readable; "
             "refusing to garbage-collect the JSON log"
         )
-    live = set(replay(table_dir, head).files)
+    head_state = replay(table_dir, head)
+    live = set(head_state.files)
+    # DV bins referenced by the head's adds must survive — deleting
+    # one would make every read of its file fail (or worse, a reader
+    # tolerating the miss would resurrect the deleted rows)
+    live_dv_bins = set()
+    for a in head_state.adds.values():
+        desc = a.get("deletionVector")
+        if desc and desc.get("storageType") == "u":
+            live_dv_bins.add(
+                os.path.abspath(_dv.absolute_dv_path(table_dir, desc))
+            )
     for name in os.listdir(log):
         v = None
         if name.endswith(".json") and name[:-5].isdigit():
@@ -1511,6 +1939,26 @@ def vacuum_delta(table_dir: str, retention_ms: int = 0) -> int:
                     aged = int(os.path.getmtime(full) * 1000)
                 if aged > cutoff:
                     continue  # inside the window: a reader may hold it
+            os.remove(full)
+            deleted += 1
+    # deletion-vector bins: same lifecycle as data files — keep every
+    # bin the head references, age unreferenced ones by their removes'
+    # deletionTimestamp (mtime for orphans of crashed deletes)
+    for root, dirs, files in os.walk(table_dir):
+        dirs[:] = [d for d in dirs if d not in (_LOGDIR, "data")]
+        for f in files:
+            if not (f.startswith(_dv._BIN_PREFIX)
+                    and f.endswith(".bin")):
+                continue
+            full = os.path.abspath(os.path.join(root, f))
+            if full in live_dv_bins:
+                continue
+            if retention_ms:
+                aged = dv_tombstone_ms.get(full)
+                if aged is None:
+                    aged = int(os.path.getmtime(full) * 1000)
+                if aged > cutoff:
+                    continue
             os.remove(full)
             deleted += 1
     return deleted

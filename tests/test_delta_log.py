@@ -501,7 +501,9 @@ def test_native_multipart_checkpoint_and_protocol_gate(spark, tmp_path):
         os.remove(os.path.join(log, f"{v:020d}.json"))
     assert _rows(dl.read_delta(spark, t)) == [(1,), (2,)]
 
-    # protocol gate: a v3 table with deletion vectors must refuse
+    # protocol gate: a v3 table demanding a reader feature we do NOT
+    # implement must refuse (deletionVectors itself is implemented
+    # since round 8 — see tests/test_dv.py for its acceptance)
     t2 = str(tmp_path / "tbl2")
     dl.write_delta(spark.createDataFrame([(1,)], "k long"), t2)
     path = dl._commit_path(t2, 0)
@@ -511,8 +513,8 @@ def test_native_multipart_checkpoint_and_protocol_gate(spark, tmp_path):
             a["protocol"] = {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors"],
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint"],
             }
     with open(path, "w") as f:
         for a in lines:
@@ -1195,7 +1197,14 @@ def test_checkpoint_preserves_table_protocol_and_gates_writers(
     cp = dl.write_checkpoint(t)
     rows = pq.read_table(dl._checkpoint_path(t, cp)).to_pylist()
     protos = [r["protocol"] for r in rows if r.get("protocol")]
-    assert protos == [{"minReaderVersion": 1, "minWriterVersion": 2}]
+    assert protos == [{
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+        # feature lists are sparse columns (null for legacy tables,
+        # populated for DV tables — tests/test_dv.py)
+        "readerFeatures": None,
+        "writerFeatures": None,
+    }]
 
     # stricter table: checkpoint/vacuum refuse instead of downgrading
     t2 = str(tmp_path / "tbl2")
