@@ -1124,6 +1124,7 @@ DRIVER_WINDOW: list[str] = [
     # (rows-only by design) remain for round 9) ---
     "lineitem_delta_zorder_scan",  # NEW r8: Z-order x native Delta
     "orders_dv_delete_scan",  # NEW r8: deletion vectors (DELETE+purge)
+    "orders_dv_update_scan",  # NEW r8: UPDATE via deletion vectors
     "orders_delta_pruned_scan",  # r7 delta_scan stats-skipping gate
     "user_value_window_nulls",  # IGNORE NULLS window tier
     "multimodal_inventory",
@@ -1158,7 +1159,6 @@ DRIVER_WINDOW: list[str] = [
     "cross_source_duplication",
     "events_decayed_user_value",
     "order_price_winsorized",
-    "categorical_entropy_profile",
 ]
 
 

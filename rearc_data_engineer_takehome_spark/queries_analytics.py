@@ -5275,3 +5275,82 @@ def orders_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head.crossJoin(F.broadcast(n_before)).select(
         "o_orderstatus", "n_orders", "sum_cents", "n_before"
     )
+
+
+@query(
+    "orders_dv_update_scan",
+    """
+    WITH upd AS (
+        SELECT CASE WHEN o_orderstatus = 'O'
+                         AND (o_orderkey % 11) = 3
+                    THEN '9-UPDATED' ELSE o_orderpriority END AS prio,
+               round(o_totalprice * 100)::BIGINT
+                 + CASE WHEN o_orderstatus = 'O'
+                             AND (o_orderkey % 11) = 3
+                        THEN 500 ELSE 0 END AS cents
+        FROM orders
+    ),
+    base AS (SELECT count(*)::BIGINT AS n_before FROM orders)
+    SELECT prio,
+           count(*)::BIGINT AS n_orders,
+           sum(cents)::BIGINT AS sum_cents,
+           n_before
+    FROM upd CROSS JOIN base
+    GROUP BY prio, n_before
+    """,
+    doc="UPDATE via deletion vectors (delta_log.delta_update; "
+    "PROTOCOL.md 'Deletion Vectors' — the DV-enabled UPDATE shape of "
+    "the format the reference persists its tables in, notebooks/"
+    "20_analytics.ipynb:653) certified under the value-hash gate: "
+    "orders written as a multi-file Delta table, one UPDATE marks "
+    "matched rows dead via DVs in their ORIGINAL files and lands the "
+    "rewritten copies (new priority label + 500-cent bump, both cast "
+    "to the declared types) in new files, all one atomic commit; the "
+    "head aggregate groups the post-update table and n_before time-"
+    "travels to v0. The oracle reproduces the update as a CASE "
+    "expression over the raw table, so the DV mark, the rewrite, and "
+    "the schema-invariant cast all have to be value-exact. At 100 TB "
+    "an UPDATE costs two scans of the MATCHED rows plus kilobytes of "
+    "log — untouched rows are never read twice nor rewritten.",
+)
+def orders_dv_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid as _uuid
+
+    from .sources import delta_log as dl
+    from .sources import snapshots as sn
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_odvupd_"
+        f"{_uuid.uuid4().hex[:8]}"
+    )
+    dl.write_delta(
+        orders.repartition(4), tbl, stats_cols=["o_orderkey"]
+    )
+    dl.delta_update(
+        spark, tbl,
+        "o_orderstatus = 'O' AND pmod(o_orderkey, 11) = 3",
+        {"prio": "'9-UPDATED'", "cents": "cents + 500"},
+    )
+    head = (
+        dl.read_delta(spark, tbl)
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    n_before = dl.read_delta(spark, tbl, 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before")
+    )
+    return head.crossJoin(F.broadcast(n_before)).select(
+        "prio", "n_orders", "sum_cents", "n_before"
+    )

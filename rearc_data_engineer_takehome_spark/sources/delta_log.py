@@ -1648,7 +1648,53 @@ def delta_delete(
         F.expr(predicate) if isinstance(predicate, str) else predicate
     )
     hits = live.where(cond).select(_DV_PATH, _DV_IDX)
+    marks = _dv_mark_actions(spark, table_dir, head, hits)
+    if marks is None:
+        return head  # nothing matched: no commit, converged
+    removes, dv_adds, metrics, ts = marks
+    actions: list[dict] = []
+    proto = head.protocol or dict(_PROTOCOL)
+    if (proto.get("minReaderVersion", 1) or 1) < 3:
+        actions.append({"protocol": dict(_DV_PROTOCOL)})
+    actions.extend(removes)
+    actions.extend(dv_adds)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "DELETE",
+                "operationParameters": {
+                    "predicate": str(predicate)
+                },
+                "operationMetrics": {
+                    "numDeletedRows": metrics["n_marked"],
+                    "numDeletionVectorsAdded": metrics["n_dv"],
+                    "numRemovedFiles": metrics["n_dead_files"],
+                },
+                "engineInfo": "rearc-takehome-spark-cleanroom",
+            }
+        }
+    )
+    _atomic_commit(table_dir, head.version + 1, actions)
+    return replay(table_dir, head.version + 1)
 
+
+def _dv_mark_actions(
+    spark: SparkSession, table_dir: str, head: DeltaState, hits
+):
+    """Shared DELETE/UPDATE machinery: turn a (``__dv_path``,
+    ``__dv_idx``) relation of rows-to-mark-dead into the commit's
+    remove actions and DV-carrying re-adds. Returns None when
+    ``hits`` is empty, else ``(removes, dv_adds, metrics, ts)``.
+
+    Each touched file's positions are serialized to roaring bytes ON
+    ITS EXECUTOR (applyInPandas per file — a group is bounded by one
+    file's row count, the same working set native DV construction
+    uses) and merged there with the file's existing DV; only
+    O(touched files) compressed blobs reach the driver, which packs
+    them into ONE ``deletion_vector_<uuid>.bin`` for the whole
+    commit. Files whose every physical row is now dead get a plain
+    remove instead of a DV."""
     old_descs = {
         os.path.abspath(os.path.join(table_dir, rel)): a[
             "deletionVector"
@@ -1689,7 +1735,7 @@ def delta_delete(
         .collect()
     )
     if not per_file:
-        return head  # nothing matched: no commit, converged
+        return None
 
     table_abs = os.path.abspath(table_dir)
     merged: dict[str, tuple[bytes, int]] = {}
@@ -1697,7 +1743,7 @@ def delta_delete(
         rel = os.path.relpath(row.path, table_abs)
         if rel not in head.adds:
             raise RuntimeError(
-                f"delete scan surfaced {rel}, which is not a live "
+                f"DV scan surfaced {rel}, which is not a live "
                 f"file of {table_dir} v{head.version}"
             )
         merged[rel] = (bytes(row.blob), int(row.card))
@@ -1726,7 +1772,7 @@ def delta_delete(
         for rel, (_, card) in merged.items()
         if card < _num_records(rel)  # else: whole file dead
     ]
-    adds: list[dict] = []
+    dv_adds: list[dict] = []
     if dv_rels:
         blobs = [merged[rel][0] for rel in dv_rels]
         enc_uuid, offsets = _dv.write_dv_file(table_dir, blobs)
@@ -1748,15 +1794,9 @@ def delta_delete(
                     )
                 except ValueError:
                     pass
-            adds.append({"add": a})
+            dv_adds.append({"add": a})
 
-    actions: list[dict] = []
-    proto = head.protocol or dict(_PROTOCOL)
-    if (proto.get("minReaderVersion", 1) or 1) < 3:
-        actions.append({"protocol": dict(_DV_PROTOCOL)})
-    actions.extend(removes)
-    actions.extend(adds)
-    n_deleted = sum(
+    n_marked = sum(
         card
         - (
             head.adds[rel].get("deletionVector", {}).get(
@@ -1767,18 +1807,114 @@ def delta_delete(
         )
         for rel, (_, card) in merged.items()
     )
+    metrics = {
+        "n_marked": int(n_marked),
+        "n_dv": len(dv_rels),
+        "n_dead_files": len(merged) - len(dv_rels),
+    }
+    return removes, dv_adds, metrics, ts
+
+
+def delta_update(
+    spark: SparkSession,
+    table_dir: str,
+    predicate,
+    assignments: dict,
+) -> DeltaState:
+    """UPDATE via deletion vectors — the DV-enabled UPDATE shape from
+    PROTOCOL.md: rows matching ``predicate`` are marked dead in their
+    current files (same machinery as :func:`delta_delete` — no
+    rewrite of untouched rows) and their updated copies land in NEW
+    data files, all in one atomic commit. ``assignments`` maps column
+    name -> SQL string or Column; every assigned expression is cast
+    to the column's declared type so the table schema is invariant
+    (a type-changing UPDATE must be an explicit overwrite, never a
+    silent widen). Partition-column assignments are allowed — the
+    updated rows simply land in their new hive partitions.
+
+    Scale posture: cost is two scans of the matched rows (one to
+    build the per-file bitmaps, one to write the updated copies) plus
+    kilobytes of log — untouched rows are never read twice nor
+    rewritten. Concurrency: computed against the head, committed at
+    head+1, ConcurrentCommitError on any interleaving (same TOCTOU
+    rule as MERGE/DELETE)."""
+    head = replay(table_dir)
+    _check_writer_protocol(table_dir, head.protocol)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(head.schema))
+    names = {f.name for f in schema.fields}
+    unknown = set(assignments) - names
+    if unknown:
+        raise ValueError(
+            f"UPDATE assigns unknown columns {sorted(unknown)} "
+            f"(table has {sorted(names)})"
+        )
+    live = _read_state(spark, table_dir, head, keep_rowmeta=True)
+    cond = (
+        F.expr(predicate) if isinstance(predicate, str) else predicate
+    )
+    matched = live.where(cond)
+    marks = _dv_mark_actions(
+        spark, table_dir, head,
+        matched.select(_DV_PATH, _DV_IDX),
+    )
+    if marks is None:
+        return head  # nothing matched: no commit, converged
+    removes, dv_adds, metrics, ts = marks
+
+    updated = matched
+    for col, expr in assignments.items():
+        e = F.expr(expr) if isinstance(expr, str) else expr
+        updated = updated.withColumn(
+            col, e.cast(schema[col].dataType)
+        )
+    updated = updated.select(*[f.name for f in schema.fields])
+    pcols = list(head.partition_cols)
+    if pcols:
+        written = _write_partitioned_data_files(
+            updated, table_dir, pcols
+        )
+    else:
+        written = _sn._write_data_files(updated, table_dir)
+    import pyarrow.parquet as pq
+
+    metas = {
+        rel: pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+        for rel in written
+    }
+    new_adds = [
+        _add_action(
+            table_dir,
+            rel,
+            None,
+            True,
+            _hive_partition_values(rel, pcols) if pcols else None,
+            md=md,
+        )
+        for rel, md in metas.items()
+        if md.num_rows
+    ]
+
+    actions: list[dict] = []
+    proto = head.protocol or dict(_PROTOCOL)
+    if (proto.get("minReaderVersion", 1) or 1) < 3:
+        actions.append({"protocol": dict(_DV_PROTOCOL)})
+    actions.extend(removes)
+    actions.extend(dv_adds)
+    actions.extend(new_adds)
     actions.append(
         {
             "commitInfo": {
                 "timestamp": ts,
-                "operation": "DELETE",
+                "operation": "UPDATE",
                 "operationParameters": {
                     "predicate": str(predicate)
                 },
                 "operationMetrics": {
-                    "numDeletedRows": int(n_deleted),
-                    "numDeletionVectorsAdded": len(dv_rels),
-                    "numRemovedFiles": len(merged) - len(dv_rels),
+                    "numUpdatedRows": metrics["n_marked"],
+                    "numDeletionVectorsAdded": metrics["n_dv"],
+                    "numAddedFiles": len(new_adds),
                 },
                 "engineInfo": "rearc-takehome-spark-cleanroom",
             }

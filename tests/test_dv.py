@@ -528,3 +528,77 @@ def test_native_delta_reads_our_dv_table(spark, tmp_path):
     got = spark.read.format("delta").load(t)
     assert got.count() == 900
     assert got.where("k = 3").count() == 0
+
+
+# --- UPDATE via deletion vectors ------------------------------------
+
+
+def test_update_rewrites_only_matched_rows(spark, tmp_path):
+    t = str(tmp_path / "t")
+    s0 = _mk(spark, t)
+    old_files = set(s0.files)
+    s1 = dl.delta_update(spark, t, "k = 3", {"k": "k + 100"})
+    out = dl.read_delta(spark, t)
+    assert out.count() == 1000
+    assert out.where("k = 3").count() == 0
+    assert out.where("k = 103").count() == 100
+    # untouched rows stayed in their original files (DV'd, not
+    # rewritten); updated copies landed in NEW files
+    assert old_files < set(s1.files) | old_files
+    assert any(f not in old_files for f in s1.files)
+    for f in old_files & set(s1.files):
+        assert s1.adds[f].get("deletionVector")
+    # schema is invariant (assignments cast to declared types)
+    assert out.schema == dl.read_delta(spark, t, 0).schema
+    # time travel sees the pre-update values
+    assert dl.read_delta(spark, t, 0).where("k = 3").count() == 100
+
+
+def test_update_converges_and_composes_with_delete(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _mk(spark, t)
+    s1 = dl.delta_update(spark, t, "k = 3", {"k": "k + 100"})
+    # re-run: predicate no longer matches -> no commit
+    s2 = dl.delta_update(spark, t, "k = 3", {"k": "k + 100"})
+    assert s2.version == s1.version
+    dl.delta_delete(spark, t, "k = 103")
+    assert dl.read_delta(spark, t).count() == 900
+
+
+def test_update_moves_rows_across_partitions(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("p"),
+    )
+    dl.write_delta(df, t, partition_by=["p"])
+    dl.delta_update(spark, t, "id < 10 and p = '0'", {"p": "'1'"})
+    out = dl.read_delta(spark, t)
+    assert out.count() == 1000
+    assert out.where("p = '1'").count() == 505
+
+
+def test_update_refuses_unknown_column(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _mk(spark, t)
+    with pytest.raises(ValueError, match="unknown columns"):
+        dl.delta_update(spark, t, "k = 1", {"nope": "1"})
+
+
+def test_update_commit_shape(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _mk(spark, t)
+    s1 = dl.delta_update(spark, t, "k = 0", {"k": "7777"})
+    with open(os.path.join(
+        t, "_delta_log", f"{s1.version:020d}.json"
+    )) as f:
+        acts = [json.loads(line) for line in f if line.strip()]
+    ci = [a["commitInfo"] for a in acts if "commitInfo" in a][0]
+    assert ci["operation"] == "UPDATE"
+    assert ci["operationMetrics"]["numUpdatedRows"] == 100
+    # one commit holds the protocol upgrade, DV re-adds AND the
+    # updated-copy adds
+    assert any("protocol" in a for a in acts)
+    adds = [a["add"] for a in acts if "add" in a]
+    assert any(a.get("deletionVector") for a in adds)
+    assert any(not a.get("deletionVector") for a in adds)
