@@ -68,8 +68,11 @@ _DV_PROTOCOL = {
     "writerFeatures": ["deletionVectors"],
 }
 # the table-feature sets this module actually implements; protocol
-# gates admit exactly these and refuse everything else loudly
-_READER_FEATURES = {"deletionVectors"}
+# gates admit exactly these and refuse everything else loudly.
+# columnMapping is READ-side only: name-mode reads resolve physical
+# column names (id mode refuses at read time); writes to mapped
+# tables stay refused by the writer gate.
+_READER_FEATURES = {"deletionVectors", "columnMapping"}
 _WRITER_FEATURES = {"deletionVectors"}
 
 
@@ -93,6 +96,11 @@ class DeltaState:
     # requires writers to reject unsupported writer protocols, not
     # just readers)
     protocol: dict | None = None
+    # metaData.configuration — carried because reader behavior depends
+    # on it (delta.columnMapping.mode decides how data files are
+    # addressed); dropping it at a checkpoint would silently misread
+    # mapped tables
+    configuration: dict | None = None
 
 
 def _log_dir(table_dir: str) -> str:
@@ -249,6 +257,10 @@ def _check_protocol(table_dir: str, protocols) -> None:
         feats = set(p.get("readerFeatures") or [])
         if mrv <= 1 and not feats:
             continue
+        if mrv == 2 and not feats:
+            # legacy column-mapping reader version: name mode is
+            # resolved at read time, id mode refuses there
+            continue
         if mrv == 3 and feats <= _READER_FEATURES:
             continue
         raise NotImplementedError(
@@ -260,7 +272,9 @@ def _check_protocol(table_dir: str, protocols) -> None:
         )
 
 
-def _check_writer_protocol(table_dir: str, protocol) -> None:
+def _check_writer_protocol(
+    table_dir: str, protocol, configuration: dict | None = None
+) -> None:
     """Honest-writer gate, symmetric with _check_protocol: a table
     whose protocol demands writer capabilities this module does not
     implement (minWriterVersion > 2: invariants, appendOnly, CDC,
@@ -270,6 +284,18 @@ def _check_writer_protocol(table_dir: str, protocol) -> None:
     overwrite, unchecked invariants). Per the spec, writers reject
     unsupported writer protocols even when the READER protocol is
     satisfied."""
+    if configuration and (
+        configuration.get("delta.columnMapping.mode") or "none"
+    ) != "none":
+        # mapped tables demand physical-name bookkeeping (max column
+        # id, physical partitionValues) this writer does not do; the
+        # protocol gate below normally catches this too, but a
+        # malformed log could carry the config without the feature
+        raise NotImplementedError(
+            f"{table_dir} has column mapping enabled; this clean-"
+            "room implementation reads mapped tables (name mode) "
+            "but never writes them"
+        )
     if not protocol:
         return
     mwv = protocol.get("minWriterVersion", 2) or 2
@@ -330,12 +356,16 @@ def _read_checkpoint_state(table_dir: str, version: int) -> DeltaState:
     meta_id = ""
     pcols: tuple = ()
     txns: dict = {}
+    config: dict = {}
     for row in rows:
         md = row.get("metaData")
         if md and md.get("id"):
             schema = md["schemaString"]
             meta_id = md["id"]
             pcols = tuple(md.get("partitionColumns") or ())
+            cfg = md.get("configuration") or {}
+            # pyarrow map columns round-trip as key/value tuple lists
+            config = dict(cfg) if not isinstance(cfg, dict) else cfg
         add = row.get("add")
         if add and add.get("path"):
             add = {k: v for k, v in add.items() if v is not None}
@@ -362,6 +392,7 @@ def _read_checkpoint_state(table_dir: str, version: int) -> DeltaState:
         partition_cols=pcols,
         txns=txns,
         protocol=protocol,
+        configuration=config,
     )
 
 
@@ -407,6 +438,7 @@ def replay(table_dir: str, version: int | None = None) -> DeltaState:
     pcols = state.partition_cols if state else ()
     txns = dict(state.txns or {}) if state else {}
     protocol = state.protocol if state else None
+    config = dict(state.configuration or {}) if state else {}
     for cv in range(start, v + 1):
         try:
             f = open(_commit_path(table_dir, cv))
@@ -429,6 +461,9 @@ def replay(table_dir: str, version: int | None = None) -> DeltaState:
                     meta_id = action["metaData"]["id"]
                     pcols = tuple(
                         action["metaData"].get("partitionColumns") or ()
+                    )
+                    config = (
+                        action["metaData"].get("configuration") or {}
                     )
                 elif "add" in action:
                     adds[action["add"]["path"]] = action["add"]
@@ -464,6 +499,7 @@ def replay(table_dir: str, version: int | None = None) -> DeltaState:
         partition_cols=pcols,
         txns=txns,
         protocol=protocol,
+        configuration=config,
     )
 
 
@@ -557,6 +593,75 @@ _DV_PATH = "__dv_path"
 _DV_IDX = "__dv_idx"
 
 
+# --- column mapping (PROTOCOL.md "Column Mapping") ------------------
+# Name mode: every schema field carries its data file's PHYSICAL
+# column name in field metadata; readers address parquet by physical
+# name and expose logical names. Our reader supports name mode; id
+# mode (match by parquet field id) refuses loudly at read time.
+
+_CM_PHYS = "delta.columnMapping.physicalName"
+
+
+def _cm_mode(state: DeltaState) -> str:
+    return (
+        (state.configuration or {}).get("delta.columnMapping.mode")
+        or "none"
+    )
+
+
+def _physical_type(t):
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            return {
+                "type": "struct",
+                "fields": [
+                    _physical_field(f) for f in t.get("fields", [])
+                ],
+            }
+        if kind == "array":
+            return {
+                **t, "elementType": _physical_type(t["elementType"])
+            }
+        if kind == "map":
+            return {
+                **t,
+                "keyType": _physical_type(t["keyType"]),
+                "valueType": _physical_type(t["valueType"]),
+            }
+    return t
+
+
+def _physical_field(f: dict) -> dict:
+    """A schema-JSON field renamed to its physical name (nested
+    struct fields included — renames touch every level)."""
+    meta = f.get("metadata") or {}
+    return {
+        "name": meta.get(_CM_PHYS, f["name"]),
+        "type": _physical_type(f["type"]),
+        "nullable": f.get("nullable", True),
+        "metadata": {},
+    }
+
+
+def _physical_struct(read_schema):
+    """StructType twin of ``read_schema`` with physical names."""
+    from pyspark.sql.types import StructType
+
+    sj = json.loads(read_schema.json())
+    return StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [_physical_field(f) for f in sj["fields"]],
+        }
+    )
+
+
+def _phys_col_name(read_schema, col: str) -> str:
+    f = read_schema[col]
+    return (f.metadata or {}).get(_CM_PHYS, col)
+
+
 def _scan_files(
     spark: SparkSession,
     table_dir: str,
@@ -565,30 +670,46 @@ def _scan_files(
     adds: dict,
     live_udf,
     keep_rowmeta: bool = False,
+    column_mapped: bool = False,
 ) -> DataFrame:
     """One distributed parquet scan over ``rels`` with deletion
     vectors applied; returns the columns of ``read_schema``
     (+ rowmeta when requested). Files without a DV take the plain
-    scan — zero overhead on the common path."""
+    scan — zero overhead on the common path. With ``column_mapped``
+    (name mode) the parquet read uses each field's PHYSICAL name and
+    the result is renamed back to logical — nested struct fields
+    included, via a same-shape cast (field renames by position)."""
     dv_set = {
         r for r in rels if adds[r].get("deletionVector")
     }
     plain = [r for r in rels if r not in dv_set]
     dvd = [r for r in rels if r in dv_set]
-    cols = [f.name for f in read_schema.fields]
+    if column_mapped:
+        phys_schema = _physical_struct(read_schema)
+        base = [
+            F.col(pf.name).cast(lf.dataType).alias(lf.name)
+            for pf, lf in zip(
+                phys_schema.fields, read_schema.fields
+            )
+        ]
+    else:
+        phys_schema = read_schema
+        base = [F.col(f.name) for f in read_schema.fields]
     parts = []
     for group, need_meta in ((plain, keep_rowmeta), (dvd, True)):
         if not group:
             continue
-        df = spark.read.schema(read_schema).parquet(
+        df = spark.read.schema(phys_schema).parquet(
             *[os.path.join(table_dir, f) for f in group]
         )
         if need_meta:
             df = df.select(
-                *cols,
+                *base,
                 F.col("_metadata.file_path").alias(_DV_PATH),
                 F.col("_metadata.row_index").alias(_DV_IDX),
             )
+        elif column_mapped:
+            df = df.select(*base)
         if group is dvd:
             df = df.where(
                 live_udf(F.col(_DV_PATH), F.col(_DV_IDX))
@@ -619,6 +740,15 @@ def _read_state(
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(state.schema))
+    mode = _cm_mode(state)
+    if mode == "id":
+        raise NotImplementedError(
+            f"{table_dir} uses column mapping mode 'id' (match data "
+            "columns by parquet field id); this clean-room reader "
+            "implements 'name' mode only — reading by name against "
+            "an id-mapped table could silently misaddress columns"
+        )
+    cm = mode == "name"
     live_udf = _dv_live_filter(spark, table_dir, state.adds)
     if not state.files:
         empty = spark.createDataFrame([], schema)
@@ -633,7 +763,7 @@ def _read_state(
     def scan(rels, read_schema):
         return _scan_files(
             spark, table_dir, rels, read_schema, state.adds,
-            live_udf, keep_rowmeta,
+            live_udf, keep_rowmeta, column_mapped=cm,
         )
 
     meta_cols = [_DV_PATH, _DV_IDX] if keep_rowmeta else []
@@ -644,17 +774,23 @@ def _read_state(
     data_schema = StructType(
         [f for f in schema.fields if f.name not in pcols]
     )
+    # spec: with column mapping, partitionValues keys use PHYSICAL
+    # names while metaData.partitionColumns stay logical
+    pphys = {
+        c: (_phys_col_name(schema, c) if cm else c) for c in pcols
+    }
 
     def pkey(rel):
         pv = state.adds[rel].get("partitionValues") or {}
         # None sorts before any string (null partitions group cleanly)
         return tuple(
-            (v is not None, v or "") for v in (pv.get(c) for c in pcols)
+            (v is not None, v or "")
+            for v in (pv.get(pphys[c]) for c in pcols)
         )
 
     def pvals(rel):
         pv = state.adds[rel].get("partitionValues") or {}
-        return tuple(pv.get(c) for c in pcols)
+        return tuple(pv.get(pphys[c]) for c in pcols)
 
     parts = []
     for _, group_iter in itertools.groupby(
@@ -846,7 +982,9 @@ def write_delta(
         # anything. Both checks re-run inside the commit loop to
         # close the concurrent-upgrade / concurrent-txn races.
         head0 = replay(table_dir)
-        _check_writer_protocol(table_dir, head0.protocol)
+        _check_writer_protocol(
+            table_dir, head0.protocol, head0.configuration
+        )
         if txn is not None:
             seen = (head0.txns or {}).get(txn[0])
             if seen is not None and seen >= txn[1]:
@@ -880,7 +1018,9 @@ def write_delta(
         if head is not None:
             # a concurrent writer may have UPGRADED the protocol since
             # the last iteration — re-gate on every head read
-            _check_writer_protocol(table_dir, head.protocol)
+            _check_writer_protocol(
+                table_dir, head.protocol, head.configuration
+            )
         if txn is not None and head is not None:
             app_id, txn_version = txn
             seen = (head.txns or {}).get(app_id)
@@ -995,7 +1135,9 @@ def write_checkpoint(
     # a stricter table's protocol the moment replay starts basing on
     # the checkpoint, disarming _check_writer_protocol for every
     # subsequent writer (and lying to native readers)
-    _check_writer_protocol(table_dir, state.protocol)
+    _check_writer_protocol(
+        table_dir, state.protocol, state.configuration
+    )
     proto = state.protocol or dict(_PROTOCOL)
     rows = [
         {"protocol": {
@@ -1016,7 +1158,10 @@ def write_checkpoint(
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": state.schema,
                 "partitionColumns": list(state.partition_cols),
-                "configuration": {},
+                # reader behavior depends on configuration
+                # (delta.columnMapping.mode) — a checkpoint dropping
+                # it would silently misaddress every data column
+                "configuration": dict(state.configuration or {}),
                 "createdTime": _now_ms(),
             },
             "add": None,
@@ -1134,17 +1279,20 @@ def _add_stats_view(add: dict) -> dict | None:
 
 
 def _partition_pruned(
-    add: dict, pcols: tuple, ptypes: dict, prune: dict
+    add: dict, pcols: tuple, ptypes: dict, prune: dict,
+    phys: dict | None = None,
 ) -> bool:
     """True when a file's partitionValues PROVE no row can match: the
     partition value is the column's single value for every row, so a
     typed interval miss (or a null value against any bound) drops the
-    file. Unparseable values keep the file — conservative, exact."""
+    file. Unparseable values keep the file — conservative, exact.
+    ``phys`` maps logical -> physical names for column-mapped tables
+    (partitionValues keys are physical per the spec)."""
     pv = add.get("partitionValues") or {}
     for col, (lo, hi) in prune.items():
         if col not in pcols:
             continue
-        v = pv.get(col)
+        v = pv.get(phys.get(col, col) if phys else col)
         if v is None or v == "__HIVE_DEFAULT_PARTITION__":
             # all rows have NULL here; any bound excludes NULLs
             if lo is not None or hi is not None:
@@ -1187,18 +1335,33 @@ def delta_scan(
 
     state = replay(table_dir, version)
     prune = prune or {}
+    sfields = json.loads(state.schema)["fields"]
     ptypes = {
         f["name"]: (
             f["type"] if isinstance(f["type"], str) else "complex"
         )
-        for f in json.loads(state.schema)["fields"]
+        for f in sfields
     }
+    # column-mapped tables key per-file stats and partitionValues by
+    # PHYSICAL names; remap the prune columns for the file-level
+    # tests (the row-level re-filter below stays logical)
+    cm = _cm_mode(state) == "name"
+    phys = {
+        f["name"]: (f.get("metadata") or {}).get(
+            _CM_PHYS, f["name"]
+        )
+        for f in sfields
+    } if cm else None
+    prune_stats = (
+        {phys.get(c, c): b for c, b in prune.items()}
+        if phys else prune
+    )
     keep = {
         p: a
         for p, a in state.adds.items()
-        if _sn._file_may_match(_add_stats_view(a), prune)
+        if _sn._file_may_match(_add_stats_view(a), prune_stats)
         and not _partition_pruned(
-            a, state.partition_cols, ptypes, prune
+            a, state.partition_cols, ptypes, prune, phys=phys
         )
     }
     sub = DeltaState(
@@ -1209,6 +1372,7 @@ def delta_scan(
         adds=keep,
         partition_cols=state.partition_cols,
         txns=state.txns,
+        configuration=state.configuration,
     )
     df = _read_state(spark, table_dir, sub)
     for col, (lo, hi) in prune.items():
@@ -1239,7 +1403,9 @@ def delta_compact(
     if target_files < 1:
         raise ValueError("target_files must be >= 1")
     head = replay(table_dir)
-    _check_writer_protocol(table_dir, head.protocol)
+    _check_writer_protocol(
+        table_dir, head.protocol, head.configuration
+    )
     if head.partition_cols:
         return _delta_compact_partitioned(
             spark, table_dir, head, target_files, stats_cols,
@@ -1511,21 +1677,18 @@ def read_delta_increment(
     schema = StructType.fromJson(json.loads(end.schema))
     if not added:
         return spark.createDataFrame([], schema)
-    if end.partition_cols:
-        # reuse read_delta's partition-restore path on the subset by
-        # replaying state restricted to the added files
-        sub = DeltaState(
-            version=version,
-            files=tuple(added),
-            schema=end.schema,
-            metadata_id=end.metadata_id,
-            adds=added,
-            partition_cols=end.partition_cols,
-        )
-        return _read_state(spark, table_dir, sub)
-    return spark.read.schema(schema).parquet(
-        *[os.path.join(table_dir, p) for p in added]
+    # route through _read_state (both layouts): the subset read must
+    # honor the same column-mapping resolution as a full read
+    sub = DeltaState(
+        version=version,
+        files=tuple(added),
+        schema=end.schema,
+        metadata_id=end.metadata_id,
+        adds=added,
+        partition_cols=end.partition_cols,
+        configuration=end.configuration,
     )
+    return _read_state(spark, table_dir, sub)
 
 
 def delta_merge_upsert(
@@ -1547,7 +1710,9 @@ def delta_merge_upsert(
     commit's rows. The caller re-runs against the new head; updates
     are idempotent, so a re-run is always safe."""
     head = replay(table_dir)
-    _check_writer_protocol(table_dir, head.protocol)
+    _check_writer_protocol(
+        table_dir, head.protocol, head.configuration
+    )
     current = _read_state(spark, table_dir, head)
     # structural check, not column-name sets: unionByName would
     # silently WIDEN the merged data files' type (long table + double
@@ -1642,7 +1807,9 @@ def delta_delete(
     Re-running the same predicate converges (already-dead rows no
     longer match)."""
     head = replay(table_dir)
-    _check_writer_protocol(table_dir, head.protocol)
+    _check_writer_protocol(
+        table_dir, head.protocol, head.configuration
+    )
     live = _read_state(spark, table_dir, head, keep_rowmeta=True)
     cond = (
         F.expr(predicate) if isinstance(predicate, str) else predicate
@@ -1835,11 +2002,16 @@ def delta_update(
     Scale posture: cost is two scans of the matched rows (one to
     build the per-file bitmaps, one to write the updated copies) plus
     kilobytes of log — untouched rows are never read twice nor
-    rewritten. Concurrency: computed against the head, committed at
+    rewritten. Because the two scans are separate jobs, ``predicate``
+    MUST be deterministic (as in any engine's UPDATE): a random
+    predicate could mark one row set dead and rewrite a different
+    one. Concurrency: computed against the head, committed at
     head+1, ConcurrentCommitError on any interleaving (same TOCTOU
     rule as MERGE/DELETE)."""
     head = replay(table_dir)
-    _check_writer_protocol(table_dir, head.protocol)
+    _check_writer_protocol(
+        table_dir, head.protocol, head.configuration
+    )
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(head.schema))

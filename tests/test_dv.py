@@ -464,11 +464,15 @@ def test_reader_gate_still_refuses_unknown_features(tmp_path):
     with pytest.raises(NotImplementedError):
         dl._check_protocol("t", [{
             "minReaderVersion": 3,
-            "readerFeatures": ["deletionVectors", "columnMapping"],
+            "readerFeatures": ["deletionVectors", "v2Checkpoint"],
         }])
     with pytest.raises(NotImplementedError):
-        dl._check_protocol("t", [{"minReaderVersion": 2}])
-    # exactly the implemented feature set passes
+        dl._check_protocol("t", [{
+            "minReaderVersion": 2,
+            "readerFeatures": ["somethingNew"],
+        }])
+    # the implemented feature sets pass (columnMapping acceptance is
+    # covered in tests/test_column_mapping.py)
     dl._check_protocol("t", [{
         "minReaderVersion": 3,
         "readerFeatures": ["deletionVectors"],
