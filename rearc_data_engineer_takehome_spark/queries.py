@@ -1125,6 +1125,7 @@ DRIVER_WINDOW: list[str] = [
     "lineitem_delta_zorder_scan",  # NEW r8: Z-order x native Delta
     "orders_dv_delete_scan",  # NEW r8: deletion vectors (DELETE+purge)
     "orders_dv_update_scan",  # NEW r8: UPDATE via deletion vectors
+    "orders_dv_cdf_counts",  # NEW r8: CDF from the log + DVs
     "orders_delta_pruned_scan",  # r7 delta_scan stats-skipping gate
     "user_value_window_nulls",  # IGNORE NULLS window tier
     "multimodal_inventory",
@@ -1151,7 +1152,6 @@ DRIVER_WINDOW: list[str] = [
     "nation_market_share",
     "priority_status_mutual_info",
     "orders_global_rownum_sample",
-    "doc_length_buckets",
     "temperature_mixture_plan",
     "tokenizer_fertility",
     "mixture_sample_manifest",

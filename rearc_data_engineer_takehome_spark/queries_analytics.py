@@ -5354,3 +5354,81 @@ def orders_dv_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head.crossJoin(F.broadcast(n_before)).select(
         "prio", "n_orders", "sum_cents", "n_before"
     )
+
+
+@query(
+    "orders_dv_cdf_counts",
+    """
+    SELECT change_type,
+           count(*)::BIGINT AS n_rows,
+           sum(cents)::BIGINT AS sum_cents
+    FROM (
+        SELECT 'delete' AS change_type,
+               round(o_totalprice * 100)::BIGINT AS cents
+        FROM orders
+        WHERE o_orderstatus = 'F' AND (o_orderkey % 7) = 0
+        UNION ALL
+        SELECT 'delete', round(o_totalprice * 100)::BIGINT
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND (o_orderkey % 7) = 0)
+          AND o_orderpriority = '1-URGENT' AND (o_orderkey % 7) = 1
+        UNION ALL
+        SELECT 'insert', round(o_totalprice * 100)::BIGINT + 500
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND (o_orderkey % 7) = 0)
+          AND o_orderpriority = '1-URGENT' AND (o_orderkey % 7) = 1
+    ) GROUP BY change_type
+    """,
+    doc="Change data feed reconstructed from the native Delta log + "
+    "deletion vectors (delta_log.read_delta_changes — the native "
+    "table_changes shape, no CDC files; PROTOCOL.md 'Deletion "
+    "Vectors' + 'Change Data Feed' semantics) certified under the "
+    "value-hash gate: orders written as Delta v0, a DV DELETE at v1 "
+    "and a DV UPDATE at v2 (pre-image deletes + post-image inserts "
+    "with a 500-cent bump), then the WHOLE feed (0, head] grouped by "
+    "change type with exact-cent sums. The oracle rebuilds all three "
+    "legs as plain predicates over the raw table, so DV position "
+    "diffing (new minus old bitmap), the inverted row_index keep-"
+    "filter, and per-commit state tracking all have to be value-"
+    "exact. At 100 TB the feed costs one distributed scan per "
+    "touched file-category per commit — driver holds only log "
+    "metadata and per-file position arrays.",
+)
+def orders_dv_cdf_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid as _uuid
+
+    from .sources import delta_log as dl
+    from .sources import snapshots as sn
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_odvcdf_"
+        f"{_uuid.uuid4().hex[:8]}"
+    )
+    dl.write_delta(
+        orders.repartition(4), tbl, stats_cols=["o_orderkey"]
+    )
+    dl.delta_delete(
+        spark, tbl,
+        "o_orderstatus = 'F' AND pmod(o_orderkey, 7) = 0",
+    )
+    dl.delta_update(
+        spark, tbl,
+        "o_orderpriority = '1-URGENT' AND pmod(o_orderkey, 7) = 1",
+        {"cents": "cents + 500"},
+    )
+    ch = dl.read_delta_changes(spark, tbl, 0)
+    return ch.groupBy(
+        F.col("_change_type").alias("change_type")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )

@@ -1691,6 +1691,265 @@ def read_delta_increment(
     return _read_state(spark, table_dir, sub)
 
 
+def read_delta_changes(
+    spark: SparkSession,
+    table_dir: str,
+    since_version: int,
+    version: int | None = None,
+) -> DataFrame:
+    """Row-level change data feed over ``(since_version, version]`` —
+    the native ``table_changes`` shape, reconstructed ENTIRELY from
+    the log + deletion vectors (no CDC files needed): every row of
+    the table schema plus ``_change_type`` ('insert' | 'delete'),
+    ``_commit_version`` and ``_commit_timestamp``. Where
+    :func:`read_delta_increment` refuses non-append ranges, this
+    reader resolves them:
+
+    * a dataChange add of a NEW file -> its live rows as inserts;
+    * a DV swap (remove+add of the same path) -> rows at the NEWLY
+      dead positions as deletes (an UPDATE commit therefore yields
+      its delete+insert pair, pre-image and post-image);
+    * a dataChange remove without a re-add (overwrite/full-file
+      delete) -> the file's then-live rows as deletes;
+    * ``dataChange: false`` rewrites (OPTIMIZE / DV purge) are
+      excluded — rows did not change, per the native CDF contract.
+
+    Scale posture: one distributed scan per touched file-category
+    per commit, each pinned to the END version's schema (old files
+    null-fill evolved columns) and routed through the normal read
+    path, so deletion vectors, hive partitions and column mapping
+    all compose; positional deletes ride the same broadcast-bitmap
+    row_index filter the scans use, inverted. The driver handles
+    only log metadata and DV position arrays (bounded by deleted
+    rows per touched file)."""
+    import numpy as np
+
+    end = replay(table_dir, version)
+    if version is None:
+        version = end.version
+    if since_version > version:
+        raise ValueError(
+            f"since_version {since_version} is past version {version}"
+        )
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(end.schema))
+
+    def _empty():
+        base = spark.createDataFrame([], schema)
+        return base.select(
+            "*",
+            F.lit(None).cast("string").alias("_change_type"),
+            F.lit(None).cast("long").alias("_commit_version"),
+            F.lit(None).cast("long").alias("_commit_timestamp"),
+        )
+
+    if since_version == version:
+        return _empty()
+    cur = dict(replay(table_dir, since_version).adds)
+
+    def _positions(add_action) -> np.ndarray:
+        desc = (add_action or {}).get("deletionVector")
+        if not desc:
+            return np.empty(0, dtype=np.int64)
+        return _dv.read_dv_positions(table_dir, desc)
+
+    def _sub_state(adds: dict) -> DeltaState:
+        return DeltaState(
+            version=version,
+            files=tuple(adds),
+            schema=end.schema,
+            metadata_id=end.metadata_id,
+            adds=adds,
+            partition_cols=end.partition_cols,
+            configuration=end.configuration,
+        )
+
+    def _keep_positions(df, pos_map: dict):
+        """Inverse of the live filter: KEEP only (file, row_index)
+        pairs named in ``pos_map`` (abs path -> sorted positions)."""
+        bc = spark.sparkContext.broadcast(pos_map)
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("boolean")
+        def _hit(paths, idxs):
+            import pandas as pd
+
+            m = bc.value
+            out = np.zeros(len(paths), dtype=bool)
+            vals = idxs.to_numpy(dtype=np.int64)
+            cache: dict = {}
+            norm = paths.map(
+                lambda p: cache.setdefault(
+                    p, _normalize_file_uri(p)
+                )
+            )
+            for ap, pos in m.items():
+                if not len(pos):
+                    continue
+                rows = np.flatnonzero((norm == ap).to_numpy())
+                v = vals[rows]
+                j = np.searchsorted(pos, v)
+                hit = (j < len(pos)) & (
+                    pos[np.minimum(j, len(pos) - 1)] == v
+                )
+                out[rows[hit]] = True
+            return pd.Series(out)
+
+        return df.where(
+            _hit(F.col(_DV_PATH), F.col(_DV_IDX))
+        ).drop(_DV_PATH, _DV_IDX)
+
+    parts: list[DataFrame] = []
+
+    def _stamp(df, change, cv, ts):
+        parts.append(
+            df.select(
+                *[f.name for f in schema.fields],
+                F.lit(change).alias("_change_type"),
+                F.lit(cv).cast("long").alias("_commit_version"),
+                F.lit(ts).cast("long").alias("_commit_timestamp"),
+            )
+        )
+
+    for cv in range(since_version + 1, version + 1):
+        try:
+            f = open(_commit_path(table_dir, cv))
+        except FileNotFoundError:
+            raise ValueError(
+                f"change feed ({since_version}, {version}] of "
+                f"{table_dir} is not reconstructable: commit {cv} "
+                "was garbage-collected"
+            ) from None
+        adds_v: dict = {}
+        removes_v: dict = {}
+        quiet: list[dict] = []  # dataChange=false bookkeeping
+        ts = None
+        with f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    a = action["add"]
+                    if a.get("dataChange", True):
+                        adds_v[a["path"]] = a
+                    else:
+                        quiet.append(action)
+                elif "remove" in action:
+                    r = action["remove"]
+                    if r.get("dataChange", True):
+                        removes_v[r["path"]] = r
+                    else:
+                        quiet.append(action)
+                elif "commitInfo" in action:
+                    ts = action["commitInfo"].get("timestamp")
+        full_inserts: dict = {}
+        full_deletes: dict = {}
+        del_pos: dict = {}  # abs path -> newly dead positions
+        ins_pos: dict = {}  # abs path -> resurrected positions
+        diffed: set = set()
+        for path, a in adds_v.items():
+            old = cur.get(path)
+            if old is None and path not in removes_v:
+                full_inserts[path] = a  # brand-new file
+                continue
+            # DV swap (remove+add of the path, or silent replace):
+            # rows dead in NEW but not OLD are deletes; the reverse
+            # (a shrink — nonstandard but representable) re-inserts
+            base = old if old is not None else removes_v.get(path)
+            oldp = _positions(base)
+            newp = _positions(a)
+            ap = os.path.abspath(os.path.join(table_dir, path))
+            dead = np.setdiff1d(newp, oldp)
+            born = np.setdiff1d(oldp, newp)
+            if len(dead):
+                del_pos[ap] = dead
+            if len(born):
+                ins_pos[ap] = born
+            diffed.add(path)
+        for path, r in removes_v.items():
+            if path in diffed:
+                continue
+            old = cur.get(path)
+            # the file's live rows AT REMOVAL time are the deletes;
+            # prefer the remove's own descriptor (spec carries it),
+            # fall back to the tracked state's
+            src = dict(old or {})
+            src.setdefault("path", path)
+            if r.get("deletionVector"):
+                src["deletionVector"] = r["deletionVector"]
+            full_deletes[path] = src
+        if full_inserts:
+            _stamp(
+                _read_state(
+                    spark, table_dir, _sub_state(full_inserts)
+                ),
+                "insert", cv, ts,
+            )
+        if full_deletes:
+            _stamp(
+                _read_state(
+                    spark, table_dir, _sub_state(full_deletes)
+                ),
+                "delete", cv, ts,
+            )
+        for pos_map, change in ((del_pos, "delete"),
+                                (ins_pos, "insert")):
+            if not pos_map:
+                continue
+            # read the raw physical rows (no DV filter: dead rows
+            # ARE the payload) with row_index, keep the diff set
+            table_abs = os.path.abspath(table_dir)
+            bare = {}
+            for ap in pos_map:
+                rel = os.path.relpath(ap, table_abs)
+                src = adds_v.get(rel) or cur.get(rel)
+                if src is None:
+                    raise RuntimeError(
+                        f"change feed of {table_dir} commit {cv} "
+                        f"references {rel}, which is in neither the "
+                        "tracked state nor the commit"
+                    )
+                bare[rel] = {
+                    k: v
+                    for k, v in src.items()
+                    if k != "deletionVector"
+                }
+            raw = _read_state(
+                spark, table_dir, _sub_state(bare),
+                keep_rowmeta=True,
+            )
+            _stamp(_keep_positions(raw, pos_map), change, cv, ts)
+        # roll the tracked state forward (quiet rewrites included)
+        for action in quiet:
+            if "add" in action:
+                cur[action["add"]["path"]] = action["add"]
+            else:
+                r = action["remove"]
+                live = cur.get(r["path"])
+                if live is not None and _dv.dv_unique_id(
+                    r.get("deletionVector")
+                ) == _dv.dv_unique_id(
+                    live.get("deletionVector")
+                ):
+                    cur.pop(r["path"])
+        for path, r in removes_v.items():
+            live = cur.get(path)
+            if live is not None and path not in adds_v and \
+                    _dv.dv_unique_id(r.get("deletionVector")) == \
+                    _dv.dv_unique_id(live.get("deletionVector")):
+                cur.pop(path)
+        cur.update(adds_v)
+
+    if not parts:
+        return _empty()
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 def delta_merge_upsert(
     spark: SparkSession,
     table_dir: str,
