@@ -33,10 +33,18 @@ _FLOATY_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
 
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        # driver testdata is a single file per table; Spark-written
+        # probe dirs (tools/scale_probe.py) are directories of part
+        # files — glob those so the 30x parity spot-sweep can reuse
+        # this fixture unchanged
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
     return con
 
