@@ -71,9 +71,17 @@ _DV_PROTOCOL = {
 # gates admit exactly these and refuse everything else loudly.
 # columnMapping is READ-side only: name-mode reads resolve physical
 # column names (id mode refuses at read time); writes to mapped
-# tables stay refused by the writer gate.
-_READER_FEATURES = {"deletionVectors", "columnMapping"}
-_WRITER_FEATURES = {"deletionVectors"}
+# tables stay refused by the writer gate. appendOnly / invariants /
+# checkConstraints are ENFORCED on every mutating path (round 8), so
+# legacy writer versions 2-3 and their feature forms are honest to
+# accept; timestampNtz is just the type, which Spark handles.
+_READER_FEATURES = {
+    "deletionVectors", "columnMapping", "timestampNtz",
+}
+_WRITER_FEATURES = {
+    "deletionVectors", "appendOnly", "invariants",
+    "checkConstraints", "timestampNtz",
+}
 
 
 @dataclass(frozen=True)
@@ -300,7 +308,11 @@ def _check_writer_protocol(
         return
     mwv = protocol.get("minWriterVersion", 2) or 2
     feats = set(protocol.get("writerFeatures") or [])
-    if mwv <= 2 and not feats:
+    if mwv <= 3 and not feats:
+        # writer v2 = appendOnly + invariants, v3 adds CHECK
+        # constraints — all three ENFORCED on every mutating path
+        # (_enforce_row_rules / _check_append_only), so accepting
+        # these versions is honest, not a bypass
         return
     if mwv == 7 and feats <= _WRITER_FEATURES:
         # table-features writer protocol whose every listed feature
@@ -310,11 +322,158 @@ def _check_writer_protocol(
     raise NotImplementedError(
         f"{table_dir} requires Delta minWriterVersion {mwv} "
         f"(writerFeatures={sorted(feats)}); this clean-room writer "
-        f"implements writer protocol 2 plus {sorted(_WRITER_FEATURES)}"
+        f"implements writer protocol 3 plus {sorted(_WRITER_FEATURES)}"
         " only — committing anyway could silently violate the "
-        "table's invariants/appendOnly/CDC constraints for native "
-        "readers"
+        "table's generated-columns/CDC/identity constraints for "
+        "native readers"
     )
+
+
+def _table_constraints(configuration: dict | None) -> dict:
+    """CHECK constraints from table properties: the spec stores each
+    as ``delta.constraints.<name> = <sql expression>``."""
+    out = {}
+    for k, v in (configuration or {}).items():
+        if k.startswith("delta.constraints.") and v:
+            out[k[len("delta.constraints."):]] = v
+    return out
+
+
+def _column_invariants(schema_json: str) -> list[tuple[str, str]]:
+    """Column invariants (writer protocol 2): field metadata
+    ``delta.invariants`` holds ``{"expression": {"expression":
+    "<sql>"}}`` per the spec."""
+    out: list[tuple[str, str]] = []
+    try:
+        fields = json.loads(schema_json).get("fields", [])
+    except ValueError:
+        return out
+    for f in fields:
+        inv = (f.get("metadata") or {}).get("delta.invariants")
+        if not inv:
+            continue
+        try:
+            expr = json.loads(inv)["expression"]["expression"]
+        except (ValueError, KeyError, TypeError):
+            raise ValueError(
+                f"unparseable delta.invariants on column "
+                f"{f.get('name')}: {inv!r} — refusing to write "
+                "rather than silently skip enforcement"
+            )
+        out.append((f["name"], expr))
+    return out
+
+
+def _enforce_row_rules(
+    df: DataFrame, configuration: dict | None, schema_json: str,
+    operation: str,
+) -> None:
+    """Enforce CHECK constraints + column invariants on the rows a
+    commit is about to add — the spec's writer-side contract (writer
+    v2 invariants, v3 constraints): a row violates only when the
+    expression is FALSE (NULL passes, SQL CHECK semantics). One
+    validation pass over ``df`` with all rules as parallel
+    conditional counters; zero cost when the table has no rules."""
+    rules = [
+        (f"constraint {n}", e)
+        for n, e in sorted(_table_constraints(configuration).items())
+    ]
+    rules += [
+        (f"invariant on {c}", e)
+        for c, e in _column_invariants(schema_json)
+    ]
+    if not rules:
+        return
+    aggs = [
+        F.sum(
+            F.when(F.expr(e) == F.lit(False), 1).otherwise(0)
+        ).alias(f"r{i}")
+        for i, (_, e) in enumerate(rules)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    violated = [
+        f"{name} ({expr!r}): {row[f'r{i}']} rows"
+        for i, (name, expr) in enumerate(rules)
+        if (row[f"r{i}"] or 0) > 0
+    ]
+    if violated:
+        raise ValueError(
+            f"{operation} violates table rules — "
+            + "; ".join(violated)
+            + " — no data was committed"
+        )
+
+
+def _check_append_only(
+    table_dir: str, configuration: dict | None, operation: str
+) -> None:
+    """delta.appendOnly forbids any dataChange=true remove (writer
+    protocol 2 contract this writer previously ignored); OPTIMIZE's
+    dataChange=false rewrites stay legal."""
+    if (configuration or {}).get(
+        "delta.appendOnly", ""
+    ).lower() == "true":
+        raise ValueError(
+            f"{table_dir} is delta.appendOnly=true: {operation} "
+            "would remove live rows; only appends and dataChange="
+            "false OPTIMIZE are allowed"
+        )
+
+
+# legacy minWriterVersion -> the features that version implies; when
+# a table upgrades to writer protocol 7 the spec requires listing
+# everything it could already be using
+_IMPLIED_WRITER = {
+    1: set(),
+    2: {"appendOnly", "invariants"},
+    3: {"appendOnly", "invariants", "checkConstraints"},
+}
+
+
+def _merge_feature_protocol(
+    old: dict | None,
+    reader_feats: set[str] = frozenset(),
+    writer_feats: set[str] = frozenset(),
+) -> dict | None:
+    """The protocol action needed so the table also carries
+    ``reader_feats``/``writer_feats`` — None when the current
+    protocol already covers them. Upgrades PRESERVE existing
+    features (a DV delete on a timestampNtz table must not drop the
+    ntz feature) and list legacy-implied writer features per the
+    spec."""
+    old = dict(old or _PROTOCOL)
+    mrv = old.get("minReaderVersion", 1) or 1
+    mwv = old.get("minWriterVersion", 2) or 2
+    cur_r = set(old.get("readerFeatures") or [])
+    cur_w = set(old.get("writerFeatures") or [])
+    have_r = cur_r if mrv >= 3 else set()
+    have_w = cur_w if mwv >= 7 else _IMPLIED_WRITER.get(mwv, set())
+    need_r = set(reader_feats) - have_r
+    need_w = set(writer_feats) - have_w
+    if not need_r and not need_w:
+        return None
+    new_r = have_r | set(reader_feats)
+    new_w = (
+        (cur_w if mwv >= 7 else _IMPLIED_WRITER.get(mwv, set()))
+        | set(writer_feats)
+    )
+    return {
+        "minReaderVersion": 3 if (new_r or mrv >= 3) else mrv,
+        "minWriterVersion": 7,
+        **(
+            {"readerFeatures": sorted(new_r)}
+            if (new_r or mrv >= 3) else {}
+        ),
+        "writerFeatures": sorted(new_w),
+    }
+
+
+def _ntz_features(schema_json: str) -> tuple[set, set]:
+    """timestampNtz is a reader+writer table feature: any schema
+    using the type must declare it so incapable readers refuse."""
+    if '"timestamp_ntz"' in schema_json:
+        return {"timestampNtz"}, {"timestampNtz"}
+    return set(), set()
 
 
 def _last_checkpoint(table_dir: str) -> int | None:
@@ -881,14 +1040,19 @@ def _meta_action(
     schema_json: str,
     meta_id: str | None = None,
     partition_cols: list[str] | None = None,
+    configuration: dict | None = None,
 ) -> dict:
+    """``configuration`` must carry the TABLE's existing properties
+    through schema-changing commits — an overwrite or evolution that
+    reset it to {} would silently drop CHECK constraints and
+    delta.appendOnly for every subsequent writer."""
     return {
         "metaData": {
             "id": meta_id or str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_json,
             "partitionColumns": list(partition_cols or []),
-            "configuration": {},
+            "configuration": dict(configuration or {}),
             "createdTime": _now_ms(),
         }
     }
@@ -974,6 +1138,7 @@ def write_delta(
 
     schema_json = df.schema.json()
     pcols = list(partition_by or [])
+    validated: tuple | None = None
     if list_delta_versions(table_dir):
         # cheap metadata replay BEFORE materializing data files: the
         # writer-protocol gate must refuse up front (or a refused
@@ -985,10 +1150,30 @@ def write_delta(
         _check_writer_protocol(
             table_dir, head0.protocol, head0.configuration
         )
+        if mode == "overwrite":
+            _check_append_only(
+                table_dir, head0.configuration, "overwrite"
+            )
+        # CHECK constraints + column invariants validate the incoming
+        # rows BEFORE any file materializes (one extra pass over df,
+        # zero when the table has no rules); appends enforce the
+        # TABLE schema's invariants (reads pin it), overwrites the
+        # incoming schema's
+        _enforce_row_rules(
+            df,
+            head0.configuration,
+            head0.schema if mode == "append" else schema_json,
+            mode.upper(),
+        )
+        validated = (head0.configuration, head0.schema)
         if txn is not None:
             seen = (head0.txns or {}).get(txn[0])
             if seen is not None and seen >= txn[1]:
                 return head0
+    else:
+        # brand-new table: the incoming schema may itself carry
+        # invariants — enforce them from day one
+        _enforce_row_rules(df, None, schema_json, mode.upper())
     if pcols:
         written = _write_partitioned_data_files(df, table_dir, pcols)
     else:
@@ -1021,6 +1206,21 @@ def write_delta(
             _check_writer_protocol(
                 table_dir, head.protocol, head.configuration
             )
+            if (head.configuration, head.schema) != validated:
+                # a concurrent SET TBLPROPERTIES / evolution landed
+                # after validation: the rules the table now carries
+                # were never checked against these rows
+                if mode == "overwrite":
+                    _check_append_only(
+                        table_dir, head.configuration, "overwrite"
+                    )
+                _enforce_row_rules(
+                    df,
+                    head.configuration,
+                    head.schema if mode == "append" else schema_json,
+                    mode.upper(),
+                )
+                validated = (head.configuration, head.schema)
         if txn is not None and head is not None:
             app_id, txn_version = txn
             seen = (head.txns or {}).get(app_id)
@@ -1029,7 +1229,14 @@ def write_delta(
         version = (versions[-1] + 1) if versions else 0
         actions: list[dict] = []
         if head is None:
-            actions.append({"protocol": dict(_PROTOCOL)})
+            proto0 = dict(_PROTOCOL)
+            # a timestamp_ntz column is a reader+writer table
+            # feature: declare it or incapable readers would parse
+            # the physical type wrong instead of refusing
+            pa0 = _merge_feature_protocol(
+                proto0, *_ntz_features(schema_json)
+            )
+            actions.append({"protocol": pa0 or proto0})
             actions.append(_meta_action(schema_json, None, pcols))
         elif mode == "overwrite":
             # overwrite may replace the schema/partitioning outright
@@ -1038,7 +1245,10 @@ def write_delta(
             if head.schema != schema_json or \
                     head.partition_cols != tuple(pcols):
                 actions.append(
-                    _meta_action(schema_json, head.metadata_id, pcols)
+                    _meta_action(
+                        schema_json, head.metadata_id, pcols,
+                        head.configuration,
+                    )
                 )
         else:
             if partition_by is None and head.partition_cols:
@@ -1063,7 +1273,8 @@ def write_delta(
                     )
                     actions.append(
                         _meta_action(
-                            schema_json, head.metadata_id, pcols
+                            schema_json, head.metadata_id, pcols,
+                            head.configuration,
                         )
                     )
                 else:
@@ -1075,6 +1286,15 @@ def write_delta(
                     )
             else:
                 schema_json = head.schema  # appends keep table schema
+        if head is not None:
+            # an overwrite/evolution may INTRODUCE timestamp_ntz to
+            # an existing table — the feature must land in the same
+            # commit as the schema that uses it
+            pa = _merge_feature_protocol(
+                head.protocol, *_ntz_features(schema_json)
+            )
+            if pa:
+                actions.insert(0, {"protocol": pa})
         if mode == "overwrite" and head is not None:
             ts = _now_ms()
             actions.extend(
@@ -1972,6 +2192,10 @@ def delta_merge_upsert(
     _check_writer_protocol(
         table_dir, head.protocol, head.configuration
     )
+    _check_append_only(table_dir, head.configuration, "MERGE")
+    _enforce_row_rules(
+        updates, head.configuration, head.schema, "MERGE"
+    )
     current = _read_state(spark, table_dir, head)
     # structural check, not column-name sets: unionByName would
     # silently WIDEN the merged data files' type (long table + double
@@ -2033,6 +2257,80 @@ def delta_merge_upsert(
     return replay(table_dir, head.version + 1)
 
 
+def delta_alter_properties(
+    spark: SparkSession,
+    table_dir: str,
+    set_props: dict | None = None,
+    unset: list | tuple = (),
+) -> DeltaState:
+    """ALTER TABLE SET/UNSET TBLPROPERTIES as one metaData commit.
+    Recognized behavior properties are ENFORCED from this commit on:
+    ``delta.appendOnly`` ("true" blocks every dataChange remove) and
+    ``delta.constraints.<name>`` (CHECK constraints — native ADD
+    CONSTRAINT semantics: the expression is validated against every
+    CURRENT row first, and the add refuses if any row violates it,
+    so a constraint can never be born broken). Adding the first
+    constraint upgrades the writer protocol so native writers that
+    lack checkConstraints stop instead of inserting unvalidated
+    rows.
+
+    Concurrency: committed at head+1 over the state the validation
+    scan read; a racing commit raises ConcurrentCommitError (a
+    renumber could validate against rows that no longer exist)."""
+    head = replay(table_dir)
+    _check_writer_protocol(
+        table_dir, head.protocol, head.configuration
+    )
+    config = dict(head.configuration or {})
+    set_props = dict(set_props or {})
+    new_constraints = {
+        k: v
+        for k, v in set_props.items()
+        if k.startswith("delta.constraints.")
+        and config.get(k) != v
+    }
+    if new_constraints:
+        _enforce_row_rules(
+            _read_state(spark, table_dir, head),
+            new_constraints,
+            "{}",
+            "ADD CONSTRAINT",
+        )
+    for k in unset:
+        config.pop(k, None)
+    config.update(set_props)
+    actions: list[dict] = []
+    if _table_constraints(config):
+        pa = _merge_feature_protocol(
+            head.protocol, set(), {"checkConstraints"}
+        )
+        if pa:
+            actions.append({"protocol": pa})
+    actions.append(
+        _meta_action(
+            head.schema,
+            head.metadata_id,
+            list(head.partition_cols),
+            config,
+        )
+    )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": _now_ms(),
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": sorted(set_props),
+                    "unset": sorted(unset),
+                },
+                "engineInfo": "rearc-takehome-spark-cleanroom",
+            }
+        }
+    )
+    _atomic_commit(table_dir, head.version + 1, actions)
+    return replay(table_dir, head.version + 1)
+
+
 def delta_delete(
     spark: SparkSession,
     table_dir: str,
@@ -2069,6 +2367,7 @@ def delta_delete(
     _check_writer_protocol(
         table_dir, head.protocol, head.configuration
     )
+    _check_append_only(table_dir, head.configuration, "DELETE")
     live = _read_state(spark, table_dir, head, keep_rowmeta=True)
     cond = (
         F.expr(predicate) if isinstance(predicate, str) else predicate
@@ -2079,9 +2378,11 @@ def delta_delete(
         return head  # nothing matched: no commit, converged
     removes, dv_adds, metrics, ts = marks
     actions: list[dict] = []
-    proto = head.protocol or dict(_PROTOCOL)
-    if (proto.get("minReaderVersion", 1) or 1) < 3:
-        actions.append({"protocol": dict(_DV_PROTOCOL)})
+    pa = _merge_feature_protocol(
+        head.protocol, {"deletionVectors"}, {"deletionVectors"}
+    )
+    if pa:
+        actions.append({"protocol": pa})
     actions.extend(removes)
     actions.extend(dv_adds)
     actions.append(
@@ -2281,6 +2582,7 @@ def delta_update(
             f"UPDATE assigns unknown columns {sorted(unknown)} "
             f"(table has {sorted(names)})"
         )
+    _check_append_only(table_dir, head.configuration, "UPDATE")
     live = _read_state(spark, table_dir, head, keep_rowmeta=True)
     cond = (
         F.expr(predicate) if isinstance(predicate, str) else predicate
@@ -2301,6 +2603,12 @@ def delta_update(
             col, e.cast(schema[col].dataType)
         )
     updated = updated.select(*[f.name for f in schema.fields])
+    # the rewritten copies must satisfy the table rules — an UPDATE
+    # that pushed a row outside a CHECK constraint must refuse with
+    # nothing committed
+    _enforce_row_rules(
+        updated, head.configuration, head.schema, "UPDATE"
+    )
     pcols = list(head.partition_cols)
     if pcols:
         written = _write_partitioned_data_files(
@@ -2328,9 +2636,11 @@ def delta_update(
     ]
 
     actions: list[dict] = []
-    proto = head.protocol or dict(_PROTOCOL)
-    if (proto.get("minReaderVersion", 1) or 1) < 3:
-        actions.append({"protocol": dict(_DV_PROTOCOL)})
+    pa = _merge_feature_protocol(
+        head.protocol, {"deletionVectors"}, {"deletionVectors"}
+    )
+    if pa:
+        actions.append({"protocol": pa})
     actions.extend(removes)
     actions.extend(dv_adds)
     actions.extend(new_adds)

@@ -1,0 +1,240 @@
+"""Writer-feature enforcement on the native Delta log: CHECK
+constraints (`delta.constraints.*`, writer protocol 3), column
+invariants (`delta.invariants` field metadata, writer protocol 2),
+`delta.appendOnly`, and the timestampNtz table feature — the tier a
+spec-honest writer must ENFORCE rather than refuse (reference
+anchor: the DQ/validation emphasis of 21_EDA.ipynb, here moved into
+the table itself, how native Delta expresses V7 domain checks)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from rearc_data_engineer_takehome_spark.sources import delta_log as dl
+from rearc_data_engineer_takehome_spark.sources import (
+    snapshots as sn,
+)
+
+
+def _df(spark, rows=((1, 1), (2, 2)), schema="id long, k long"):
+    return spark.createDataFrame(list(rows), schema)
+
+
+def test_add_constraint_validates_current_rows(spark, tmp_path):
+    t = str(tmp_path / "t")
+    dl.write_delta(_df(spark), t)
+    st = dl.delta_alter_properties(
+        spark, t, {"delta.constraints.kpos": "k >= 0"}
+    )
+    assert st.configuration["delta.constraints.kpos"] == "k >= 0"
+    # writer protocol now demands checkConstraints, with the
+    # legacy-implied features listed
+    assert st.protocol["minWriterVersion"] == 7
+    assert set(st.protocol["writerFeatures"]) == {
+        "appendOnly", "invariants", "checkConstraints",
+    }
+    # a constraint the current rows violate must never be born
+    with pytest.raises(ValueError, match="ADD CONSTRAINT"):
+        dl.delta_alter_properties(
+            spark, t, {"delta.constraints.impossible": "k > 1"}
+        )
+
+
+def test_constraint_blocks_violating_writes(spark, tmp_path):
+    t = str(tmp_path / "t")
+    dl.write_delta(_df(spark), t)
+    dl.delta_alter_properties(
+        spark, t, {"delta.constraints.kpos": "k >= 0"}
+    )
+    v = dl.replay(t).version
+    with pytest.raises(ValueError, match="kpos"):
+        dl.write_delta(_df(spark, [(9, -1)]), t, "append")
+    assert dl.replay(t).version == v  # nothing committed
+    with pytest.raises(ValueError, match="kpos"):
+        dl.delta_update(spark, t, "k = 1", {"k": "-5"})
+    with pytest.raises(ValueError, match="kpos"):
+        dl.delta_merge_upsert(
+            spark, t, _df(spark, [(1, -7)]), ["id"]
+        )
+    # clean writes pass; NULL passes (SQL CHECK semantics)
+    dl.write_delta(_df(spark, [(9, 9)]), t, "append")
+    dl.write_delta(_df(spark, [(10, None)]), t, "append")
+    assert dl.read_delta(spark, t).count() == 4
+    # DELETE cannot violate a CHECK constraint: allowed
+    dl.delta_delete(spark, t, "id = 9")
+
+
+def test_constraint_survives_overwrite_and_checkpoint(
+    spark, tmp_path
+):
+    import glob
+    import os
+
+    t = str(tmp_path / "t")
+    dl.write_delta(_df(spark), t)
+    dl.delta_alter_properties(
+        spark, t, {"delta.constraints.kpos": "k >= 0"}
+    )
+    # overwrite with a CHANGED schema keeps the table properties
+    dl.write_delta(
+        _df(spark, [(1, 5, "x")], "id long, k long, s string"), t
+    )
+    assert dl.replay(t).configuration[
+        "delta.constraints.kpos"
+    ] == "k >= 0"
+    # checkpoint-based replay keeps enforcing
+    dl.write_checkpoint(t)
+    for f in glob.glob(os.path.join(t, "_delta_log", "*.json")):
+        os.remove(f)
+    with pytest.raises(ValueError, match="kpos"):
+        dl.write_delta(
+            _df(spark, [(2, -1, "y")],
+                "id long, k long, s string"),
+            t, "append",
+        )
+
+
+def test_append_only_blocks_every_data_change_remove(
+    spark, tmp_path
+):
+    t = str(tmp_path / "t")
+    dl.write_delta(_df(spark), t)
+    dl.delta_alter_properties(
+        spark, t, {"delta.appendOnly": "true"}
+    )
+    dl.write_delta(_df(spark, [(3, 3)]), t, "append")  # fine
+    dl.delta_compact(spark, t, 1)  # dataChange=false: fine
+    for op, msg in (
+        (lambda: dl.write_delta(_df(spark), t), "overwrite"),
+        (lambda: dl.delta_delete(spark, t, "k = 1"), "DELETE"),
+        (lambda: dl.delta_update(
+            spark, t, "k = 1", {"k": "2"}), "UPDATE"),
+        (lambda: dl.delta_merge_upsert(
+            spark, t, _df(spark, [(1, 9)]), ["id"]), "MERGE"),
+    ):
+        with pytest.raises(ValueError, match="appendOnly"):
+            op()
+    # UNSET re-enables removal
+    dl.delta_alter_properties(spark, t, unset=["delta.appendOnly"])
+    dl.delta_delete(spark, t, "k = 1")
+
+
+def test_column_invariants_enforced_from_table_schema(
+    spark, tmp_path
+):
+    t = str(tmp_path / "t")
+    dl.write_delta(_df(spark), t)
+    # inject the spec's delta.invariants field metadata the way a
+    # native writer records it
+    path = dl._commit_path(t, 0)
+    lines = [json.loads(x) for x in open(path)]
+    for a in lines:
+        if "metaData" in a:
+            sch = json.loads(a["metaData"]["schemaString"])
+            sch["fields"][1]["metadata"]["delta.invariants"] = (
+                json.dumps(
+                    {"expression": {"expression": "k < 100"}}
+                )
+            )
+            a["metaData"]["schemaString"] = json.dumps(sch)
+    with open(path, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(ValueError, match="invariant on k"):
+        dl.write_delta(_df(spark, [(9, 500)]), t, "append")
+    dl.write_delta(_df(spark, [(9, 50)]), t, "append")
+    # unparseable invariants refuse rather than silently skip
+    for a in lines:
+        if "metaData" in a:
+            sch = json.loads(a["metaData"]["schemaString"])
+            sch["fields"][1]["metadata"]["delta.invariants"] = (
+                "not json"
+            )
+            a["metaData"]["schemaString"] = json.dumps(sch)
+    with open(path, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(ValueError, match="unparseable"):
+        dl.write_delta(_df(spark, [(10, 5)]), t, "append")
+
+
+def test_timestamp_ntz_declares_table_feature(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    t = str(tmp_path / "t")
+    ndf = spark.createDataFrame(
+        [(1, datetime.datetime(2020, 1, 1, 12, 0, 0))],
+        StructType([
+            StructField("id", LongType()),
+            StructField("ts", TimestampNTZType()),
+        ]),
+    )
+    st = dl.write_delta(ndf, t)
+    assert st.protocol["minReaderVersion"] == 3
+    assert st.protocol["readerFeatures"] == ["timestampNtz"]
+    assert "timestampNtz" in st.protocol["writerFeatures"]
+    got = dl.read_delta(spark, t)
+    assert got.schema["ts"].dataType.typeName() == "timestamp_ntz"
+    # a later DV delete must PRESERVE the ntz feature
+    st2 = dl.delta_delete(spark, t, "id = 1")
+    assert set(st2.protocol["readerFeatures"]) == {
+        "deletionVectors", "timestampNtz",
+    }
+    # introducing ntz to an EXISTING legacy table also upgrades
+    t2 = str(tmp_path / "t2")
+    dl.write_delta(_df(spark), t2)
+    st3 = dl.write_delta(ndf, t2)  # overwrite with ntz schema
+    assert "timestampNtz" in (st3.protocol.get("readerFeatures")
+                              or [])
+
+
+def test_writer_gate_accepts_v3_refuses_v4plus():
+    dl._check_writer_protocol("t", {"minWriterVersion": 3})
+    dl._check_writer_protocol("t", {
+        "minWriterVersion": 7,
+        "writerFeatures": [
+            "appendOnly", "invariants", "checkConstraints",
+            "deletionVectors", "timestampNtz",
+        ],
+    })
+    for mwv in (4, 5, 6):
+        with pytest.raises(NotImplementedError):
+            dl._check_writer_protocol(
+                "t", {"minWriterVersion": mwv}
+            )
+    with pytest.raises(NotImplementedError):
+        dl._check_writer_protocol("t", {
+            "minWriterVersion": 7,
+            "writerFeatures": ["generatedColumns"],
+        })
+
+
+def test_alter_properties_race_refuses(spark, tmp_path):
+    t = str(tmp_path / "t")
+    dl.write_delta(_df(spark), t)
+    orig = dl._atomic_commit
+
+    def race(table_dir, version, actions):
+        orig(table_dir, version, [{"commitInfo": {
+            "timestamp": 0, "operation": "WRITE",
+            "operationParameters": {},
+        }}])
+        return orig(table_dir, version, actions)
+
+    dl._atomic_commit = race
+    try:
+        with pytest.raises(sn.ConcurrentCommitError):
+            dl.delta_alter_properties(
+                spark, t, {"delta.appendOnly": "true"}
+            )
+    finally:
+        dl._atomic_commit = orig

@@ -199,7 +199,11 @@ def test_first_delete_upgrades_protocol(spark, tmp_path):
         "minReaderVersion": 3,
         "minWriterVersion": 7,
         "readerFeatures": ["deletionVectors"],
-        "writerFeatures": ["deletionVectors"],
+        # upgrading writer 2 -> 7 lists the legacy-implied features
+        # too, per the spec (all three are enforced by this writer)
+        "writerFeatures": [
+            "appendOnly", "deletionVectors", "invariants",
+        ],
     }
     # descriptor shape on disk, as a native reader would parse it
     with open(os.path.join(t, "_delta_log",
@@ -487,7 +491,7 @@ def test_writer_gate_accepts_dv_refuses_more(tmp_path):
     with pytest.raises(NotImplementedError):
         dl._check_writer_protocol("t", {
             "minWriterVersion": 7,
-            "writerFeatures": ["deletionVectors", "appendOnly"],
+            "writerFeatures": ["deletionVectors", "generatedColumns"],
         })
     with pytest.raises(NotImplementedError):
         dl._check_writer_protocol("t", {"minWriterVersion": 4})
