@@ -468,11 +468,34 @@ def _merge_feature_protocol(
     }
 
 
+def _uses_ntz(t) -> bool:
+    if isinstance(t, str):
+        return t == "timestamp_ntz"
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            return any(
+                _uses_ntz(f["type"]) for f in t.get("fields", [])
+            )
+        if kind == "array":
+            return _uses_ntz(t["elementType"])
+        if kind == "map":
+            return _uses_ntz(t["keyType"]) or _uses_ntz(
+                t["valueType"]
+            )
+    return False
+
+
 def _ntz_features(schema_json: str) -> tuple[set, set]:
     """timestampNtz is a reader+writer table feature: any schema
-    using the type must declare it so incapable readers refuse."""
-    if '"timestamp_ntz"' in schema_json:
-        return {"timestampNtz"}, {"timestampNtz"}
+    USING the type (walked structurally — a column merely NAMED
+    timestamp_ntz must not trigger it) must declare it so incapable
+    readers refuse."""
+    try:
+        if _uses_ntz(json.loads(schema_json)):
+            return {"timestampNtz"}, {"timestampNtz"}
+    except ValueError:
+        pass
     return set(), set()
 
 
@@ -2193,9 +2216,6 @@ def delta_merge_upsert(
         table_dir, head.protocol, head.configuration
     )
     _check_append_only(table_dir, head.configuration, "MERGE")
-    _enforce_row_rules(
-        updates, head.configuration, head.schema, "MERGE"
-    )
     current = _read_state(spark, table_dir, head)
     # structural check, not column-name sets: unionByName would
     # silently WIDEN the merged data files' type (long table + double
@@ -2211,6 +2231,11 @@ def delta_merge_upsert(
             f"{current.schema.simpleString()}"
             " — cast the updates to the table's exact types first"
         )
+    # rules check AFTER the schema gate: a structurally-valid updates
+    # frame is guaranteed to resolve every constraint/invariant column
+    _enforce_row_rules(
+        updates, head.configuration, head.schema, "MERGE"
+    )
     merged = current.join(
         updates, on=keys, how="left_anti"
     ).unionByName(updates)
