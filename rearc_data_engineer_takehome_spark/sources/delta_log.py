@@ -80,7 +80,7 @@ _READER_FEATURES = {
 }
 _WRITER_FEATURES = {
     "deletionVectors", "appendOnly", "invariants",
-    "checkConstraints", "timestampNtz",
+    "checkConstraints", "timestampNtz", "generatedColumns",
 }
 
 
@@ -308,13 +308,33 @@ def _check_writer_protocol(
         return
     mwv = protocol.get("minWriterVersion", 2) or 2
     feats = set(protocol.get("writerFeatures") or [])
-    if mwv <= 3 and not feats:
+    # changeDataFeed demands cdc FILES only while the table property
+    # actually enables it — a v4/feature table with CDF off needs
+    # nothing from us, so refusing it would be needlessly strict,
+    # while writing to a CDF-ON table without emitting cdc actions
+    # would corrupt native table_changes()
+    cdf_on = (configuration or {}).get(
+        "delta.enableChangeDataFeed", ""
+    ).lower() == "true"
+    ok_feats = _WRITER_FEATURES | (
+        set() if cdf_on else {"changeDataFeed"}
+    )
+    if cdf_on and (mwv >= 4 or "changeDataFeed" in feats):
+        raise NotImplementedError(
+            f"{table_dir} has delta.enableChangeDataFeed=true; this "
+            "clean-room writer does not emit cdc actions, and "
+            "committing without them would corrupt native change "
+            "feeds (read_delta_changes reconstructs feeds from the "
+            "log, but native readers trust cdc files)"
+        )
+    if mwv <= 4 and not feats:
         # writer v2 = appendOnly + invariants, v3 adds CHECK
-        # constraints — all three ENFORCED on every mutating path
+        # constraints, v4 adds generated columns (+ CDF, gated
+        # above) — all ENFORCED on every mutating path
         # (_enforce_row_rules / _check_append_only), so accepting
         # these versions is honest, not a bypass
         return
-    if mwv == 7 and feats <= _WRITER_FEATURES:
+    if mwv == 7 and feats <= ok_feats:
         # table-features writer protocol whose every listed feature
         # this module implements (deletionVectors: removes carry the
         # cancelled add's DV descriptor, delete/compact maintain them)
@@ -322,9 +342,9 @@ def _check_writer_protocol(
     raise NotImplementedError(
         f"{table_dir} requires Delta minWriterVersion {mwv} "
         f"(writerFeatures={sorted(feats)}); this clean-room writer "
-        f"implements writer protocol 3 plus {sorted(_WRITER_FEATURES)}"
+        f"implements writer protocol 4 plus {sorted(_WRITER_FEATURES)}"
         " only — committing anyway could silently violate the "
-        "table's generated-columns/CDC/identity constraints for "
+        "table's column-mapping/identity/row-tracking contracts for "
         "native readers"
     )
 
@@ -364,14 +384,34 @@ def _column_invariants(schema_json: str) -> list[tuple[str, str]]:
     return out
 
 
+def _generated_columns(schema_json: str) -> list[tuple[str, str]]:
+    """Generated columns (writer protocol 4): field metadata
+    ``delta.generationExpression`` holds the SQL expression whose
+    value the column must equal on every written row."""
+    out: list[tuple[str, str]] = []
+    try:
+        fields = json.loads(schema_json).get("fields", [])
+    except ValueError:
+        return out
+    for f in fields:
+        gen = (f.get("metadata") or {}).get(
+            "delta.generationExpression"
+        )
+        if gen:
+            out.append((f["name"], gen))
+    return out
+
+
 def _enforce_row_rules(
     df: DataFrame, configuration: dict | None, schema_json: str,
     operation: str,
 ) -> None:
-    """Enforce CHECK constraints + column invariants on the rows a
-    commit is about to add — the spec's writer-side contract (writer
-    v2 invariants, v3 constraints): a row violates only when the
-    expression is FALSE (NULL passes, SQL CHECK semantics). One
+    """Enforce CHECK constraints + column invariants + generated
+    columns on the rows a commit is about to add — the spec's
+    writer-side contract (writer v2 invariants, v3 constraints, v4
+    generated columns): a constraint/invariant row violates only
+    when the expression is FALSE (NULL passes, SQL CHECK semantics);
+    a generated column must null-safe-EQUAL its expression. One
     validation pass over ``df`` with all rules as parallel
     conditional counters; zero cost when the table has no rules."""
     rules = [
@@ -381,6 +421,11 @@ def _enforce_row_rules(
     rules += [
         (f"invariant on {c}", e)
         for c, e in _column_invariants(schema_json)
+    ]
+    rules += [
+        # <=> is never NULL, so a NULL mismatch counts as violation
+        (f"generated column {c}", f"`{c}` <=> ({e})")
+        for c, e in _generated_columns(schema_json)
     ]
     if not rules:
         return
@@ -427,6 +472,8 @@ _IMPLIED_WRITER = {
     1: set(),
     2: {"appendOnly", "invariants"},
     3: {"appendOnly", "invariants", "checkConstraints"},
+    4: {"appendOnly", "invariants", "checkConstraints",
+        "generatedColumns", "changeDataFeed"},
 }
 
 

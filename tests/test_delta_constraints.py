@@ -206,7 +206,10 @@ def test_writer_gate_accepts_v3_refuses_v4plus():
             "deletionVectors", "timestampNtz",
         ],
     })
-    for mwv in (4, 5, 6):
+    # v4 (generated columns) is enforced, so accepted — unless the
+    # table actually enables CDF (separate test below)
+    dl._check_writer_protocol("t", {"minWriterVersion": 4})
+    for mwv in (5, 6):
         with pytest.raises(NotImplementedError):
             dl._check_writer_protocol(
                 "t", {"minWriterVersion": mwv}
@@ -214,7 +217,7 @@ def test_writer_gate_accepts_v3_refuses_v4plus():
     with pytest.raises(NotImplementedError):
         dl._check_writer_protocol("t", {
             "minWriterVersion": 7,
-            "writerFeatures": ["generatedColumns"],
+            "writerFeatures": ["identityColumns"],
         })
 
 
@@ -238,3 +241,68 @@ def test_alter_properties_race_refuses(spark, tmp_path):
             )
     finally:
         dl._atomic_commit = orig
+
+
+def test_generated_columns_validated_on_write(spark, tmp_path):
+    t = str(tmp_path / "t")
+    dl.write_delta(
+        _df(spark, [(1, 2)], "id long, id2 long"), t
+    )
+    # inject the spec's generation expression the way a native
+    # writer records it (field metadata delta.generationExpression)
+    path = dl._commit_path(t, 0)
+    lines = [json.loads(x) for x in open(path)]
+    for a in lines:
+        if "metaData" in a:
+            sch = json.loads(a["metaData"]["schemaString"])
+            sch["fields"][1]["metadata"][
+                "delta.generationExpression"
+            ] = "id * 2"
+            a["metaData"]["schemaString"] = json.dumps(sch)
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 1, "minWriterVersion": 4,
+            }
+    with open(path, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    # wrong generated value refuses; correct value passes
+    with pytest.raises(ValueError, match="generated column id2"):
+        dl.write_delta(
+            _df(spark, [(5, 11)], "id long, id2 long"), t, "append"
+        )
+    dl.write_delta(
+        _df(spark, [(5, 10)], "id long, id2 long"), t, "append"
+    )
+    # NULL where the expression is non-null is a mismatch (null-safe
+    # equality), not a silent pass
+    with pytest.raises(ValueError, match="generated column id2"):
+        dl.write_delta(
+            _df(spark, [(6, None)], "id long, id2 long"), t,
+            "append",
+        )
+    # an UPDATE that breaks the generation invariant refuses too
+    with pytest.raises(ValueError, match="generated column id2"):
+        dl.delta_update(spark, t, "id = 5", {"id2": "99"})
+
+
+def test_cdf_enabled_tables_refuse_writes(spark, tmp_path):
+    # v4 table WITHOUT CDF: accepted (generated cols enforced)
+    dl._check_writer_protocol("t", {"minWriterVersion": 4})
+    dl._check_writer_protocol("t", {
+        "minWriterVersion": 7,
+        "writerFeatures": ["changeDataFeed"],
+    })  # feature listed but property off: nothing required of us
+    # CDF actually ENABLED: refuse (we emit no cdc actions)
+    with pytest.raises(NotImplementedError, match="cdc"):
+        dl._check_writer_protocol(
+            "t", {"minWriterVersion": 4},
+            {"delta.enableChangeDataFeed": "true"},
+        )
+    with pytest.raises(NotImplementedError, match="cdc"):
+        dl._check_writer_protocol(
+            "t",
+            {"minWriterVersion": 7,
+             "writerFeatures": ["changeDataFeed"]},
+            {"delta.enableChangeDataFeed": "true"},
+        )

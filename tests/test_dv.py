@@ -491,10 +491,10 @@ def test_writer_gate_accepts_dv_refuses_more(tmp_path):
     with pytest.raises(NotImplementedError):
         dl._check_writer_protocol("t", {
             "minWriterVersion": 7,
-            "writerFeatures": ["deletionVectors", "generatedColumns"],
+            "writerFeatures": ["deletionVectors", "identityColumns"],
         })
     with pytest.raises(NotImplementedError):
-        dl._check_writer_protocol("t", {"minWriterVersion": 4})
+        dl._check_writer_protocol("t", {"minWriterVersion": 5})
 
 
 def test_delete_concurrent_commit_raises(spark, tmp_path):
