@@ -281,7 +281,10 @@ def _check_protocol(table_dir: str, protocols) -> None:
 
 
 def _check_writer_protocol(
-    table_dir: str, protocol, configuration: dict | None = None
+    table_dir: str,
+    protocol,
+    configuration: dict | None = None,
+    checkpoint_only: bool = False,
 ) -> None:
     """Honest-writer gate, symmetric with _check_protocol: a table
     whose protocol demands writer capabilities this module does not
@@ -291,8 +294,15 @@ def _check_writer_protocol(
     native readers (e.g. new rows into an appendOnly table's
     overwrite, unchecked invariants). Per the spec, writers reject
     unsupported writer protocols even when the READER protocol is
-    satisfied."""
-    if configuration and (
+    satisfied.
+
+    ``checkpoint_only`` relaxes exactly the refusals irrelevant to a
+    checkpoint, which changes no rows and re-serializes protocol /
+    metaData / add actions verbatim: CDF (no row changes -> no cdc
+    files owed) and column mapping (schemaString + configuration pass
+    through untouched). Features that change the CHECKPOINT's own
+    contract (e.g. v2Checkpoint) still refuse."""
+    if not checkpoint_only and configuration and (
         configuration.get("delta.columnMapping.mode") or "none"
     ) != "none":
         # mapped tables demand physical-name bookkeeping (max column
@@ -304,22 +314,19 @@ def _check_writer_protocol(
             "room implementation reads mapped tables (name mode) "
             "but never writes them"
         )
-    if not protocol:
-        return
-    mwv = protocol.get("minWriterVersion", 2) or 2
-    feats = set(protocol.get("writerFeatures") or [])
-    # changeDataFeed demands cdc FILES only while the table property
-    # actually enables it — a v4/feature table with CDF off needs
-    # nothing from us, so refusing it would be needlessly strict,
-    # while writing to a CDF-ON table without emitting cdc actions
-    # would corrupt native table_changes()
+    # changeDataFeed demands cdc FILES whenever the table property
+    # enables it — a v4/feature table with CDF off needs nothing
+    # from us, so refusing it would be needlessly strict, while
+    # writing to a CDF-ON table without emitting cdc actions would
+    # corrupt native table_changes(). Refuse on the PROPERTY alone,
+    # before any protocol-row inspection: a malformed log can carry
+    # delta.enableChangeDataFeed=true under a legacy
+    # minWriterVersion 2/3 (or no protocol row at all), and the
+    # corruption is identical
     cdf_on = (configuration or {}).get(
         "delta.enableChangeDataFeed", ""
     ).lower() == "true"
-    ok_feats = _WRITER_FEATURES | (
-        set() if cdf_on else {"changeDataFeed"}
-    )
-    if cdf_on and (mwv >= 4 or "changeDataFeed" in feats):
+    if cdf_on and not checkpoint_only:
         raise NotImplementedError(
             f"{table_dir} has delta.enableChangeDataFeed=true; this "
             "clean-room writer does not emit cdc actions, and "
@@ -327,6 +334,18 @@ def _check_writer_protocol(
             "feeds (read_delta_changes reconstructs feeds from the "
             "log, but native readers trust cdc files)"
         )
+    if not protocol:
+        return
+    mwv = protocol.get("minWriterVersion", 2) or 2
+    feats = set(protocol.get("writerFeatures") or [])
+    ok_feats = _WRITER_FEATURES | (
+        {"changeDataFeed", "columnMapping"} if checkpoint_only
+        else {"changeDataFeed"}
+    )
+    if checkpoint_only and mwv == 5 and not feats:
+        # legacy column-mapping writer version: the checkpoint copies
+        # schemaString/configuration verbatim, nothing to enforce
+        return
     if mwv <= 4 and not feats:
         # writer v2 = appendOnly + invariants, v3 adds CHECK
         # constraints, v4 adds generated columns (+ CDF, gated
@@ -797,7 +816,17 @@ def _dv_live_filter(spark: SparkSession, table_dir: str, adds: dict):
         for ap in norm.unique():
             desc = descs.get(ap)
             if desc is None:
-                continue
+                # this filter is applied ONLY to the DV'd file group
+                # (_scan_files), so every scan path must resolve to a
+                # descriptor; passing rows through on a miss would
+                # silently resurrect deleted rows (path-normalization
+                # drift, symlinked tmp dirs)
+                raise ValueError(
+                    f"deletion-vector filter: scan file {ap!r} from "
+                    "the DV'd group matches no broadcast descriptor "
+                    f"(known: {sorted(descs)[:3]}...) — path "
+                    "normalization drift would resurrect deleted rows"
+                )
             if ap not in decoded:
                 decoded[ap] = _dv.read_dv_positions(tdir, desc)
             pos = decoded[ap]
@@ -1424,9 +1453,14 @@ def write_checkpoint(
     # row — stamping this module's _PROTOCOL would silently DOWNGRADE
     # a stricter table's protocol the moment replay starts basing on
     # the checkpoint, disarming _check_writer_protocol for every
-    # subsequent writer (and lying to native readers)
+    # subsequent writer (and lying to native readers).
+    # checkpoint_only: a checkpoint changes no rows, so CDF-enabled
+    # and column-mapped tables (both readable here) stay
+    # checkpointable and vacuumable; checkpoint-format features
+    # (v2Checkpoint, ...) still refuse
     _check_writer_protocol(
-        table_dir, state.protocol, state.configuration
+        table_dir, state.protocol, state.configuration,
+        checkpoint_only=True,
     )
     proto = state.protocol or dict(_PROTOCOL)
     rows = [
@@ -2074,7 +2108,19 @@ def read_delta_changes(
                     p, _normalize_file_uri(p)
                 )
             )
-            for ap, pos in m.items():
+            for ap in norm.unique():
+                pos = m.get(ap)
+                if pos is None:
+                    # the raw scan covers exactly pos_map's files, so
+                    # a key miss is path-normalization drift; keeping
+                    # the default False would silently DROP changed
+                    # rows from the feed (mirror image of the live
+                    # filter's resurrect hazard)
+                    raise ValueError(
+                        f"change-feed diff filter: scan file {ap!r} "
+                        "matches no position-map key — path "
+                        "normalization drift would drop changed rows"
+                    )
                 if not len(pos):
                     continue
                 rows = np.flatnonzero((norm == ap).to_numpy())

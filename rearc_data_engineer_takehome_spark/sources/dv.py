@@ -355,7 +355,19 @@ def read_dv_positions(table_dir: str, desc: dict) -> np.ndarray:
     else:
         path = absolute_dv_path(table_dir, desc)
         with open(path, "rb") as f:
-            off = desc.get("offset") or 1  # past the version byte
+            # distinguish MISSING offset (default 1, past the version
+            # byte) from an explicit 0 — offset 0 lands on the format
+            # version byte and marks a malformed descriptor, which
+            # `or 1` would silently reinterpret as valid
+            off = desc.get("offset")
+            if off is None:
+                off = 1
+            if off <= 0:
+                raise ValueError(
+                    f"deletion vector descriptor for {path}: invalid "
+                    f"offset {off} (the format-version byte occupies "
+                    "offset 0; a data offset must be >= 1)"
+                )
             f.seek(off)
             (stored_size,) = struct.unpack(">I", f.read(4))
             if stored_size != size:

@@ -262,8 +262,15 @@ def test_writes_to_mapped_tables_refuse(spark, tmp_path):
         dl.write_delta(df, t, "append")
     with pytest.raises(NotImplementedError):
         dl.delta_compact(spark, t, 1)
-    with pytest.raises(NotImplementedError):
-        dl.write_checkpoint(t)
+    # checkpointing is NOT a mutating write (ADVICE r8): it copies
+    # schemaString/configuration verbatim, so mapped tables stay
+    # checkpointable — and the checkpointed table still reads back
+    # through the name-mode reader
+    v = dl.write_checkpoint(t)
+    assert os.path.exists(os.path.join(
+        t, "_delta_log", f"{v:020d}.checkpoint.parquet"
+    ))
+    assert [r.v for r in dl.read_delta(spark, t).collect()] == [1]
 
 
 def test_reader_gate_accepts_cm_feature_combinations():

@@ -306,3 +306,102 @@ def test_cdf_enabled_tables_refuse_writes(spark, tmp_path):
              "writerFeatures": ["changeDataFeed"]},
             {"delta.enableChangeDataFeed": "true"},
         )
+
+
+def test_cdf_property_refuses_under_legacy_writer_versions():
+    # ADVICE r8: a (malformed but representable) log can carry
+    # delta.enableChangeDataFeed=true under minWriterVersion 2/3;
+    # the property ALONE must refuse — committing without cdc
+    # actions corrupts native change feeds whatever the protocol
+    # row claims
+    for proto in (
+        None,
+        {"minWriterVersion": 2},
+        {"minWriterVersion": 3},
+    ):
+        with pytest.raises(NotImplementedError, match="cdc"):
+            dl._check_writer_protocol(
+                "t", proto, {"delta.enableChangeDataFeed": "true"}
+            )
+
+
+def test_checkpoint_only_gate_relaxes_cdf_and_column_mapping():
+    # a checkpoint changes no rows: CDF-enabled and column-mapped
+    # tables must stay checkpointable (and therefore vacuumable)
+    dl._check_writer_protocol(
+        "t", {"minWriterVersion": 4},
+        {"delta.enableChangeDataFeed": "true"},
+        checkpoint_only=True,
+    )
+    dl._check_writer_protocol(
+        "t",
+        {"minWriterVersion": 7,
+         "writerFeatures": ["changeDataFeed"]},
+        {"delta.enableChangeDataFeed": "true"},
+        checkpoint_only=True,
+    )
+    dl._check_writer_protocol(
+        "t", {"minWriterVersion": 5},
+        {"delta.columnMapping.mode": "name"},
+        checkpoint_only=True,
+    )
+    dl._check_writer_protocol(
+        "t",
+        {"minWriterVersion": 7,
+         "writerFeatures": ["columnMapping"]},
+        {"delta.columnMapping.mode": "name"},
+        checkpoint_only=True,
+    )
+    # ...but features that change the CHECKPOINT's own format still
+    # refuse, checkpoint_only or not
+    with pytest.raises(NotImplementedError):
+        dl._check_writer_protocol(
+            "t",
+            {"minWriterVersion": 7,
+             "writerFeatures": ["v2Checkpoint"]},
+            checkpoint_only=True,
+        )
+    with pytest.raises(NotImplementedError):
+        dl._check_writer_protocol(
+            "t", {"minWriterVersion": 6}, checkpoint_only=True
+        )
+
+
+def test_cdf_enabled_table_checkpoints_and_vacuums(spark, tmp_path):
+    """End-to-end: flip a table's config to CDF-on (simulating a
+    native writer's table) — our writer refuses new commits, but
+    write_checkpoint and vacuum_delta still work (ADVICE r8)."""
+    import json as _json
+    import os as _os
+
+    t = str(tmp_path / "t")
+    dl.write_delta(_df(spark, [(1, 2)], "id long, id2 long"), t)
+    dl.write_delta(
+        _df(spark, [(3, 4)], "id long, id2 long"), t, "append"
+    )
+    path = dl._commit_path(t, 0)
+    lines = [_json.loads(x) for x in open(path)]
+    for a in lines:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.enableChangeDataFeed": "true"
+            }
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 1, "minWriterVersion": 4,
+            }
+    with open(path, "w") as f:
+        for a in lines:
+            f.write(_json.dumps(a, separators=(",", ":")) + "\n")
+    # mutating writes refuse
+    with pytest.raises(NotImplementedError, match="cdc"):
+        dl.write_delta(
+            _df(spark, [(5, 6)], "id long, id2 long"), t, "append"
+        )
+    # checkpoint + vacuum succeed
+    v = dl.write_checkpoint(t)
+    assert _os.path.exists(_os.path.join(
+        t, "_delta_log", f"{v:020d}.checkpoint.parquet"
+    ))
+    dl.vacuum_delta(t, retention_ms=0)
+    assert dl.read_delta(spark, t).count() == 2

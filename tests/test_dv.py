@@ -610,3 +610,53 @@ def test_update_commit_shape(spark, tmp_path):
     adds = [a["add"] for a in acts if "add" in a]
     assert any(a.get("deletionVector") for a in adds)
     assert any(not a.get("deletionVector") for a in adds)
+
+
+def test_read_dv_rejects_zero_or_negative_offset(tmp_path):
+    # offset 0 lands on the format-version byte — a malformed
+    # descriptor, not "use the default"; `or 1` used to conflate them
+    blob = dv.serialize_positions(np.arange(4, dtype=np.int64))
+    enc, offs = dv.write_dv_file(str(tmp_path), [blob])
+    desc = dv.make_descriptor(enc, offs[0], len(blob), 4)
+    for bad_off in (0, -1):
+        bad = dict(desc, offset=bad_off)
+        with pytest.raises(ValueError, match="offset"):
+            dv.read_dv_positions(str(tmp_path), bad)
+    # missing offset still defaults to 1 (inline write layout)
+    missing = {k: v for k, v in desc.items() if k != "offset"}
+    if desc.get("offset") == 1:
+        assert list(
+            dv.read_dv_positions(str(tmp_path), missing)
+        ) == [0, 1, 2, 3]
+
+
+def test_live_filter_raises_on_descriptor_miss(spark, tmp_path):
+    """A scan path from the DV'd file group that resolves to no
+    broadcast descriptor is path-normalization drift; passing its
+    rows through as live would resurrect deleted rows (ADVICE r8)."""
+    import pandas as pd
+
+    t = str(tmp_path / "t")
+    _mk(spark, t)
+    dl.delta_delete(spark, t, "k = 3")
+    st = dl.replay(t)
+    live = dl._dv_live_filter(spark, t, st.adds)
+    assert live is not None
+    with pytest.raises(ValueError, match="resurrect"):
+        live.func(
+            pd.Series(["/nowhere/drifted.parquet"]),
+            pd.Series([0]),
+        )
+    # the matched path still filters correctly driver-side
+    dvd = [
+        r for r, a in st.adds.items() if a.get("deletionVector")
+    ]
+    ap = os.path.abspath(os.path.join(t, dvd[0]))
+    pos = dv.read_dv_positions(
+        t, st.adds[dvd[0]]["deletionVector"]
+    )
+    out = live.func(
+        pd.Series([ap, ap]),
+        pd.Series([int(pos[0]), int(pos[0]) + 1]),
+    )
+    assert list(out) == [False, True] or list(out) == [False, False]
