@@ -5432,3 +5432,176 @@ def orders_dv_cdf_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("cents").cast("bigint").alias("sum_cents"),
     )
+
+
+@query(
+    "orders_cm_roundtrip",
+    """
+    WITH full_set AS (
+        SELECT o_orderpriority AS prio,
+               round(o_totalprice * 100)::BIGINT AS cents_usd
+        FROM orders
+    ),
+    v0 AS (
+        SELECT count(*)::BIGINT AS n_v0
+        FROM orders WHERE (o_orderkey % 2) = 0
+    )
+    SELECT prio,
+           count(*)::BIGINT AS n_orders,
+           sum(cents_usd)::BIGINT AS sum_cents,
+           n_v0
+    FROM full_set CROSS JOIN v0
+    GROUP BY prio, n_v0
+    """,
+    doc="Column-mapping WRITE on the native Delta log (delta_log."
+    "write_delta(column_mapping='name') + delta_rename_column; "
+    "public delta-io PROTOCOL.md 'Column Mapping' — the mechanism "
+    "behind RENAME COLUMN in the Delta format the reference "
+    "persists its tables in, notebooks/20_analytics.ipynb:653) "
+    "certified under the driver's value-hash gate: even-key orders "
+    "written as a mapped table (physical col-<uuid> parquet names, "
+    "maxColumnId bookkeeping), the cents column RENAMED via a "
+    "metaData-only commit (no data file touched), odd-key orders "
+    "appended AFTER the rename through the new logical schema, and "
+    "the head aggregate read back through the name-mode reader. "
+    "n_v0 time-travels to v0 ACROSS the rename — v0's logical "
+    "schema must still resolve the same physical files. The oracle "
+    "is a plain projection of the raw table, so physical-name "
+    "write-out, logical restore, rename, and mapped append all "
+    "have to be value-exact. At 100 TB a rename costs one kilobyte "
+    "commit; data files are immutable.",
+)
+def orders_cm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid as _uuid
+
+    from .sources import delta_log as dl
+    from .sources import snapshots as sn
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_ocmrt_"
+        f"{_uuid.uuid4().hex[:8]}"
+    )
+    dl.write_delta(
+        orders.where(F.pmod("o_orderkey", F.lit(2)) == 0)
+        .repartition(4),
+        tbl,
+        stats_cols=["o_orderkey"],
+        column_mapping="name",
+    )
+    dl.delta_rename_column(tbl, "cents", "cents_usd")
+    dl.write_delta(
+        orders.where(F.pmod("o_orderkey", F.lit(2)) == 1)
+        .withColumnRenamed("cents", "cents_usd"),
+        tbl,
+        "append",
+    )
+    head = (
+        dl.read_delta(spark, tbl)
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents_usd").cast("bigint").alias("sum_cents"),
+        )
+    )
+    n_v0 = dl.read_delta(spark, tbl, 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v0")
+    )
+    return head.crossJoin(F.broadcast(n_v0)).select(
+        "prio", "n_orders", "sum_cents", "n_v0"
+    )
+
+
+@query(
+    "orders_dv_merge_scan",
+    """
+    WITH merged AS (
+        SELECT CASE WHEN (o_orderkey % 13) = 2
+                    THEN '9-MERGED' ELSE o_orderpriority END AS prio,
+               round(o_totalprice * 100)::BIGINT
+                 + CASE WHEN (o_orderkey % 13) = 2
+                        THEN 700 ELSE 0 END AS cents
+        FROM orders
+        UNION ALL
+        SELECT '9-NEW' AS prio, 1234::BIGINT AS cents
+        FROM orders WHERE (o_orderkey % 101) = 5
+    )
+    SELECT prio,
+           count(*)::BIGINT AS n_orders,
+           sum(cents)::BIGINT AS sum_cents
+    FROM merged
+    GROUP BY prio
+    """,
+    doc="MERGE composed with deletion vectors (delta_log."
+    "delta_merge_upsert(via_dv=True) -> _delta_merge_via_dv; "
+    "PROTOCOL.md 'Deletion Vectors' — the DV-enabled MERGE shape "
+    "native Delta uses once DVs are on, for the format the "
+    "reference persists its tables in, notebooks/20_analytics."
+    "ipynb:653) certified under the value-hash gate: orders "
+    "written as a multi-file Delta table, one MERGE whose source "
+    "both UPDATES matched keys (new priority + 700-cent bump) and "
+    "INSERTS brand-new keys; matched target rows are marked dead "
+    "via roaring deletion vectors in their ORIGINAL files (never "
+    "rewritten — tests/test_dv.py asserts mtimes), every source "
+    "row lands in new appended files, one atomic commit. The "
+    "oracle rebuilds the merge as CASE + UNION ALL over the raw "
+    "table, so the semi-join hit set, the per-file bitmaps, and "
+    "the appended payload all have to be value-exact. At 100 TB a "
+    "selective MERGE costs one semi-join scan plus the updates "
+    "write plus kilobytes of log — not a table rewrite.",
+)
+def orders_dv_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid as _uuid
+
+    from .sources import delta_log as dl
+    from .sources import snapshots as sn
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_odvmrg_"
+        f"{_uuid.uuid4().hex[:8]}"
+    )
+    dl.write_delta(
+        orders.repartition(4), tbl, stats_cols=["o_orderkey"]
+    )
+    matched = orders.where(
+        F.pmod("o_orderkey", F.lit(13)) == 2
+    ).select(
+        "o_orderkey",
+        F.lit("9-MERGED").alias("prio"),
+        (F.col("cents") + 700).cast("bigint").alias("cents"),
+    )
+    inserts = orders.where(
+        F.pmod("o_orderkey", F.lit(101)) == 5
+    ).select(
+        (F.col("o_orderkey") + F.lit(100000000).cast("bigint"))
+        .alias("o_orderkey"),
+        F.lit("9-NEW").alias("prio"),
+        F.lit(1234).cast("bigint").alias("cents"),
+    )
+    dl.delta_merge_upsert(
+        spark, tbl, matched.unionByName(inserts), ["o_orderkey"],
+        via_dv=True,
+    )
+    return (
+        dl.read_delta(spark, tbl)
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )

@@ -81,6 +81,7 @@ _READER_FEATURES = {
 _WRITER_FEATURES = {
     "deletionVectors", "appendOnly", "invariants",
     "checkConstraints", "timestampNtz", "generatedColumns",
+    "columnMapping",
 }
 
 
@@ -304,15 +305,16 @@ def _check_writer_protocol(
     contract (e.g. v2Checkpoint) still refuse."""
     if not checkpoint_only and configuration and (
         configuration.get("delta.columnMapping.mode") or "none"
-    ) != "none":
-        # mapped tables demand physical-name bookkeeping (max column
-        # id, physical partitionValues) this writer does not do; the
-        # protocol gate below normally catches this too, but a
-        # malformed log could carry the config without the feature
+    ) not in ("none", "name"):
+        # name mode is fully writable (physical-name bookkeeping in
+        # _remap_column_mapping/_physical_payload, round 9); id mode
+        # (address parquet by field id) is not — writing files
+        # without field ids to an id-mapped table would make them
+        # unreadable for native id-mode readers
         raise NotImplementedError(
-            f"{table_dir} has column mapping enabled; this clean-"
-            "room implementation reads mapped tables (name mode) "
-            "but never writes them"
+            f"{table_dir} uses column mapping mode "
+            f"{configuration.get('delta.columnMapping.mode')!r}; "
+            "this clean-room writer implements 'name' mode only"
         )
     # changeDataFeed demands cdc FILES whenever the table property
     # enables it — a v4/feature table with CDF off needs nothing
@@ -342,16 +344,15 @@ def _check_writer_protocol(
         {"changeDataFeed", "columnMapping"} if checkpoint_only
         else {"changeDataFeed"}
     )
-    if checkpoint_only and mwv == 5 and not feats:
-        # legacy column-mapping writer version: the checkpoint copies
-        # schemaString/configuration verbatim, nothing to enforce
-        return
-    if mwv <= 4 and not feats:
+    if mwv <= 5 and not feats:
         # writer v2 = appendOnly + invariants, v3 adds CHECK
         # constraints, v4 adds generated columns (+ CDF, gated
+        # above), v5 adds column mapping (name-mode bookkeeping
+        # implemented; id mode refused by the configuration gate
         # above) — all ENFORCED on every mutating path
-        # (_enforce_row_rules / _check_append_only), so accepting
-        # these versions is honest, not a bypass
+        # (_enforce_row_rules / _check_append_only /
+        # _physical_payload), so accepting these versions is honest,
+        # not a bypass
         return
     if mwv == 7 and feats <= ok_feats:
         # table-features writer protocol whose every listed feature
@@ -361,7 +362,7 @@ def _check_writer_protocol(
     raise NotImplementedError(
         f"{table_dir} requires Delta minWriterVersion {mwv} "
         f"(writerFeatures={sorted(feats)}); this clean-room writer "
-        f"implements writer protocol 4 plus {sorted(_WRITER_FEATURES)}"
+        f"implements writer protocol 5 plus {sorted(_WRITER_FEATURES)}"
         " only — committing anyway could silently violate the "
         "table's column-mapping/identity/row-tracking contracts for "
         "native readers"
@@ -920,6 +921,148 @@ def _phys_col_name(read_schema, col: str) -> str:
     return (f.metadata or {}).get(_CM_PHYS, col)
 
 
+# --- column mapping WRITE support (name mode) -----------------------
+# PROTOCOL.md "Column Mapping": a writer enabling the mode stamps
+# every struct field (nested included) with a unique columnMapping.id
+# and an immutable physicalName, tracks the high-water mark in
+# delta.columnMapping.maxColumnId, keys partitionValues/stats by
+# PHYSICAL name, and writes data files under physical column names.
+# Renames then touch only metaData. Reference anchor: the reference
+# persists curated tables in Delta (notebooks/20_analytics.ipynb:653)
+# whose schema-evolution story is column mapping on current runtimes.
+
+_CM_ID = "delta.columnMapping.id"
+_CM_MAX = "delta.columnMapping.maxColumnId"
+
+
+def _remap_column_mapping(
+    new_json: str, old_json: str | None = None, start_id: int = 0
+) -> tuple[str, int]:
+    """Stamp ``delta.columnMapping.{id,physicalName}`` onto every
+    struct field of ``new_json`` (nested included, DFS order). Fields
+    whose logical path exists in ``old_json`` with a mapping KEEP
+    their id and physical name (physical names are immutable for the
+    life of a column — that is the whole point); new fields get
+    fresh ids above ``start_id`` and ``col-<uuid>`` physical names.
+    Returns ``(mapped schema json, max column id)``."""
+    new = json.loads(new_json)
+    old_fields: dict = {}
+
+    def _index(t, prefix):
+        if isinstance(t, dict) and t.get("type") == "struct":
+            for f in t.get("fields", []):
+                path = prefix + (f["name"],)
+                old_fields[path] = f.get("metadata") or {}
+                _index(f["type"], path)
+        elif isinstance(t, dict) and t.get("type") == "array":
+            _index(t["elementType"], prefix)
+        elif isinstance(t, dict) and t.get("type") == "map":
+            _index(t["keyType"], prefix)
+            _index(t["valueType"], prefix)
+
+    if old_json:
+        _index(json.loads(old_json), ())
+    next_id = start_id
+
+    def walk_type(t, prefix):
+        if isinstance(t, dict):
+            kind = t.get("type")
+            if kind == "struct":
+                return {
+                    "type": "struct",
+                    "fields": [
+                        walk_field(f, prefix)
+                        for f in t.get("fields", [])
+                    ],
+                }
+            if kind == "array":
+                return {
+                    **t,
+                    "elementType": walk_type(t["elementType"], prefix),
+                }
+            if kind == "map":
+                return {
+                    **t,
+                    "keyType": walk_type(t["keyType"], prefix),
+                    "valueType": walk_type(t["valueType"], prefix),
+                }
+        return t
+
+    def walk_field(f, prefix):
+        nonlocal next_id
+        path = prefix + (f["name"],)
+        meta = dict(f.get("metadata") or {})
+        prior = old_fields.get(path, {})
+        if _CM_ID in prior and _CM_PHYS in prior:
+            meta[_CM_ID] = prior[_CM_ID]
+            meta[_CM_PHYS] = prior[_CM_PHYS]
+        elif _CM_ID not in meta or _CM_PHYS not in meta:
+            next_id += 1
+            meta[_CM_ID] = next_id
+            meta[_CM_PHYS] = f"col-{uuid.uuid4()}"
+        return {
+            **f, "metadata": meta,
+            "type": walk_type(f["type"], path),
+        }
+
+    def max_id(t):
+        best = 0
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                for f in t.get("fields", []):
+                    m = (f.get("metadata") or {}).get(_CM_ID) or 0
+                    best = max(best, int(m), max_id(f["type"]))
+            elif t.get("type") == "array":
+                best = max_id(t["elementType"])
+            elif t.get("type") == "map":
+                best = max(
+                    max_id(t["keyType"]), max_id(t["valueType"])
+                )
+        return best
+
+    mapped = {
+        "type": "struct",
+        "fields": [walk_field(f, ()) for f in new["fields"]],
+    }
+    return json.dumps(mapped), max(next_id, max_id(mapped))
+
+
+def _physical_payload(
+    df: DataFrame,
+    mapped_schema_json: str,
+    pcols: list | tuple | None = None,
+):
+    """Prepare ``df`` for a column-mapped data-file write: rename
+    every column (nested struct fields included, via the same-shape
+    cast — the reader's rename in reverse) to its physical name.
+    Returns ``(physical df, physical pcols, logical->physical fn)``;
+    identity when the schema carries no mapping, so unmapped call
+    sites pay nothing."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(mapped_schema_json))
+    if not any(
+        (f.metadata or {}).get(_CM_PHYS) for f in schema.fields
+    ):
+        return df, list(pcols or []), (lambda c: c)
+    phys = _physical_struct(schema)
+    out = df.select(
+        *[
+            F.col(lf.name).cast(pf.dataType).alias(pf.name)
+            for lf, pf in zip(schema.fields, phys.fields)
+        ]
+    )
+    pmap = {
+        lf.name: pf.name
+        for lf, pf in zip(schema.fields, phys.fields)
+    }
+    return (
+        out,
+        [pmap[c] for c in (pcols or [])],
+        (lambda c: pmap.get(c, c)),
+    )
+
+
 def _scan_files(
     spark: SparkSession,
     table_dir: str,
@@ -1212,6 +1355,7 @@ def write_delta(
     operation_parameters: dict | None = None,
     txn: tuple[str, int] | None = None,
     merge_schema: bool = False,
+    column_mapping: str | None = None,
 ) -> DeltaState:
     """Write ``df`` as one Delta commit. ``overwrite`` removes every
     previously-live file and adds the new ones (emitting a fresh
@@ -1224,6 +1368,14 @@ def write_delta(
     data, the writer just renumbers (overwrite) or re-reads the head
     and re-validates (append).
 
+    ``column_mapping="name"`` enables column mapping on a CREATE (or
+    a whole-table overwrite): every field gets an immutable physical
+    name + id, data files are written under physical names, and
+    ``delta_rename_column`` becomes a metaData-only operation.
+    Appends to a mapped table map automatically (the mode lives in
+    the table's configuration); passing the flag on an append is an
+    error rather than a silent mode change.
+
     ``txn=(app_id, version)`` emits the spec's transaction identifier
     action and makes THIS write idempotent for that application: if
     the table has already transacted ``version`` (or newer) for
@@ -1233,11 +1385,18 @@ def write_delta(
     writers with the same txn commit it once."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
+    if column_mapping not in (None, "none", "name"):
+        raise NotImplementedError(
+            f"column_mapping={column_mapping!r}: only 'name' mode "
+            "is implemented (id mode addresses parquet by field id, "
+            "which these files do not carry)"
+        )
     import pyarrow.parquet as pq
 
     schema_json = df.schema.json()
     pcols = list(partition_by or [])
     validated: tuple | None = None
+    head0: DeltaState | None = None
     if list_delta_versions(table_dir):
         # cheap metadata replay BEFORE materializing data files: the
         # writer-protocol gate must refuse up front (or a refused
@@ -1273,10 +1432,68 @@ def write_delta(
         # brand-new table: the incoming schema may itself carry
         # invariants — enforce them from day one
         _enforce_row_rules(df, None, schema_json, mode.upper())
-    if pcols:
-        written = _write_partitioned_data_files(df, table_dir, pcols)
+    # --- column-mapping resolution, BEFORE any file materializes:
+    # mapped tables write data files under PHYSICAL column names, and
+    # partitionValues/stats keys are physical too ---
+    head_mode = (
+        ((head0.configuration or {}).get("delta.columnMapping.mode")
+         or "none")
+        if head0 is not None else "none"
+    )
+    cm_config: dict | None = None
+    if mode == "append" and head_mode == "name":
+        if not _sn._schema_compatible(head0.schema, schema_json):
+            if merge_schema:
+                raise NotImplementedError(
+                    "merge_schema on a column-mapped table is not "
+                    "implemented (new columns need fresh mapping "
+                    "ids assigned before any file is written)"
+                )
+            raise ValueError(
+                "append schema incompatible with table schema "
+                "(Delta appends never silently rename/retype)"
+            )
+        file_schema = head0.schema  # appends pin the table mapping
+    elif head_mode == "name" or column_mapping == "name":
+        if mode == "append" and head0 is not None:
+            raise ValueError(
+                "cannot enable column mapping on an append; "
+                "overwrite the table with column_mapping='name'"
+            )
+        base = head0.schema if head_mode == "name" else None
+        if base is not None and _sn._schema_compatible(
+            base, schema_json
+        ):
+            # same logical shape: keep every physical name stable
+            schema_json = base
+            cm_config = dict(head0.configuration or {})
+        else:
+            old_max = int(
+                ((head0.configuration or {}) if head0 else {}).get(
+                    _CM_MAX, 0
+                ) or 0
+            )
+            schema_json, mx = _remap_column_mapping(
+                schema_json, base, old_max
+            )
+            cm_config = {
+                **((head0.configuration or {}) if head0 else {}),
+                "delta.columnMapping.mode": "name",
+                _CM_MAX: str(mx),
+            }
+        file_schema = schema_json
     else:
-        written = _sn._write_data_files(df, table_dir)
+        file_schema = schema_json
+    wdf, wpcols, pstat = _physical_payload(df, file_schema, pcols)
+    phys_stats = (
+        [pstat(c) for c in stats_cols] if stats_cols else stats_cols
+    )
+    if wpcols:
+        written = _write_partitioned_data_files(
+            wdf, table_dir, wpcols
+        )
+    else:
+        written = _sn._write_data_files(wdf, table_dir)
     # one footer read per file: zero-row filter (empty input
     # partitions are valid parquet but native writers never register
     # them) AND the stats JSON come from the same metadata object
@@ -1288,9 +1505,9 @@ def write_delta(
         _add_action(
             table_dir,
             rel,
-            stats_cols,
+            phys_stats,
             True,
-            _hive_partition_values(rel, pcols) if pcols else None,
+            _hive_partition_values(rel, wpcols) if wpcols else None,
             md=md,
         )
         for rel, md in metas.items()
@@ -1327,16 +1544,22 @@ def write_delta(
                 return head  # already transacted: idempotent no-op
         version = (versions[-1] + 1) if versions else 0
         actions: list[dict] = []
+        # a timestamp_ntz column is a reader+writer table feature
+        # (incapable readers would parse the physical type wrong
+        # instead of refusing); enabling column mapping likewise
+        need_r, need_w = _ntz_features(schema_json)
+        if (cm_config or {}).get(
+            "delta.columnMapping.mode"
+        ) == "name":
+            need_r = need_r | {"columnMapping"}
+            need_w = need_w | {"columnMapping"}
         if head is None:
             proto0 = dict(_PROTOCOL)
-            # a timestamp_ntz column is a reader+writer table
-            # feature: declare it or incapable readers would parse
-            # the physical type wrong instead of refusing
-            pa0 = _merge_feature_protocol(
-                proto0, *_ntz_features(schema_json)
-            )
+            pa0 = _merge_feature_protocol(proto0, need_r, need_w)
             actions.append({"protocol": pa0 or proto0})
-            actions.append(_meta_action(schema_json, None, pcols))
+            actions.append(
+                _meta_action(schema_json, None, pcols, cm_config)
+            )
         elif mode == "overwrite":
             # overwrite may replace the schema/partitioning outright
             # (the spec's overwriteSchema path) — fresh metaData, but
@@ -1346,7 +1569,8 @@ def write_delta(
                 actions.append(
                     _meta_action(
                         schema_json, head.metadata_id, pcols,
-                        head.configuration,
+                        cm_config if cm_config is not None
+                        else head.configuration,
                     )
                 )
         else:
@@ -1386,12 +1610,10 @@ def write_delta(
             else:
                 schema_json = head.schema  # appends keep table schema
         if head is not None:
-            # an overwrite/evolution may INTRODUCE timestamp_ntz to
-            # an existing table — the feature must land in the same
-            # commit as the schema that uses it
-            pa = _merge_feature_protocol(
-                head.protocol, *_ntz_features(schema_json)
-            )
+            # an overwrite/evolution may INTRODUCE timestamp_ntz or
+            # column mapping to an existing table — the feature must
+            # land in the same commit as the schema that uses it
+            pa = _merge_feature_protocol(head.protocol, need_r, need_w)
             if pa:
                 actions.insert(0, {"protocol": pa})
         if mode == "overwrite" and head is not None:
@@ -1735,16 +1957,22 @@ def delta_compact(
             spark, table_dir, head, target_files, stats_cols,
             max_retries,
         )
-    df = _read_state(spark, table_dir, head).coalesce(target_files)
-    rel_files = _sn._write_data_files(df, table_dir)
+    df = _read_state(spark, table_dir, head)
+    df, _wp, pstat = _physical_payload(df, head.schema)
+    rel_files = _sn._write_data_files(
+        df.coalesce(target_files), table_dir
+    )
     import pyarrow.parquet as pq
 
+    phys_stats = (
+        [pstat(c) for c in stats_cols] if stats_cols else stats_cols
+    )
     metas = {
         rel: pq.ParquetFile(os.path.join(table_dir, rel)).metadata
         for rel in rel_files
     }
     adds = [
-        _add_action(table_dir, rel, stats_cols, False, None, md=md)
+        _add_action(table_dir, rel, phys_stats, False, None, md=md)
         for rel, md in metas.items()
         if md.num_rows
     ]
@@ -1831,12 +2059,18 @@ def _delta_compact_partitioned(
     data_schema = StructType(
         [f for f in schema.fields if f.name not in pcols]
     )
+    # column-mapped tables key partitionValues, hive segments, and
+    # stats by PHYSICAL names (the reader's pphys, mirrored here)
+    cm = _cm_mode(head) == "name"
+    pphys = {
+        c: (_phys_col_name(schema, c) if cm else c) for c in pcols
+    }
     groups: dict[tuple, list[str]] = {}
     for rel, a in head.adds.items():
         pv = a.get("partitionValues") or {}
         key = tuple(
-            None if pv.get(c) == "__HIVE_DEFAULT_PARTITION__"
-            else pv.get(c)
+            None if pv.get(pphys[c]) == "__HIVE_DEFAULT_PARTITION__"
+            else pv.get(pphys[c])
             for c in pcols
         )
         groups.setdefault(key, []).append(rel)
@@ -1853,13 +2087,20 @@ def _delta_compact_partitioned(
     live_udf = _dv_live_filter(spark, table_dir, head.adds)
     for key, fs in sorted(to_pack.items()):
         seg = os.path.join(
-            *[_hive_segment(c, v) for c, v in zip(pcols, key)]
+            *[
+                _hive_segment(pphys[c], v)
+                for c, v in zip(pcols, key)
+            ]
         )
         out = os.path.join(table_dir, "data", commit_id, seg)
         df = _scan_files(
-            spark, table_dir, fs, data_schema, head.adds, live_udf
-        ).coalesce(target_files)
-        df.write.mode("errorifexists").parquet(out)
+            spark, table_dir, fs, data_schema, head.adds, live_udf,
+            column_mapped=cm,
+        )
+        df, _wp, pstat = _physical_payload(df, data_schema.json())
+        df.coalesce(target_files).write.mode(
+            "errorifexists"
+        ).parquet(out)
         replaced.extend(fs)
         for root, _dirs, names in os.walk(out):
             for n in names:
@@ -1867,14 +2108,20 @@ def _delta_compact_partitioned(
                     new_rels.append(os.path.relpath(
                         os.path.join(root, n), table_dir
                     ))
+    phys_stats = (
+        [pstat(c) for c in stats_cols] if stats_cols else stats_cols
+    )
     metas = {
         rel: pq.ParquetFile(os.path.join(table_dir, rel)).metadata
         for rel in sorted(new_rels)
     }
     adds = [
         _add_action(
-            table_dir, rel, stats_cols, False,
-            _hive_partition_values(rel, pcols), md=md,
+            table_dir, rel, phys_stats, False,
+            _hive_partition_values(
+                rel, [pphys[c] for c in pcols]
+            ),
+            md=md,
         )
         for rel, md in metas.items()
         if md.num_rows
@@ -2291,12 +2538,33 @@ def delta_merge_upsert(
     table_dir: str,
     updates: DataFrame,
     keys: list[str],
+    via_dv: bool | None = None,
 ) -> DeltaState:
     """MERGE as a delta commit — the twin of
     snapshots.snapshot_merge_upsert: rows whose key matches an update
-    are replaced, unmatched updates inserted, full result committed as
-    remove(all)+add with ``dataChange: true`` so the pre-merge version
-    stays time-travelable and re-running the same updates converges.
+    are replaced, unmatched updates inserted, re-running the same
+    updates converges.
+
+    Two physical strategies, mirroring native Delta:
+
+    * ``via_dv=False`` — classic rewrite: remove(all)+add of the full
+      merged content with ``dataChange: true``.
+    * ``via_dv=True`` — DV-enabled MERGE (PROTOCOL.md "Deletion
+      Vectors"): matched target rows are marked dead in their current
+      files via deletion vectors (same machinery as
+      :func:`delta_delete` — untouched files are NOT rewritten) and
+      every update row lands in new appended files, all in one
+      commit. At 100 TB a selective MERGE costs one semi-join scan,
+      the updates write, and kilobytes of log, instead of rewriting
+      the whole table.
+    * ``via_dv=None`` (default) — auto: the DV path when the table's
+      protocol already lists the ``deletionVectors`` writer feature
+      (native's behavior once DVs are enabled), else the rewrite
+      path — a DV-free table stays readable by DV-incapable readers.
+
+    ``updates`` is evaluated twice on the DV path (semi-join scan +
+    file write) and so MUST be deterministic, the same contract as
+    any engine's MERGE source.
 
     Concurrency (read-merge-write TOCTOU): the merged content is
     computed FROM the head read at the start, so the commit targets
@@ -2329,12 +2597,26 @@ def delta_merge_upsert(
     _enforce_row_rules(
         updates, head.configuration, head.schema, "MERGE"
     )
+    if via_dv is None:
+        mwv = (head.protocol or {}).get("minWriterVersion", 2) or 2
+        via_dv = mwv >= 7 and "deletionVectors" in (
+            (head.protocol or {}).get("writerFeatures") or []
+        )
+    if via_dv:
+        return _delta_merge_via_dv(
+            spark, table_dir, head, updates, keys
+        )
     merged = current.join(
         updates, on=keys, how="left_anti"
     ).unionByName(updates)
     pcols = list(head.partition_cols)
-    if pcols:
-        written = _write_partitioned_data_files(merged, table_dir, pcols)
+    merged, wpcols, _ = _physical_payload(
+        merged, head.schema, pcols
+    )
+    if wpcols:
+        written = _write_partitioned_data_files(
+            merged, table_dir, wpcols
+        )
     else:
         written = _sn._write_data_files(merged, table_dir)
     import pyarrow.parquet as pq
@@ -2349,7 +2631,7 @@ def delta_merge_upsert(
             rel,
             None,
             True,
-            _hive_partition_values(rel, pcols) if pcols else None,
+            _hive_partition_values(rel, wpcols) if wpcols else None,
             md=md,
         )
         for rel, md in metas.items()
@@ -2367,6 +2649,93 @@ def delta_merge_upsert(
                 "timestamp": ts,
                 "operation": "MERGE",
                 "operationParameters": {"keys": list(keys)},
+                "engineInfo": "rearc-takehome-spark-cleanroom",
+            }
+        }
+    )
+    _atomic_commit(table_dir, head.version + 1, actions)
+    return replay(table_dir, head.version + 1)
+
+
+def _delta_merge_via_dv(
+    spark: SparkSession,
+    table_dir: str,
+    head: DeltaState,
+    updates: DataFrame,
+    keys: list[str],
+) -> DeltaState:
+    """DV-enabled MERGE body (gates already ran in
+    delta_merge_upsert): matched target rows -> deletion vectors on
+    their existing files, all update rows -> new appended files."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.types import StructType
+
+    live = _read_state(spark, table_dir, head, keep_rowmeta=True)
+    hits = live.join(
+        updates.select(*keys), on=list(keys), how="left_semi"
+    ).select(_DV_PATH, _DV_IDX)
+    marks = _dv_mark_actions(spark, table_dir, head, hits)
+    if marks is None:
+        removes, dv_adds = [], []
+        metrics = {"n_marked": 0, "n_dv": 0, "n_dead_files": 0}
+        ts = _now_ms()
+    else:
+        removes, dv_adds, metrics, ts = marks
+    # every update row is written once — matched keys replace their
+    # now-dead target rows, unmatched keys are plain inserts; column
+    # order follows the TABLE schema (appends keep table schema)
+    schema = StructType.fromJson(json.loads(head.schema))
+    payload = updates.select(*[f.name for f in schema.fields])
+    pcols = list(head.partition_cols)
+    payload, wpcols, _ = _physical_payload(
+        payload, head.schema, pcols
+    )
+    if wpcols:
+        written = _write_partitioned_data_files(
+            payload, table_dir, wpcols
+        )
+    else:
+        written = _sn._write_data_files(payload, table_dir)
+    metas = {
+        rel: pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+        for rel in written
+    }
+    new_adds = [
+        _add_action(
+            table_dir,
+            rel,
+            None,
+            True,
+            _hive_partition_values(rel, wpcols) if wpcols else None,
+            md=md,
+        )
+        for rel, md in metas.items()
+        if md.num_rows
+    ]
+    actions: list[dict] = []
+    pa = _merge_feature_protocol(
+        head.protocol, {"deletionVectors"}, {"deletionVectors"}
+    )
+    if pa:
+        actions.append({"protocol": pa})
+    actions.extend(removes)
+    actions.extend(dv_adds)
+    actions.extend(new_adds)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "MERGE",
+                "operationParameters": {
+                    "keys": list(keys), "strategy": "deletionVectors",
+                },
+                "operationMetrics": {
+                    "numTargetRowsMatched": metrics["n_marked"],
+                    "numDeletionVectorsAdded": metrics["n_dv"],
+                    "numRemovedFiles": metrics["n_dead_files"],
+                    "numAddedFiles": len(new_adds),
+                },
                 "engineInfo": "rearc-takehome-spark-cleanroom",
             }
         }
@@ -2401,6 +2770,20 @@ def delta_alter_properties(
     )
     config = dict(head.configuration or {})
     set_props = dict(set_props or {})
+    touched_cm = [
+        k for k in (*set_props, *unset)
+        if k.startswith("delta.columnMapping.")
+    ]
+    if touched_cm:
+        # mode/maxColumnId are maintained by the schema-rewriting
+        # paths (write_delta column_mapping='name'); flipping them
+        # as bare properties would desynchronize config from the
+        # field metadata and misaddress every data column
+        raise ValueError(
+            f"column-mapping properties {touched_cm} cannot be set "
+            "via ALTER TABLE properties; enable mapping by "
+            "overwriting with write_delta(column_mapping='name')"
+        )
     new_constraints = {
         k: v
         for k, v in set_props.items()
@@ -2445,6 +2828,85 @@ def delta_alter_properties(
             }
         }
     )
+    _atomic_commit(table_dir, head.version + 1, actions)
+    return replay(table_dir, head.version + 1)
+
+
+def delta_rename_column(
+    table_dir: str, old: str, new: str
+) -> DeltaState:
+    """ALTER TABLE RENAME COLUMN as a metaData-only commit — the
+    operation column mapping exists for (PROTOCOL.md "Column
+    Mapping"): the field keeps its id and physical name, so no data
+    file is touched and every existing file still resolves. Refuses
+    on unmapped tables (there the logical name IS the storage name —
+    renaming would orphan every file's column) and when any CHECK
+    constraint, invariant, or generated-column expression mentions
+    the old name (native validates the same way: the expressions
+    store LOGICAL names and would dangle)."""
+    head = replay(table_dir)
+    _check_writer_protocol(
+        table_dir, head.protocol, head.configuration
+    )
+    if ((head.configuration or {}).get("delta.columnMapping.mode")
+            or "none") != "name":
+        raise ValueError(
+            f"{table_dir} has no column mapping; RENAME COLUMN "
+            "needs it (enable via "
+            "write_delta(column_mapping='name')) — without mapping "
+            "the logical name addresses the data files directly"
+        )
+    sj = json.loads(head.schema)
+    names = [f["name"] for f in sj["fields"]]
+    if old not in names:
+        raise ValueError(
+            f"no column {old!r} in {sorted(names)}"
+        )
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    rules = [
+        expr
+        for _, expr in (
+            list(_table_constraints(head.configuration).items())
+            + _column_invariants(head.schema)
+            + _generated_columns(head.schema)
+        )
+    ]
+    import re as _re
+
+    hit = [
+        r for r in rules
+        if _re.search(rf"\b{_re.escape(old)}\b", r)
+    ]
+    if hit:
+        raise ValueError(
+            f"cannot rename {old!r}: referenced by table rule(s) "
+            f"{hit} — drop or rewrite them first"
+        )
+    if old in head.partition_cols:
+        pcols = [new if c == old else c for c in head.partition_cols]
+    else:
+        pcols = list(head.partition_cols)
+    fields = [
+        ({**f, "name": new} if f["name"] == old else f)
+        for f in sj["fields"]
+    ]
+    actions = [
+        _meta_action(
+            json.dumps({**sj, "fields": fields}),
+            head.metadata_id,
+            pcols,
+            head.configuration,
+        ),
+        {
+            "commitInfo": {
+                "timestamp": _now_ms(),
+                "operation": "RENAME COLUMN",
+                "operationParameters": {"from": old, "to": new},
+                "engineInfo": "rearc-takehome-spark-cleanroom",
+            }
+        },
+    ]
     _atomic_commit(table_dir, head.version + 1, actions)
     return replay(table_dir, head.version + 1)
 
@@ -2728,9 +3190,12 @@ def delta_update(
         updated, head.configuration, head.schema, "UPDATE"
     )
     pcols = list(head.partition_cols)
-    if pcols:
+    updated, wpcols, _ = _physical_payload(
+        updated, head.schema, pcols
+    )
+    if wpcols:
         written = _write_partitioned_data_files(
-            updated, table_dir, pcols
+            updated, table_dir, wpcols
         )
     else:
         written = _sn._write_data_files(updated, table_dir)
@@ -2746,7 +3211,7 @@ def delta_update(
             rel,
             None,
             True,
-            _hive_partition_values(rel, pcols) if pcols else None,
+            _hive_partition_values(rel, wpcols) if wpcols else None,
             md=md,
         )
         for rel, md in metas.items()

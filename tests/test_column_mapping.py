@@ -247,7 +247,11 @@ def test_id_mode_refuses_loudly(spark, tmp_path):
         dl.read_delta(spark, t)
 
 
-def test_writes_to_mapped_tables_refuse(spark, tmp_path):
+def test_writes_to_mapped_tables_roundtrip(spark, tmp_path):
+    """Round 9: name-mode writes are implemented — appends to a
+    FOREIGN mapped table translate logical -> physical against the
+    table's own field metadata, and OPTIMIZE rewrites keep physical
+    column names."""
     t = str(tmp_path / "t")
     rel = _write_phys_file(
         spark, t, "f0",
@@ -258,10 +262,29 @@ def test_writes_to_mapped_tables_refuse(spark, tmp_path):
     ]}
     _commit(t, 0, [_PROTO_CM, _meta(schema), _add(rel)])
     df = spark.createDataFrame([(2,)], "v long")
-    with pytest.raises(NotImplementedError):
-        dl.write_delta(df, t, "append")
-    with pytest.raises(NotImplementedError):
-        dl.delta_compact(spark, t, 1)
+    dl.write_delta(df, t, "append")
+    assert sorted(
+        r.v for r in dl.read_delta(spark, t).collect()
+    ) == [1, 2]
+    # the appended file's parquet columns are PHYSICAL names
+    st = dl.replay(t)
+    import pyarrow.parquet as pq
+    new_rels = [r for r in st.files if r != rel]
+    assert new_rels
+    for nr in new_rels:
+        names = pq.ParquetFile(
+            os.path.join(t, nr)
+        ).schema_arrow.names
+        assert names == ["col-v"]
+    dl.delta_compact(spark, t, 1)
+    out = dl.read_delta(spark, t)
+    assert sorted(r.v for r in out.collect()) == [1, 2]
+    st2 = dl.replay(t)
+    assert len(st2.files) == 1
+    names = pq.ParquetFile(
+        os.path.join(t, st2.files[0])
+    ).schema_arrow.names
+    assert names == ["col-v"]
     # checkpointing is NOT a mutating write (ADVICE r8): it copies
     # schemaString/configuration verbatim, so mapped tables stay
     # checkpointable — and the checkpointed table still reads back
@@ -270,7 +293,9 @@ def test_writes_to_mapped_tables_refuse(spark, tmp_path):
     assert os.path.exists(os.path.join(
         t, "_delta_log", f"{v:020d}.checkpoint.parquet"
     ))
-    assert [r.v for r in dl.read_delta(spark, t).collect()] == [1]
+    assert sorted(
+        r.v for r in dl.read_delta(spark, t).collect()
+    ) == [1, 2]
 
 
 def test_reader_gate_accepts_cm_feature_combinations():
@@ -383,3 +408,226 @@ def test_configuration_survives_native_checkpoint(spark, tmp_path):
     ) == "name"
     out = dl.read_delta(spark, t)
     assert sorted(tuple(r) for r in out.collect()) == [(7, "z")]
+
+
+# --- column-mapping WRITE path (round 9) ----------------------------
+
+
+def _cm_table(spark, t, n=100):
+    df = spark.range(0, n).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("v"), F.col("id")).alias("label"),
+    )
+    return dl.write_delta(df, t, column_mapping="name")
+
+
+def test_cm_write_creates_mapped_table(spark, tmp_path):
+    t = str(tmp_path / "t")
+    st = _cm_table(spark, t)
+    cfg = st.configuration
+    assert cfg["delta.columnMapping.mode"] == "name"
+    assert int(cfg["delta.columnMapping.maxColumnId"]) == 3
+    sj = json.loads(st.schema)
+    ids, phys = [], []
+    for f in sj["fields"]:
+        m = f["metadata"]
+        ids.append(m["delta.columnMapping.id"])
+        phys.append(m["delta.columnMapping.physicalName"])
+    assert sorted(ids) == [1, 2, 3]
+    assert all(p.startswith("col-") for p in phys)
+    assert len(set(phys)) == 3
+    # protocol declares the feature both sides
+    assert "columnMapping" in st.protocol["readerFeatures"]
+    assert "columnMapping" in st.protocol["writerFeatures"]
+    # data files carry ONLY physical names
+    import pyarrow.parquet as pq
+    for rel in st.files:
+        names = pq.ParquetFile(
+            os.path.join(t, rel)
+        ).schema_arrow.names
+        assert set(names) == set(phys)
+    # and the name-mode reader restores logical names
+    out = dl.read_delta(spark, t)
+    assert out.columns == ["id", "grp", "label"]
+    assert out.count() == 100
+
+
+def test_cm_rename_is_metadata_only_and_readable(spark, tmp_path):
+    t = str(tmp_path / "t")
+    st = _cm_table(spark, t)
+    files = set(st.files)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(t, f)) for f in files
+    }
+    st2 = dl.delta_rename_column(t, "label", "tag")
+    assert set(st2.files) == files
+    for f in files:
+        assert os.path.getmtime(os.path.join(t, f)) == mtimes[f]
+    out = dl.read_delta(spark, t)
+    assert out.columns == ["id", "grp", "tag"]
+    assert out.where("tag = 'v5'").count() == 1
+    # time travel sees the OLD logical name
+    old = dl.read_delta(spark, t, 0)
+    assert old.columns == ["id", "grp", "label"]
+    # appends keep working against the renamed logical schema
+    more = spark.createDataFrame(
+        [(1000, 1, "vX")], "id long, grp long, tag string"
+    )
+    dl.write_delta(more, t, "append")
+    assert dl.read_delta(spark, t).count() == 101
+
+
+def test_cm_rename_refusals(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _cm_table(spark, t)
+    with pytest.raises(ValueError, match="no column"):
+        dl.delta_rename_column(t, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        dl.delta_rename_column(t, "label", "grp")
+    # unmapped table refuses
+    t2 = str(tmp_path / "plain")
+    dl.write_delta(
+        spark.createDataFrame([(1,)], "k long"), t2
+    )
+    with pytest.raises(ValueError, match="no column mapping"):
+        dl.delta_rename_column(t2, "k", "kk")
+    # a CHECK constraint referencing the column blocks the rename
+    dl.delta_alter_properties(
+        spark, t, {"delta.constraints.pos": "grp >= 0"}
+    )
+    with pytest.raises(ValueError, match="rule"):
+        dl.delta_rename_column(t, "grp", "bucket")
+
+
+def test_cm_append_uses_table_mapping(spark, tmp_path):
+    t = str(tmp_path / "t")
+    st = _cm_table(spark, t, n=10)
+    more = spark.range(10, 15).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("v"), F.col("id")).alias("label"),
+    )
+    st2 = dl.write_delta(more, t, "append")
+    assert st2.schema == st.schema  # appends pin the table mapping
+    assert dl.read_delta(spark, t).count() == 15
+    # enabling mapping on an append is an error, not a mode change
+    with pytest.raises(ValueError, match="append"):
+        dl.write_delta(more, t2 := str(tmp_path / "p"), "overwrite")
+        dl.write_delta(more, t2, "append", column_mapping="name")
+
+
+def test_cm_partitioned_write_physical_partition_values(
+    spark, tmp_path
+):
+    t = str(tmp_path / "t")
+    df = spark.range(0, 40).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("p")
+    )
+    st = dl.write_delta(
+        df, t, partition_by=["p"], column_mapping="name"
+    )
+    assert st.partition_cols == ("p",)  # metaData stays LOGICAL
+    sj = json.loads(st.schema)
+    p_phys = [
+        f["metadata"]["delta.columnMapping.physicalName"]
+        for f in sj["fields"] if f["name"] == "p"
+    ][0]
+    # partitionValues keys are PHYSICAL
+    for a in st.adds.values():
+        assert set(a["partitionValues"]) == {p_phys}
+    out = dl.read_delta(spark, t)
+    assert out.count() == 40
+    assert out.where("p = '2'").count() == 10
+    # partition pruning by logical predicate still works via scan
+    assert dl.read_delta(spark, t).where(
+        F.col("p") == "1"
+    ).count() == 10
+
+
+def test_cm_overwrite_same_shape_keeps_physical_names(
+    spark, tmp_path
+):
+    t = str(tmp_path / "t")
+    st = _cm_table(spark, t, n=10)
+    df2 = spark.range(100, 120).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("w"), F.col("id")).alias("label"),
+    )
+    st2 = dl.write_delta(df2, t, "overwrite")
+    assert st2.schema == st.schema  # identical mapping, stable names
+    assert st2.configuration == st.configuration
+    assert dl.read_delta(spark, t).count() == 20
+
+
+def test_cm_overwrite_new_schema_extends_max_column_id(
+    spark, tmp_path
+):
+    t = str(tmp_path / "t")
+    st = _cm_table(spark, t, n=10)  # maxColumnId 3
+    df2 = spark.range(0, 5).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("v"), F.col("id")).alias("label"),
+        F.lit(1.5).alias("score"),
+    )
+    st2 = dl.write_delta(df2, t, "overwrite")
+    cfg = st2.configuration
+    assert int(cfg["delta.columnMapping.maxColumnId"]) == 4
+    sj_old = {
+        f["name"]: f["metadata"]
+        for f in json.loads(st.schema)["fields"]
+    }
+    sj_new = {
+        f["name"]: f["metadata"]
+        for f in json.loads(st2.schema)["fields"]
+    }
+    # surviving columns KEEP id + physical name; the new one extends
+    for c in ("id", "grp", "label"):
+        assert sj_new[c]["delta.columnMapping.id"] == \
+            sj_old[c]["delta.columnMapping.id"]
+        assert sj_new[c]["delta.columnMapping.physicalName"] == \
+            sj_old[c]["delta.columnMapping.physicalName"]
+    assert sj_new["score"]["delta.columnMapping.id"] == 4
+    assert dl.read_delta(spark, t).count() == 5
+    # time travel across the schema change still resolves v0 files
+    assert dl.read_delta(spark, t, 0).count() == 10
+
+
+def test_cm_delete_update_merge_on_mapped_table(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _cm_table(spark, t, n=100)
+    dl.delta_delete(spark, t, "grp = 3")
+    out = dl.read_delta(spark, t)
+    assert out.count() == 86  # 14 ids with id%7==3 in 0..99
+    dl.delta_update(spark, t, "grp = 0", {"label": "'zero'"})
+    out = dl.read_delta(spark, t)
+    assert out.where("label = 'zero'").count() == 15
+    ups = spark.createDataFrame(
+        [(1, 1, "one"), (500, 3, "new")],
+        "id long, grp long, label string",
+    )
+    dl.delta_merge_upsert(spark, t, ups, ["id"])
+    out = dl.read_delta(spark, t)
+    assert out.count() == 87
+    assert out.where("label = 'one'").count() == 1
+    assert out.where("id = 500").count() == 1
+    # physical names on every data file, including rewrites
+    import pyarrow.parquet as pq
+    st = dl.replay(t)
+    for rel in st.files:
+        names = pq.ParquetFile(
+            os.path.join(t, rel)
+        ).schema_arrow.names
+        assert all(n.startswith("col-") or n.startswith("__")
+                   for n in names), names
+
+
+def test_cm_alter_properties_guards_mapping_keys(spark, tmp_path):
+    t = str(tmp_path / "t")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t)
+    with pytest.raises(ValueError, match="columnMapping"):
+        dl.delta_alter_properties(
+            spark, t, {"delta.columnMapping.mode": "name"}
+        )

@@ -207,13 +207,13 @@ def test_writer_gate_accepts_v3_refuses_v4plus():
         ],
     })
     # v4 (generated columns) is enforced, so accepted — unless the
-    # table actually enables CDF (separate test below)
+    # table actually enables CDF (separate test below); v5 (column
+    # mapping, name-mode write support round 9) likewise
     dl._check_writer_protocol("t", {"minWriterVersion": 4})
-    for mwv in (5, 6):
-        with pytest.raises(NotImplementedError):
-            dl._check_writer_protocol(
-                "t", {"minWriterVersion": mwv}
-            )
+    dl._check_writer_protocol("t", {"minWriterVersion": 5})
+    # v6 = identity columns, not implemented
+    with pytest.raises(NotImplementedError):
+        dl._check_writer_protocol("t", {"minWriterVersion": 6})
     with pytest.raises(NotImplementedError):
         dl._check_writer_protocol("t", {
             "minWriterVersion": 7,

@@ -493,8 +493,10 @@ def test_writer_gate_accepts_dv_refuses_more(tmp_path):
             "minWriterVersion": 7,
             "writerFeatures": ["deletionVectors", "identityColumns"],
         })
+    # v5 (column mapping) writable since round 9; v6 still refuses
+    dl._check_writer_protocol("t", {"minWriterVersion": 5})
     with pytest.raises(NotImplementedError):
-        dl._check_writer_protocol("t", {"minWriterVersion": 5})
+        dl._check_writer_protocol("t", {"minWriterVersion": 6})
 
 
 def test_delete_concurrent_commit_raises(spark, tmp_path):
@@ -660,3 +662,87 @@ def test_live_filter_raises_on_descriptor_miss(spark, tmp_path):
         pd.Series([int(pos[0]), int(pos[0]) + 1]),
     )
     assert list(out) == [False, True] or list(out) == [False, False]
+
+
+def test_merge_via_dv_does_not_rewrite_untouched_files(
+    spark, tmp_path
+):
+    """Once the table carries the deletionVectors feature, MERGE
+    marks matched rows dead and appends — the original data files
+    stay on disk untouched (VERDICT r8 item 4)."""
+    t = str(tmp_path / "t")
+    _mk(spark, t)
+    dl.delta_delete(spark, t, "k = 9")  # stamps the DV feature
+    head = dl.replay(t)
+    files_before = set(head.files)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(t, f))
+        for f in files_before
+    }
+    ups = spark.range(0, 5).select(
+        F.col("id").cast("long"),
+        F.lit(99).cast("long").alias("k"),
+    )
+    s2 = dl.delta_merge_upsert(spark, t, ups, ["id"])
+    # every pre-merge file is still live (now DV'd), plus new
+    # appended files for the update rows
+    assert files_before <= set(s2.files)
+    assert len(s2.files) > len(files_before)
+    for f in files_before:
+        assert os.path.getmtime(os.path.join(t, f)) == mtimes[f]
+    out = dl.read_delta(spark, t)
+    # 900 live after the delete; ids 0-4 (k=0..4, none deleted)
+    # replaced in place, nothing inserted
+    assert out.count() == 900
+    assert out.where("k = 99").count() == 5
+    with open(os.path.join(
+        t, "_delta_log", f"{s2.version:020d}.json"
+    )) as f:
+        acts = [json.loads(line) for line in f if line.strip()]
+    ci = [a["commitInfo"] for a in acts if "commitInfo" in a][0]
+    assert ci["operation"] == "MERGE"
+    assert ci["operationParameters"]["strategy"] == "deletionVectors"
+    assert ci["operationMetrics"]["numTargetRowsMatched"] == 5
+    # re-running the same merge converges
+    s3 = dl.delta_merge_upsert(spark, t, ups, ["id"])
+    out2 = dl.read_delta(spark, t)
+    assert out2.count() == 900
+    assert out2.where("k = 99").count() == 5
+    assert s3.version == s2.version + 1
+
+
+def test_merge_insert_only_on_dv_table(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _mk(spark, t, n=100)
+    dl.delta_delete(spark, t, "k = 0")
+    ups = spark.createDataFrame(
+        [(1000, 5), (1001, 6)], "id long, k long"
+    )
+    s2 = dl.delta_merge_upsert(spark, t, ups, ["id"])
+    out = dl.read_delta(spark, t)
+    assert out.count() == 92  # 90 live + 2 inserts
+    with open(os.path.join(
+        t, "_delta_log", f"{s2.version:020d}.json"
+    )) as f:
+        acts = [json.loads(line) for line in f if line.strip()]
+    # insert-only: no removes, no new DVs
+    assert not any("remove" in a for a in acts)
+    ci = [a["commitInfo"] for a in acts if "commitInfo" in a][0]
+    assert ci["operationMetrics"]["numTargetRowsMatched"] == 0
+
+
+def test_merge_via_dv_forced_on_plain_table(spark, tmp_path):
+    # explicit via_dv=True on a DV-free table: works and stamps the
+    # feature in the same commit
+    t = str(tmp_path / "t")
+    _mk(spark, t, n=100)
+    ups = spark.createDataFrame(
+        [(3, 99), (1000, 99)], "id long, k long"
+    )
+    s1 = dl.delta_merge_upsert(spark, t, ups, ["id"], via_dv=True)
+    assert "deletionVectors" in (
+        s1.protocol.get("writerFeatures") or []
+    )
+    out = dl.read_delta(spark, t)
+    assert out.count() == 101
+    assert out.where("k = 99").count() == 2
