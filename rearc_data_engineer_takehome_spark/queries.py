@@ -1116,49 +1116,56 @@ DRIVER_WINDOW: list[str] = [
     "knn_ivf",  # LLM tier: ANN family
     "doc_pii_redaction",  # LLM tier: text/chunking family
     "curation_pipeline",  # LLM tier: curation family
-    # --- rotating slots, round 8: 37 never-driver-checked queries
-    # (VERDICT r07 item 1 priority order: the operator-bearing ones
-    # first — IGNORE-NULLS window tier, the round-7/8 native-Delta
-    # gates, multimodal, samplers, VARIANT, salting, fuzzy joins —
-    # then the relational/LLM long tail; 9 + events_wau_approx
-    # (rows-only by design) remain for round 9) ---
-    "lineitem_delta_zorder_scan",  # NEW r8: Z-order x native Delta
-    "orders_dv_delete_scan",  # NEW r8: deletion vectors (DELETE+purge)
-    "orders_dv_update_scan",  # NEW r8: UPDATE via deletion vectors
-    "orders_dv_cdf_counts",  # NEW r8: CDF from the log + DVs
-    "orders_delta_pruned_scan",  # r7 delta_scan stats-skipping gate
-    "user_value_window_nulls",  # IGNORE NULLS window tier
-    "multimodal_inventory",
-    "multimodal_resize_audit",
-    "sample_weighted_docs",
-    "sample_docs_per_lang",
-    "events_props_variant",  # VARIANT tier
-    "salted_event_user_deviation",  # skew-salting loop, apply half
-    "fuzzy_part_name_pairs",
-    "doc_metadata_consistency",
-    "events_gapfill_daily",
-    "doc_bm25_topk",
-    "events_rolling_7d",
-    "doc_repetition_scores",
-    "event_type_transitions",
-    "priority_status_chi2",
-    "user_activity_streaks",
-    "brand_type_rollup_csv",
-    "events_wau",
-    "returnflag_status_grouping_sets",
-    "events_daily_growth_accounting",
-    "supplier_counts_by_part_attrs",
-    "ship_priority_revenue_topk",
-    "nation_market_share",
-    "priority_status_mutual_info",
-    "orders_global_rownum_sample",
-    "temperature_mixture_plan",
-    "tokenizer_fertility",
-    "mixture_sample_manifest",
-    "embedding_split_drift",
-    "cross_source_duplication",
-    "events_decayed_user_value",
-    "order_price_winsorized",
+    # --- rotating slots, round 9 (VERDICT r08 item 1): the FINAL 17
+    # queries with no clean driver row from any prior round — the 14
+    # relational/LLM long-tail entries r8 left, cardinality_sketch
+    # (whose only r01 row was err=no_oracle before the driver learned
+    # rows-only checks) and events_wau_approx (rows-only by design:
+    # engine-private approx_count_distinct has no cross-engine
+    # oracle), plus this round's two new native-Delta gates. With
+    # these green, every registry query has a driver row -> 221/221
+    # cumulative certification. ---
+    "orders_cm_roundtrip",  # NEW r9: column-mapping WRITE + rename
+    "orders_dv_merge_scan",  # NEW r9: MERGE via deletion vectors
+    "events_gapfill_interpolated",
+    "order_trend_by_priority",
+    "events_time_weighted_value",
+    "modal_event_type_per_user",
+    "revenue_by_dow",
+    "events_wau_approx",  # rows-only (approx_count_distinct)
+    "cardinality_sketch",  # rows-only (approx_count_distinct)
+    "excess_recent_shippers",
+    "late_shipment_priority_check",
+    "returned_items_by_customer",
+    "customer_order_count_distribution",
+    "doc_length_buckets",
+    "events_debounced_counts",
+    "top_revenue_share_customers",
+    "categorical_entropy_profile",
+    # --- 20 re-certification fillers: queries whose latest clean
+    # driver row is r01/r02 — the stalest external signal in the
+    # registry (orders_with_shipped_items doubles as the r8
+    # beyond-band bench drift under a fresh driver eye) ---
+    "brand_disjunctive_revenue",
+    "brand_price_quartiles",
+    "cardinality_profile",
+    "customer_order_analytics",
+    "customers_without_orders",
+    "doc_fingerprints",
+    "doc_language_id",
+    "doc_quality_scores",
+    "doc_token_stats",
+    "duplicate_keys_lineitem",
+    "embedding_element_stats",
+    "events_asof_last_signup",
+    "events_hourly",
+    "events_json_props",
+    "events_sessionize",
+    "order_value_stats",
+    "orders_with_shipped_items",
+    "promo_revenue_share",
+    "returnflag_pivot",
+    "revenue_by_region",
 ]
 
 
