@@ -1858,7 +1858,14 @@ def customer_rfm_segments_scalable(
 ) -> DataFrame:
     from .operators.quality import grouped_exact_quantiles_scalable
 
-    rfm = _rfm_aggregate(spark, sf_dir).localCheckpoint()
+    # |customers| rows — NOT driver-bounded, so reliable scratch
+    # rather than localCheckpoint (an executor loss would kill the
+    # query with unrecoverable lineage; VERDICT r08 item 2)
+    from .operators.relational import checkpoint_reliable
+
+    rfm = checkpoint_reliable(
+        _rfm_aggregate(spark, sf_dir), "rfm_aggregate"
+    )
     probs = list(_RFM_PROBS)
     # ONE grouped two-pass over the melted (dim, value) relation
     # computes all 12 cutpoints (was 3 separate exact_quantiles calls =
@@ -2251,6 +2258,9 @@ def source_lang_js_divergence(
     c = docs.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
+    # bounded: |sources| x |langs| grouped cells (hundreds at any
+    # corpus scale — source and lang are low-cardinality enums), so
+    # executor-pinned localCheckpoint is safe here
     c = c.localCheckpoint()  # feeds three derived dims + the fill join
     ns = c.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
     nl = c.groupBy("lang").agg(F.sum("c").cast("bigint").alias("cl"))
