@@ -948,6 +948,9 @@ def _remap_column_mapping(
     new = json.loads(new_json)
     old_fields: dict = {}
 
+    # paths mark array/map hops explicitly so a struct inside a map
+    # KEY can never alias one inside the VALUE (or a plain sibling) —
+    # an alias would hand two distinct fields one id/physical name
     def _index(t, prefix):
         if isinstance(t, dict) and t.get("type") == "struct":
             for f in t.get("fields", []):
@@ -955,14 +958,21 @@ def _remap_column_mapping(
                 old_fields[path] = f.get("metadata") or {}
                 _index(f["type"], path)
         elif isinstance(t, dict) and t.get("type") == "array":
-            _index(t["elementType"], prefix)
+            _index(t["elementType"], prefix + ("[]",))
         elif isinstance(t, dict) and t.get("type") == "map":
-            _index(t["keyType"], prefix)
-            _index(t["valueType"], prefix)
+            _index(t["keyType"], prefix + ("[key]",))
+            _index(t["valueType"], prefix + ("[value]",))
 
     if old_json:
         _index(json.loads(old_json), ())
+    # fresh ids must clear BOTH the caller's high-water mark (the
+    # table's maxColumnId config) and every id actually present in
+    # the old schema — a foreign table with a stale config must not
+    # drive duplicate id assignment
     next_id = start_id
+    for meta in old_fields.values():
+        if _CM_ID in meta:
+            next_id = max(next_id, int(meta[_CM_ID]))
 
     def walk_type(t, prefix):
         if isinstance(t, dict):
@@ -978,13 +988,19 @@ def _remap_column_mapping(
             if kind == "array":
                 return {
                     **t,
-                    "elementType": walk_type(t["elementType"], prefix),
+                    "elementType": walk_type(
+                        t["elementType"], prefix + ("[]",)
+                    ),
                 }
             if kind == "map":
                 return {
                     **t,
-                    "keyType": walk_type(t["keyType"], prefix),
-                    "valueType": walk_type(t["valueType"], prefix),
+                    "keyType": walk_type(
+                        t["keyType"], prefix + ("[key]",)
+                    ),
+                    "valueType": walk_type(
+                        t["valueType"], prefix + ("[value]",)
+                    ),
                 }
         return t
 
@@ -1040,11 +1056,13 @@ def _physical_payload(
     sites pay nothing."""
     from pyspark.sql.types import StructType
 
-    schema = StructType.fromJson(json.loads(mapped_schema_json))
-    if not any(
-        (f.metadata or {}).get(_CM_PHYS) for f in schema.fields
-    ):
+    # string containment, not a top-level-fields scan: a (malformed
+    # but representable) schema mapping ONLY nested fields must still
+    # take the translation path, or the write would mix logical and
+    # physical names in one file
+    if _CM_PHYS not in mapped_schema_json:
         return df, list(pcols or []), (lambda c: c)
+    schema = StructType.fromJson(json.loads(mapped_schema_json))
     phys = _physical_struct(schema)
     out = df.select(
         *[

@@ -631,3 +631,55 @@ def test_cm_alter_properties_guards_mapping_keys(spark, tmp_path):
         dl.delta_alter_properties(
             spark, t, {"delta.columnMapping.mode": "name"}
         )
+
+
+def test_remap_fresh_ids_clear_stale_config_high_water():
+    """Self-review r9: a foreign table whose maxColumnId config is
+    STALE (smaller than ids actually in the schema) must not drive
+    duplicate id assignment for new columns."""
+    old = json.dumps({"type": "struct", "fields": [
+        _field("a", "long", 2, "col-a"),
+        _field("b", "long", 7, "col-b"),
+    ]})
+    new = json.dumps({"type": "struct", "fields": [
+        {"name": "a", "type": "long", "nullable": True,
+         "metadata": {}},
+        {"name": "b", "type": "long", "nullable": True,
+         "metadata": {}},
+        {"name": "c", "type": "long", "nullable": True,
+         "metadata": {}},
+    ]})
+    mapped, mx = dl._remap_column_mapping(new, old, start_id=3)
+    by = {
+        f["name"]: f["metadata"]
+        for f in json.loads(mapped)["fields"]
+    }
+    assert by["a"]["delta.columnMapping.id"] == 2
+    assert by["b"]["delta.columnMapping.id"] == 7
+    assert by["c"]["delta.columnMapping.id"] == 8  # not 4
+    assert mx == 8
+
+
+def test_remap_map_key_value_structs_do_not_alias():
+    """Self-review r9: a struct field named 'x' inside a map KEY and
+    one inside the map VALUE are distinct columns and must get
+    distinct ids + physical names."""
+    inner = {"type": "struct", "fields": [
+        {"name": "x", "type": "long", "nullable": True,
+         "metadata": {}},
+    ]}
+    new = json.dumps({"type": "struct", "fields": [
+        {"name": "m",
+         "type": {"type": "map", "keyType": inner,
+                  "valueType": inner,
+                  "valueContainsNull": True},
+         "nullable": True, "metadata": {}},
+    ]})
+    mapped, mx = dl._remap_column_mapping(new)
+    mt = json.loads(mapped)["fields"][0]["type"]
+    kx = mt["keyType"]["fields"][0]["metadata"]
+    vx = mt["valueType"]["fields"][0]["metadata"]
+    assert kx["delta.columnMapping.id"] != vx["delta.columnMapping.id"]
+    assert kx["delta.columnMapping.physicalName"] != \
+        vx["delta.columnMapping.physicalName"]
+    assert mx == 3
