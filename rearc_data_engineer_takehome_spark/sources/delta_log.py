@@ -1462,16 +1462,33 @@ def write_delta(
     if mode == "append" and head_mode == "name":
         if not _sn._schema_compatible(head0.schema, schema_json):
             if merge_schema:
-                raise NotImplementedError(
-                    "merge_schema on a column-mapped table is not "
-                    "implemented (new columns need fresh mapping "
-                    "ids assigned before any file is written)"
+                # additive evolution on a mapped table: merge keeps
+                # every table field's mapping verbatim; the NEW
+                # columns need ids above the high-water mark and
+                # fresh physical names BEFORE any file materializes
+                # (the data files must carry them)
+                merged = _sn._merge_schemas(
+                    head0.schema, schema_json
                 )
-            raise ValueError(
-                "append schema incompatible with table schema "
-                "(Delta appends never silently rename/retype)"
-            )
-        file_schema = head0.schema  # appends pin the table mapping
+                old_max = int(
+                    (head0.configuration or {}).get(_CM_MAX, 0) or 0
+                )
+                schema_json, mx = _remap_column_mapping(
+                    merged, head0.schema, old_max
+                )
+                cm_config = {
+                    **(head0.configuration or {}),
+                    _CM_MAX: str(mx),
+                }
+                file_schema = schema_json
+            else:
+                raise ValueError(
+                    "append schema incompatible with table schema "
+                    "(Delta appends never silently rename/retype; "
+                    "pass merge_schema=True for add-only evolution)"
+                )
+        else:
+            file_schema = head0.schema  # appends pin the mapping
     elif head_mode == "name" or column_mapping == "name":
         if mode == "append" and head0 is not None:
             raise ValueError(
@@ -1615,7 +1632,10 @@ def write_delta(
                     actions.append(
                         _meta_action(
                             schema_json, head.metadata_id, pcols,
-                            head.configuration,
+                            # mapped evolution carries the bumped
+                            # maxColumnId computed pre-write
+                            cm_config if cm_config is not None
+                            else head.configuration,
                         )
                     )
                 else:
@@ -2921,6 +2941,77 @@ def delta_rename_column(
                 "timestamp": _now_ms(),
                 "operation": "RENAME COLUMN",
                 "operationParameters": {"from": old, "to": new},
+                "engineInfo": "rearc-takehome-spark-cleanroom",
+            }
+        },
+    ]
+    _atomic_commit(table_dir, head.version + 1, actions)
+    return replay(table_dir, head.version + 1)
+
+
+def delta_drop_column(table_dir: str, col: str) -> DeltaState:
+    """ALTER TABLE DROP COLUMN as a metaData-only commit (PROTOCOL.md
+    "Column Mapping" — the other operation the feature exists for):
+    the field leaves the logical schema, its physical column stays in
+    the immutable data files but is simply never addressed again.
+    Mapped tables only; refuses partition columns and columns any
+    CHECK constraint / invariant / generated-column expression
+    mentions. A later re-ADD of the same logical name gets a FRESH id
+    and physical name (_remap_column_mapping keys off the post-drop
+    schema), so old values can never resurrect — native semantics."""
+    head = replay(table_dir)
+    _check_writer_protocol(
+        table_dir, head.protocol, head.configuration
+    )
+    if ((head.configuration or {}).get("delta.columnMapping.mode")
+            or "none") != "name":
+        raise ValueError(
+            f"{table_dir} has no column mapping; DROP COLUMN needs "
+            "it — without mapping the reader cannot skip a physical "
+            "column that is still in every data file"
+        )
+    sj = json.loads(head.schema)
+    names = [f["name"] for f in sj["fields"]]
+    if col not in names:
+        raise ValueError(f"no column {col!r} in {sorted(names)}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the only column")
+    if col in head.partition_cols:
+        raise ValueError(
+            f"cannot drop partition column {col!r}"
+        )
+    rules = [
+        expr
+        for _, expr in (
+            list(_table_constraints(head.configuration).items())
+            + _column_invariants(head.schema)
+            + _generated_columns(head.schema)
+        )
+    ]
+    import re as _re
+
+    hit = [
+        r for r in rules
+        if _re.search(rf"\b{_re.escape(col)}\b", r)
+    ]
+    if hit:
+        raise ValueError(
+            f"cannot drop {col!r}: referenced by table rule(s) "
+            f"{hit} — drop or rewrite them first"
+        )
+    fields = [f for f in sj["fields"] if f["name"] != col]
+    actions = [
+        _meta_action(
+            json.dumps({**sj, "fields": fields}),
+            head.metadata_id,
+            list(head.partition_cols),
+            head.configuration,
+        ),
+        {
+            "commitInfo": {
+                "timestamp": _now_ms(),
+                "operation": "DROP COLUMNS",
+                "operationParameters": {"columns": [col]},
                 "engineInfo": "rearc-takehome-spark-cleanroom",
             }
         },

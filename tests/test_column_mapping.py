@@ -683,3 +683,109 @@ def test_remap_map_key_value_structs_do_not_alias():
     assert kx["delta.columnMapping.physicalName"] != \
         vx["delta.columnMapping.physicalName"]
     assert mx == 3
+
+
+def test_cm_merge_schema_evolution_assigns_fresh_ids(
+    spark, tmp_path
+):
+    """Add-only evolution on a mapped table: new columns get ids
+    above the high-water mark and fresh physical names BEFORE the
+    data files are written; old files null-fill."""
+    t = str(tmp_path / "t")
+    st = _cm_table(spark, t, n=10)  # maxColumnId 3
+    more = spark.range(10, 15).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("v"), F.col("id")).alias("label"),
+        (F.col("id") * 2.0).alias("score"),
+    )
+    st2 = dl.write_delta(more, t, "append", merge_schema=True)
+    assert int(
+        st2.configuration["delta.columnMapping.maxColumnId"]
+    ) == 4
+    by_new = {
+        f["name"]: f["metadata"]
+        for f in json.loads(st2.schema)["fields"]
+    }
+    by_old = {
+        f["name"]: f["metadata"]
+        for f in json.loads(st.schema)["fields"]
+    }
+    for c in ("id", "grp", "label"):
+        assert by_new[c] == by_old[c]
+    assert by_new["score"]["delta.columnMapping.id"] == 4
+    score_phys = by_new["score"]["delta.columnMapping.physicalName"]
+    assert score_phys.startswith("col-")
+    # the appended files carry the new PHYSICAL column
+    import pyarrow.parquet as pq
+    new_rels = set(st2.files) - set(st.files)
+    assert new_rels
+    for rel in new_rels:
+        assert score_phys in pq.ParquetFile(
+            os.path.join(t, rel)
+        ).schema_arrow.names
+    out = dl.read_delta(spark, t)
+    assert out.count() == 15
+    assert out.where(F.col("score").isNull()).count() == 10
+
+
+def test_cm_drop_column_metadata_only_and_fresh_readd(
+    spark, tmp_path
+):
+    t = str(tmp_path / "t")
+    st = _cm_table(spark, t, n=10)
+    files = set(st.files)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(t, f)) for f in files
+    }
+    old_label_phys = [
+        f["metadata"]["delta.columnMapping.physicalName"]
+        for f in json.loads(st.schema)["fields"]
+        if f["name"] == "label"
+    ][0]
+    st2 = dl.delta_drop_column(t, "label")
+    assert set(st2.files) == files
+    for f in files:
+        assert os.path.getmtime(os.path.join(t, f)) == mtimes[f]
+    out = dl.read_delta(spark, t)
+    assert out.columns == ["id", "grp"]
+    # time travel still sees the dropped column
+    assert dl.read_delta(spark, t, 0).columns == [
+        "id", "grp", "label",
+    ]
+    # re-ADD the same logical name: fresh id + physical name, old
+    # values must NOT resurrect
+    more = spark.range(10, 12).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.lit("fresh").alias("label"),
+    )
+    st3 = dl.write_delta(more, t, "append", merge_schema=True)
+    by = {
+        f["name"]: f["metadata"]
+        for f in json.loads(st3.schema)["fields"]
+    }
+    assert by["label"]["delta.columnMapping.id"] == 4
+    assert by["label"]["delta.columnMapping.physicalName"] != \
+        old_label_phys
+    out = dl.read_delta(spark, t)
+    assert out.count() == 12
+    # rows 0-9 read NULL for the re-added column (old physical data
+    # is invisible), only the new rows carry values
+    assert out.where(F.col("label").isNotNull()).count() == 2
+
+
+def test_cm_drop_refusals(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(0, 10).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("p")
+    )
+    dl.write_delta(df, t, partition_by=["p"], column_mapping="name")
+    with pytest.raises(ValueError, match="partition"):
+        dl.delta_drop_column(t, "p")
+    with pytest.raises(ValueError, match="no column"):
+        dl.delta_drop_column(t, "zzz")
+    t2 = str(tmp_path / "plain")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t2)
+    with pytest.raises(ValueError, match="no column mapping"):
+        dl.delta_drop_column(t2, "k")

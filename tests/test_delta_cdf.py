@@ -136,3 +136,37 @@ def test_cdf_pins_end_schema_after_evolution(spark, tmp_path):
     # the whole feed reads under the END schema: the pre-evolution
     # insert null-fills the evolved column
     assert rows == {2: (None, "insert"), 3: ("x", "insert")}
+
+
+def test_cdf_over_dv_merge_commit(spark, tmp_path):
+    """A DV-enabled MERGE commit (removes+DV re-adds for matched
+    files, plain adds for the payload) must reconstruct as: delete
+    rows for the matched PRE-images, insert rows for every source
+    row."""
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / "t")
+    dl.write_delta(
+        spark.range(0, 100).select(
+            F.col("id"), (F.col("id") % 10).alias("k")
+        ).repartition(4),
+        t,
+    )
+    ups = spark.createDataFrame(
+        [(3, 99), (7, 99), (1000, 99)], "id long, k long"
+    )
+    s1 = dl.delta_merge_upsert(spark, t, ups, ["id"], via_dv=True)
+    ch = dl.read_delta_changes(spark, t, 0, s1.version)
+    rows = {
+        (r._change_type, r.id, r.k) for r in ch.collect()
+    }
+    assert rows == {
+        ("delete", 3, 3), ("delete", 7, 7),
+        ("insert", 3, 99), ("insert", 7, 99), ("insert", 1000, 99),
+    }
+    # and the post-merge head balances with v0 + the feed
+    head_ids = {
+        r.id for r in dl.read_delta(spark, t).collect()
+    }
+    assert len(head_ids) == 101
+    assert {3, 7, 1000} <= head_ids
