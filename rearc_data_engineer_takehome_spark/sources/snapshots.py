@@ -856,8 +856,22 @@ def scratch_table_dir(suffix: str) -> str:
         now = time.time()
         for d in os.listdir(root):
             full = os.path.join(root, d)
+            if full == tbl:
+                continue
+            # a dead owner's tables are garbage NOW, not in a day —
+            # a driver/bench session spawning many processes was
+            # observed to strand 1000+ dirs (2.3 GB) in hours
+            pid_s = d.split("_", 1)[0]
+            dead = False
+            if pid_s.isdigit() and int(pid_s) != os.getpid():
+                try:
+                    os.kill(int(pid_s), 0)
+                except ProcessLookupError:
+                    dead = True
+                except OSError:
+                    pass
             try:
-                if full != tbl and now - os.stat(full).st_mtime > 86_400:
+                if dead or now - os.stat(full).st_mtime > 86_400:
                     shutil.rmtree(full, ignore_errors=True)
             except OSError:
                 pass
