@@ -1127,6 +1127,7 @@ DRIVER_WINDOW: list[str] = [
     # cumulative certification. ---
     "orders_cm_roundtrip",  # NEW r9: column-mapping WRITE + rename
     "orders_dv_merge_scan",  # NEW r9: MERGE via deletion vectors
+    "orders_cm_evolution",  # NEW r9: DROP COLUMN + mapped evolution
     "events_gapfill_interpolated",
     "order_trend_by_priority",
     "events_time_weighted_value",
@@ -1165,7 +1166,6 @@ DRIVER_WINDOW: list[str] = [
     "orders_with_shipped_items",
     "promo_revenue_share",
     "returnflag_pivot",
-    "revenue_by_region",
 ]
 
 

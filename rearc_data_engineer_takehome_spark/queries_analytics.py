@@ -5605,3 +5605,76 @@ def orders_dv_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("sum_cents"),
         )
     )
+
+
+@query(
+    "orders_cm_evolution",
+    """
+    SELECT o_orderpriority AS prio,
+           count(*)::BIGINT AS n_orders,
+           count(CASE WHEN (o_orderkey % 2) = 1 THEN 1 END)::BIGINT
+             AS n_with_cents,
+           coalesce(sum(CASE WHEN (o_orderkey % 2) = 1
+                        THEN round(o_totalprice * 100)::BIGINT END),
+                    0)::BIGINT AS sum_cents
+    FROM orders
+    GROUP BY prio
+    """,
+    doc="Column lifecycle on a mapped native-Delta table (delta_log."
+    "delta_drop_column + merge_schema evolution; PROTOCOL.md "
+    "'Column Mapping' — the drop/re-add semantics behind ALTER "
+    "TABLE on the Delta format the reference persists its tables "
+    "in, notebooks/20_analytics.ipynb:653) certified under the "
+    "value-hash gate: even-key orders written mapped WITH a cents "
+    "column, the column DROPPED via a metaData-only commit (files "
+    "untouched), then odd-key orders appended with merge_schema "
+    "re-adding the same LOGICAL name — which must get a fresh id + "
+    "physical name, so the dropped even-key values can never "
+    "resurrect: they read as NULL while the odd-key appends carry "
+    "values. The oracle expresses exactly that visibility rule as "
+    "a CASE over the raw table; any resurrection, mis-mapped "
+    "append, or null-fill failure breaks the hash. At 100 TB both "
+    "DDLs are kilobyte commits against immutable data.",
+)
+def orders_cm_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid as _uuid
+
+    from .sources import delta_log as dl
+    from .sources import snapshots as sn
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_ocmevo_"
+        f"{_uuid.uuid4().hex[:8]}"
+    )
+    dl.write_delta(
+        orders.where(F.pmod("o_orderkey", F.lit(2)) == 0)
+        .repartition(4),
+        tbl,
+        column_mapping="name",
+    )
+    dl.delta_drop_column(tbl, "cents")
+    dl.write_delta(
+        orders.where(F.pmod("o_orderkey", F.lit(2)) == 1),
+        tbl,
+        "append",
+        merge_schema=True,
+    )
+    return (
+        dl.read_delta(spark, tbl)
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.count("cents").cast("bigint").alias("n_with_cents"),
+            F.coalesce(F.sum("cents"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+    )

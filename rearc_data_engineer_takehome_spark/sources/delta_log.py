@@ -69,9 +69,11 @@ _DV_PROTOCOL = {
 }
 # the table-feature sets this module actually implements; protocol
 # gates admit exactly these and refuse everything else loudly.
-# columnMapping is READ-side only: name-mode reads resolve physical
-# column names (id mode refuses at read time); writes to mapped
-# tables stay refused by the writer gate. appendOnly / invariants /
+# columnMapping (name mode) is read AND write since round 9:
+# reads resolve physical column names, every mutating path
+# translates logical->physical before touching parquet
+# (_physical_payload), and rename/drop are metaData-only commits;
+# id mode refuses on both sides. appendOnly / invariants /
 # checkConstraints are ENFORCED on every mutating path (round 8), so
 # legacy writer versions 2-3 and their feature forms are honest to
 # accept; timestampNtz is just the type, which Spark handles.
