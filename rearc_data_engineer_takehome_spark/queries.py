@@ -1128,6 +1128,7 @@ DRIVER_WINDOW: list[str] = [
     "orders_cm_roundtrip",  # NEW r9: column-mapping WRITE + rename
     "orders_dv_merge_scan",  # NEW r9: MERGE via deletion vectors
     "orders_cm_evolution",  # NEW r9: DROP COLUMN + mapped evolution
+    "orders_cdc_feed_counts",  # NEW r9: CDC write (change files)
     "events_gapfill_interpolated",
     "order_trend_by_priority",
     "events_time_weighted_value",
@@ -1165,7 +1166,6 @@ DRIVER_WINDOW: list[str] = [
     "order_value_stats",
     "orders_with_shipped_items",
     "promo_revenue_share",
-    "returnflag_pivot",
 ]
 
 

@@ -5435,6 +5435,96 @@ def orders_dv_cdf_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_cdc_feed_counts",
+    """
+    SELECT change_type,
+           count(*)::BIGINT AS n_rows,
+           sum(cents)::BIGINT AS sum_cents
+    FROM (
+        SELECT 'delete' AS change_type,
+               round(o_totalprice * 100)::BIGINT AS cents
+        FROM orders WHERE (o_orderkey % 9) = 4
+        UNION ALL
+        SELECT 'update_preimage',
+               round(o_totalprice * 100)::BIGINT
+        FROM orders WHERE (o_orderkey % 9) = 5
+        UNION ALL
+        SELECT 'update_postimage',
+               round(o_totalprice * 100)::BIGINT + 500
+        FROM orders WHERE (o_orderkey % 9) = 5
+        UNION ALL
+        SELECT 'insert', 777::BIGINT
+        FROM orders WHERE (o_orderkey % 101) = 7
+    ) GROUP BY change_type
+    """,
+    doc="CDC WRITE support on the native Delta log (delta_log."
+    "_write_cdc_files + the cdc-exclusive read path in "
+    "read_delta_changes; PROTOCOL.md 'Add CDC File' / 'Change Data "
+    "Files' — the change-feed mechanism of the Delta format the "
+    "reference persists its tables in, notebooks/20_analytics."
+    "ipynb:653) certified under the driver's value-hash gate: "
+    "orders written as Delta, delta.enableChangeDataFeed flipped on "
+    "via SET TBLPROPERTIES (upgrading the writer protocol), then a "
+    "DV DELETE and a DV UPDATE — each committing _change_data "
+    "parquet + cdc actions — plus a plain append (which owes no cdc"
+    ": adds are derivable). table_changes() must read the cdc "
+    "commits from their change files EXCLUSIVELY, surfacing native "
+    "update_preimage/update_postimage types the add/remove "
+    "reconstruction cannot express, and derive the append's "
+    "inserts. The oracle rebuilds all four legs as plain "
+    "predicates. At 100 TB each mutation writes its changed rows "
+    "once — the feed later costs one scan of _change_data, not a "
+    "log reconstruction.",
+)
+def orders_cdc_feed_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import uuid as _uuid
+
+    from .sources import delta_log as dl
+    from .sources import snapshots as sn
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_ocdc_"
+        f"{_uuid.uuid4().hex[:8]}"
+    )
+    dl.write_delta(orders.repartition(4), tbl)
+    st0 = dl.delta_alter_properties(
+        spark, tbl, {"delta.enableChangeDataFeed": "true"}
+    )
+    dl.delta_delete(spark, tbl, "pmod(o_orderkey, 9) = 4")
+    dl.delta_update(
+        spark, tbl, "pmod(o_orderkey, 9) = 5",
+        {"cents": "cents + 500"},
+    )
+    dl.write_delta(
+        orders.where(F.pmod("o_orderkey", F.lit(101)) == 7).select(
+            (F.col("o_orderkey") + F.lit(200000000).cast("bigint"))
+            .alias("o_orderkey"),
+            "prio",
+            F.lit(777).cast("bigint").alias("cents"),
+        ),
+        tbl,
+        "append",
+    )
+    ch = dl.read_delta_changes(spark, tbl, st0.version)
+    return ch.groupBy(
+        F.col("_change_type").alias("change_type")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+@query(
     "orders_cm_roundtrip",
     """
     WITH full_set AS (

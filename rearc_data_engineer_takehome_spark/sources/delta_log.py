@@ -83,7 +83,7 @@ _READER_FEATURES = {
 _WRITER_FEATURES = {
     "deletionVectors", "appendOnly", "invariants",
     "checkConstraints", "timestampNtz", "generatedColumns",
-    "columnMapping",
+    "columnMapping", "changeDataFeed",
 }
 
 
@@ -301,10 +301,11 @@ def _check_writer_protocol(
 
     ``checkpoint_only`` relaxes exactly the refusals irrelevant to a
     checkpoint, which changes no rows and re-serializes protocol /
-    metaData / add actions verbatim: CDF (no row changes -> no cdc
-    files owed) and column mapping (schemaString + configuration pass
-    through untouched). Features that change the CHECKPOINT's own
-    contract (e.g. v2Checkpoint) still refuse."""
+    metaData / add actions verbatim — today that is the id-mode
+    column-mapping config refusal (an id-mapped table is checkpoint-
+    able even though its data files are not writable here). Features
+    that change the CHECKPOINT's own contract (e.g. v2Checkpoint)
+    still refuse."""
     if not checkpoint_only and configuration and (
         configuration.get("delta.columnMapping.mode") or "none"
     ) not in ("none", "name"):
@@ -318,34 +319,16 @@ def _check_writer_protocol(
             f"{configuration.get('delta.columnMapping.mode')!r}; "
             "this clean-room writer implements 'name' mode only"
         )
-    # changeDataFeed demands cdc FILES whenever the table property
-    # enables it — a v4/feature table with CDF off needs nothing
-    # from us, so refusing it would be needlessly strict, while
-    # writing to a CDF-ON table without emitting cdc actions would
-    # corrupt native table_changes(). Refuse on the PROPERTY alone,
-    # before any protocol-row inspection: a malformed log can carry
-    # delta.enableChangeDataFeed=true under a legacy
-    # minWriterVersion 2/3 (or no protocol row at all), and the
-    # corruption is identical
-    cdf_on = (configuration or {}).get(
-        "delta.enableChangeDataFeed", ""
-    ).lower() == "true"
-    if cdf_on and not checkpoint_only:
-        raise NotImplementedError(
-            f"{table_dir} has delta.enableChangeDataFeed=true; this "
-            "clean-room writer does not emit cdc actions, and "
-            "committing without them would corrupt native change "
-            "feeds (read_delta_changes reconstructs feeds from the "
-            "log, but native readers trust cdc files)"
-        )
+    # changeDataFeed is a fully-implemented writer capability since
+    # round 9: DV DELETE/UPDATE/MERGE emit spec cdc actions +
+    # _change_data files whenever the table property enables it
+    # (appends/overwrites stay derivable from add/remove per the
+    # spec, so they owe none); accepting CDF-on tables is honest.
     if not protocol:
         return
     mwv = protocol.get("minWriterVersion", 2) or 2
     feats = set(protocol.get("writerFeatures") or [])
-    ok_feats = _WRITER_FEATURES | (
-        {"changeDataFeed", "columnMapping"} if checkpoint_only
-        else {"changeDataFeed"}
-    )
+    ok_feats = _WRITER_FEATURES
     if mwv <= 5 and not feats:
         # writer v2 = appendOnly + invariants, v3 adds CHECK
         # constraints, v4 adds generated columns (+ CDF, gated
@@ -1365,6 +1348,163 @@ def _write_partitioned_data_files(
     return sorted(files)
 
 
+# --- change data files (PROTOCOL.md "Add CDC File") -----------------
+# When delta.enableChangeDataFeed=true, commits whose row-level
+# changes are NOT derivable from add/remove alone (DV deletes,
+# updates, merges) carry ``cdc`` actions pointing at parquet files
+# under _change_data/ holding the changed rows + a _change_type
+# column. CDF readers use cdc files EXCLUSIVELY for such commits;
+# plain appends/overwrites stay derivable and need none. cdc actions
+# are per-commit only — never checkpointed, replay ignores them.
+
+_CHANGE_TYPE = "_change_type"
+
+
+def _cdf_enabled(configuration: dict | None) -> bool:
+    return (configuration or {}).get(
+        "delta.enableChangeDataFeed", ""
+    ).lower() == "true"
+
+
+def _write_cdc_files(
+    df: DataFrame,
+    table_dir: str,
+    schema_json: str,
+    pcols: list | tuple,
+) -> list[dict]:
+    """Write ``df`` (the table's LOGICAL columns + ``_change_type``)
+    as spec change-data files under ``_change_data/<uuid>/`` and
+    return the commit's ``cdc`` actions. Mirrors the add layout:
+    column-mapped tables store physical column names, partitioned
+    tables use hive directories with partitionValues keyed by
+    physical names. Executors write once; only file metadata reaches
+    the driver."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(schema_json))
+    if _CM_PHYS in schema_json:
+        phys = _physical_struct(schema)
+        cols = [
+            F.col(lf.name).cast(pf.dataType).alias(pf.name)
+            for lf, pf in zip(schema.fields, phys.fields)
+        ]
+        pmap = {
+            lf.name: pf.name
+            for lf, pf in zip(schema.fields, phys.fields)
+        }
+    else:
+        cols = [F.col(f.name) for f in schema.fields]
+        pmap = {}
+    payload = df.select(*cols, F.col(_CHANGE_TYPE))
+    wpcols = [pmap.get(c, c) for c in pcols]
+    commit_id = uuid.uuid4().hex[:12]
+    rel_root = os.path.join("_change_data", commit_id)
+    out = os.path.join(table_dir, rel_root)
+    w = payload.write.mode("errorifexists")
+    if wpcols:
+        w = w.partitionBy(*wpcols)
+    w.parquet(out)
+    import pyarrow.parquet as pq
+
+    actions: list[dict] = []
+    for root, _dirs, fs in os.walk(out):
+        for fname in sorted(fs):
+            if not fname.endswith(".parquet"):
+                continue
+            full = os.path.join(root, fname)
+            rel = os.path.relpath(full, table_dir)
+            if not pq.ParquetFile(full).metadata.num_rows:
+                continue  # empty task partitions: not registered
+            actions.append(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": (
+                            _hive_partition_values(rel, wpcols)
+                            if wpcols else {}
+                        ),
+                        "size": os.path.getsize(full),
+                        "dataChange": False,
+                    }
+                }
+            )
+    return actions
+
+
+def _read_cdc_files(
+    spark: SparkSession,
+    table_dir: str,
+    cdc_actions: list[dict],
+    end: DeltaState,
+) -> DataFrame:
+    """Resolve a commit's ``cdc`` actions to a DataFrame of the END
+    schema's LOGICAL columns + ``_change_type`` — the exact rows the
+    writer recorded (physical names renamed back, hive partition
+    columns restored as typed literals, same composition rules as
+    the normal read path)."""
+    import itertools
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType.fromJson(json.loads(end.schema))
+    cm = _cm_mode(end) == "name"
+    pcols = list(end.partition_cols)
+    ptypes = {f.name: f.dataType for f in schema.fields}
+    data_fields = [f for f in schema.fields if f.name not in pcols]
+    data_schema = StructType(data_fields)
+    phys = (
+        _physical_struct(data_schema) if cm else data_schema
+    )
+    read_schema = StructType(
+        list(phys.fields)
+        + [StructField(_CHANGE_TYPE, StringType(), True)]
+    )
+    base = [
+        F.col(pf.name).cast(lf.dataType).alias(lf.name)
+        for pf, lf in zip(phys.fields, data_fields)
+    ] + [F.col(_CHANGE_TYPE)]
+    pphys = {
+        c: (_phys_col_name(schema, c) if cm else c) for c in pcols
+    }
+
+    def pkey(a):
+        pv = a["cdc"].get("partitionValues") or {}
+        return tuple(
+            (v is not None, v or "")
+            for v in (pv.get(pphys[c]) for c in pcols)
+        )
+
+    parts = []
+    for _, group_iter in itertools.groupby(
+        sorted(cdc_actions, key=pkey), key=pkey
+    ):
+        group = list(group_iter)
+        df = spark.read.schema(read_schema).parquet(
+            *[
+                os.path.join(table_dir, a["cdc"]["path"])
+                for a in group
+            ]
+        ).select(*base)
+        pv = group[0]["cdc"].get("partitionValues") or {}
+        for c in pcols:
+            v = pv.get(pphys[c])
+            lit = (
+                F.lit(None)
+                if v is None or v == "__HIVE_DEFAULT_PARTITION__"
+                else F.lit(v)
+            )
+            df = df.withColumn(c, lit.cast(ptypes[c]))
+        parts.append(
+            df.select(
+                *[f.name for f in schema.fields], _CHANGE_TYPE
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 def write_delta(
     df: DataFrame,
     table_dir: str,
@@ -2309,12 +2449,15 @@ def read_delta_changes(
     version: int | None = None,
 ) -> DataFrame:
     """Row-level change data feed over ``(since_version, version]`` —
-    the native ``table_changes`` shape, reconstructed ENTIRELY from
-    the log + deletion vectors (no CDC files needed): every row of
-    the table schema plus ``_change_type`` ('insert' | 'delete'),
-    ``_commit_version`` and ``_commit_timestamp``. Where
-    :func:`read_delta_increment` refuses non-append ranges, this
-    reader resolves them:
+    the native ``table_changes`` shape: every row of the table
+    schema plus ``_change_type``, ``_commit_version`` and
+    ``_commit_timestamp``. Commits carrying ``cdc`` actions (written
+    by this module's DELETE/UPDATE/MERGE on CDF-enabled tables, or
+    by any native writer) are read from their ``_change_data`` files
+    EXCLUSIVELY, per the spec — update_preimage/update_postimage
+    included. Commits without cdc are reconstructed from the log +
+    deletion vectors. Where :func:`read_delta_increment` refuses
+    non-append ranges, this reader resolves them:
 
     * a dataChange add of a NEW file -> its live rows as inserts;
     * a DV swap (remove+add of the same path) -> rows at the NEWLY
@@ -2447,6 +2590,7 @@ def read_delta_changes(
         adds_v: dict = {}
         removes_v: dict = {}
         quiet: list[dict] = []  # dataChange=false bookkeeping
+        cdc_v: list[dict] = []
         ts = None
         with f:
             for line in f:
@@ -2465,8 +2609,48 @@ def read_delta_changes(
                         removes_v[r["path"]] = r
                     else:
                         quiet.append(action)
+                elif "cdc" in action:
+                    cdc_v.append(action)
                 elif "commitInfo" in action:
                     ts = action["commitInfo"].get("timestamp")
+        if cdc_v:
+            # spec: a commit carrying cdc actions is read from its
+            # change-data files EXCLUSIVELY — its add/remove pairs
+            # may be a whole-table rewrite whose semantic diff only
+            # the cdc files record (e.g. a rewrite-strategy MERGE).
+            # The tracked state still rolls forward below.
+            cdf = _read_cdc_files(spark, table_dir, cdc_v, end)
+            parts.append(
+                cdf.select(
+                    *[f.name for f in schema.fields],
+                    F.col(_CHANGE_TYPE).alias("_change_type"),
+                    F.lit(cv).cast("long").alias("_commit_version"),
+                    F.lit(ts).cast("long").alias(
+                        "_commit_timestamp"
+                    ),
+                )
+            )
+            for action in quiet:
+                if "add" in action:
+                    cur[action["add"]["path"]] = action["add"]
+                else:
+                    r = action["remove"]
+                    live = cur.get(r["path"])
+                    if live is not None and _dv.dv_unique_id(
+                        r.get("deletionVector")
+                    ) == _dv.dv_unique_id(
+                        live.get("deletionVector")
+                    ):
+                        cur.pop(r["path"])
+            for path, r in removes_v.items():
+                live = cur.get(path)
+                if live is not None and path not in adds_v and \
+                        _dv.dv_unique_id(r.get("deletionVector")) \
+                        == _dv.dv_unique_id(
+                            live.get("deletionVector")):
+                    cur.pop(path)
+            cur.update(adds_v)
+            continue
         full_inserts: dict = {}
         full_deletes: dict = {}
         del_pos: dict = {}  # abs path -> newly dead positions
@@ -2650,6 +2834,35 @@ def delta_merge_upsert(
         updates, on=keys, how="left_anti"
     ).unionByName(updates)
     pcols = list(head.partition_cols)
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(head.configuration):
+        # the rewrite commits remove(all)+add(all), which a CDF
+        # reader would have to interpret as delete-all+insert-all;
+        # the SEMANTIC change is the merge diff, so record it as cdc
+        # (cdc-carrying commits are read from cdc exclusively)
+        fields = [
+            f["name"] for f in json.loads(head.schema)["fields"]
+        ]
+        pre = current.join(
+            updates.select(*keys), on=list(keys), how="left_semi"
+        ).select(*fields).withColumn(
+            _CHANGE_TYPE, F.lit("update_preimage")
+        )
+        tkeys = current.select(*keys)
+        post = updates.join(
+            tkeys, on=list(keys), how="left_semi"
+        ).select(*fields).withColumn(
+            _CHANGE_TYPE, F.lit("update_postimage")
+        )
+        ins = updates.join(
+            tkeys, on=list(keys), how="left_anti"
+        ).select(*fields).withColumn(
+            _CHANGE_TYPE, F.lit("insert")
+        )
+        cdc_actions = _write_cdc_files(
+            pre.unionByName(post).unionByName(ins),
+            table_dir, head.schema, pcols,
+        )
     merged, wpcols, _ = _physical_payload(
         merged, head.schema, pcols
     )
@@ -2678,10 +2891,11 @@ def delta_merge_upsert(
         if md.num_rows
     ]
     ts = _now_ms()
-    actions: list[dict] = [
+    actions: list[dict] = list(cdc_actions)
+    actions.extend(
         _remove_action(head.adds[p], ts, True)
         for p in head.files
-    ]
+    )
     actions.extend(adds)
     actions.append(
         {
@@ -2728,6 +2942,36 @@ def _delta_merge_via_dv(
     schema = StructType.fromJson(json.loads(head.schema))
     payload = updates.select(*[f.name for f in schema.fields])
     pcols = list(head.partition_cols)
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(head.configuration):
+        # native MERGE cdc shape: matched target rows as
+        # update_preimage, their replacing source rows as
+        # update_postimage, unmatched source rows as insert
+        fields = [f.name for f in schema.fields]
+        pre = (
+            live.join(
+                updates.select(*keys), on=list(keys),
+                how="left_semi",
+            )
+            .drop(_DV_PATH, _DV_IDX)
+            .select(*fields)
+            .withColumn(_CHANGE_TYPE, F.lit("update_preimage"))
+        )
+        tkeys = live.select(*keys)
+        post = updates.join(
+            tkeys, on=list(keys), how="left_semi"
+        ).select(*fields).withColumn(
+            _CHANGE_TYPE, F.lit("update_postimage")
+        )
+        ins = updates.join(
+            tkeys, on=list(keys), how="left_anti"
+        ).select(*fields).withColumn(
+            _CHANGE_TYPE, F.lit("insert")
+        )
+        cdc_actions = _write_cdc_files(
+            pre.unionByName(post).unionByName(ins),
+            table_dir, head.schema, pcols,
+        )
     payload, wpcols, _ = _physical_payload(
         payload, head.schema, pcols
     )
@@ -2754,6 +2998,7 @@ def _delta_merge_via_dv(
         if md.num_rows
     ]
     actions: list[dict] = []
+    actions.extend(cdc_actions)
     pa = _merge_feature_protocol(
         head.protocol, {"deletionVectors"}, {"deletionVectors"}
     )
@@ -2841,10 +3086,17 @@ def delta_alter_properties(
         config.pop(k, None)
     config.update(set_props)
     actions: list[dict] = []
+    need_w: set = set()
     if _table_constraints(config):
-        pa = _merge_feature_protocol(
-            head.protocol, set(), {"checkConstraints"}
-        )
+        need_w.add("checkConstraints")
+    if _cdf_enabled(config):
+        # enabling the change data feed obliges every subsequent
+        # writer to emit cdc actions — the protocol must say so, so
+        # cdc-incapable native writers refuse instead of silently
+        # corrupting table_changes()
+        need_w.add("changeDataFeed")
+    if need_w:
+        pa = _merge_feature_protocol(head.protocol, set(), need_w)
         if pa:
             actions.append({"protocol": pa})
     actions.append(
@@ -3069,6 +3321,21 @@ def delta_delete(
         return head  # nothing matched: no commit, converged
     removes, dv_adds, metrics, ts = marks
     actions: list[dict] = []
+    if _cdf_enabled(head.configuration):
+        # CDF contract: a DV delete is NOT derivable from add/remove
+        # by readers that trust cdc files, so the deleted rows ride
+        # a change-data file (one extra scan of the MATCHED rows —
+        # the predicate must be deterministic, as documented)
+        actions.extend(
+            _write_cdc_files(
+                live.where(cond)
+                .drop(_DV_PATH, _DV_IDX)
+                .withColumn(_CHANGE_TYPE, F.lit("delete")),
+                table_dir,
+                head.schema,
+                head.partition_cols,
+            )
+        )
     pa = _merge_feature_protocol(
         head.protocol, {"deletionVectors"}, {"deletionVectors"}
     )
@@ -3301,6 +3568,19 @@ def delta_update(
         updated, head.configuration, head.schema, "UPDATE"
     )
     pcols = list(head.partition_cols)
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(head.configuration):
+        # native UPDATE cdc shape: the matched rows' old values as
+        # update_preimage + their new values as update_postimage
+        pre = matched.drop(_DV_PATH, _DV_IDX).select(
+            *[f.name for f in schema.fields]
+        ).withColumn(_CHANGE_TYPE, F.lit("update_preimage"))
+        post = updated.withColumn(
+            _CHANGE_TYPE, F.lit("update_postimage")
+        )
+        cdc_actions = _write_cdc_files(
+            pre.unionByName(post), table_dir, head.schema, pcols
+        )
     updated, wpcols, _ = _physical_payload(
         updated, head.schema, pcols
     )
@@ -3330,6 +3610,7 @@ def delta_update(
     ]
 
     actions: list[dict] = []
+    actions.extend(cdc_actions)
     pa = _merge_feature_protocol(
         head.protocol, {"deletionVectors"}, {"deletionVectors"}
     )
@@ -3413,6 +3694,7 @@ def vacuum_delta(table_dir: str, retention_ms: int = 0) -> int:
     tombstone_ms: dict[str, int] = {}
     dv_tombstone_ms: dict[str, int] = {}
     commit_ts: dict[int, int] = {}
+    cdc_ref: dict[str, int] = {}  # change-data rel path -> commit v
     if os.path.isdir(log):
         for name in sorted(os.listdir(log)):
             if not (name.endswith(".json") and name[:-5].isdigit()):
@@ -3424,7 +3706,9 @@ def vacuum_delta(table_dir: str, retention_ms: int = 0) -> int:
                     if not line.strip():
                         continue
                     a = json.loads(line)
-                    if "remove" in a:
+                    if "cdc" in a:
+                        cdc_ref[a["cdc"]["path"]] = v
+                    elif "remove" in a:
                         r = a["remove"]
                         dts = r.get("deletionTimestamp") or now
                         p = r["path"]
@@ -3528,6 +3812,34 @@ def vacuum_delta(table_dir: str, retention_ms: int = 0) -> int:
                 aged = dv_tombstone_ms.get(full)
                 if aged is None:
                     aged = int(os.path.getmtime(full) * 1000)
+                if aged > cutoff:
+                    continue
+            os.remove(full)
+            deleted += 1
+    # change-data files: needed exactly as long as their referencing
+    # commit's JSON is still readable (CDF reads that commit from
+    # them EXCLUSIVELY) — keep those; files whose commit was just
+    # GC'd, or orphans of crashed writers, age like everything else
+    cdc_root = os.path.join(table_dir, "_change_data")
+    for root, _dirs, files in os.walk(cdc_root):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, table_dir)
+            ref = cdc_ref.get(rel)
+            if ref is not None and (
+                v_floor is None or ref >= v_floor
+            ):
+                continue  # its commit survives: the feed needs it
+            if retention_ms:
+                aged = (
+                    commit_ts.get(ref)
+                    if ref is not None
+                    else int(os.path.getmtime(full) * 1000)
+                )
+                if aged is None:
+                    aged = now
                 if aged > cutoff:
                     continue
             os.remove(full)

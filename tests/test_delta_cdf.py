@@ -8,6 +8,7 @@ rewrites are excluded (dataChange=false, rows unchanged)."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import pyspark.sql.functions as F
@@ -170,3 +171,235 @@ def test_cdf_over_dv_merge_commit(spark, tmp_path):
     }
     assert len(head_ids) == 101
     assert {3, 7, 1000} <= head_ids
+
+
+# --- CDC WRITE support (round 9): cdc actions + _change_data files --
+
+
+def _cdf_table(spark, tmp_path, n=100, name="t"):
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / name)
+    dl.write_delta(
+        spark.range(0, n).select(
+            F.col("id"), (F.col("id") % 10).alias("k")
+        ).repartition(4),
+        t,
+    )
+    st = dl.delta_alter_properties(
+        spark, t, {"delta.enableChangeDataFeed": "true"}
+    )
+    return t, st
+
+
+def test_enabling_cdf_upgrades_protocol(spark, tmp_path):
+    t, st = _cdf_table(spark, tmp_path)
+    assert st.protocol["minWriterVersion"] == 7
+    assert "changeDataFeed" in st.protocol["writerFeatures"]
+
+
+def test_cdc_delete_writes_change_files_and_feed_uses_them(
+    spark, tmp_path
+):
+    import os
+
+    t, st0 = _cdf_table(spark, tmp_path)
+    s1 = dl.delta_delete(spark, t, "k = 3")
+    with open(os.path.join(
+        t, "_delta_log", f"{s1.version:020d}.json"
+    )) as f:
+        acts = [json.loads(x) for x in f if x.strip()]
+    cdc = [a["cdc"] for a in acts if "cdc" in a]
+    assert cdc
+    for c in cdc:
+        full = os.path.join(t, c["path"])
+        assert os.path.exists(full)
+        assert c["size"] == os.path.getsize(full)
+    ch = dl.read_delta_changes(spark, t, st0.version)
+    rows = {(r._change_type, r.id) for r in ch.collect()}
+    assert rows == {("delete", i) for i in range(3, 100, 10)}
+    assert ch.where("_commit_version = %d" % s1.version).count() == 10
+
+
+def test_cdc_update_emits_pre_and_post_images(spark, tmp_path):
+    t, st0 = _cdf_table(spark, tmp_path, n=50)
+    dl.delta_update(spark, t, "k = 2", {"k": "777"})
+    ch = dl.read_delta_changes(spark, t, st0.version)
+    rows = {(r._change_type, r.id, r.k) for r in ch.collect()}
+    expect = set()
+    for i in range(2, 50, 10):
+        expect.add(("update_preimage", i, 2))
+        expect.add(("update_postimage", i, 777))
+    assert rows == expect
+
+
+def test_cdc_merge_both_strategies(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    for via_dv in (True, False):
+        t, st0 = _cdf_table(
+            spark, tmp_path, n=30, name=f"m{via_dv}"
+        )
+        ups = spark.createDataFrame(
+            [(5, 99), (1000, 99)], "id long, k long"
+        )
+        dl.delta_merge_upsert(spark, t, ups, ["id"], via_dv=via_dv)
+        ch = dl.read_delta_changes(spark, t, st0.version)
+        rows = {(r._change_type, r.id, r.k) for r in ch.collect()}
+        assert rows == {
+            ("update_preimage", 5, 5),
+            ("update_postimage", 5, 99),
+            ("insert", 1000, 99),
+        }, (via_dv, rows)
+        # the head is identical either way
+        out = dl.read_delta(spark, t)
+        assert out.count() == 31
+        assert out.where(F.col("k") == 99).count() == 2
+
+
+def test_cdc_append_needs_no_change_files(spark, tmp_path):
+    t, st0 = _cdf_table(spark, tmp_path, n=10)
+    dl.write_delta(
+        spark.createDataFrame([(100, 1)], "id long, k long"),
+        t, "append",
+    )
+    ch = dl.read_delta_changes(spark, t, st0.version)
+    rows = {(r._change_type, r.id) for r in ch.collect()}
+    assert rows == {("insert", 100)}
+
+
+def test_foreign_cdc_only_commit_read_exclusively(spark, tmp_path):
+    """A hand-crafted native-shaped commit whose cdc says
+    update_preimage/postimage while its add/remove pair would derive
+    delete+insert: the feed must surface the cdc rows verbatim."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / "t")
+    dl.write_delta(
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "id long, k long"
+        ).coalesce(1),
+        t,
+    )
+    head = dl.replay(t)
+    assert len(head.files) == 1
+    # write a change file the way a native writer would
+    cdir = os.path.join(t, "_change_data", "x0")
+    spark.createDataFrame(
+        [(2, 20, "update_preimage"), (2, 21, "update_postimage")],
+        "id long, k long, _change_type string",
+    ).coalesce(1).write.parquet(cdir)
+    (fname,) = [
+        f for f in os.listdir(cdir) if f.endswith(".parquet")
+    ]
+    rel = f"_change_data/x0/{fname}"
+    # new data file replacing the old (rewrite-style update)
+    ndir = os.path.join(t, "data", "x1")
+    spark.createDataFrame(
+        [(1, 10), (2, 21)], "id long, k long"
+    ).coalesce(1).write.parquet(ndir)
+    (nname,) = [
+        f for f in os.listdir(ndir) if f.endswith(".parquet")
+    ]
+    nrel = f"data/x1/{nname}"
+    actions = [
+        {"cdc": {"path": rel, "partitionValues": {},
+                 "size": os.path.getsize(os.path.join(t, rel)),
+                 "dataChange": False}},
+        {"remove": {"path": head.files[0], "deletionTimestamp": 1,
+                    "dataChange": True}},
+        {"add": {"path": nrel, "partitionValues": {},
+                 "size": os.path.getsize(os.path.join(t, nrel)),
+                 "modificationTime": 1, "dataChange": True}},
+        {"commitInfo": {"timestamp": 123, "operation": "UPDATE"}},
+    ]
+    dl._atomic_commit(t, 1, actions)
+    ch = dl.read_delta_changes(spark, t, 0)
+    rows = {(r._change_type, r.id, r.k) for r in ch.collect()}
+    assert rows == {
+        ("update_preimage", 2, 20), ("update_postimage", 2, 21),
+    }
+    assert ch.select("_commit_timestamp").distinct().collect()[0][
+        0
+    ] == 123
+    # the head itself reads the rewritten file
+    assert sorted(
+        (r.id, r.k) for r in dl.read_delta(spark, t).collect()
+    ) == [(1, 10), (2, 21)]
+
+
+def test_cdc_partitioned_and_column_mapped_compose(
+    spark, tmp_path
+):
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 40).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("p")
+    )
+    dl.write_delta(
+        df, t, partition_by=["p"], column_mapping="name"
+    )
+    st0 = dl.delta_alter_properties(
+        spark, t, {"delta.enableChangeDataFeed": "true"}
+    )
+    dl.delta_delete(spark, t, "p = '2' and id < 20")
+    ch = dl.read_delta_changes(spark, t, st0.version)
+    rows = {(r._change_type, r.id, r.p) for r in ch.collect()}
+    assert rows == {
+        ("delete", i, "2") for i in (2, 6, 10, 14, 18)
+    }
+    # the change files store PHYSICAL column names
+    import os
+
+    import pyarrow.parquet as pq
+
+    croot = os.path.join(t, "_change_data")
+    files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(croot)
+        for f in fs if f.endswith(".parquet")
+    ]
+    assert files
+    for f in files:
+        names = pq.ParquetFile(f).schema_arrow.names
+        assert "_change_type" in names
+        assert all(
+            n.startswith("col-") or n.startswith("_change")
+            for n in names
+        ), names
+
+
+def test_vacuum_gc_drops_cdc_of_collected_commits(spark, tmp_path):
+    import os
+
+    t, st0 = _cdf_table(spark, tmp_path, n=20)
+    dl.delta_delete(spark, t, "k = 1")  # commit with cdc
+    dl.delta_delete(spark, t, "k = 2")  # head commit with cdc
+    croot = os.path.join(t, "_change_data")
+    n_before = sum(
+        1 for _r, _d, fs in os.walk(croot) for f in fs
+        if f.endswith(".parquet")
+    )
+    assert n_before >= 2
+    dl.vacuum_delta(t, retention_ms=0)
+    # retention 0: only the head commit's JSON survives, so only its
+    # cdc files remain readable-and-needed
+    remaining = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(croot)
+        for f in fs if f.endswith(".parquet")
+    ]
+    head_v = dl.replay(t).version
+    with open(os.path.join(
+        t, "_delta_log", f"{head_v:020d}.json"
+    )) as f:
+        acts = [json.loads(x) for x in f if x.strip()]
+    head_cdc = {
+        a["cdc"]["path"] for a in acts if "cdc" in a
+    }
+    assert {
+        os.path.relpath(p, t) for p in remaining
+    } == head_cdc

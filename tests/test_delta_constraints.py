@@ -286,43 +286,23 @@ def test_generated_columns_validated_on_write(spark, tmp_path):
         dl.delta_update(spark, t, "id = 5", {"id2": "99"})
 
 
-def test_cdf_enabled_tables_refuse_writes(spark, tmp_path):
-    # v4 table WITHOUT CDF: accepted (generated cols enforced)
+def test_cdf_enabled_tables_accepted(spark, tmp_path):
+    # round 9: the writer emits cdc actions on CDF-enabled tables,
+    # so the gate ACCEPTS them — at every protocol shape, including
+    # the property under a legacy writer version (the obligation is
+    # the same; we exceed legacy writers' behavior)
     dl._check_writer_protocol("t", {"minWriterVersion": 4})
-    dl._check_writer_protocol("t", {
-        "minWriterVersion": 7,
-        "writerFeatures": ["changeDataFeed"],
-    })  # feature listed but property off: nothing required of us
-    # CDF actually ENABLED: refuse (we emit no cdc actions)
-    with pytest.raises(NotImplementedError, match="cdc"):
-        dl._check_writer_protocol(
-            "t", {"minWriterVersion": 4},
-            {"delta.enableChangeDataFeed": "true"},
-        )
-    with pytest.raises(NotImplementedError, match="cdc"):
-        dl._check_writer_protocol(
-            "t",
-            {"minWriterVersion": 7,
-             "writerFeatures": ["changeDataFeed"]},
-            {"delta.enableChangeDataFeed": "true"},
-        )
-
-
-def test_cdf_property_refuses_under_legacy_writer_versions():
-    # ADVICE r8: a (malformed but representable) log can carry
-    # delta.enableChangeDataFeed=true under minWriterVersion 2/3;
-    # the property ALONE must refuse — committing without cdc
-    # actions corrupts native change feeds whatever the protocol
-    # row claims
     for proto in (
         None,
         {"minWriterVersion": 2},
         {"minWriterVersion": 3},
+        {"minWriterVersion": 4},
+        {"minWriterVersion": 7,
+         "writerFeatures": ["changeDataFeed"]},
     ):
-        with pytest.raises(NotImplementedError, match="cdc"):
-            dl._check_writer_protocol(
-                "t", proto, {"delta.enableChangeDataFeed": "true"}
-            )
+        dl._check_writer_protocol(
+            "t", proto, {"delta.enableChangeDataFeed": "true"}
+        )
 
 
 def test_checkpoint_only_gate_relaxes_cdf_and_column_mapping():
@@ -367,10 +347,11 @@ def test_checkpoint_only_gate_relaxes_cdf_and_column_mapping():
         )
 
 
-def test_cdf_enabled_table_checkpoints_and_vacuums(spark, tmp_path):
-    """End-to-end: flip a table's config to CDF-on (simulating a
-    native writer's table) — our writer refuses new commits, but
-    write_checkpoint and vacuum_delta still work (ADVICE r8)."""
+def test_cdf_enabled_table_full_lifecycle(spark, tmp_path):
+    """End-to-end on a native-shaped CDF-on table (config flipped in
+    commit 0, legacy writer v4): round 9 makes it WRITABLE — appends
+    commit with no cdc owed (derivable), a DELETE emits cdc, and
+    checkpoint + vacuum still work."""
     import json as _json
     import os as _os
 
@@ -393,11 +374,21 @@ def test_cdf_enabled_table_checkpoints_and_vacuums(spark, tmp_path):
     with open(path, "w") as f:
         for a in lines:
             f.write(_json.dumps(a, separators=(",", ":")) + "\n")
-    # mutating writes refuse
-    with pytest.raises(NotImplementedError, match="cdc"):
-        dl.write_delta(
-            _df(spark, [(5, 6)], "id long, id2 long"), t, "append"
-        )
+    # appends are accepted and owe no cdc (derivable from adds)
+    s2 = dl.write_delta(
+        _df(spark, [(5, 6)], "id long, id2 long"), t, "append"
+    )
+    with open(dl._commit_path(t, s2.version)) as f:
+        acts = [_json.loads(x) for x in f if x.strip()]
+    assert not any("cdc" in a for a in acts)
+    # a DELETE emits cdc actions + change files
+    s3 = dl.delta_delete(spark, t, "id = 1")
+    with open(dl._commit_path(t, s3.version)) as f:
+        acts = [_json.loads(x) for x in f if x.strip()]
+    cdc = [a["cdc"] for a in acts if "cdc" in a]
+    assert cdc and all(
+        c["path"].startswith("_change_data/") for c in cdc
+    )
     # checkpoint + vacuum succeed
     v = dl.write_checkpoint(t)
     assert _os.path.exists(_os.path.join(
