@@ -1129,6 +1129,7 @@ DRIVER_WINDOW: list[str] = [
     "orders_dv_merge_scan",  # NEW r9: MERGE via deletion vectors
     "orders_cm_evolution",  # NEW r9: DROP COLUMN + mapped evolution
     "orders_cdc_feed_counts",  # NEW r9: CDC write (change files)
+    "orders_v2_checkpoint_scan",  # NEW r9: v2 checkpoints + sidecars
     "events_gapfill_interpolated",
     "order_trend_by_priority",
     "events_time_weighted_value",
@@ -1165,7 +1166,6 @@ DRIVER_WINDOW: list[str] = [
     "events_sessionize",
     "order_value_stats",
     "orders_with_shipped_items",
-    "promo_revenue_share",
 ]
 
 

@@ -5435,6 +5435,88 @@ def orders_dv_cdf_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_v2_checkpoint_scan",
+    """
+    WITH base AS (
+        SELECT o_orderpriority AS prio,
+               round(o_totalprice * 100)::BIGINT AS cents,
+               (o_orderkey % 3) AS leg
+        FROM orders
+    )
+    SELECT prio,
+           count(*)::BIGINT AS n_orders,
+           sum(cents)::BIGINT AS sum_cents,
+           count(CASE WHEN leg = 2 THEN 1 END)::BIGINT AS n_tail
+    FROM base
+    GROUP BY prio
+    """,
+    doc="V2 (uuid-named) checkpoints on the native Delta log "
+    "(delta_log.write_checkpoint(v2=True) + the sidecar-resolving "
+    "replay; public delta-io PROTOCOL.md 'V2 Spec' — the checkpoint "
+    "format current runtimes write for the Delta tables the "
+    "reference persists, notebooks/20_analytics.ipynb:653) "
+    "certified under the driver's value-hash gate: orders written "
+    "in thirds (v0 write, v1 append), a v2 checkpoint with FOUR "
+    "sidecar files (protocol auto-upgraded to the v2Checkpoint "
+    "feature in its own commit), every JSON commit at or below the "
+    "checkpoint garbage-collected, a post-checkpoint append (v "
+    "tail), then the head aggregate — so replay must base on the "
+    "manifest, resolve all four sidecars, and apply the JSON tail "
+    "on top. Any dropped sidecar add, mislabeled checkpointMetadata "
+    "or tail mis-application breaks the hash vs the plain full-"
+    "table oracle. At 100 TB sidecars parallelize both the "
+    "checkpoint write and the replay read.",
+)
+def orders_v2_checkpoint_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import uuid as _uuid
+
+    from .sources import delta_log as dl
+    from .sources import snapshots as sn
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_ov2cp_"
+        f"{_uuid.uuid4().hex[:8]}"
+    )
+    leg = F.pmod("o_orderkey", F.lit(3))
+    dl.write_delta(
+        orders.where(leg == 0).repartition(4), tbl
+    )
+    dl.write_delta(orders.where(leg == 1), tbl, "append")
+    v = dl.write_checkpoint(tbl, v2=True, sidecar_files=4)
+    log = os.path.join(tbl, "_delta_log")
+    for n in os.listdir(log):
+        if n.endswith(".json") and n[:-5].isdigit() and \
+                int(n[:-5]) <= v:
+            os.remove(os.path.join(log, n))
+    dl.write_delta(
+        orders.where(leg == 2)
+        .withColumn("tail", F.lit(1).cast("bigint")),
+        tbl,
+        "append",
+        merge_schema=True,
+    )
+    return (
+        dl.read_delta(spark, tbl)
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.count("tail").cast("bigint").alias("n_tail"),
+        )
+    )
+
+
+@query(
     "orders_cdc_feed_counts",
     """
     SELECT change_type,

@@ -79,11 +79,12 @@ _DV_PROTOCOL = {
 # accept; timestampNtz is just the type, which Spark handles.
 _READER_FEATURES = {
     "deletionVectors", "columnMapping", "timestampNtz",
+    "v2Checkpoint",
 }
 _WRITER_FEATURES = {
     "deletionVectors", "appendOnly", "invariants",
     "checkConstraints", "timestampNtz", "generatedColumns",
-    "columnMapping", "changeDataFeed",
+    "columnMapping", "changeDataFeed", "v2Checkpoint",
 }
 
 
@@ -136,6 +137,44 @@ def _checkpoint_path(table_dir: str, version: int) -> str:
 _CP_NAME = re.compile(
     r"(\d{20})\.checkpoint(?:\.(\d+)\.(\d+))?\.parquet$"
 )
+# v2 ("uuid-named") checkpoints, PROTOCOL.md "V2 Spec": one manifest
+# <v>.checkpoint.<uniqueStr>.{parquet,json} holding checkpointMetadata
+# + protocol/metaData/txn, with file actions either INLINE or in
+# sidecar parquet files under _delta_log/_sidecars/ referenced by
+# ``sidecar`` actions
+_CP_V2 = re.compile(
+    r"(\d{20})\.checkpoint\.([0-9a-zA-Z-]+)\.(parquet|json)$"
+)
+_SIDECAR_DIR = "_sidecars"
+
+
+def _manifest_rows(path: str) -> list[dict]:
+    """Action rows of a v2 manifest — parquet or (ndjson) json."""
+    if path.endswith(".json"):
+        with open(path) as f:
+            return [json.loads(x) for x in f if x.strip()]
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path).to_pylist()
+
+
+def _v2_sidecar_paths(path: str) -> list[str] | None:
+    """Absolute sidecar paths a v2 manifest references ([] when its
+    file actions are inline); None when the manifest is unreadable."""
+    try:
+        rows = _manifest_rows(path)
+    except Exception:
+        return None
+    log = os.path.dirname(path)
+    out = []
+    for r in rows:
+        sc = r.get("sidecar")
+        if sc and sc.get("path"):
+            p = sc["path"]
+            if not os.path.isabs(p):
+                p = os.path.join(log, _SIDECAR_DIR, p)
+            out.append(p)
+    return out
 
 
 def _complete_checkpoint_parts(
@@ -149,29 +188,40 @@ def _complete_checkpoint_parts(
     exact silent-base corruption _read_checkpoint_state's empty-set
     guard exists to prevent. A single-file checkpoint is complete by
     itself; a multi-part one only counts when parts 1..n are ALL
-    present with a consistent n."""
+    present with a consistent n; a v2 manifest only counts when every
+    sidecar it references is present (a vacuumed/torn sidecar set
+    must not become a silent base either)."""
     single: list[str] = []
     parts: dict[int, str] = {}
     totals: set[int] = set()
+    v2: list[str] = []
     for n in os.listdir(d):
         m = _CP_NAME.match(n)
-        if not m or int(m.group(1)) != version:
+        if m and int(m.group(1)) == version:
+            if m.group(2) is None:
+                single.append(os.path.join(d, n))
+            else:
+                parts[int(m.group(2))] = os.path.join(d, n)
+                totals.add(int(m.group(3)))
             continue
-        if m.group(2) is None:
-            single.append(os.path.join(d, n))
-        else:
-            parts[int(m.group(2))] = os.path.join(d, n)
-            totals.add(int(m.group(3)))
+        m2 = _CP_V2.match(n)
+        if m2 and int(m2.group(1)) == version:
+            v2.append(os.path.join(d, n))
     if single:
         return sorted(single)
-    if not parts:
-        return None
-    if len(totals) != 1:
-        return None  # conflicting <n> declarations: unreadable
-    total = totals.pop()
-    if set(parts) != set(range(1, total + 1)):
-        return None  # partial multi-part: NOT a usable base state
-    return [parts[i] for i in range(1, total + 1)]
+    if parts and len(totals) == 1:
+        total = totals.pop()
+        if set(parts) == set(range(1, total + 1)):
+            return [parts[i] for i in range(1, total + 1)]
+    # several v2 manifests at one version are spec-equivalent; take
+    # the first COMPLETE one deterministically
+    for mf in sorted(v2):
+        sidecars = _v2_sidecar_paths(mf)
+        if sidecars is None:
+            continue
+        if all(os.path.exists(p) for p in sidecars):
+            return [mf]
+    return None
 
 
 def _checkpoint_versions(table_dir: str) -> list[int]:
@@ -181,11 +231,11 @@ def _checkpoint_versions(table_dir: str) -> list[int]:
     d = _log_dir(table_dir)
     if not os.path.isdir(d):
         return []
-    candidates = {
-        int(m.group(1))
-        for m in (_CP_NAME.match(n) for n in os.listdir(d))
-        if m
-    }
+    candidates = set()
+    for n in os.listdir(d):
+        m = _CP_NAME.match(n) or _CP_V2.match(n)
+        if m:
+            candidates.add(int(m.group(1)))
     return sorted(
         v for v in candidates
         if _complete_checkpoint_parts(d, v) is not None
@@ -576,15 +626,53 @@ def _read_checkpoint_state(table_dir: str, version: int) -> DeltaState:
         )
     rows: list[dict] = []
     protocol: dict | None = None
-    for path in paths:
-        part_rows = pq.read_table(path).to_pylist()
-        for r in part_rows:
-            if r.get("protocol"):
+    is_v2 = len(paths) == 1 and _CP_V2.match(
+        os.path.basename(paths[0])
+    )
+    if is_v2:
+        rows = _manifest_rows(paths[0])
+        metas = [
+            r["checkpointMetadata"]
+            for r in rows
+            if r.get("checkpointMetadata")
+            and r["checkpointMetadata"].get("version") is not None
+        ]
+        if len(metas) != 1 or int(metas[0]["version"]) != version:
+            raise ValueError(
+                f"v2 checkpoint {paths[0]} carries "
+                f"checkpointMetadata {metas!r}, expected exactly one "
+                f"with version {version} — refusing a mislabeled "
+                "base state"
+            )
+        sidecars = _v2_sidecar_paths(paths[0]) or []
+        if sidecars and any(
+            r.get("add") and r["add"].get("path") for r in rows
+        ):
+            raise ValueError(
+                f"v2 checkpoint {paths[0]} mixes sidecar actions "
+                "with inline file actions — the spec requires one "
+                "or the other; reading both could double-count adds"
+            )
+        for sc in sidecars:
+            rows.extend(pq.read_table(sc).to_pylist())
+        for r in rows:
+            if r.get("protocol") and r["protocol"].get(
+                "minReaderVersion"
+            ):
                 protocol = r["protocol"]
-        _check_protocol(table_dir, [
-            r["protocol"] for r in part_rows if r.get("protocol")
-        ])
-        rows.extend(part_rows)
+        _check_protocol(
+            table_dir, [protocol] if protocol else []
+        )
+    else:
+        for path in paths:
+            part_rows = pq.read_table(path).to_pylist()
+            for r in part_rows:
+                if r.get("protocol"):
+                    protocol = r["protocol"]
+            _check_protocol(table_dir, [
+                r["protocol"] for r in part_rows if r.get("protocol")
+            ])
+            rows.extend(part_rows)
     adds: dict = {}
     schema = ""
     meta_id = ""
@@ -1838,17 +1926,70 @@ def write_delta(
 
 
 def write_checkpoint(
-    table_dir: str, version: int | None = None
+    table_dir: str,
+    version: int | None = None,
+    v2: bool | None = None,
+    sidecar_files: int = 1,
 ) -> int:
-    """Write ``<v>.checkpoint.parquet`` (single file — pyarrow, since
-    a Spark write would produce a directory) + ``_last_checkpoint``.
-    One row per action with sparse protocol/metaData/add columns, the
-    spec's checkpoint layout. Readers then replay from here; JSON
-    commits <= v become garbage-collectable."""
+    """Write a checkpoint + ``_last_checkpoint``. Classic format:
+    ``<v>.checkpoint.parquet`` (single file — pyarrow, since a Spark
+    write would produce a directory), one row per action with sparse
+    protocol/metaData/add columns. V2 format (PROTOCOL.md "V2
+    Spec"): a ``<v>.checkpoint.<uuid>.parquet`` manifest holding
+    checkpointMetadata/protocol/metaData/txn plus ``sidecar``
+    actions referencing ``_delta_log/_sidecars/<uuid>.parquet``
+    files that carry the add actions, split across
+    ``sidecar_files`` (at cluster scale sidecars parallelize both
+    the checkpoint write and the replay read).
+
+    ``v2=None`` auto-selects: tables whose protocol lists the
+    ``v2Checkpoint`` feature MUST be checkpointed in v2 form (the
+    feature's writer requirement); others keep classic. Passing
+    ``v2=True`` on a table without the feature upgrades the
+    protocol in its own commit first (head checkpoints only —
+    history cannot be retroactively upgraded). Readers then replay
+    from the checkpoint; JSON commits <= v become
+    garbage-collectable."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     state = replay(table_dir, version)
+    has_v2_feat = "v2Checkpoint" in (
+        (state.protocol or {}).get("writerFeatures") or []
+    )
+    if v2 is None:
+        v2 = has_v2_feat
+    if v2 and not has_v2_feat:
+        if version is not None and version != replay(
+            table_dir
+        ).version:
+            raise ValueError(
+                "cannot write a v2 checkpoint for historical "
+                f"version {version}: the table's protocol lacks "
+                "the v2Checkpoint feature there, and upgrading "
+                "applies only from the head forward"
+            )
+        pa_up = _merge_feature_protocol(
+            state.protocol, {"v2Checkpoint"}, {"v2Checkpoint"}
+        )
+        if pa_up:
+            _atomic_commit(
+                table_dir,
+                state.version + 1,
+                [
+                    {"protocol": pa_up},
+                    {"commitInfo": {
+                        "timestamp": _now_ms(),
+                        "operation": "UPGRADE PROTOCOL",
+                        "operationParameters": {
+                            "feature": "v2Checkpoint"
+                        },
+                        "engineInfo":
+                            "rearc-takehome-spark-cleanroom",
+                    }},
+                ],
+            )
+            state = replay(table_dir)
     # checkpointing is a WRITER operation (native reader-only
     # processes never emit checkpoints): gate on the table's writer
     # protocol, and stamp the table's OWN protocol into the checkpoint
@@ -1856,10 +1997,8 @@ def write_checkpoint(
     # a stricter table's protocol the moment replay starts basing on
     # the checkpoint, disarming _check_writer_protocol for every
     # subsequent writer (and lying to native readers).
-    # checkpoint_only: a checkpoint changes no rows, so CDF-enabled
-    # and column-mapped tables (both readable here) stay
-    # checkpointable and vacuumable; checkpoint-format features
-    # (v2Checkpoint, ...) still refuse
+    # checkpoint_only: a checkpoint changes no rows, so id-mapped
+    # tables (readable-metadata-wise) stay checkpointable
     _check_writer_protocol(
         table_dir, state.protocol, state.configuration,
         checkpoint_only=True,
@@ -1967,13 +2106,81 @@ def write_checkpoint(
             ])),
         ])),
     ])
-    cp_path = _checkpoint_path(table_dir, state.version)
     cp_tmp = os.path.join(
         _log_dir(table_dir),
         f"checkpoint.tmp.{uuid.uuid4().hex[:8]}",
     )
-    pq.write_table(pa.Table.from_pylist(rows, schema=schema), cp_tmp)
-    os.replace(cp_tmp, cp_path)  # never observable half-written
+    if v2:
+        add_rows = [r for r in rows if r.get("add")]
+        meta_rows = [r for r in rows if not r.get("add")]
+        sc_dir = os.path.join(_log_dir(table_dir), _SIDECAR_DIR)
+        os.makedirs(sc_dir, exist_ok=True)
+        n_files = max(1, min(sidecar_files, max(1, len(add_rows))))
+        sidecar_schema = pa.schema([schema.field("add")])
+        for i in range(n_files):
+            # round-robin split: every requested sidecar gets work
+            # (adds are keyed by path — intra-checkpoint order is
+            # meaningless), so replay parallelism matches the ask
+            batch = add_rows[i::n_files]
+            if i and not batch:
+                break
+            name = f"{uuid.uuid4()}.parquet"
+            sc_path = os.path.join(sc_dir, name)
+            sc_tmp = f"{sc_path}.tmp"
+            pq.write_table(
+                pa.Table.from_pylist(
+                    [{"add": r["add"]} for r in batch],
+                    schema=sidecar_schema,
+                ),
+                sc_tmp,
+            )
+            os.replace(sc_tmp, sc_path)
+            meta_rows.append({
+                "sidecar": {
+                    "path": name,
+                    "sizeInBytes": os.path.getsize(sc_path),
+                    "modificationTime": _now_ms(),
+                }
+            })
+        meta_rows.insert(0, {
+            "checkpointMetadata": {
+                "version": state.version, "tags": None,
+            }
+        })
+        v2_schema = pa.schema(
+            list(schema)
+            + [
+                pa.field("checkpointMetadata", pa.struct([
+                    ("version", pa.int64()),
+                    ("tags", pa.map_(pa.string(), pa.string())),
+                ])),
+                pa.field("sidecar", pa.struct([
+                    ("path", pa.string()),
+                    ("sizeInBytes", pa.int64()),
+                    ("modificationTime", pa.int64()),
+                ])),
+            ]
+        )
+        # sidecars land BEFORE the manifest (readers discover them
+        # through it), manifest BEFORE _last_checkpoint — a crash at
+        # any point leaves only unreferenced garbage, never a
+        # manifest with missing parts
+        cp_path = os.path.join(
+            _log_dir(table_dir),
+            f"{state.version:020d}.checkpoint."
+            f"{uuid.uuid4()}.parquet",
+        )
+        pq.write_table(
+            pa.Table.from_pylist(meta_rows, schema=v2_schema),
+            cp_tmp,
+        )
+        os.replace(cp_tmp, cp_path)
+    else:
+        cp_path = _checkpoint_path(table_dir, state.version)
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=schema), cp_tmp
+        )
+        os.replace(cp_tmp, cp_path)  # never observable half-written
     tmp = os.path.join(_log_dir(table_dir), "_last_checkpoint.tmp")
     with open(tmp, "w") as f:
         json.dump({"version": state.version, "size": len(rows)}, f)
@@ -3774,13 +3981,35 @@ def vacuum_delta(table_dir: str, retention_ms: int = 0) -> int:
             v = int(name[:-5])
         else:
             # shared naming authority: GC must recognize EVERY
-            # checkpoint naming that list/read do, or stale versions
-            # stay advertised over deleted data files
-            m = _CP_NAME.match(name)
+            # checkpoint naming that list/read do — classic,
+            # multi-part AND v2/uuid — or stale versions stay
+            # advertised over deleted data files
+            m = _CP_NAME.match(name) or _CP_V2.match(name)
             if m:
                 v = int(m.group(1))
         if v is not None and v_floor is not None and v < v_floor:
             os.remove(os.path.join(log, name))
+    # sidecar GC: keep exactly the files some SURVIVING v2 manifest
+    # references; the rest (from GC'd checkpoints or crashed
+    # writers) age out like data files
+    sc_dir = os.path.join(log, _SIDECAR_DIR)
+    if os.path.isdir(sc_dir):
+        referenced: set[str] = set()
+        for name in os.listdir(log):
+            if _CP_V2.match(name):
+                for p in _v2_sidecar_paths(
+                    os.path.join(log, name)
+                ) or []:
+                    referenced.add(os.path.abspath(p))
+        for name in os.listdir(sc_dir):
+            full = os.path.abspath(os.path.join(sc_dir, name))
+            if not name.endswith(".parquet") or full in referenced:
+                continue
+            if retention_ms:
+                aged = int(os.path.getmtime(full) * 1000)
+                if aged > cutoff:
+                    continue
+            os.remove(full)
     deleted = 0
     for root, _dirs, files in os.walk(os.path.join(table_dir, "data")):
         for f in files:

@@ -332,13 +332,19 @@ def test_checkpoint_only_gate_relaxes_cdf_and_column_mapping():
         {"delta.columnMapping.mode": "name"},
         checkpoint_only=True,
     )
-    # ...but features that change the CHECKPOINT's own format still
-    # refuse, checkpoint_only or not
+    # ...but features this module does not implement still refuse,
+    # checkpoint_only or not (v2Checkpoint itself is read+write
+    # since round 9 — tests/test_v2_checkpoint.py)
+    dl._check_writer_protocol(
+        "t",
+        {"minWriterVersion": 7, "writerFeatures": ["v2Checkpoint"]},
+        checkpoint_only=True,
+    )
     with pytest.raises(NotImplementedError):
         dl._check_writer_protocol(
             "t",
             {"minWriterVersion": 7,
-             "writerFeatures": ["v2Checkpoint"]},
+             "writerFeatures": ["icebergCompatV2"]},
             checkpoint_only=True,
         )
     with pytest.raises(NotImplementedError):

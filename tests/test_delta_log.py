@@ -513,8 +513,8 @@ def test_native_multipart_checkpoint_and_protocol_gate(spark, tmp_path):
             a["protocol"] = {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["v2Checkpoint"],
-                "writerFeatures": ["v2Checkpoint"],
+                "readerFeatures": ["typeWidening"],
+                "writerFeatures": ["typeWidening"],
             }
     with open(path, "w") as f:
         for a in lines:

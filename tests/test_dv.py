@@ -468,7 +468,7 @@ def test_reader_gate_still_refuses_unknown_features(tmp_path):
     with pytest.raises(NotImplementedError):
         dl._check_protocol("t", [{
             "minReaderVersion": 3,
-            "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+            "readerFeatures": ["deletionVectors", "typeWidening"],
         }])
     with pytest.raises(NotImplementedError):
         dl._check_protocol("t", [{
