@@ -1130,6 +1130,7 @@ DRIVER_WINDOW: list[str] = [
     "orders_cm_evolution",  # NEW r9: DROP COLUMN + mapped evolution
     "orders_cdc_feed_counts",  # NEW r9: CDC write (change files)
     "orders_v2_checkpoint_scan",  # NEW r9: v2 checkpoints + sidecars
+    "orders_ict_time_travel",  # NEW r9: ICT + TIMESTAMP AS OF
     "events_gapfill_interpolated",
     "order_trend_by_priority",
     "events_time_weighted_value",
@@ -1165,7 +1166,6 @@ DRIVER_WINDOW: list[str] = [
     "events_json_props",
     "events_sessionize",
     "order_value_stats",
-    "orders_with_shipped_items",
 ]
 
 

@@ -5435,6 +5435,89 @@ def orders_dv_cdf_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_ict_time_travel",
+    """
+    SELECT o_orderpriority AS prio,
+           count(CASE WHEN (o_orderkey % 3) < 2 THEN 1 END)::BIGINT
+             AS n_asof,
+           coalesce(sum(CASE WHEN (o_orderkey % 3) < 2
+                        THEN round(o_totalprice * 100)::BIGINT END),
+                    0)::BIGINT AS cents_asof,
+           count(*)::BIGINT AS n_head
+    FROM orders
+    GROUP BY prio
+    """,
+    doc="In-commit timestamps + TIMESTAMP AS OF on the native Delta "
+    "log (delta_log._commit_actions ICT stamping + "
+    "resolve_version_at; public delta-io PROTOCOL.md 'In-Commit "
+    "Timestamps' — the clock-skew-proof time-travel mechanism of "
+    "the format the reference persists its tables in, notebooks/"
+    "20_analytics.ipynb:653) certified under the value-hash gate: "
+    "orders written in thirds, delta.enableInCommitTimestamps "
+    "flipped on (recording the enablement version/timestamp "
+    "properties and upgrading the writer protocol), two ICT-stamped "
+    "appends, then a read AT the second append's exact "
+    "inCommitTimestamp — which must resolve to precisely that "
+    "version (monotonic stamps, commitInfo leading the commit "
+    "file) — aggregated next to the head. The timestamp comes FROM "
+    "the log itself, so the query is deterministic while the "
+    "resolution path is fully exercised. At 100 TB: version "
+    "resolution reads O(log) commitInfo lines, no data.",
+)
+def orders_ict_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import uuid as _uuid
+
+    from .sources import delta_log as dl
+    from .sources import snapshots as sn
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_oict_"
+        f"{_uuid.uuid4().hex[:8]}"
+    )
+    leg = F.pmod("o_orderkey", F.lit(3))
+    dl.write_delta(orders.where(leg == 0).repartition(4), tbl)
+    dl.delta_alter_properties(
+        spark, tbl, {"delta.enableInCommitTimestamps": "true"}
+    )
+    dl.write_delta(orders.where(leg == 1), tbl, "append")  # v2
+    st3 = dl.write_delta(
+        orders.where(leg == 2), tbl, "append"
+    )  # v3
+    ts2 = dl._commit_ict(tbl, st3.version - 1, ict_only=True)
+    asof = (
+        dl.read_delta(spark, tbl, timestamp_ms=ts2)
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_asof"),
+            F.sum("cents").cast("bigint").alias("cents_asof"),
+        )
+    )
+    head = (
+        dl.read_delta(spark, tbl)
+        .groupBy("prio")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_head"))
+    )
+    return head.join(F.broadcast(asof), "prio", "left").select(
+        "prio",
+        F.coalesce("n_asof", F.lit(0)).cast("bigint").alias("n_asof"),
+        F.coalesce("cents_asof", F.lit(0))
+        .cast("bigint")
+        .alias("cents_asof"),
+        "n_head",
+    )
+
+
+@query(
     "orders_v2_checkpoint_scan",
     """
     WITH base AS (

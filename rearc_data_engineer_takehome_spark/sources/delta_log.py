@@ -85,6 +85,7 @@ _WRITER_FEATURES = {
     "deletionVectors", "appendOnly", "invariants",
     "checkConstraints", "timestampNtz", "generatedColumns",
     "columnMapping", "changeDataFeed", "v2Checkpoint",
+    "inCommitTimestamp",
 }
 
 
@@ -271,6 +272,93 @@ def _checkpoint_files(table_dir: str, version: int) -> list[str]:
 
 def _now_ms() -> int:
     return int(time.time() * 1000)
+
+
+# --- in-commit timestamps (PROTOCOL.md "In-Commit Timestamps") -------
+# With delta.enableInCommitTimestamps=true, every commit's commitInfo
+# carries a MONOTONICALLY increasing inCommitTimestamp (max(prev+1,
+# now)) and commitInfo must be the commit's FIRST action; timestamp
+# time travel then resolves against ICTs instead of file mtimes,
+# which clock skew and file copies can corrupt.
+
+
+def _ict_enabled(configuration: dict | None) -> bool:
+    return (configuration or {}).get(
+        "delta.enableInCommitTimestamps", ""
+    ).lower() == "true"
+
+
+def _commit_ict(
+    table_dir: str, version: int, ict_only: bool = False
+) -> int | None:
+    """The inCommitTimestamp (else, unless ``ict_only``,
+    commitInfo.timestamp) of commit ``version``, or None when absent
+    or the JSON is gone/unreadable. ``ict_only`` serves TIMESTAMP AS
+    OF, where the spec's rule for non-ICT versions is the commit
+    FILE's modification time, never the embedded wall-clock."""
+    try:
+        with open(_commit_path(table_dir, version)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    ci = a["commitInfo"]
+                    ict = ci.get("inCommitTimestamp")
+                    if ict is not None or ict_only:
+                        return ict
+                    return ci.get("timestamp")
+    except (FileNotFoundError, ValueError):
+        return None
+    return None
+
+
+def _maybe_auto_checkpoint(table_dir: str, state) -> None:
+    """Native ``delta.checkpointInterval`` behavior: after a commit
+    lands on a multiple of the interval, checkpoint the table.
+    Best-effort by design (native parity): the COMMIT is already
+    durable, and a failed/raced checkpoint must not turn a
+    successful write into an error — the next eligible commit
+    retries."""
+    try:
+        iv = int(
+            (state.configuration or {}).get(
+                "delta.checkpointInterval", 0
+            ) or 0
+        )
+    except (TypeError, ValueError):
+        return
+    if iv > 0 and state.version > 0 and state.version % iv == 0:
+        try:
+            write_checkpoint(table_dir, state.version)
+        except Exception:
+            pass
+
+
+def _commit_actions(
+    table_dir: str,
+    version: int,
+    actions: list[dict],
+    configuration: dict | None,
+) -> int | None:
+    """Commit ``actions`` at ``version``, stamping the spec's
+    inCommitTimestamp when the table property enables it: monotonic
+    over the previous commit's ICT, written into commitInfo, which
+    then leads the commit file. Returns the ICT stamped (None when
+    ICT is off)."""
+    ict = None
+    if _ict_enabled(configuration):
+        prev = _commit_ict(table_dir, version - 1) if version else None
+        ict = max((prev or 0) + 1, _now_ms())
+        cis = [a for a in actions if "commitInfo" in a]
+        if not cis:
+            cis = [{"commitInfo": {"timestamp": ict}}]
+        for a in cis:
+            a["commitInfo"].setdefault("inCommitTimestamp", ict)
+            ict = a["commitInfo"]["inCommitTimestamp"]
+        actions = cis + [a for a in actions if "commitInfo" not in a]
+    _atomic_commit(table_dir, version, actions)
+    return ict
 
 
 def _atomic_commit(table_dir: str, version: int, actions: list[dict]):
@@ -825,13 +913,65 @@ def replay(table_dir: str, version: int | None = None) -> DeltaState:
     )
 
 
+def resolve_version_at(table_dir: str, timestamp_ms: int) -> int:
+    """TIMESTAMP AS OF resolution: the newest version whose commit
+    time is <= ``timestamp_ms``. Per the spec, a version's commit
+    time is its inCommitTimestamp when the ICT feature covers it,
+    else the commit file's modification time (native's rule), with
+    the running maximum applied so a skewed clock or a copied file
+    can never make history non-monotonic. Versions whose JSON was
+    garbage-collected fall back to the checkpoint file's mtime.
+    Raises when ``timestamp_ms`` predates the first readable
+    version."""
+    versions = list_delta_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no _delta_log at {table_dir}")
+    best = None
+    running = None
+    for v in versions:
+        ts = _commit_ict(table_dir, v, ict_only=True)
+        if ts is None:
+            cp = _commit_path(table_dir, v)
+            if os.path.exists(cp):
+                # non-ICT version: the spec's commit time is the
+                # FILE's modification time (never the embedded
+                # wall-clock, which copies don't preserve either)
+                ts = int(os.path.getmtime(cp) * 1000)
+            else:
+                files = _checkpoint_files(table_dir, v)
+                if files:
+                    ts = int(os.path.getmtime(files[0]) * 1000)
+        if ts is None:
+            continue
+        # native's adjustment: a later version is always at least
+        # 1 ms after its predecessor, so a skewed clock or a copied
+        # commit file can neither reorder history nor collapse two
+        # versions onto one instant
+        running = ts if running is None else max(running + 1, ts)
+        if running <= timestamp_ms:
+            best = v
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"timestamp {timestamp_ms} predates the first readable "
+            f"version of {table_dir} (earliest {versions[0]})"
+        )
+    return best
+
+
 def read_delta(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Read a Delta table (ours or written by native Delta Lake) as of
-    ``version``. The read pins the log's schemaString (never samples a
-    data file), so additive evolution null-fills pre-evolution files —
-    the same contract as snapshots.read_snapshot.
+    ``version`` — or ``timestamp_ms`` (native TIMESTAMP AS OF,
+    resolved via :func:`resolve_version_at`). The read pins the log's
+    schemaString (never samples a data file), so additive evolution
+    null-fills pre-evolution files — the same contract as
+    snapshots.read_snapshot.
 
     Partitioned tables: per the spec, partition-column values live in
     each add action's ``partitionValues`` (as strings), NOT in the
@@ -841,6 +981,12 @@ def read_delta(
     version being read; each group is one distributed parquet scan, so
     this stays a metadata-size concern (like any Delta reader), never
     a data shuffle."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError(
+                "pass version OR timestamp_ms, not both"
+            )
+        version = resolve_version_at(table_dir, timestamp_ms)
     return _read_state(spark, table_dir, replay(table_dir, version))
 
 
@@ -1917,8 +2063,14 @@ def write_delta(
             }
         )
         try:
-            _atomic_commit(table_dir, version, actions)
-            return replay(table_dir, version)
+            _commit_actions(
+                table_dir, version, actions,
+                cm_config if cm_config is not None
+                else (head.configuration if head else None),
+            )
+            out = replay(table_dir, version)
+            _maybe_auto_checkpoint(table_dir, out)
+            return out
         except _sn.ConcurrentCommitError:
             continue  # re-read the head; our data files stay valid
     raise RuntimeError(f"delta commit to {table_dir} lost "
@@ -1973,7 +2125,7 @@ def write_checkpoint(
             state.protocol, {"v2Checkpoint"}, {"v2Checkpoint"}
         )
         if pa_up:
-            _atomic_commit(
+            _commit_actions(
                 table_dir,
                 state.version + 1,
                 [
@@ -1988,6 +2140,7 @@ def write_checkpoint(
                             "rearc-takehome-spark-cleanroom",
                     }},
                 ],
+                state.configuration,
             )
             state = replay(table_dir)
     # checkpointing is a WRITER operation (native reader-only
@@ -2398,7 +2551,9 @@ def delta_compact(
             }
         )
         try:
-            _atomic_commit(table_dir, version, actions)
+            _commit_actions(
+                table_dir, version, actions, head.configuration
+            )
             return replay(table_dir, version)
         except _sn.ConcurrentCommitError:
             continue  # appends compose; removes raised above
@@ -2548,7 +2703,9 @@ def _delta_compact_partitioned(
             }
         )
         try:
-            _atomic_commit(table_dir, version, actions)
+            _commit_actions(
+                table_dir, version, actions, head.configuration
+            )
             return replay(table_dir, version)
         except _sn.ConcurrentCommitError:
             continue  # appends compose; removes raised above
@@ -3114,8 +3271,12 @@ def delta_merge_upsert(
             }
         }
     )
-    _atomic_commit(table_dir, head.version + 1, actions)
-    return replay(table_dir, head.version + 1)
+    _commit_actions(
+        table_dir, head.version + 1, actions, head.configuration
+    )
+    out = replay(table_dir, head.version + 1)
+    _maybe_auto_checkpoint(table_dir, out)
+    return out
 
 
 def _delta_merge_via_dv(
@@ -3232,8 +3393,12 @@ def _delta_merge_via_dv(
             }
         }
     )
-    _atomic_commit(table_dir, head.version + 1, actions)
-    return replay(table_dir, head.version + 1)
+    _commit_actions(
+        table_dir, head.version + 1, actions, head.configuration
+    )
+    out = replay(table_dir, head.version + 1)
+    _maybe_auto_checkpoint(table_dir, out)
+    return out
 
 
 def delta_alter_properties(
@@ -3302,6 +3467,21 @@ def delta_alter_properties(
         # cdc-incapable native writers refuse instead of silently
         # corrupting table_changes()
         need_w.add("changeDataFeed")
+    ict0 = None
+    if _ict_enabled(config):
+        need_w.add("inCommitTimestamp")
+        if not _ict_enabled(head.configuration):
+            # spec: enabling ICT on an existing table records WHERE
+            # the reliable clock starts — timestamp queries below the
+            # enablement version fall back to file mtimes
+            prev = _commit_ict(table_dir, head.version)
+            ict0 = max((prev or 0) + 1, _now_ms())
+            config["delta.inCommitTimestampEnablementVersion"] = str(
+                head.version + 1
+            )
+            config["delta.inCommitTimestampEnablementTimestamp"] = (
+                str(ict0)
+            )
     if need_w:
         pa = _merge_feature_protocol(head.protocol, set(), need_w)
         if pa:
@@ -3324,10 +3504,14 @@ def delta_alter_properties(
                     "unset": sorted(unset),
                 },
                 "engineInfo": "rearc-takehome-spark-cleanroom",
+                # the enablement commit's OWN ict must equal the
+                # recorded enablement timestamp (pre-computed above);
+                # _commit_actions keeps a pre-set value
+                **({"inCommitTimestamp": ict0} if ict0 else {}),
             }
         }
     )
-    _atomic_commit(table_dir, head.version + 1, actions)
+    _commit_actions(table_dir, head.version + 1, actions, config)
     return replay(table_dir, head.version + 1)
 
 
@@ -3406,8 +3590,12 @@ def delta_rename_column(
             }
         },
     ]
-    _atomic_commit(table_dir, head.version + 1, actions)
-    return replay(table_dir, head.version + 1)
+    _commit_actions(
+        table_dir, head.version + 1, actions, head.configuration
+    )
+    out = replay(table_dir, head.version + 1)
+    _maybe_auto_checkpoint(table_dir, out)
+    return out
 
 
 def delta_drop_column(table_dir: str, col: str) -> DeltaState:
@@ -3477,8 +3665,12 @@ def delta_drop_column(table_dir: str, col: str) -> DeltaState:
             }
         },
     ]
-    _atomic_commit(table_dir, head.version + 1, actions)
-    return replay(table_dir, head.version + 1)
+    _commit_actions(
+        table_dir, head.version + 1, actions, head.configuration
+    )
+    out = replay(table_dir, head.version + 1)
+    _maybe_auto_checkpoint(table_dir, out)
+    return out
 
 
 def delta_delete(
@@ -3567,8 +3759,12 @@ def delta_delete(
             }
         }
     )
-    _atomic_commit(table_dir, head.version + 1, actions)
-    return replay(table_dir, head.version + 1)
+    _commit_actions(
+        table_dir, head.version + 1, actions, head.configuration
+    )
+    out = replay(table_dir, head.version + 1)
+    _maybe_auto_checkpoint(table_dir, out)
+    return out
 
 
 def _dv_mark_actions(
@@ -3843,8 +4039,12 @@ def delta_update(
             }
         }
     )
-    _atomic_commit(table_dir, head.version + 1, actions)
-    return replay(table_dir, head.version + 1)
+    _commit_actions(
+        table_dir, head.version + 1, actions, head.configuration
+    )
+    out = replay(table_dir, head.version + 1)
+    _maybe_auto_checkpoint(table_dir, out)
+    return out
 
 
 def vacuum_delta(table_dir: str, retention_ms: int = 0) -> int:

@@ -1431,3 +1431,108 @@ def test_delta_compact_partitioned_bin_packs_per_partition(
                    partition_by=["region"])
     inc = dl.read_delta_increment(spark, t, pre.version)
     assert _rows(inc) == [(8, "us", 80)]
+
+
+# --- in-commit timestamps + TIMESTAMP AS OF + auto-checkpoint (r9) --
+
+
+def test_ict_enablement_and_monotonic_stamps(spark, tmp_path):
+    t = str(tmp_path / "t")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t)
+    st = dl.delta_alter_properties(
+        spark, t, {"delta.enableInCommitTimestamps": "true"}
+    )
+    assert "inCommitTimestamp" in st.protocol["writerFeatures"]
+    cfg = st.configuration
+    assert cfg["delta.inCommitTimestampEnablementVersion"] == "1"
+    # the enablement commit's OWN ict equals the recorded property
+    ict1 = dl._commit_ict(t, 1)
+    assert str(ict1) == cfg[
+        "delta.inCommitTimestampEnablementTimestamp"
+    ]
+    # subsequent commits carry strictly increasing icts, and
+    # commitInfo leads the commit file (spec ordering)
+    dl.write_delta(
+        spark.createDataFrame([(2,)], "k long"), t, "append"
+    )
+    dl.delta_delete(spark, t, "k = 1")
+    icts = [dl._commit_ict(t, v) for v in (1, 2, 3)]
+    assert icts == sorted(icts) and len(set(icts)) == 3
+    with open(dl._commit_path(t, 2)) as f:
+        first = json.loads(f.readline())
+    assert "commitInfo" in first
+    assert first["commitInfo"]["inCommitTimestamp"] == icts[1]
+
+
+def test_timestamp_as_of_resolves_by_ict(spark, tmp_path):
+    t = str(tmp_path / "t")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t)
+    dl.delta_alter_properties(
+        spark, t, {"delta.enableInCommitTimestamps": "true"}
+    )
+    dl.write_delta(
+        spark.createDataFrame([(2,)], "k long"), t, "append"
+    )
+    dl.write_delta(
+        spark.createDataFrame([(3,)], "k long"), t, "append"
+    )
+    ict2 = dl._commit_ict(t, 2)
+    # exactly at v2's ict -> v2; just before -> v1
+    assert dl.resolve_version_at(t, ict2) == 2
+    assert dl.resolve_version_at(t, ict2 - 1) == 1
+    out = dl.read_delta(spark, t, timestamp_ms=ict2)
+    assert sorted(r.k for r in out.collect()) == [1, 2]
+    with pytest.raises(ValueError, match="not both"):
+        dl.read_delta(spark, t, 1, timestamp_ms=ict2)
+    with pytest.raises(ValueError, match="predates"):
+        dl.resolve_version_at(t, 1)
+
+
+def test_timestamp_as_of_mtime_fallback(spark, tmp_path):
+    import os
+    import time as _time
+
+    t = str(tmp_path / "t")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t)
+    dl.write_delta(
+        spark.createDataFrame([(2,)], "k long"), t, "append"
+    )
+    # no ICT feature: resolution uses commit-file mtimes; pin them
+    # to known values to make the test deterministic
+    os.utime(dl._commit_path(t, 0), (100.0, 100.0))
+    os.utime(dl._commit_path(t, 1), (200.0, 200.0))
+    assert dl.resolve_version_at(t, 150_000) == 0
+    assert dl.resolve_version_at(t, 200_000) == 1
+    # a SKEWED mtime (older than its predecessor) cannot reorder
+    # history: v1 clamps to v0's time + 1ms (native's adjustment),
+    # so it resolves at 150s but NOT at exactly v0's instant
+    os.utime(dl._commit_path(t, 1), (50.0, 50.0))
+    assert dl.resolve_version_at(t, 150_000) == 1
+    assert dl.resolve_version_at(t, 100_000) == 0
+    _ = _time  # imported for symmetry with other tests
+
+
+def test_checkpoint_interval_auto_checkpoints(spark, tmp_path):
+    import os
+
+    t = str(tmp_path / "t")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t)
+    dl.delta_alter_properties(
+        spark, t, {"delta.checkpointInterval": "3"}
+    )  # commit 1
+    dl.write_delta(
+        spark.createDataFrame([(2,)], "k long"), t, "append"
+    )  # commit 2
+    assert dl._checkpoint_versions(t) == []
+    dl.write_delta(
+        spark.createDataFrame([(3,)], "k long"), t, "append"
+    )  # commit 3: multiple of 3 -> auto checkpoint
+    assert dl._checkpoint_versions(t) == [3]
+    dl.delta_delete(spark, t, "k = 1")  # 4
+    dl.write_delta(
+        spark.createDataFrame([(4,)], "k long"), t, "append"
+    )  # 5
+    dl.delta_update(spark, t, "k = 2", {"k": "22"})  # 6 -> auto
+    assert dl._checkpoint_versions(t) == [3, 6]
+    assert dl._last_checkpoint(t) == 6
+    assert dl.read_delta(spark, t).count() == 3
