@@ -4047,6 +4047,97 @@ def delta_update(
     return out
 
 
+def delta_restore(table_dir: str, version: int) -> DeltaState:
+    """RESTORE TABLE ... TO VERSION AS OF — one commit that returns
+    the table's CONTENT to ``version`` while history keeps moving
+    forward (native semantics: the restore itself is a new version;
+    nothing is rewritten, the old files are simply re-referenced).
+    File identity is the spec's (path, deletionVector.uniqueId), so
+    a file whose DV changed since ``version`` is re-added under its
+    OLD descriptor and its current incarnation removed. Refuses when
+    any file (or DV bin) the target version needs was vacuumed —
+    silently restoring a partial table would be data loss dressed as
+    success."""
+    head = replay(table_dir)
+    _check_writer_protocol(
+        table_dir, head.protocol, head.configuration
+    )
+    _check_append_only(table_dir, head.configuration, "RESTORE")
+    target = replay(table_dir, version)
+    if target.version == head.version:
+        return head  # restoring the head: nothing to do
+
+    def _key(a):
+        return (a["path"], _dv.dv_unique_id(a.get("deletionVector")))
+
+    cur = {_key(a): a for a in head.adds.values()}
+    tgt = {_key(a): a for a in target.adds.values()}
+    to_add = [tgt[k] for k in tgt.keys() - cur.keys()]
+    to_remove = [cur[k] for k in cur.keys() - tgt.keys()]
+    missing = []
+    for a in to_add:
+        if not os.path.exists(os.path.join(table_dir, a["path"])):
+            missing.append(a["path"])
+        desc = a.get("deletionVector")
+        if desc and desc.get("storageType") == "u":
+            dvp = _dv.absolute_dv_path(table_dir, desc)
+            if dvp and not os.path.exists(dvp):
+                missing.append(dvp)
+    if missing:
+        raise ValueError(
+            f"cannot restore {table_dir} to version {version}: "
+            f"{len(missing)} file(s) it references were vacuumed "
+            f"(first few: {missing[:3]}) — a partial restore would "
+            "be silent data loss"
+        )
+    ts = _now_ms()
+    actions: list[dict] = []
+    if (
+        target.schema != head.schema
+        or target.partition_cols != head.partition_cols
+        or (target.configuration or {}) != (head.configuration or {})
+    ):
+        # content restore includes the schema/properties of the
+        # target version (native RESTORE semantics); the table id is
+        # immutable and the PROTOCOL never downgrades — readers that
+        # could read the head can still read the restored state
+        actions.append(
+            _meta_action(
+                target.schema,
+                head.metadata_id,
+                list(target.partition_cols),
+                target.configuration,
+            )
+        )
+    actions.extend(
+        _remove_action(a, ts, True) for a in to_remove
+    )
+    for a in to_add:
+        na = dict(a)
+        na["dataChange"] = True
+        actions.append({"add": na})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "RESTORE",
+                "operationParameters": {"version": version},
+                "operationMetrics": {
+                    "numRestoredFiles": len(to_add),
+                    "numRemovedFiles": len(to_remove),
+                },
+                "engineInfo": "rearc-takehome-spark-cleanroom",
+            }
+        }
+    )
+    _commit_actions(
+        table_dir, head.version + 1, actions, head.configuration
+    )
+    out = replay(table_dir, head.version + 1)
+    _maybe_auto_checkpoint(table_dir, out)
+    return out
+
+
 def vacuum_delta(table_dir: str, retention_ms: int = 0) -> int:
     """VACUUM with a retention window, matching native
     ``VACUUM ... RETAIN N HOURS`` semantics: checkpoint the head, then
