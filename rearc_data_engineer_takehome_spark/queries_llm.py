@@ -1222,20 +1222,86 @@ def events_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cardinality_sketch",
-    None,  # HLL++/GK sketches differ engine-to-engine → rows-only
-    doc="Approximate profiling — the 100 TB variants of A4/A10: "
-    "approx_count_distinct (HyperLogLog++, one pass, no distinct "
-    "shuffle) and percentile_approx (Greenwald-Khanna sketch). Sketch "
-    "internals differ across engines so this is rows-only; the EXACT "
-    "twins (cardinality_profile, iqr_outliers_price) are oracle-gated.",
+    """
+    SELECT count(DISTINCT l_orderkey) AS exact_orders,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS orders_within_bounds,
+           TRUE AS parts_within_bounds,
+           TRUE AS median_within_bounds,
+           TRUE AS p99_within_bounds
+    FROM lineitem
+    """,
+    doc="Approximate profiling, hash-certified — the 100 TB variants "
+    "of A4/A10: approx_count_distinct (HyperLogLog++, one pass, no "
+    "distinct shuffle) and percentile_approx (Greenwald-Khanna "
+    "sketch). Sketch VALUES are engine-private, so the query emits "
+    "the exact counts plus deterministic within-bounds booleans: "
+    "|approx-exact|/exact <= 3*rsd for the HLLs (deterministic — "
+    "register merge is a commutative max), and the GK rank guarantee "
+    "for the percentiles (rank(value) within target +/- 2/accuracy; "
+    "holds for ANY merge order, so the boolean is stable even though "
+    "the picked value may vary). The oracle emits the exact counts "
+    "and literal TRUE — the sketches' accuracy claims are themselves "
+    "the hash-gated facts. Exact aggregates ride along for "
+    "certification; the EXACT product twins are cardinality_profile "
+    "and iqr_outliers_price.",
 )
 def cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("approx_p99_price"),
+    sk = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ao"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("am"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("a99"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # one more codegen pass ranks the picked percentile values against
+    # the full column — the GK guarantee is a RANK bound, so the
+    # certification measures exactly what the sketch promises
+    ranked = (
+        li.join(F.broadcast(sk))
+        .groupBy(
+            "ao", "ap", "am", "a99", "exact_orders", "exact_parts", "n"
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("am")).cast("long")
+            ).alias("le_m"),
+            F.sum(
+                (F.col("l_extendedprice") < F.col("am")).cast("long")
+            ).alias("lt_m"),
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("a99")).cast("long")
+            ).alias("le_99"),
+            F.sum(
+                (F.col("l_extendedprice") < F.col("a99")).cast("long")
+            ).alias("lt_99"),
+        )
+    )
+    eps = 0.002  # 2x the 1/accuracy rank guarantee, margin for ties
+    return ranked.select(
+        "exact_orders",
+        "exact_parts",
+        (
+            F.abs(F.col("ao") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            <= F.lit(0.06)
+        ).alias("orders_within_bounds"),
+        (
+            F.abs(F.col("ap") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= F.lit(0.06)
+        ).alias("parts_within_bounds"),
+        (
+            (F.col("le_m") / F.col("n") >= F.lit(0.5) - F.lit(eps))
+            & (F.col("lt_m") / F.col("n") <= F.lit(0.5) + F.lit(eps))
+        ).alias("median_within_bounds"),
+        (
+            (F.col("le_99") / F.col("n") >= F.lit(0.99) - F.lit(eps))
+            & (F.col("lt_99") / F.col("n") <= F.lit(0.99) + F.lit(eps))
+        ).alias("p99_within_bounds"),
     )
 
 

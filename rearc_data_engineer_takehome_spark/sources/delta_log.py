@@ -349,6 +349,37 @@ def _commit_actions(
     ict = None
     if _ict_enabled(configuration):
         prev = _commit_ict(table_dir, version - 1) if version else None
+        if prev is None and version:
+            # version-1's JSON may be GC'd below a checkpoint; a pure
+            # wall-clock ICT could then step BELOW the table's last
+            # ICT on a backwards clock jump, breaking the monotonicity
+            # guarantee resolve_version_at relies on. Floor against
+            # the strongest persisted watermarks instead: the ICT our
+            # own checkpoints record in _last_checkpoint (exact when
+            # version-1 IS the checkpointed version — the common GC
+            # shape), else the enablement timestamp the enabling
+            # commit wrote into the table config (every ICT since is
+            # >= it). The +1 below keeps the new commit strictly
+            # after whichever floor wins.
+            floors = []
+            try:
+                with open(os.path.join(
+                    _log_dir(table_dir), "_last_checkpoint"
+                )) as f:
+                    w = json.load(f).get("cleanroomLastIct")
+                if w is not None:
+                    floors.append(int(w))
+            except (FileNotFoundError, ValueError, TypeError):
+                pass
+            try:
+                floors.append(int(
+                    (configuration or {}).get(
+                        "delta.inCommitTimestampEnablementTimestamp"
+                    )
+                ))
+            except (TypeError, ValueError):
+                pass
+            prev = max(floors) if floors else None
         ict = max((prev or 0) + 1, _now_ms())
         cis = [a for a in actions if "commitInfo" in a]
         if not cis:
@@ -919,10 +950,15 @@ def resolve_version_at(table_dir: str, timestamp_ms: int) -> int:
     time is its inCommitTimestamp when the ICT feature covers it,
     else the commit file's modification time (native's rule), with
     the running maximum applied so a skewed clock or a copied file
-    can never make history non-monotonic. Versions whose JSON was
-    garbage-collected fall back to the checkpoint file's mtime.
-    Raises when ``timestamp_ms`` predates the first readable
-    version."""
+    can never make history non-monotonic. Versions whose commit JSON
+    was garbage-collected have NO commit time — a checkpoint file's
+    mtime is when the CHECKPOINT was written (possibly long after the
+    commit, e.g. a late manual ``write_checkpoint``), and feeding it
+    into the monotonic adjustment would inflate every later version's
+    effective time; native's rule is that timestamps below the
+    earliest readable commit simply refuse. Raises when
+    ``timestamp_ms`` predates the first version with a readable
+    commit time."""
     versions = list_delta_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no _delta_log at {table_dir}")
@@ -937,10 +973,6 @@ def resolve_version_at(table_dir: str, timestamp_ms: int) -> int:
                 # FILE's modification time (never the embedded
                 # wall-clock, which copies don't preserve either)
                 ts = int(os.path.getmtime(cp) * 1000)
-            else:
-                files = _checkpoint_files(table_dir, v)
-                if files:
-                    ts = int(os.path.getmtime(files[0]) * 1000)
         if ts is None:
             continue
         # native's adjustment: a later version is always at least
@@ -954,8 +986,10 @@ def resolve_version_at(table_dir: str, timestamp_ms: int) -> int:
             break
     if best is None:
         raise ValueError(
-            f"timestamp {timestamp_ms} predates the first readable "
-            f"version of {table_dir} (earliest {versions[0]})"
+            f"timestamp {timestamp_ms} predates the first version of "
+            f"{table_dir} with a readable commit time (versions whose "
+            "commit JSON was garbage-collected are addressable by "
+            "VERSION AS OF only)"
         )
     return best
 
@@ -1231,7 +1265,15 @@ def _remap_column_mapping(
         if _CM_ID in prior and _CM_PHYS in prior:
             meta[_CM_ID] = prior[_CM_ID]
             meta[_CM_PHYS] = prior[_CM_PHYS]
-        elif _CM_ID not in meta or _CM_PHYS not in meta:
+        else:
+            # a field the OLD schema doesn't map ALWAYS gets a fresh
+            # id/physical name: a dataframe read from a DIFFERENT
+            # mapped table carries that table's ids through schema
+            # round-trips, and importing them could duplicate an id
+            # already kept or assigned here (spec: ids unique within
+            # one schema)
+            meta.pop(_CM_ID, None)
+            meta.pop(_CM_PHYS, None)
             next_id += 1
             meta[_CM_ID] = next_id
             meta[_CM_PHYS] = f"col-{uuid.uuid4()}"
@@ -1834,6 +1876,19 @@ def write_delta(
          or "none")
         if head0 is not None else "none"
     )
+    if column_mapping == "none" and head_mode == "name":
+        # an explicit 'none' on a mapped table is an ask to DISABLE
+        # the mode — a spec-governed operation (physical rewrite +
+        # protocol downgrade rules) this writer does not implement.
+        # Silently keeping the mapping would ignore the caller's
+        # explicit request; refuse instead (omit the flag to keep
+        # the table's mode).
+        raise NotImplementedError(
+            f"{table_dir} has column mapping 'name' enabled; "
+            "column_mapping='none' would disable it, which this "
+            "writer does not implement — omit the argument to keep "
+            "the table's existing mode"
+        )
     cm_config: dict | None = None
     if mode == "append" and head_mode == "name":
         if not _sn._schema_compatible(head0.schema, schema_json):
@@ -2335,8 +2390,17 @@ def write_checkpoint(
         )
         os.replace(cp_tmp, cp_path)  # never observable half-written
     tmp = os.path.join(_log_dir(table_dir), "_last_checkpoint.tmp")
+    lc = {"version": state.version, "size": len(rows)}
+    # ICT tables: persist the checkpointed commit's ICT so a later
+    # commit whose predecessor JSON was GC'd can still floor its own
+    # ICT monotonically (_commit_actions). Readers ignore unknown
+    # _last_checkpoint fields, so this stays format-compatible.
+    if _ict_enabled(state.configuration):
+        cp_ict = _commit_ict(table_dir, state.version, ict_only=True)
+        if cp_ict is not None:
+            lc["cleanroomLastIct"] = cp_ict
     with open(tmp, "w") as f:
-        json.dump({"version": state.version, "size": len(rows)}, f)
+        json.dump(lc, f)
     os.replace(tmp, os.path.join(_log_dir(table_dir),
                                  "_last_checkpoint"))
     return state.version
@@ -2976,7 +3040,15 @@ def read_delta_changes(
                 elif "cdc" in action:
                     cdc_v.append(action)
                 elif "commitInfo" in action:
-                    ts = action["commitInfo"].get("timestamp")
+                    # ICT spec: once enabled, inCommitTimestamp
+                    # REPLACES commit-timestamp reporting — the CDF's
+                    # _commit_timestamp must agree with
+                    # resolve_version_at / TIMESTAMP AS OF for the
+                    # same commit (mirrors _commit_ict's preference)
+                    ci = action["commitInfo"]
+                    ts = ci.get(
+                        "inCommitTimestamp", ci.get("timestamp")
+                    )
         if cdc_v:
             # spec: a commit carrying cdc actions is read from its
             # change-data files EXCLUSIVELY — its add/remove pairs

@@ -789,3 +789,68 @@ def test_cm_drop_refusals(spark, tmp_path):
     dl.write_delta(spark.createDataFrame([(1,)], "k long"), t2)
     with pytest.raises(ValueError, match="no column mapping"):
         dl.delta_drop_column(t2, "k")
+
+
+def test_remap_strips_foreign_ids(spark, tmp_path):
+    """ADVICE r09: a dataframe read from a DIFFERENT mapped table
+    carries that table's columnMapping ids through schema
+    round-trips; importing them verbatim can duplicate an id already
+    kept or assigned (spec: ids unique within one schema). Fields
+    absent from the OLD schema must always get fresh ids."""
+    old = json.dumps({
+        "type": "struct",
+        "fields": [_field("a", "long", 1, "col-phys-a")],
+    })
+    new = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "a", "type": "long", "nullable": True,
+             "metadata": {}},
+            # foreign field claiming the SAME id as kept column a
+            _field("b", "long", 1, "col-foreign-b"),
+        ],
+    })
+    mapped, mx = dl._remap_column_mapping(new, old, 1)
+    by = {
+        f["name"]: f["metadata"]
+        for f in json.loads(mapped)["fields"]
+    }
+    assert by["a"]["delta.columnMapping.id"] == 1
+    assert by["a"]["delta.columnMapping.physicalName"] == "col-phys-a"
+    assert by["b"]["delta.columnMapping.id"] == 2
+    assert by["b"]["delta.columnMapping.physicalName"] != \
+        "col-foreign-b"
+    ids = [m["delta.columnMapping.id"] for m in by.values()]
+    assert len(ids) == len(set(ids))
+    assert mx == 2
+    # end-to-end: writing a df whose schema carries foreign mapping
+    # metadata into a NEW mapped table never imports those ids
+    t = str(tmp_path / "t")
+    dl.write_delta(spark.range(0, 5), t, column_mapping="name")
+    src = dl.read_delta(spark, t)
+    t2 = str(tmp_path / "t2")
+    dl.write_delta(src, t2, column_mapping="name")
+    sj = json.loads(dl.replay(t2).schema)
+    metas = [f["metadata"] for f in sj["fields"]]
+    seen = [m["delta.columnMapping.id"] for m in metas]
+    assert len(seen) == len(set(seen))
+
+
+def test_cm_none_on_mapped_table_refuses(spark, tmp_path):
+    """ADVICE r09: an explicit column_mapping='none' on a mapped
+    table asks to DISABLE the mode — a spec-governed operation this
+    writer doesn't implement; silently keeping the mapping ignored
+    the caller's ask. Omitting the flag still keeps the mode."""
+    t = str(tmp_path / "t")
+    dl.write_delta(spark.range(0, 5), t, column_mapping="name")
+    with pytest.raises(NotImplementedError, match="disable"):
+        dl.write_delta(spark.range(5, 9), t, column_mapping="none")
+    # the no-flag overwrite keeps mapping (unchanged behavior)
+    st = dl.write_delta(spark.range(5, 9), t)
+    assert (st.configuration or {}).get(
+        "delta.columnMapping.mode"
+    ) == "name"
+    # explicit 'none' on an UNMAPPED table stays a no-op
+    t2 = str(tmp_path / "plain")
+    dl.write_delta(spark.range(0, 3), t2, column_mapping="none")
+    assert dl.read_delta(spark, t2).count() == 3

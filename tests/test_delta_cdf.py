@@ -403,3 +403,34 @@ def test_vacuum_gc_drops_cdc_of_collected_commits(spark, tmp_path):
     assert {
         os.path.relpath(p, t) for p in remaining
     } == head_cdc
+
+
+def test_cdf_timestamps_use_ict_when_enabled(spark, tmp_path):
+    """ADVICE r09: once ICT is enabled, inCommitTimestamp REPLACES
+    commit-timestamp reporting — the CDF's _commit_timestamp must
+    agree with resolve_version_at / TIMESTAMP AS OF for the same
+    commit, not the wall-clock commitInfo.timestamp."""
+    t = str(tmp_path / "t")
+    _mk(spark, t, n=50)                                   # v0
+    dl.delta_alter_properties(
+        spark, t, {"delta.enableInCommitTimestamps": "true"}
+    )                                                     # v1
+    dl.delta_delete(spark, t, "k = 3")                    # v2
+    ict2 = dl._commit_ict(t, 2, ict_only=True)
+    assert ict2 is not None
+    # wall timestamp and ICT can coincide to the millisecond; force
+    # them apart to prove the ICT is PREFERRED, not coincidental
+    cp = dl._commit_path(t, 2)
+    lines = [json.loads(x) for x in open(cp) if x.strip()]
+    for a in lines:
+        if "commitInfo" in a:
+            a["commitInfo"]["timestamp"] = 1
+    with open(cp, "w") as f:
+        for a in lines:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    ch = dl.read_delta_changes(spark, t, 1, 2)
+    stamps = {
+        r["_commit_timestamp"]
+        for r in ch.select("_commit_timestamp").distinct().collect()
+    }
+    assert stamps == {ict2}

@@ -1536,3 +1536,72 @@ def test_checkpoint_interval_auto_checkpoints(spark, tmp_path):
     assert dl._checkpoint_versions(t) == [3, 6]
     assert dl._last_checkpoint(t) == 6
     assert dl.read_delta(spark, t).count() == 3
+
+
+def test_timestamp_as_of_ignores_checkpoint_mtime(spark, tmp_path):
+    """ADVICE r09 (medium): a checkpoint file's mtime is when the
+    CHECKPOINT was written — possibly long after the commit (late
+    manual write_checkpoint) — so it must never enter the monotonic
+    commit-time adjustment: the inflation would shadow every LATER
+    version's real commit time. Native's rule: timestamps below the
+    earliest readable commit refuse; GC'd versions are VERSION AS OF
+    territory only."""
+    import os
+
+    t = str(tmp_path / "t")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t)  # v0
+    dl.write_delta(
+        spark.createDataFrame([(2,)], "k long"), t, "append"
+    )  # v1
+    dl.write_checkpoint(t, 1)
+    os.remove(dl._commit_path(t, 0))
+    os.remove(dl._commit_path(t, 1))
+    dl.write_delta(
+        spark.createDataFrame([(3,)], "k long"), t, "append"
+    )  # v2
+    # checkpoint written "far in the future" of v2's real commit time
+    for cp in dl._checkpoint_files(t, 1):
+        os.utime(cp, (1_000_000.0, 1_000_000.0))
+    os.utime(dl._commit_path(t, 2), (300.0, 300.0))
+    # v2's REAL time resolves v2 — a checkpoint-mtime proxy would have
+    # clamped v2 to 1_000_000_000+1 ms and raised here
+    assert dl.resolve_version_at(t, 300_000) == 2
+    assert dl.resolve_version_at(t, 2_000_000_000) == 2
+    # below the earliest readable commit time -> refuse...
+    with pytest.raises(ValueError, match="readable commit time"):
+        dl.resolve_version_at(t, 200_000)
+    # ...while VERSION AS OF still reads the checkpointed state
+    assert dl.read_delta(spark, t, version=1).count() == 2
+
+
+def test_ict_monotonic_after_json_gc(spark, tmp_path, monkeypatch):
+    """ADVICE r09: when version-1's JSON is GC'd below a checkpoint, a
+    backwards wall clock must not emit an inCommitTimestamp below the
+    table's last ICT. The checkpoint records the checkpointed commit's
+    ICT in _last_checkpoint; _commit_actions floors against it (and
+    the enablement timestamp)."""
+    import os
+
+    t = str(tmp_path / "t")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t)  # v0
+    st = dl.delta_alter_properties(
+        spark, t, {"delta.enableInCommitTimestamps": "true"}
+    )  # v1 (enablement)
+    enable_ts = int(
+        st.configuration["delta.inCommitTimestampEnablementTimestamp"]
+    )
+    dl.write_delta(
+        spark.createDataFrame([(2,)], "k long"), t, "append"
+    )  # v2
+    ict2 = dl._commit_ict(t, 2, ict_only=True)
+    dl.write_checkpoint(t, 2)
+    for v in (0, 1, 2):
+        os.remove(dl._commit_path(t, v))
+    # wall clock steps BACKWARDS below even the enablement timestamp
+    monkeypatch.setattr(dl, "_now_ms", lambda: enable_ts - 10_000)
+    dl.write_delta(
+        spark.createDataFrame([(3,)], "k long"), t, "append"
+    )  # v3
+    ict3 = dl._commit_ict(t, 3, ict_only=True)
+    assert ict3 == ict2 + 1  # exact floor from the checkpointed ICT
+    assert ict3 > enable_ts

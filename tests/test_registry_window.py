@@ -48,13 +48,11 @@ def test_window_contains_priority_set():
     assert not missing, f"priority queries outside driver window: {missing}"
 
 
-# The two engine-private approx_count_distinct queries have no
-# cross-engine oracle BY DESIGN (HLL implementations differ); the
-# driver records a rows-only row for them, which the round-9
-# completion sweep needs once so every registry query carries SOME
-# driver row (VERDICT r08 item 1). Any other no-oracle entry still
-# wastes a hash-gated slot and fails below.
-ROWS_ONLY_OK = {"events_wau_approx", "cardinality_sketch"}
+# Round 10 (VERDICT r09 item 1): the two approx_count_distinct
+# queries were reshaped to emit exact aggregates plus deterministic
+# within-bounds booleans, so they carry full value-hash oracles now —
+# NO registry query is allowed a no-oracle row anymore.
+ROWS_ONLY_OK: set[str] = set()
 
 
 def test_window_has_no_no_oracle_entries():
@@ -97,6 +95,7 @@ def test_window_rotates_in_never_driver_checked_queries():
         "CORRECTNESS_r06.json",
         "CORRECTNESS_r07.json",
         "CORRECTNESS_r08.json",
+        "CORRECTNESS_r09.json",
     )
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     prior: set[str] = set()

@@ -113,16 +113,17 @@ def test_reservoir_per_group_exact_k_and_deterministic(spark, sf_smoke):
 
 
 def test_wau_approx_within_envelope(spark, sf_smoke):
+    """Round 10: the query itself now emits the exact count plus the
+    hash-certified within_bounds boolean — the local gate checks the
+    exact counts agree with the exact twin and every bound holds."""
     from rearc_data_engineer_takehome_spark.queries import REGISTRY
 
     exact = {
         r.window_start: r.wau
         for r in REGISTRY["events_wau"].spark(spark, sf_smoke).collect()
     }
-    approx = {
-        r.window_start: r.wau_approx
-        for r in REGISTRY["events_wau_approx"].spark(spark, sf_smoke).collect()
-    }
-    assert exact.keys() == approx.keys()
+    rows = REGISTRY["events_wau_approx"].spark(spark, sf_smoke).collect()
+    got = {r.window_start: (r.wau_exact, r.within_bounds) for r in rows}
+    assert exact.keys() == got.keys()
     for ws, n in exact.items():
-        assert abs(approx[ws] - n) <= max(3, 0.1 * n), (ws, n, approx[ws])
+        assert got[ws] == (n, True), (ws, n, got[ws])
