@@ -1116,56 +1116,55 @@ DRIVER_WINDOW: list[str] = [
     "knn_ivf",  # LLM tier: ANN family
     "doc_pii_redaction",  # LLM tier: text/chunking family
     "curation_pipeline",  # LLM tier: curation family
-    # --- rotating slots, round 9 (VERDICT r08 item 1): the FINAL 17
-    # queries with no clean driver row from any prior round — the 14
-    # relational/LLM long-tail entries r8 left, cardinality_sketch
-    # (whose only r01 row was err=no_oracle before the driver learned
-    # rows-only checks) and events_wau_approx (rows-only by design:
-    # engine-private approx_count_distinct has no cross-engine
-    # oracle), plus this round's two new native-Delta gates. With
-    # these green, every registry query has a driver row -> 221/221
-    # cumulative certification. ---
-    "orders_cm_roundtrip",  # NEW r9: column-mapping WRITE + rename
-    "orders_dv_merge_scan",  # NEW r9: MERGE via deletion vectors
-    "orders_cm_evolution",  # NEW r9: DROP COLUMN + mapped evolution
-    "orders_cdc_feed_counts",  # NEW r9: CDC write (change files)
-    "orders_v2_checkpoint_scan",  # NEW r9: v2 checkpoints + sidecars
-    "orders_ict_time_travel",  # NEW r9: ICT + TIMESTAMP AS OF
-    "events_gapfill_interpolated",
-    "order_trend_by_priority",
-    "events_time_weighted_value",
-    "modal_event_type_per_user",
-    "revenue_by_dow",
-    "events_wau_approx",  # rows-only (approx_count_distinct)
-    "cardinality_sketch",  # rows-only (approx_count_distinct)
-    "excess_recent_shippers",
-    "late_shipment_priority_check",
-    "returned_items_by_customer",
-    "customer_order_count_distribution",
-    "doc_length_buckets",
-    "events_debounced_counts",
-    "top_revenue_share_customers",
-    "categorical_entropy_profile",
-    # --- 20 re-certification fillers: queries whose latest clean
-    # driver row is r01/r02 — the stalest external signal in the
-    # registry (orders_with_shipped_items doubles as the r8
-    # beyond-band bench drift under a fresh driver eye) ---
-    "brand_disjunctive_revenue",
-    "brand_price_quartiles",
-    "cardinality_profile",
-    "customer_order_analytics",
-    "customers_without_orders",
-    "doc_fingerprints",
-    "doc_language_id",
-    "doc_quality_scores",
-    "doc_token_stats",
-    "duplicate_keys_lineitem",
-    "embedding_element_stats",
-    "events_asof_last_signup",
-    "events_hourly",
-    "events_json_props",
-    "events_sessionize",
-    "order_value_stats",
+    # --- rotating slots, round 10 (VERDICT r09 items 1/2/4): the
+    # r09 sweep completed cumulative certification, so rotation now
+    # RE-CERTIFIES the stalest green rows (policy encoded in
+    # tests/test_registry_window.py). First the 3 queries with no
+    # clean row yet: the two reshaped approx-sketch queries (now
+    # carrying full value-hash oracles — exact aggregates plus
+    # deterministic within-bounds booleans) and this round's new
+    # row-tracking gate. ---
+    "events_wau_approx",  # reshaped r10: exact + within_bounds
+    "cardinality_sketch",  # reshaped r10: exact + within_bounds
+    "orders_row_ids_stable",  # NEW r10: Delta row tracking
+    # --- 34 re-certification fillers: the stalest clean rows in the
+    # registry (latest green round r01-r03, 6+ rounds old against
+    # code refactored since), oldest-first by
+    # (latest_clean_round, name). ---
+    "orders_with_shipped_items",  # r01
+    "promo_revenue_share",  # r01
+    "returnflag_pivot",  # r01
+    "small_quantity_revenue",  # r01
+    "events_props_typed",  # r02
+    "events_range_join_errors_signups",  # r02
+    "events_sliding",  # r02
+    "minhash_signatures",  # r02
+    "order_date_domain",  # r02
+    "part_name_analysis",  # r02
+    "returnflag_priority_mix",  # r02
+    "revenue_by_region",  # r02
+    "top_customers_by_revenue",  # r02
+    "bpe_merge_candidates",  # r03
+    "corpus_mixture_plan",  # r03
+    "dedup_incremental_batch",  # r03
+    "dedup_ngram_jaccard",  # r03
+    "doc_clf_quality",  # r03
+    "doc_lm_perplexity",  # r03
+    "doc_seq_packing",  # r03
+    "dsir_importance_weights",  # r03
+    "embedding_pca_projection",  # r03
+    "eval_contamination",  # r03
+    "events_funnel",  # r03
+    "hard_negative_mining",  # r03
+    "knn_all_pairs_topk",  # r03
+    "knn_ivf_pq",  # r03
+    "part_pagerank",  # r03
+    "pq_codebook",  # r03
+    "repeated_span_boilerplate",  # r03
+    "revenue_rollup",  # r03
+    "scd2_customer_orders",  # r03
+    "selection_pipeline",  # r03
+    "source_cap_balancing",  # r03
 ]
 
 

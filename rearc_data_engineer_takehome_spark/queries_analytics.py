@@ -5545,6 +5545,101 @@ def orders_ict_time_travel(
 
 
 @query(
+    "orders_row_ids_stable",
+    """
+    WITH base AS (
+        SELECT o_orderkey,
+               (row_number() OVER (ORDER BY o_orderkey) - 1)::BIGINT
+                   AS rid,
+               (round(o_totalprice * 100)::BIGINT
+                + CASE WHEN o_orderkey % 7 = 3 THEN 1 ELSE 0 END)
+                   AS cents,
+               (CASE WHEN o_orderkey % 7 = 3 THEN 1 ELSE 0
+                END)::BIGINT AS rcv
+        FROM orders
+    ), live AS (
+        SELECT * FROM base WHERE o_orderkey % 11 <> 5
+    )
+    SELECT o_orderkey, rid AS row_id, rcv AS row_commit_version,
+           cents
+    FROM live WHERE o_orderkey % 97 = 0
+    UNION ALL
+    SELECT -1::BIGINT, sum(rid)::BIGINT, count(*)::BIGINT,
+           sum(cents)::BIGINT
+    FROM live
+    """,
+    doc="Row tracking on the native Delta log (delta_log row-id "
+    "stamping + materialized-column preservation; public delta-io "
+    "PROTOCOL.md 'Row Tracking' + 'Domain Metadata' — the stable "
+    "row-identity surface current runtimes add to the Delta tables "
+    "the reference persists, notebooks/20_analytics.ipynb:653) "
+    "certified under the value-hash gate: orders written sorted "
+    "into ONE file with row_tracking=True (so id = rank-1 by "
+    "o_orderkey — key-derivable for the oracle), a DV UPDATE "
+    "(keys %7=3: ids must survive via the materialized row-id "
+    "column, commit versions bump to the update's version), a DV "
+    "DELETE (keys %11=5: survivors untouched), then OPTIMIZE into "
+    "2 files (ids AND commit versions must ride the materialized "
+    "columns through the rewrite). The output samples per-row "
+    "(key, row_id, rcv, cents) plus a whole-table checksum row — "
+    "any id drift, resurrected delete, or lost commit version "
+    "breaks the hash. The single sorted initial file is the "
+    "oracle-derivability device; id ASSIGNMENT itself is per-file "
+    "add metadata (baseRowId + row_index), O(files) bookkeeping at "
+    "any scale, and the high-water mark lives in domain metadata "
+    "that survives checkpoints.",
+)
+def orders_row_ids_stable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import uuid as _uuid
+
+    from .sources import delta_log as dl
+    from .sources import snapshots as sn
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_orid_"
+        f"{_uuid.uuid4().hex[:8]}"
+    )
+    dl.write_delta(
+        orders, tbl, row_tracking=True, stats_cols=["o_orderkey"]
+    )                                                          # v0
+    dl.delta_update(
+        spark, tbl, "o_orderkey % 7 = 3", {"cents": "cents + 1"}
+    )                                                          # v1
+    dl.delta_delete(spark, tbl, "o_orderkey % 11 = 5")         # v2
+    dl.delta_compact(spark, tbl, 2)                            # v3
+    live = dl.read_delta(spark, tbl, row_ids=True).select(
+        "o_orderkey",
+        F.col("_row_id").alias("row_id"),
+        F.col("_row_commit_version").alias("row_commit_version"),
+        "cents",
+    )
+    sample = live.where(F.col("o_orderkey") % 97 == 0)
+    total = live.agg(
+        F.lit(-1).cast("bigint").alias("o_orderkey"),
+        F.sum("row_id").cast("bigint").alias("row_id"),
+        F.count(F.lit(1)).cast("bigint").alias(
+            "row_commit_version"
+        ),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    return sample.unionByName(total)
+
+
+@query(
     "orders_v2_checkpoint_scan",
     """
     WITH base AS (

@@ -85,7 +85,7 @@ _WRITER_FEATURES = {
     "deletionVectors", "appendOnly", "invariants",
     "checkConstraints", "timestampNtz", "generatedColumns",
     "columnMapping", "changeDataFeed", "v2Checkpoint",
-    "inCommitTimestamp",
+    "inCommitTimestamp", "domainMetadata", "rowTracking",
 }
 
 
@@ -114,6 +114,11 @@ class DeltaState:
     # addressed); dropping it at a checkpoint would silently misread
     # mapped tables
     configuration: dict | None = None
+    # live domainMetadata actions ({domain: configuration JSON string},
+    # PROTOCOL.md "Domain Metadata") — row tracking keeps its row-id
+    # high-water mark in the delta.rowTracking domain, so dropping
+    # these at a checkpoint would hand out duplicate row ids
+    domain_metadata: dict | None = None
 
 
 def _log_dir(table_dir: str) -> str:
@@ -798,6 +803,7 @@ def _read_checkpoint_state(table_dir: str, version: int) -> DeltaState:
     pcols: tuple = ()
     txns: dict = {}
     config: dict = {}
+    domains: dict = {}
     for row in rows:
         md = row.get("metaData")
         if md and md.get("id"):
@@ -824,6 +830,11 @@ def _read_checkpoint_state(table_dir: str, version: int) -> DeltaState:
         txn = row.get("txn")
         if txn and txn.get("appId"):
             txns[txn["appId"]] = txn["version"]
+        dm = row.get("domainMetadata")
+        if dm and dm.get("domain"):
+            # checkpoints carry only LIVE domains (removed ones are
+            # dropped at checkpoint time, like cancelled adds)
+            domains[dm["domain"]] = dm.get("configuration")
     return DeltaState(
         version=version,
         files=tuple(adds),
@@ -834,6 +845,7 @@ def _read_checkpoint_state(table_dir: str, version: int) -> DeltaState:
         txns=txns,
         protocol=protocol,
         configuration=config,
+        domain_metadata=domains,
     )
 
 
@@ -880,6 +892,7 @@ def replay(table_dir: str, version: int | None = None) -> DeltaState:
     txns = dict(state.txns or {}) if state else {}
     protocol = state.protocol if state else None
     config = dict(state.configuration or {}) if state else {}
+    domains = dict(state.domain_metadata or {}) if state else {}
     for cv in range(start, v + 1):
         try:
             f = open(_commit_path(table_dir, cv))
@@ -929,6 +942,14 @@ def replay(table_dir: str, version: int | None = None) -> DeltaState:
                 elif "txn" in action:
                     txns[action["txn"]["appId"]] = \
                         action["txn"]["version"]
+                elif "domainMetadata" in action:
+                    dm = action["domainMetadata"]
+                    if dm.get("removed"):
+                        domains.pop(dm["domain"], None)
+                    else:
+                        domains[dm["domain"]] = dm.get(
+                            "configuration"
+                        )
     if not schema:
         raise ValueError(f"no metaData action found in {table_dir}")
     return DeltaState(
@@ -941,6 +962,7 @@ def replay(table_dir: str, version: int | None = None) -> DeltaState:
         txns=txns,
         protocol=protocol,
         configuration=config,
+        domain_metadata=domains,
     )
 
 
@@ -999,6 +1021,7 @@ def read_delta(
     table_dir: str,
     version: int | None = None,
     timestamp_ms: int | None = None,
+    row_ids: bool = False,
 ) -> DataFrame:
     """Read a Delta table (ours or written by native Delta Lake) as of
     ``version`` — or ``timestamp_ms`` (native TIMESTAMP AS OF,
@@ -1014,14 +1037,21 @@ def read_delta(
     columns as casted literals. Group count = live partitions of the
     version being read; each group is one distributed parquet scan, so
     this stays a metadata-size concern (like any Delta reader), never
-    a data shuffle."""
+    a data shuffle.
+
+    ``row_ids=True`` (row tracking) appends ``_row_id`` and
+    ``_row_commit_version`` columns — stable logical-row identity
+    surviving DV DELETE/UPDATE/MERGE and OPTIMIZE."""
     if timestamp_ms is not None:
         if version is not None:
             raise ValueError(
                 "pass version OR timestamp_ms, not both"
             )
         version = resolve_version_at(table_dir, timestamp_ms)
-    return _read_state(spark, table_dir, replay(table_dir, version))
+    return _read_state(
+        spark, table_dir, replay(table_dir, version),
+        with_row_ids=row_ids,
+    )
 
 
 def _normalize_file_uri(p: str) -> str:
@@ -1308,13 +1338,16 @@ def _physical_payload(
     df: DataFrame,
     mapped_schema_json: str,
     pcols: list | tuple | None = None,
+    extra_cols: list | tuple = (),
 ):
     """Prepare ``df`` for a column-mapped data-file write: rename
     every column (nested struct fields included, via the same-shape
     cast — the reader's rename in reverse) to its physical name.
     Returns ``(physical df, physical pcols, logical->physical fn)``;
     identity when the schema carries no mapping, so unmapped call
-    sites pay nothing."""
+    sites pay nothing. ``extra_cols`` (row tracking's materialized
+    columns) pass through under their own names — they live outside
+    the logical schema and are never remapped."""
     from pyspark.sql.types import StructType
 
     # string containment, not a top-level-fields scan: a (malformed
@@ -1329,7 +1362,8 @@ def _physical_payload(
         *[
             F.col(lf.name).cast(pf.dataType).alias(pf.name)
             for lf, pf in zip(schema.fields, phys.fields)
-        ]
+        ],
+        *[F.col(c) for c in extra_cols],
     )
     pmap = {
         lf.name: pf.name
@@ -1351,6 +1385,7 @@ def _scan_files(
     live_udf,
     keep_rowmeta: bool = False,
     column_mapped: bool = False,
+    mat_fields: list | None = None,
 ) -> DataFrame:
     """One distributed parquet scan over ``rels`` with deletion
     vectors applied; returns the columns of ``read_schema``
@@ -1358,7 +1393,13 @@ def _scan_files(
     scan — zero overhead on the common path. With ``column_mapped``
     (name mode) the parquet read uses each field's PHYSICAL name and
     the result is renamed back to logical — nested struct fields
-    included, via a same-shape cast (field renames by position)."""
+    included, via a same-shape cast (field renames by position).
+    ``mat_fields`` (row tracking) appends the table's materialized
+    row-id/rcv columns to the parquet read schema — physical-only
+    columns outside the logical schema, passed through by their own
+    names (files predating materialization null-fill them)."""
+    from pyspark.sql.types import StructType
+
     dv_set = {
         r for r in rels if adds[r].get("deletionVector")
     }
@@ -1375,6 +1416,12 @@ def _scan_files(
     else:
         phys_schema = read_schema
         base = [F.col(f.name) for f in read_schema.fields]
+    extra: list = []
+    if mat_fields:
+        phys_schema = StructType(
+            list(phys_schema.fields) + list(mat_fields)
+        )
+        extra = [F.col(f.name) for f in mat_fields]
     parts = []
     for group, need_meta in ((plain, keep_rowmeta), (dvd, True)):
         if not group:
@@ -1385,11 +1432,12 @@ def _scan_files(
         if need_meta:
             df = df.select(
                 *base,
+                *extra,
                 F.col("_metadata.file_path").alias(_DV_PATH),
                 F.col("_metadata.row_index").alias(_DV_IDX),
             )
-        elif column_mapped:
-            df = df.select(*base)
+        elif column_mapped or extra:
+            df = df.select(*base, *extra)
         if group is dvd:
             df = df.where(
                 live_udf(F.col(_DV_PATH), F.col(_DV_IDX))
@@ -1408,16 +1456,23 @@ def _read_state(
     table_dir: str,
     state: DeltaState,
     keep_rowmeta: bool = False,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Resolve a DeltaState to a DataFrame. Files carrying deletion
     vectors are scanned with parquet ``_metadata.row_index`` and their
     deleted positions filtered out (broadcast bitmap membership);
     files without DVs take the plain scan, zero overhead. With
     ``keep_rowmeta`` every row keeps (__dv_path, __dv_idx) — the
-    provenance delta_delete needs to build NEW deletion vectors."""
+    provenance delta_delete needs to build NEW deletion vectors.
+    With ``with_row_ids`` every row carries ``_row_id`` and
+    ``_row_commit_version`` per the row-tracking spec:
+    coalesce(materialized column, baseRowId + row_index) resp.
+    coalesce(materialized column, defaultRowCommitVersion) — the
+    per-file metadata is a broadcast lookup, the position arithmetic
+    stays in the distributed scan."""
     import itertools
 
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import LongType, StructField, StructType
 
     schema = StructType.fromJson(json.loads(state.schema))
     mode = _cm_mode(state)
@@ -1430,8 +1485,25 @@ def _read_state(
         )
     cm = mode == "name"
     live_udf = _dv_live_filter(spark, table_dir, state.adds)
+    mat_id = mat_rcv = None
+    mat_fields: list | None = None
+    if with_row_ids:
+        cfg = state.configuration or {}
+        mat_id = cfg.get(_RT_MAT_ID)
+        mat_rcv = cfg.get(_RT_MAT_RCV)
+        mat_fields = [
+            StructField(c, LongType())
+            for c in (mat_id, mat_rcv)
+            if c
+        ]
     if not state.files:
         empty = spark.createDataFrame([], schema)
+        if with_row_ids:
+            empty = empty.select(
+                "*",
+                F.lit(None).cast("long").alias(_ROW_ID),
+                F.lit(None).cast("long").alias(_ROW_RCV),
+            )
         if keep_rowmeta:
             empty = empty.select(
                 "*",
@@ -1439,16 +1511,40 @@ def _read_state(
                 F.lit(None).cast("long").alias(_DV_IDX),
             )
         return empty
+    # row ids need per-row provenance regardless of the caller's ask
+    scan_meta = keep_rowmeta or with_row_ids
 
     def scan(rels, read_schema):
         return _scan_files(
             spark, table_dir, rels, read_schema, state.adds,
-            live_udf, keep_rowmeta, column_mapped=cm,
+            live_udf, scan_meta, column_mapped=cm,
+            mat_fields=mat_fields,
         )
 
-    meta_cols = [_DV_PATH, _DV_IDX] if keep_rowmeta else []
+    def finish(out: DataFrame) -> DataFrame:
+        if not with_row_ids:
+            return out
+        base_of, dcv_of = _rt_lookup_udfs(
+            spark, table_dir, state.adds
+        )
+        rid = base_of(F.col(_DV_PATH)) + F.col(_DV_IDX)
+        rcv = dcv_of(F.col(_DV_PATH))
+        if mat_id:
+            rid = F.coalesce(F.col(mat_id), rid)
+        if mat_rcv:
+            rcv = F.coalesce(F.col(mat_rcv), rcv)
+        out = out.withColumn(_ROW_ID, rid).withColumn(_ROW_RCV, rcv)
+        drop = [c for c in (mat_id, mat_rcv) if c]
+        if not keep_rowmeta:
+            drop += [_DV_PATH, _DV_IDX]
+        return out.drop(*drop) if drop else out
+
+    meta_cols = (
+        [f.name for f in (mat_fields or [])]
+        + [_DV_PATH, _DV_IDX]
+    ) if scan_meta else []
     if not state.partition_cols:
-        return scan(list(state.files), schema)
+        return finish(scan(list(state.files), schema))
     pcols = list(state.partition_cols)
     ptypes = {f.name: f.dataType for f in schema.fields}
     data_schema = StructType(
@@ -1495,7 +1591,7 @@ def _read_state(
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)
-    return out
+    return finish(out)
 
 
 def _delta_stats_json(md, stats_cols: list[str] | None) -> str:
@@ -1781,6 +1877,184 @@ def _read_cdc_files(
     return out
 
 
+# --- row tracking (PROTOCOL.md "Row Tracking") -----------------------
+# Every add action on an enabled table carries a baseRowId and a
+# defaultRowCommitVersion; a row's id is
+#   coalesce(<materialized row id column>, baseRowId + row_index)
+# and its commit version
+#   coalesce(<materialized rcv column>, defaultRowCommitVersion).
+# Fresh ids come from the rowIdHighWaterMark kept in the
+# ``delta.rowTracking`` domain-metadata domain; rewrite paths (UPDATE,
+# MERGE, OPTIMIZE) preserve ids by materializing them into hidden
+# physical columns whose names live in the table configuration —
+# stable row identity survives any rewrite, which is the feature's
+# whole point (lineage for incremental/CDC consumers).
+
+_RT_DOMAIN = "delta.rowTracking"
+_RT_MAT_ID = "delta.rowTracking.materializedRowIdColumnName"
+_RT_MAT_RCV = (
+    "delta.rowTracking.materializedRowCommitVersionColumnName"
+)
+_ROW_ID = "_row_id"
+_ROW_RCV = "_row_commit_version"
+
+
+def _rt_enabled(configuration: dict | None) -> bool:
+    return (configuration or {}).get(
+        "delta.enableRowTracking", ""
+    ).lower() == "true"
+
+
+def _rt_active(protocol: dict | None, configuration: dict | None) -> bool:
+    """Whether adds must carry row-id fields: per the spec, a writer
+    assigns baseRowId/defaultRowCommitVersion whenever the TABLE
+    FEATURE is supported — enablement only adds the stability
+    guarantee (preservation across rewrites)."""
+    return _rt_enabled(configuration) or "rowTracking" in (
+        (protocol or {}).get("writerFeatures") or []
+    )
+
+
+def _rt_hwm(domain_metadata: dict | None) -> int:
+    cfg = (domain_metadata or {}).get(_RT_DOMAIN)
+    if not cfg:
+        return -1
+    try:
+        return int(json.loads(cfg).get("rowIdHighWaterMark", -1))
+    except (ValueError, TypeError):
+        return -1
+
+
+def _rt_domain_action(hwm: int) -> dict:
+    return {
+        "domainMetadata": {
+            "domain": _RT_DOMAIN,
+            "configuration": json.dumps(
+                {"rowIdHighWaterMark": hwm}, separators=(",", ":")
+            ),
+            "removed": False,
+        }
+    }
+
+
+def _rt_fresh_config() -> dict:
+    """Configuration entries stamped when row tracking is enabled:
+    the flag plus the two materialized-column names (uuid-suffixed so
+    they can never collide with user columns — the spec's shape)."""
+    return {
+        "delta.enableRowTracking": "true",
+        _RT_MAT_ID: f"_row-id-col-{uuid.uuid4()}",
+        _RT_MAT_RCV: f"_row-commit-version-col-{uuid.uuid4()}",
+    }
+
+
+def _stamp_row_ids(
+    wrapped_adds: list[dict],
+    domain_metadata: dict | None,
+    version: int,
+    table_dir: str | None = None,
+) -> list[dict]:
+    """Stamp ``baseRowId``/``defaultRowCommitVersion`` onto each
+    wrapped add action (commit order — ids are provisional until the
+    commit wins, so a retried commit simply restamps) and return the
+    domainMetadata action advancing the high-water mark. Row counts
+    come from the adds' own stats (every writer here emits
+    numRecords); ``table_dir`` enables a footer-read fallback for
+    foreign adds without stats (the backfill path)."""
+    hwm = _rt_hwm(domain_metadata)
+    for w in wrapped_adds:
+        a = w["add"]
+        n = None
+        try:
+            n = int(json.loads(a["stats"])["numRecords"])
+        except (KeyError, ValueError, TypeError):
+            if table_dir is not None:
+                import pyarrow.parquet as pq
+
+                n = pq.ParquetFile(
+                    os.path.join(table_dir, a["path"])
+                ).metadata.num_rows
+        if n is None:
+            raise ValueError(
+                f"add action for {a.get('path')!r} lacks numRecords "
+                "stats — cannot assign row ids without a row count"
+            )
+        a["baseRowId"] = hwm + 1
+        a["defaultRowCommitVersion"] = version
+        hwm += n
+    return [_rt_domain_action(hwm)] if wrapped_adds else []
+
+
+def _rt_mat_names(
+    table_dir: str, configuration: dict | None
+) -> tuple[str, str]:
+    """The materialized row-id/rcv column names of an ENABLED table;
+    loud failure when absent (a foreign enablement without them means
+    rewrites cannot preserve ids — silently assigning fresh ones
+    would break the stability contract)."""
+    cfg = configuration or {}
+    mat_id, mat_rcv = cfg.get(_RT_MAT_ID), cfg.get(_RT_MAT_RCV)
+    if not mat_id or not mat_rcv:
+        raise ValueError(
+            f"{table_dir} has delta.enableRowTracking=true but no "
+            "materialized row-id/commit-version column names in its "
+            "configuration — rewrites cannot preserve row ids; "
+            "re-enable row tracking via delta_alter_properties"
+        )
+    return mat_id, mat_rcv
+
+
+def _rt_lookup_udfs(spark: SparkSession, table_dir: str, adds: dict):
+    """Vectorized (baseRowId, defaultRowCommitVersion) lookups keyed
+    by ``_metadata.file_path`` — same broadcast-descriptor design as
+    _dv_live_filter: O(files) metadata ships once per executor, the
+    scan stays fully distributed. Fails loudly when a live file was
+    never assigned a baseRowId (a foreign table whose feature was
+    enabled without backfill): inventing ids would silently break the
+    stability contract."""
+    import pandas as pd
+
+    desc: dict = {}
+    for rel, a in adds.items():
+        ap = os.path.abspath(os.path.join(table_dir, rel))
+        desc[ap] = (a.get("baseRowId"), a.get("defaultRowCommitVersion"))
+    missing = sorted(
+        os.path.basename(p)
+        for p, (b, d) in desc.items()
+        if b is None or d is None
+    )
+    if missing:
+        raise ValueError(
+            f"row-id read of {table_dir}: live files {missing[:5]} "
+            "carry no baseRowId/defaultRowCommitVersion — the table's "
+            "row tracking was enabled without backfilling existing "
+            "files; re-enable via delta_alter_properties (which "
+            "backfills) or rewrite the table"
+        )
+    bc = spark.sparkContext.broadcast(desc)
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _mapped(paths, slot):
+        m = bc.value
+        cats = paths.astype("category")
+        lut = {
+            c: m[_normalize_file_uri(c)][slot]
+            for c in cats.cat.categories
+        }
+        return cats.map(lut).astype("int64")
+
+    @pandas_udf("long")
+    def base_of(paths):
+        return _mapped(paths, 0)
+
+    @pandas_udf("long")
+    def dcv_of(paths):
+        return _mapped(paths, 1)
+
+    return base_of, dcv_of
+
+
 def write_delta(
     df: DataFrame,
     table_dir: str,
@@ -1792,6 +2066,7 @@ def write_delta(
     txn: tuple[str, int] | None = None,
     merge_schema: bool = False,
     column_mapping: str | None = None,
+    row_tracking: bool = False,
 ) -> DeltaState:
     """Write ``df`` as one Delta commit. ``overwrite`` removes every
     previously-live file and adds the new ones (emitting a fresh
@@ -1811,6 +2086,14 @@ def write_delta(
     Appends to a mapped table map automatically (the mode lives in
     the table's configuration); passing the flag on an append is an
     error rather than a silent mode change.
+
+    ``row_tracking=True`` enables row tracking on a CREATE (or a
+    whole-table overwrite): every add action carries a ``baseRowId``
+    and ``defaultRowCommitVersion`` assigned under the
+    ``delta.rowTracking`` domain-metadata high-water mark, and every
+    rewrite path from then on preserves row ids by materializing them
+    (PROTOCOL.md "Row Tracking"). Appends to an enabled table stamp
+    automatically; passing the flag on an append is an error.
 
     ``txn=(app_id, version)`` emits the spec's transaction identifier
     action and makes THIS write idempotent for that application: if
@@ -1950,6 +2233,30 @@ def write_delta(
         file_schema = schema_json
     else:
         file_schema = schema_json
+    # --- row-tracking resolution: rt_config carries the enablement
+    # entries (flag + materialized column names) when THIS write turns
+    # the feature on; rt_on means adds must be stamped ---
+    head_cfg = (head0.configuration or {}) if head0 else {}
+    if row_tracking and mode == "append" and head0 is not None \
+            and not _rt_enabled(head_cfg):
+        raise ValueError(
+            "cannot enable row tracking on an append; overwrite the "
+            "table with row_tracking=True (or use "
+            "delta_alter_properties, which backfills existing files)"
+        )
+    rt_config: dict | None = None
+    if row_tracking and not _rt_enabled(
+        cm_config if cm_config is not None else head_cfg
+    ):
+        rt_config = {
+            **(cm_config if cm_config is not None else head_cfg),
+            **_rt_fresh_config(),
+        }
+    new_config = rt_config if rt_config is not None else cm_config
+    rt_on = row_tracking or _rt_active(
+        head0.protocol if head0 else None,
+        new_config if new_config is not None else head_cfg,
+    )
     wdf, wpcols, pstat = _physical_payload(df, file_schema, pcols)
     phys_stats = (
         [pstat(c) for c in stats_cols] if stats_cols else stats_cols
@@ -2019,23 +2326,33 @@ def write_delta(
         ) == "name":
             need_r = need_r | {"columnMapping"}
             need_w = need_w | {"columnMapping"}
+        if rt_on:
+            # row ids need the domain-metadata HWM, so both features
+            # land together; writers lacking them must refuse rather
+            # than add files without baseRowId
+            need_w = need_w | {"rowTracking", "domainMetadata"}
         if head is None:
             proto0 = dict(_PROTOCOL)
             pa0 = _merge_feature_protocol(proto0, need_r, need_w)
             actions.append({"protocol": pa0 or proto0})
             actions.append(
-                _meta_action(schema_json, None, pcols, cm_config)
+                _meta_action(schema_json, None, pcols, new_config)
             )
         elif mode == "overwrite":
             # overwrite may replace the schema/partitioning outright
             # (the spec's overwriteSchema path) — fresh metaData, but
-            # the table's id is immutable: new schema, same identity
+            # the table's id is immutable: new schema, same identity.
+            # A configuration change (enabling row tracking) also
+            # needs the fresh metaData even when the schema is same.
             if head.schema != schema_json or \
-                    head.partition_cols != tuple(pcols):
+                    head.partition_cols != tuple(pcols) or (
+                        new_config is not None
+                        and new_config != (head.configuration or {})
+                    ):
                 actions.append(
                     _meta_action(
                         schema_json, head.metadata_id, pcols,
-                        cm_config if cm_config is not None
+                        new_config if new_config is not None
                         else head.configuration,
                     )
                 )
@@ -2092,6 +2409,18 @@ def write_delta(
                 for p in head.files
             )
         actions.extend(adds)
+        if rt_on or (
+            head is not None
+            and _rt_active(head.protocol, head.configuration)
+        ):
+            # stamp fresh row ids (retries restamp against the fresh
+            # head's high-water mark — ids are provisional until the
+            # commit wins) and advance the domain-metadata HWM
+            actions.extend(_stamp_row_ids(
+                adds,
+                head.domain_metadata if head is not None else None,
+                version,
+            ))
         if txn is not None:
             actions.append({
                 "txn": {
@@ -2120,7 +2449,7 @@ def write_delta(
         try:
             _commit_actions(
                 table_dir, version, actions,
-                cm_config if cm_config is not None
+                new_config if new_config is not None
                 else (head.configuration if head else None),
             )
             out = replay(table_dir, version)
@@ -2248,6 +2577,21 @@ def write_checkpoint(
             "txn": {"appId": app_id, "version": tv,
                     "lastUpdated": None},
         })
+    for dom, cfg in sorted((state.domain_metadata or {}).items()):
+        # live domains must survive checkpointing — row tracking's
+        # high-water mark lives in delta.rowTracking; dropping it
+        # would hand duplicate row ids to post-GC writers
+        rows.append({
+            "protocol": None,
+            "metaData": None,
+            "add": None,
+            "txn": None,
+            "domainMetadata": {
+                "domain": dom,
+                "configuration": cfg,
+                "removed": False,
+            },
+        })
     for p in state.files:
         a = dict(state.adds[p])
         a.setdefault("stats", None)
@@ -2273,6 +2617,12 @@ def write_checkpoint(
                     "sizeInBytes": dvd["sizeInBytes"],
                     "cardinality": dvd["cardinality"],
                 } if dvd else None,
+                # row tracking: a checkpoint dropping these would
+                # reassign every row's id at the next replay base
+                "baseRowId": a.get("baseRowId"),
+                "defaultRowCommitVersion": a.get(
+                    "defaultRowCommitVersion"
+                ),
             },
         })
     schema = pa.schema([
@@ -2312,6 +2662,13 @@ def write_checkpoint(
                 ("sizeInBytes", pa.int32()),
                 ("cardinality", pa.int64()),
             ])),
+            ("baseRowId", pa.int64()),
+            ("defaultRowCommitVersion", pa.int64()),
+        ])),
+        ("domainMetadata", pa.struct([
+            ("domain", pa.string()),
+            ("configuration", pa.string()),
+            ("removed", pa.bool_()),
         ])),
     ])
     cp_tmp = os.path.join(
@@ -2561,8 +2918,23 @@ def delta_compact(
             spark, table_dir, head, target_files, stats_cols,
             max_retries,
         )
-    df = _read_state(spark, table_dir, head)
-    df, _wp, pstat = _physical_payload(df, head.schema)
+    rt_on = _rt_enabled(head.configuration)
+    mat_cols: list = []
+    df = _read_state(spark, table_dir, head, with_row_ids=rt_on)
+    if rt_on:
+        # OPTIMIZE changes no rows, so compacted rows keep BOTH their
+        # ids and their original commit versions — materialize both
+        # into the rewritten files (fresh defaults can't represent
+        # rows drawn from many source commits)
+        mat_id, mat_rcv = _rt_mat_names(
+            table_dir, head.configuration
+        )
+        df = df.withColumnRenamed(_ROW_ID, mat_id) \
+               .withColumnRenamed(_ROW_RCV, mat_rcv)
+        mat_cols = [mat_id, mat_rcv]
+    df, _wp, pstat = _physical_payload(
+        df, head.schema, extra_cols=mat_cols
+    )
     rel_files = _sn._write_data_files(
         df.coalesce(target_files), table_dir
     )
@@ -2602,6 +2974,13 @@ def delta_compact(
             for p in head.files
         ]
         actions.extend(adds)
+        if _rt_active(head.protocol, head.configuration):
+            # concurrent appends compose with a verbatim retry, but
+            # they ADVANCE the row-id high-water mark — restamp
+            # against the CURRENT head's domain metadata each attempt
+            actions.extend(_stamp_row_ids(
+                adds, replay(table_dir).domain_metadata, version
+            ))
         actions.append(
             {
                 "commitInfo": {
@@ -2691,6 +3070,22 @@ def _delta_compact_partitioned(
     # rows deleted by deletion vectors into the dataChange=false
     # rewrite — the purge must ride the same filtered scan as reads
     live_udf = _dv_live_filter(spark, table_dir, head.adds)
+    rt_on = _rt_enabled(head.configuration)
+    mat_cols: list = []
+    mat_fields = None
+    if rt_on:
+        from pyspark.sql.types import LongType, StructField
+
+        mat_id, mat_rcv = _rt_mat_names(
+            table_dir, head.configuration
+        )
+        mat_cols = [mat_id, mat_rcv]
+        mat_fields = [
+            StructField(c, LongType()) for c in mat_cols
+        ]
+        base_of, dcv_of = _rt_lookup_udfs(
+            spark, table_dir, head.adds
+        )
     for key, fs in sorted(to_pack.items()):
         seg = os.path.join(
             *[
@@ -2701,9 +3096,25 @@ def _delta_compact_partitioned(
         out = os.path.join(table_dir, "data", commit_id, seg)
         df = _scan_files(
             spark, table_dir, fs, data_schema, head.adds, live_udf,
-            column_mapped=cm,
+            keep_rowmeta=rt_on, column_mapped=cm,
+            mat_fields=mat_fields,
         )
-        df, _wp, pstat = _physical_payload(df, data_schema.json())
+        if rt_on:
+            # compacted rows keep ids AND original commit versions
+            # (same materialization as the unpartitioned path)
+            df = df.withColumn(
+                mat_id,
+                F.coalesce(
+                    F.col(mat_id),
+                    base_of(F.col(_DV_PATH)) + F.col(_DV_IDX),
+                ),
+            ).withColumn(
+                mat_rcv,
+                F.coalesce(F.col(mat_rcv), dcv_of(F.col(_DV_PATH))),
+            ).drop(_DV_PATH, _DV_IDX)
+        df, _wp, pstat = _physical_payload(
+            df, data_schema.json(), extra_cols=mat_cols
+        )
         df.coalesce(target_files).write.mode(
             "errorifexists"
         ).parquet(out)
@@ -2753,6 +3164,12 @@ def _delta_compact_partitioned(
             for p in replaced
         ]
         actions.extend(adds)
+        if _rt_active(head.protocol, head.configuration):
+            # restamp per attempt — a composed concurrent append
+            # advances the row-id high-water mark
+            actions.extend(_stamp_row_ids(
+                adds, replay(table_dir).domain_metadata, version
+            ))
         actions.append(
             {
                 "commitInfo": {
@@ -3266,9 +3683,44 @@ def delta_merge_upsert(
         return _delta_merge_via_dv(
             spark, table_dir, head, updates, keys
         )
-    merged = current.join(
-        updates, on=keys, how="left_anti"
-    ).unionByName(updates)
+    rt_on = _rt_enabled(head.configuration)
+    mat_cols: list = []
+    if rt_on:
+        # the rewrite strategy re-writes EVERY row, so stability needs
+        # materialization for all of them: carried-over target rows
+        # keep id AND original commit version, matched updates inherit
+        # their target row's id (fresh commit version), inserts get
+        # fresh ids (both columns null)
+        mat_id, mat_rcv = _rt_mat_names(
+            table_dir, head.configuration
+        )
+        fields = [
+            f["name"] for f in json.loads(head.schema)["fields"]
+        ]
+        with_ids = _read_state(
+            spark, table_dir, head, with_row_ids=True
+        )
+        kept = with_ids.join(
+            updates.select(*keys), on=list(keys), how="left_anti"
+        ).select(
+            *fields,
+            F.col(_ROW_ID).alias(mat_id),
+            F.col(_ROW_RCV).alias(mat_rcv),
+        )
+        upd = updates.select(*fields).join(
+            with_ids.select(*keys, F.col(_ROW_ID).alias(mat_id)),
+            on=list(keys),
+            how="left",
+        ).select(
+            *fields, mat_id,
+            F.lit(None).cast("long").alias(mat_rcv),
+        )
+        merged = kept.unionByName(upd)
+        mat_cols = [mat_id, mat_rcv]
+    else:
+        merged = current.join(
+            updates, on=keys, how="left_anti"
+        ).unionByName(updates)
     pcols = list(head.partition_cols)
     cdc_actions: list[dict] = []
     if _cdf_enabled(head.configuration):
@@ -3300,7 +3752,7 @@ def delta_merge_upsert(
             table_dir, head.schema, pcols,
         )
     merged, wpcols, _ = _physical_payload(
-        merged, head.schema, pcols
+        merged, head.schema, pcols, extra_cols=mat_cols
     )
     if wpcols:
         written = _write_partitioned_data_files(
@@ -3333,6 +3785,10 @@ def delta_merge_upsert(
         for p in head.files
     )
     actions.extend(adds)
+    if _rt_active(head.protocol, head.configuration):
+        actions.extend(_stamp_row_ids(
+            adds, head.domain_metadata, head.version + 1
+        ))
     actions.append(
         {
             "commitInfo": {
@@ -3365,7 +3821,15 @@ def _delta_merge_via_dv(
 
     from pyspark.sql.types import StructType
 
-    live = _read_state(spark, table_dir, head, keep_rowmeta=True)
+    rt_on = _rt_enabled(head.configuration)
+    mat_id = (
+        _rt_mat_names(table_dir, head.configuration)[0]
+        if rt_on else None
+    )
+    live = _read_state(
+        spark, table_dir, head, keep_rowmeta=True,
+        with_row_ids=rt_on,
+    )
     hits = live.join(
         updates.select(*keys), on=list(keys), how="left_semi"
     ).select(_DV_PATH, _DV_IDX)
@@ -3381,6 +3845,20 @@ def _delta_merge_via_dv(
     # order follows the TABLE schema (appends keep table schema)
     schema = StructType.fromJson(json.loads(head.schema))
     payload = updates.select(*[f.name for f in schema.fields])
+    mat_cols: list = []
+    if rt_on and mat_id:
+        # row-tracking stability through MERGE: a matched source row
+        # REPLACES its target row, so it inherits that row's id via
+        # the materialized column (left join on the merge keys —
+        # upsert semantics already require unique target keys);
+        # unmatched inserts stay null and take fresh
+        # baseRowId + row_index ids
+        payload = payload.join(
+            live.select(*keys, F.col(_ROW_ID).alias(mat_id)),
+            on=list(keys),
+            how="left",
+        ).select(*[f.name for f in schema.fields], mat_id)
+        mat_cols = [mat_id]
     pcols = list(head.partition_cols)
     cdc_actions: list[dict] = []
     if _cdf_enabled(head.configuration):
@@ -3413,7 +3891,7 @@ def _delta_merge_via_dv(
             table_dir, head.schema, pcols,
         )
     payload, wpcols, _ = _physical_payload(
-        payload, head.schema, pcols
+        payload, head.schema, pcols, extra_cols=mat_cols
     )
     if wpcols:
         written = _write_partitioned_data_files(
@@ -3447,6 +3925,10 @@ def _delta_merge_via_dv(
     actions.extend(removes)
     actions.extend(dv_adds)
     actions.extend(new_adds)
+    if _rt_active(head.protocol, head.configuration):
+        actions.extend(_stamp_row_ids(
+            new_adds, head.domain_metadata, head.version + 1
+        ))
     actions.append(
         {
             "commitInfo": {
@@ -3554,6 +4036,31 @@ def delta_alter_properties(
             config["delta.inCommitTimestampEnablementTimestamp"] = (
                 str(ict0)
             )
+    rt_actions: list[dict] = []
+    if _rt_enabled(config) and not _rt_enabled(head.configuration):
+        # enabling row tracking on an EXISTING table: stamp the
+        # materialized-column names (unless the caller set them) and
+        # BACKFILL — re-add every live file (dataChange=false, DV
+        # descriptors preserved verbatim) with a freshly assigned
+        # baseRowId, so pre-enablement rows get ids too; without the
+        # backfill a row-id read would have to refuse the table
+        need_w |= {"rowTracking", "domainMetadata"}
+        for k, v in _rt_fresh_config().items():
+            config.setdefault(k, v)
+        backfill = [
+            {"add": {**head.adds[p], "dataChange": False}}
+            for p in head.files
+        ]
+        rt_actions = backfill + _stamp_row_ids(
+            backfill, head.domain_metadata, head.version + 1,
+            table_dir,
+        )
+        if not backfill:
+            # empty table: still advance the domain so the first
+            # append starts at id 0 with the HWM domain present
+            rt_actions = [_rt_domain_action(_rt_hwm(
+                head.domain_metadata
+            ))]
     if need_w:
         pa = _merge_feature_protocol(head.protocol, set(), need_w)
         if pa:
@@ -3566,6 +4073,7 @@ def delta_alter_properties(
             config,
         )
     )
+    actions.extend(rt_actions)
     actions.append(
         {
             "commitInfo": {
@@ -4016,7 +4524,15 @@ def delta_update(
             f"(table has {sorted(names)})"
         )
     _check_append_only(table_dir, head.configuration, "UPDATE")
-    live = _read_state(spark, table_dir, head, keep_rowmeta=True)
+    rt_on = _rt_enabled(head.configuration)
+    mat_id = (
+        _rt_mat_names(table_dir, head.configuration)[0]
+        if rt_on else None
+    )
+    live = _read_state(
+        spark, table_dir, head, keep_rowmeta=True,
+        with_row_ids=rt_on,
+    )
     cond = (
         F.expr(predicate) if isinstance(predicate, str) else predicate
     )
@@ -4035,7 +4551,18 @@ def delta_update(
         updated = updated.withColumn(
             col, e.cast(schema[col].dataType)
         )
-    updated = updated.select(*[f.name for f in schema.fields])
+    mat_cols: list = []
+    if rt_on and mat_id:
+        # row-tracking stability: the updated copies keep their
+        # original row ids by MATERIALIZING them into the new files'
+        # hidden column (the row's commit version stays fresh — the
+        # update commit IS its new version, so defaultRowCommitVersion
+        # covers it)
+        updated = updated.withColumn(mat_id, F.col(_ROW_ID))
+        mat_cols = [mat_id]
+    updated = updated.select(
+        *[f.name for f in schema.fields], *mat_cols
+    )
     # the rewritten copies must satisfy the table rules — an UPDATE
     # that pushed a row outside a CHECK constraint must refuse with
     # nothing committed
@@ -4050,14 +4577,16 @@ def delta_update(
         pre = matched.drop(_DV_PATH, _DV_IDX).select(
             *[f.name for f in schema.fields]
         ).withColumn(_CHANGE_TYPE, F.lit("update_preimage"))
-        post = updated.withColumn(
+        post = updated.select(
+            *[f.name for f in schema.fields]
+        ).withColumn(
             _CHANGE_TYPE, F.lit("update_postimage")
         )
         cdc_actions = _write_cdc_files(
             pre.unionByName(post), table_dir, head.schema, pcols
         )
     updated, wpcols, _ = _physical_payload(
-        updated, head.schema, pcols
+        updated, head.schema, pcols, extra_cols=mat_cols
     )
     if wpcols:
         written = _write_partitioned_data_files(
@@ -4094,6 +4623,10 @@ def delta_update(
     actions.extend(removes)
     actions.extend(dv_adds)
     actions.extend(new_adds)
+    if _rt_active(head.protocol, head.configuration):
+        actions.extend(_stamp_row_ids(
+            new_adds, head.domain_metadata, head.version + 1
+        ))
     actions.append(
         {
             "commitInfo": {

@@ -123,3 +123,28 @@ def test_window_rotates_in_never_driver_checked_queries():
             f"only {len(fresh)} never-driver-checked queries in "
             f"window: {fresh}"
         )
+        return
+    # staleness re-certification (round-10 policy, VERDICT r09 item
+    # 4): once every query has a clean row, the remaining slots must
+    # carry the STALEST green rows — no query outside the window may
+    # be strictly staler than any re-certification filler inside it.
+    latest: dict[str, int] = {}
+    for rnd, fname in enumerate(prior_rounds, start=1):
+        path = os.path.join(root, fname)
+        if os.path.exists(path):
+            for name, row in json.load(open(path)).items():
+                if row.get("err") is None:
+                    latest[name] = rnd
+    fillers = [
+        n for n in DRIVER_WINDOW
+        if n not in MUST_HAVE and n not in never
+    ]
+    outside = [n for n in REGISTRY if n not in window and n in latest]
+    if fillers and outside:
+        worst_in = max(latest[n] for n in fillers)
+        best_out = min(latest[n] for n in outside)
+        assert worst_in <= best_out, (
+            f"window filler has latest-clean round {worst_in} but a "
+            f"staler query (round {best_out}) sits outside: "
+            f"{sorted(n for n in outside if latest[n] == best_out)}"
+        )
