@@ -443,8 +443,8 @@ def _check_protocol(table_dir: str, protocols) -> None:
         if mrv <= 1 and not feats:
             continue
         if mrv == 2 and not feats:
-            # legacy column-mapping reader version: name mode is
-            # resolved at read time, id mode refuses there
+            # legacy column-mapping reader version: both name and id
+            # modes are resolved at read time (round 10)
             continue
         if mrv == 3 and feats <= _READER_FEATURES:
             continue
@@ -1204,6 +1204,71 @@ def _phys_col_name(read_schema, col: str) -> str:
     return (f.metadata or {}).get(_CM_PHYS, col)
 
 
+def _field_id_struct(read_schema):
+    """StructType twin of ``read_schema`` for column-mapping ID mode:
+    every field keeps its LOGICAL name but carries Spark's
+    ``parquet.field.id`` metadata (from ``delta.columnMapping.id``),
+    so the native vectorized parquet reader — with
+    ``spark.sql.parquet.fieldId.read.enabled`` — matches data columns
+    by the field ids the id-mode writer stamped into the files,
+    ignoring physical names entirely (the spec's addressing rule;
+    physical names in id mode are explicitly non-semantic). Each
+    requested field is NAMED ``__fid_<id>`` rather than its logical
+    name: Spark's name matching takes precedence over id matching
+    when a requested name happens to collide with a DIFFERENT file
+    column's name (the classic id-mode trap — a physical column named
+    like another column's logical name), and placeholder names make
+    such collisions impossible; the scan renames back to logical via
+    the same positional cast name mode uses. Nested struct fields are
+    walked too; a mapped field without an id is a protocol violation
+    and refuses loudly."""
+    from pyspark.sql.types import StructType
+
+    def walk_type(t):
+        if isinstance(t, dict):
+            kind = t.get("type")
+            if kind == "struct":
+                return {
+                    "type": "struct",
+                    "fields": [
+                        walk_field(f) for f in t.get("fields", [])
+                    ],
+                }
+            if kind == "array":
+                return {**t, "elementType": walk_type(t["elementType"])}
+            if kind == "map":
+                return {
+                    **t,
+                    "keyType": walk_type(t["keyType"]),
+                    "valueType": walk_type(t["valueType"]),
+                }
+        return t
+
+    def walk_field(f):
+        cid = (f.get("metadata") or {}).get(_CM_ID)
+        if cid is None:
+            raise ValueError(
+                f"id-mode column-mapping field {f.get('name')!r} "
+                "carries no delta.columnMapping.id — the table's "
+                "schema violates the spec; reading by name instead "
+                "could misaddress columns"
+            )
+        return {
+            "name": f"__fid_{int(cid)}",
+            "type": walk_type(f["type"]),
+            "nullable": f.get("nullable", True),
+            "metadata": {"parquet.field.id": int(cid)},
+        }
+
+    sj = json.loads(read_schema.json())
+    return StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [walk_field(f) for f in sj["fields"]],
+        }
+    )
+
+
 # --- column mapping WRITE support (name mode) -----------------------
 # PROTOCOL.md "Column Mapping": a writer enabling the mode stamps
 # every struct field (nested included) with a unique columnMapping.id
@@ -1384,28 +1449,35 @@ def _scan_files(
     adds: dict,
     live_udf,
     keep_rowmeta: bool = False,
-    column_mapped: bool = False,
+    column_mapped: str | bool = False,
     mat_fields: list | None = None,
 ) -> DataFrame:
     """One distributed parquet scan over ``rels`` with deletion
     vectors applied; returns the columns of ``read_schema``
     (+ rowmeta when requested). Files without a DV take the plain
-    scan — zero overhead on the common path. With ``column_mapped``
-    (name mode) the parquet read uses each field's PHYSICAL name and
-    the result is renamed back to logical — nested struct fields
-    included, via a same-shape cast (field renames by position).
-    ``mat_fields`` (row tracking) appends the table's materialized
-    row-id/rcv columns to the parquet read schema — physical-only
-    columns outside the logical schema, passed through by their own
-    names (files predating materialization null-fill them)."""
+    scan — zero overhead on the common path. ``column_mapped``:
+    ``'name'``/True reads each field by its PHYSICAL name and renames
+    back to logical — nested struct fields included, via a same-shape
+    cast (field renames by position); ``'id'`` keeps logical names
+    but stamps ``parquet.field.id`` metadata so Spark's native
+    field-id matching addresses the data columns by the ids in the
+    files (names ignored — the spec's id-mode rule). ``mat_fields``
+    (row tracking) appends the table's materialized row-id/rcv
+    columns to the parquet read schema — physical-only columns
+    outside the logical schema, passed through by their own names
+    (files predating materialization null-fill them)."""
     from pyspark.sql.types import StructType
 
+    cm = (
+        column_mapped if isinstance(column_mapped, str)
+        else ("name" if column_mapped else "none")
+    )
     dv_set = {
         r for r in rels if adds[r].get("deletionVector")
     }
     plain = [r for r in rels if r not in dv_set]
     dvd = [r for r in rels if r in dv_set]
-    if column_mapped:
+    if cm == "name":
         phys_schema = _physical_struct(read_schema)
         base = [
             F.col(pf.name).cast(lf.dataType).alias(lf.name)
@@ -1413,6 +1485,20 @@ def _scan_files(
                 phys_schema.fields, read_schema.fields
             )
         ]
+    elif cm == "id":
+        phys_schema = _field_id_struct(read_schema)
+        base = [
+            F.col(pf.name).cast(lf.dataType).alias(lf.name)
+            for pf, lf in zip(
+                phys_schema.fields, read_schema.fields
+            )
+        ]
+        # matching-by-field-id must be ON when the scan EXECUTES; the
+        # flag is a no-op for read schemas without field ids, so
+        # leaving it enabled never changes name-matched scans
+        spark.conf.set(
+            "spark.sql.parquet.fieldId.read.enabled", "true"
+        )
     else:
         phys_schema = read_schema
         base = [F.col(f.name) for f in read_schema.fields]
@@ -1436,7 +1522,7 @@ def _scan_files(
                 F.col("_metadata.file_path").alias(_DV_PATH),
                 F.col("_metadata.row_index").alias(_DV_IDX),
             )
-        elif column_mapped or extra:
+        elif cm != "none" or extra:
             df = df.select(*base, *extra)
         if group is dvd:
             df = df.where(
@@ -1475,15 +1561,11 @@ def _read_state(
     from pyspark.sql.types import LongType, StructField, StructType
 
     schema = StructType.fromJson(json.loads(state.schema))
-    mode = _cm_mode(state)
-    if mode == "id":
-        raise NotImplementedError(
-            f"{table_dir} uses column mapping mode 'id' (match data "
-            "columns by parquet field id); this clean-room reader "
-            "implements 'name' mode only — reading by name against "
-            "an id-mapped table could silently misaddress columns"
-        )
-    cm = mode == "name"
+    # 'name' resolves physical column names, 'id' (round 10)
+    # addresses parquet by field id via Spark's native fieldId.read
+    # matching — both modes read-complete; writes to id-mode tables
+    # still refuse (_check_writer_protocol)
+    cm = _cm_mode(state)
     live_udf = _dv_live_filter(spark, table_dir, state.adds)
     mat_id = mat_rcv = None
     mat_fields: list | None = None
@@ -1550,10 +1632,11 @@ def _read_state(
     data_schema = StructType(
         [f for f in schema.fields if f.name not in pcols]
     )
-    # spec: with column mapping, partitionValues keys use PHYSICAL
-    # names while metaData.partitionColumns stay logical
+    # spec: with column mapping (either mode), partitionValues keys
+    # use PHYSICAL names while metaData.partitionColumns stay logical
     pphys = {
-        c: (_phys_col_name(schema, c) if cm else c) for c in pcols
+        c: (_phys_col_name(schema, c) if cm != "none" else c)
+        for c in pcols
     }
 
     def pkey(rel):
@@ -1819,6 +1902,16 @@ def _read_cdc_files(
     from pyspark.sql.types import StringType, StructField, StructType
 
     schema = StructType.fromJson(json.loads(end.schema))
+    if _cm_mode(end) == "id":
+        # the add/remove-derived feed handles id mode (the normal
+        # field-id scan), but CHANGE files are addressed here by
+        # physical NAME — reading an id-mode table's cdc files that
+        # way could misaddress columns; refuse until the cdc reader
+        # learns field-id matching
+        raise NotImplementedError(
+            "change-data files of an id-mode column-mapped table: "
+            "this reader addresses cdc files by physical name only"
+        )
     cm = _cm_mode(end) == "name"
     pcols = list(end.partition_cols)
     ptypes = {f.name: f.dataType for f in schema.fields}
@@ -2849,10 +2942,10 @@ def delta_scan(
         )
         for f in sfields
     }
-    # column-mapped tables key per-file stats and partitionValues by
-    # PHYSICAL names; remap the prune columns for the file-level
-    # tests (the row-level re-filter below stays logical)
-    cm = _cm_mode(state) == "name"
+    # column-mapped tables (either mode) key per-file stats and
+    # partitionValues by PHYSICAL names; remap the prune columns for
+    # the file-level tests (the row-level re-filter stays logical)
+    cm = _cm_mode(state) != "none"
     phys = {
         f["name"]: (f.get("metadata") or {}).get(
             _CM_PHYS, f["name"]

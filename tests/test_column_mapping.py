@@ -233,7 +233,131 @@ def test_name_mode_composes_with_deletion_vectors(spark, tmp_path):
     assert out.columns == ["id", "s"]
 
 
-def test_id_mode_refuses_loudly(spark, tmp_path):
+def _write_id_file(t, subdir, arrays, fields):
+    """A 'foreign' id-mode data file: pyarrow stamps the parquet
+    field ids from the ``PARQUET:field_id`` Arrow metadata — the
+    exact on-disk shape an id-mode native writer produces."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fdir = os.path.join(t, "data", subdir)
+    os.makedirs(fdir, exist_ok=True)
+    schema = pa.schema([
+        pa.field(
+            name, typ,
+            metadata={b"PARQUET:field_id": str(fid).encode()},
+        )
+        for name, typ, fid in fields
+    ])
+    rel = f"data/{subdir}/part-0.parquet"
+    pq.write_table(
+        pa.Table.from_arrays(arrays, schema=schema),
+        os.path.join(t, rel),
+    )
+    return rel
+
+
+def test_id_mode_reads_by_field_id(spark, tmp_path):
+    """Round 10 (VERDICT r09 item 3): id-mode READ — data columns
+    are matched by the parquet field ids the writer stamped, never
+    by name. The fixture makes name-matching a trap: each physical
+    column is NAMED like the OTHER column's logical name, so any
+    name-based read returns swapped (and type-mangled) values."""
+    import pyarrow as pa
+
+    t = str(tmp_path / "t")
+    rel = _write_id_file(
+        t, "f0",
+        [pa.array(["a", "b"]), pa.array([1, 2], pa.int64())],
+        # physical name "v" holds the STRING column (logical s,
+        # id 2); physical name "s" holds the LONG column (logical v,
+        # id 1)
+        [("v", pa.string(), 2), ("s", pa.int64(), 1)],
+    )
+    schema = {"type": "struct", "fields": [
+        _field("v", "long", 1, "col-whatever-1"),
+        _field("s", "string", 2, "col-whatever-2"),
+    ]}
+    _commit(t, 0, [_PROTO_CM, _meta(schema, mode="id"), _add(rel)])
+    out = dl.read_delta(spark, t)
+    assert out.columns == ["v", "s"]
+    assert sorted(tuple(r) for r in out.collect()) == [
+        (1, "a"), (2, "b"),
+    ]
+
+
+def test_id_mode_nested_struct_field_ids(spark, tmp_path):
+    import pyarrow as pa
+
+    t = str(tmp_path / "t")
+    inner_type = pa.struct([
+        pa.field(
+            "x", pa.int64(),
+            metadata={b"PARQUET:field_id": b"3"},
+        ),
+    ])
+    fdir = os.path.join(t, "data", "f0")
+    os.makedirs(fdir, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    tbl = pa.Table.from_arrays(
+        [pa.array([{"x": 7}, {"x": 8}], inner_type)],
+        schema=pa.schema([
+            pa.field(
+                "phys-outer", inner_type,
+                metadata={b"PARQUET:field_id": b"1"},
+            ),
+        ]),
+    )
+    rel = "data/f0/part-0.parquet"
+    pq.write_table(tbl, os.path.join(t, rel))
+    schema = {"type": "struct", "fields": [{
+        "name": "outer",
+        "type": {"type": "struct", "fields": [
+            _field("val", "long", 3, "col-x"),
+        ]},
+        "nullable": True,
+        "metadata": {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "phys-outer",
+        },
+    }]}
+    _commit(t, 0, [_PROTO_CM, _meta(schema, mode="id"), _add(rel)])
+    out = dl.read_delta(spark, t)
+    assert out.columns == ["outer"]
+    assert sorted(r.outer.val for r in out.collect()) == [7, 8]
+
+
+def test_id_mode_partitioned_physical_keys(spark, tmp_path):
+    import pyarrow as pa
+
+    t = str(tmp_path / "t")
+    rels = {
+        p: _write_id_file(
+            t, f"p{p}",
+            [pa.array([i * 10, i * 10 + 1], pa.int64())],
+            [("anything", pa.int64(), 1)],
+        )
+        for i, p in enumerate(("a", "b"))
+    }
+    schema = {"type": "struct", "fields": [
+        _field("v", "long", 1, "col-v"),
+        _field("p", "string", 2, "col-p"),
+    ]}
+    _commit(t, 0, [
+        _PROTO_CM, _meta(schema, pcols=["p"], mode="id"),
+        _add(rels["a"], {"col-p": "a"}),
+        _add(rels["b"], {"col-p": "b"}),
+    ])
+    out = dl.read_delta(spark, t)
+    got = sorted((r.p, r.v) for r in out.collect())
+    assert got == [("a", 0), ("a", 1), ("b", 10), ("b", 11)]
+
+
+def test_id_mode_missing_field_ids_fails(spark, tmp_path):
+    """A data file WITHOUT parquet field ids inside an id-mode table
+    violates the spec; matching it by name instead could misaddress
+    columns — the read must fail, not silently null-fill."""
     t = str(tmp_path / "t")
     rel = _write_phys_file(
         spark, t, "f0",
@@ -243,8 +367,27 @@ def test_id_mode_refuses_loudly(spark, tmp_path):
         _field("v", "long", 1, "col-v"),
     ]}
     _commit(t, 0, [_PROTO_CM, _meta(schema, mode="id"), _add(rel)])
+    with pytest.raises(Exception, match="[Ff]ield [Ii]d|FIELD_ID"):
+        dl.read_delta(spark, t).collect()
+
+
+def test_id_mode_writes_still_refuse(spark, tmp_path):
+    import pyarrow as pa
+
+    t = str(tmp_path / "t")
+    rel = _write_id_file(
+        t, "f0", [pa.array([1], pa.int64())],
+        [("col-v", pa.int64(), 1)],
+    )
+    schema = {"type": "struct", "fields": [
+        _field("v", "long", 1, "col-v"),
+    ]}
+    _commit(t, 0, [_PROTO_CM, _meta(schema, mode="id"), _add(rel)])
+    assert dl.read_delta(spark, t).count() == 1
     with pytest.raises(NotImplementedError, match="'id'"):
-        dl.read_delta(spark, t)
+        dl.write_delta(
+            spark.createDataFrame([(2,)], "v long"), t, "append"
+        )
 
 
 def test_writes_to_mapped_tables_roundtrip(spark, tmp_path):
