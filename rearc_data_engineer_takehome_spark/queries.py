@@ -1127,7 +1127,8 @@ DRIVER_WINDOW: list[str] = [
     "events_wau_approx",  # reshaped r10: exact + within_bounds
     "cardinality_sketch",  # reshaped r10: exact + within_bounds
     "orders_row_ids_stable",  # NEW r10: Delta row tracking
-    # --- 34 re-certification fillers: the stalest clean rows in the
+    "orders_identity_append",  # NEW r10: Delta identity columns
+    # --- re-certification fillers: the stalest clean rows in the
     # registry (latest green round r01-r03, 6+ rounds old against
     # code refactored since), oldest-first by
     # (latest_clean_round, name). ---
@@ -1164,7 +1165,6 @@ DRIVER_WINDOW: list[str] = [
     "revenue_rollup",  # r03
     "scd2_customer_orders",  # r03
     "selection_pipeline",  # r03
-    "source_cap_balancing",  # r03
 ]
 
 

@@ -5545,6 +5545,95 @@ def orders_ict_time_travel(
 
 
 @query(
+    "orders_identity_append",
+    """
+    WITH l0 AS (
+        SELECT o_orderkey,
+               row_number() OVER (ORDER BY o_orderkey) AS r
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), l1 AS (
+        SELECT o_orderkey,
+               row_number() OVER (ORDER BY o_orderkey) AS r
+        FROM orders WHERE o_orderkey % 2 = 1
+    ), ids AS (
+        SELECT o_orderkey, (1000 + 2 * (r - 1))::BIGINT AS oid
+        FROM l0
+        UNION ALL
+        SELECT o_orderkey,
+               (1000 + 2 * ((SELECT max(r) FROM l0) - 1)
+                + 2 * r)::BIGINT AS oid
+        FROM l1
+    )
+    SELECT o_orderkey, oid FROM ids WHERE o_orderkey % 89 = 0
+    UNION ALL
+    SELECT -1::BIGINT, sum(oid)::BIGINT FROM ids
+    """,
+    doc="Identity columns on the native Delta log "
+    "(delta_create_identity_table + write_delta generation; public "
+    "delta-io PROTOCOL.md 'Identity Columns' — surrogate-key "
+    "generation for the Delta tables the reference persists, "
+    "notebooks/20_analytics.ipynb:653) certified under the "
+    "value-hash gate: an EMPTY table declares oid as GENERATED "
+    "ALWAYS (start 1000, step 2), then two appends (even keys "
+    "sorted, odd keys sorted — each a single sorted partition so "
+    "the generated sequence is rank-derivable for the oracle); the "
+    "writer generates start + k*step beyond the high-water mark and "
+    "advances the mark in each commit's metaData, so the second "
+    "append must continue exactly where the first stopped. The "
+    "output samples (key, oid) pairs plus a whole-table oid "
+    "checksum. The sorted single-partition appends are the "
+    "oracle-derivability device; generation itself is per-partition "
+    "range allocation (one count pass + one Arrow-batched pass, "
+    "gaps allowed by spec) — no global sort at scale.",
+)
+def orders_identity_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .sources import delta_log as dl
+    from .sources import snapshots as sn
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_oid_"
+        f"{_uuid.uuid4().hex[:8]}"
+    )
+    dl.delta_create_identity_table(
+        StructType([
+            StructField("o_orderkey", LongType()),
+            StructField("oid", LongType()),
+        ]),
+        tbl,
+        {"oid": {"start": 1000, "step": 2}},
+    )
+    for leg in (0, 1):
+        dl.write_delta(
+            orders.where(F.col("o_orderkey") % 2 == leg)
+            .repartition(1)
+            .sortWithinPartitions("o_orderkey"),
+            tbl,
+            "append",
+        )
+    ids = dl.read_delta(spark, tbl)
+    sample = ids.where(F.col("o_orderkey") % 89 == 0).select(
+        "o_orderkey", "oid"
+    )
+    total = ids.agg(
+        F.lit(-1).cast("bigint").alias("o_orderkey"),
+        F.sum("oid").cast("bigint").alias("oid"),
+    )
+    return sample.unionByName(total)
+
+
+@query(
     "orders_row_ids_stable",
     """
     WITH base AS (

@@ -86,6 +86,7 @@ _WRITER_FEATURES = {
     "checkConstraints", "timestampNtz", "generatedColumns",
     "columnMapping", "changeDataFeed", "v2Checkpoint",
     "inCommitTimestamp", "domainMetadata", "rowTracking",
+    "identityColumns",
 }
 
 
@@ -1970,6 +1971,185 @@ def _read_cdc_files(
     return out
 
 
+# --- identity columns (PROTOCOL.md "Identity Columns") ---------------
+# A field carrying delta.identity.{start,step,allowExplicitInsert}
+# metadata is an identity column: writers GENERATE its values —
+# start + k*step, every value beyond delta.identity.highWaterMark,
+# gaps allowed (the spec's rule; per-partition allocation needs no
+# total order) — and advance the high-water mark in the SAME commit's
+# metaData. allowExplicitInsert=false (GENERATED ALWAYS) refuses
+# explicit values outright; =true (BY DEFAULT) accepts them and rounds
+# the high-water mark up to the step grid so later generated values
+# can never collide.
+
+_ID_START = "delta.identity.start"
+_ID_STEP = "delta.identity.step"
+_ID_HWM = "delta.identity.highWaterMark"
+_ID_ALLOW = "delta.identity.allowExplicitInsert"
+
+
+def _identity_fields(schema_json: str) -> list[dict]:
+    """The identity columns of ``schema_json``: [{name, start, step,
+    allow_explicit, hwm}] (hwm None until first generation)."""
+    out: list[dict] = []
+    try:
+        fields = json.loads(schema_json).get("fields", [])
+    except ValueError:
+        return out
+    for f in fields:
+        meta = f.get("metadata") or {}
+        if _ID_START not in meta and _ID_STEP not in meta:
+            continue
+        step = int(meta.get(_ID_STEP, 1))
+        if step == 0:
+            raise ValueError(
+                f"identity column {f['name']!r} has step 0 — the "
+                "spec requires a nonzero step"
+            )
+        hwm = meta.get(_ID_HWM)
+        out.append({
+            "name": f["name"],
+            "start": int(meta.get(_ID_START, 1)),
+            "step": step,
+            "allow_explicit": bool(meta.get(_ID_ALLOW, False)),
+            "hwm": None if hwm is None else int(hwm),
+        })
+    return out
+
+
+def _identity_bump_schema(schema_json: str, hwms: dict) -> str:
+    """``schema_json`` with each identity column's highWaterMark
+    field-metadata replaced per ``hwms`` ({col: new hwm})."""
+    sj = json.loads(schema_json)
+    for f in sj.get("fields", []):
+        if f["name"] in hwms:
+            meta = dict(f.get("metadata") or {})
+            meta[_ID_HWM] = int(hwms[f["name"]])
+            f["metadata"] = meta
+    return json.dumps(sj)
+
+
+def _identity_generate(
+    df: DataFrame, col: str, dtype, base: int, step: int
+) -> tuple[DataFrame, int]:
+    """Append generated identity values to ``df``: per-partition
+    ranges over a broadcast offset table (one cheap count pass, then
+    one Arrow-batched pass — no global sort, no single-partition
+    shuffle; the spec allows gaps, so allocation only needs
+    uniqueness and step arithmetic). Returns (df with col, new high
+    water mark). ``df`` must be deterministic — the same contract as
+    any engine's two-pass identity INSERT."""
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    counts = {
+        r.pid: r.n
+        for r in df.groupBy(
+            F.spark_partition_id().alias("pid")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(col, LongType(), False)]
+    )
+
+    def gen(pdf_iter):
+        from pyspark.sql.functions import (  # noqa: F401
+            spark_partition_id,
+        )
+        # TaskContext gives the partition id inside the worker
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in pdf_iter:
+            k = offsets.get(pid, 0) + seen
+            pdf[col] = base + step * (
+                pd.RangeIndex(k + 1, k + 1 + len(pdf))
+            ).to_numpy()
+            seen += len(pdf)
+            yield pdf
+
+    gen_df = df.mapInPandas(gen, out_schema)
+    new_hwm = base + step * total
+    return gen_df.withColumn(col, F.col(col).cast(dtype)), new_hwm
+
+
+def delta_create_identity_table(
+    schema,
+    table_dir: str,
+    identity: dict,
+    partition_by: list[str] | None = None,
+) -> DeltaState:
+    """CREATE an EMPTY Delta table whose schema declares identity
+    columns (the spec allows declaring them ONLY at creation — they
+    can never be added to an existing table, matching native).
+    ``schema`` is a StructType or schema-JSON string; ``identity``
+    maps column name -> {start, step, allow_explicit}. The first
+    write then generates values (write_delta handles both GENERATED
+    ALWAYS refusal and BY DEFAULT explicit inserts)."""
+    if list_delta_versions(table_dir):
+        raise ValueError(
+            f"{table_dir} already exists — identity columns can "
+            "only be declared at table creation (spec rule)"
+        )
+    sj = json.loads(
+        schema if isinstance(schema, str) else schema.json()
+    )
+    names = [f["name"] for f in sj["fields"]]
+    unknown = set(identity) - set(names)
+    if unknown:
+        raise ValueError(
+            f"identity spec names unknown columns {sorted(unknown)}"
+        )
+    for f in sj["fields"]:
+        spec = identity.get(f["name"])
+        if spec is None:
+            continue
+        if f["type"] != "long":
+            raise ValueError(
+                f"identity column {f['name']!r} must be a long "
+                f"(bigint), not {f['type']!r} — the spec's type rule"
+            )
+        step = int(spec.get("step", 1))
+        if step == 0:
+            raise ValueError("identity step must be nonzero")
+        meta = dict(f.get("metadata") or {})
+        meta[_ID_START] = int(spec.get("start", 1))
+        meta[_ID_STEP] = step
+        meta[_ID_ALLOW] = bool(spec.get("allow_explicit", False))
+        f["metadata"] = meta
+    schema_json = json.dumps(sj)
+    pcols = list(partition_by or [])
+    if set(pcols) & set(identity):
+        raise ValueError("identity columns cannot be partition keys")
+    proto = _merge_feature_protocol(
+        dict(_PROTOCOL), set(), {"identityColumns"}
+    )
+    actions = [
+        {"protocol": proto},
+        _meta_action(schema_json, None, pcols, None),
+        {
+            "commitInfo": {
+                "timestamp": _now_ms(),
+                "operation": "CREATE TABLE",
+                "operationParameters": {
+                    "identityColumns": sorted(identity)
+                },
+                "engineInfo": "rearc-takehome-spark-cleanroom",
+            }
+        },
+    ]
+    _commit_actions(table_dir, 0, actions, None)
+    return replay(table_dir, 0)
+
+
 # --- row tracking (PROTOCOL.md "Row Tracking") -----------------------
 # Every add action on an enabled table carries a baseRowId and a
 # defaultRowCommitVersion; a row's id is
@@ -2209,6 +2389,8 @@ def write_delta(
     pcols = list(partition_by or [])
     validated: tuple | None = None
     head0: DeltaState | None = None
+    id_hwms: dict = {}
+    id_specs: list = []
     if list_delta_versions(table_dir):
         # cheap metadata replay BEFORE materializing data files: the
         # writer-protocol gate must refuse up front (or a refused
@@ -2223,6 +2405,54 @@ def write_delta(
         if mode == "overwrite":
             _check_append_only(
                 table_dir, head0.configuration, "overwrite"
+            )
+        # --- identity columns (spec "Identity Columns"): absent
+        # identity columns are GENERATED (per-partition ranges above
+        # the high-water mark, gaps allowed); explicit values refuse
+        # under GENERATED ALWAYS and round the HWM up to the step
+        # grid under BY DEFAULT. The bumped HWM rides this commit's
+        # metaData; identity declarations pin the TABLE schema. ---
+        id_specs = _identity_fields(head0.schema)
+        if id_specs:
+            import math
+
+            from pyspark.sql.types import StructType as _St
+
+            tschema = _St.fromJson(json.loads(head0.schema))
+            for spec in id_specs:
+                col, step = spec["name"], spec["step"]
+                base = (
+                    spec["hwm"] if spec["hwm"] is not None
+                    else spec["start"] - step
+                )
+                if col in df.columns:
+                    if not spec["allow_explicit"]:
+                        raise ValueError(
+                            f"identity column {col!r} is GENERATED "
+                            "ALWAYS (allowExplicitInsert=false): "
+                            "explicit values refuse — drop the "
+                            "column and let the writer generate it"
+                        )
+                    mx = df.agg(
+                        (F.max(col) if step > 0 else F.min(col))
+                        .alias("m")
+                    ).first()["m"]
+                    if mx is not None and (
+                        (step > 0 and mx > base)
+                        or (step < 0 and mx < base)
+                    ):
+                        k = math.ceil((mx - base) / step)
+                        id_hwms[col] = base + k * step
+                else:
+                    df, new_hwm = _identity_generate(
+                        df, col, tschema[col].dataType, base, step
+                    )
+                    id_hwms[col] = new_hwm
+            # identity tables PIN the table schema — rebuilding it
+            # from df would drop the identity field metadata (the
+            # declaration); only the high-water marks move
+            schema_json = _identity_bump_schema(
+                head0.schema, id_hwms
             )
         # CHECK constraints + column invariants validate the incoming
         # rows BEFORE any file materializes (one extra pass over df,
@@ -2487,7 +2717,27 @@ def write_delta(
                         "evolution)"
                     )
             else:
-                schema_json = head.schema  # appends keep table schema
+                if not id_hwms:
+                    schema_json = head.schema  # appends keep schema
+        if id_specs and head is not None and [
+            (s["name"], s["hwm"]) for s in _identity_fields(
+                head.schema
+            )
+        ] != [(s["name"], s["hwm"]) for s in id_specs]:
+            # a concurrent writer advanced an identity high-water
+            # mark after we generated against it — our values could
+            # collide; the caller must re-run against the new head
+            raise _sn.ConcurrentCommitError(
+                f"identity high-water mark of {table_dir} moved "
+                "while this write was generating values"
+            )
+        if id_hwms and not any("metaData" in a for a in actions):
+            # the advanced high-water mark must land in THIS commit's
+            # metaData (spec) — appends normally emit none
+            actions.append(_meta_action(
+                schema_json, head.metadata_id, pcols,
+                head.configuration,
+            ))
         if head is not None:
             # an overwrite/evolution may INTRODUCE timestamp_ntz or
             # column mapping to an existing table — the feature must
@@ -4615,6 +4865,15 @@ def delta_update(
         raise ValueError(
             f"UPDATE assigns unknown columns {sorted(unknown)} "
             f"(table has {sorted(names)})"
+        )
+    id_cols = {
+        s["name"] for s in _identity_fields(head.schema)
+    } & set(assignments)
+    if id_cols:
+        raise ValueError(
+            f"UPDATE cannot assign identity columns "
+            f"{sorted(id_cols)} — identity values are "
+            "writer-generated (spec rule)"
         )
     _check_append_only(table_dir, head.configuration, "UPDATE")
     rt_on = _rt_enabled(head.configuration)
