@@ -510,14 +510,21 @@ def grouped_exact_quantiles_scalable(
     src = df.select(F.col(g), F.col(col).alias("x")).where(
         F.col("x").isNotNull()
     )
-    b = (
+    # O(|groups|) bracket relation with a full-scan lineage, consumed
+    # by the candidate join AND the final assembly — reliable scratch
+    # keeps an executor loss a parquet re-scan instead of an
+    # unrecoverable localCheckpoint lineage error; group count is
+    # caller-controlled and unbounded (r09 ADVICE long tail)
+    from .relational import checkpoint_reliable
+
+    b = checkpoint_reliable(
         src.groupBy(g)
         .agg(
             F.count("x").alias("n"),
             F.percentile_approx("x", lows, accuracy).alias("vlo"),
             F.percentile_approx("x", highs, accuracy).alias("vhi"),
-        )
-        .localCheckpoint()
+        ),
+        "grouped_quantile_brackets",
     )
 
     cand = src.join(b, g)

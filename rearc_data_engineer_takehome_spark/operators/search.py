@@ -63,14 +63,19 @@ def bm25_topk(
         F.col(id_col), F.col("dl"), F.explode("arr").alias("term")
     ).where(F.col("term").isin(terms))
 
-    # tf feeds BOTH the per-term df aggregate and the scoring join; it is
-    # |query terms| × matching docs rows (tiny), while its lineage is a
-    # full corpus tokenize+explode — materialize once or that pipeline
-    # runs twice (Spark re-executes non-materialized plans per branch)
-    tf = (
+    # tf feeds BOTH the per-term df aggregate and the scoring join; it
+    # is |query terms| × matching docs rows — corpus-sublinear but NOT
+    # constant-bounded (a stopword-ish term can match most of the
+    # corpus), while its lineage is a full corpus tokenize+explode.
+    # Reliable scratch materializes it once (two consumers) and keeps
+    # an executor loss a parquet re-scan instead of an unrecoverable
+    # localCheckpoint lineage error (r09 ADVICE long tail).
+    from .relational import checkpoint_reliable
+
+    tf = checkpoint_reliable(
         toks.groupBy(id_col, "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
+        .agg(F.count(F.lit(1)).alias("tf")),
+        "bm25_tf",
     )
 
     n_docs, sum_dl = spread_compute(docs).agg(

@@ -658,27 +658,32 @@ def pmi_collocations(
     never a global sort.
     """
     from ..functions.text import word_shingles, ws_tokens
-    from .relational import spread_compute
+    from .relational import checkpoint_reliable, spread_compute
 
     toks_arr = F.transform(ws_tokens(text_col), lambda x: F.lower(x))
     base = spread_compute(
         df.where(F.col(text_col).isNotNull())
     ).select(toks_arr.alias("toks"))
-    uni = (
+    # the unigram/bigram vocab relations feed the total AND two probes
+    # each; they are corpus-SUBLINEAR (Zipf-bounded vocab) but not
+    # constant-bounded, so they materialize to RELIABLE scratch — a
+    # lost executor re-scans parquet instead of killing the query with
+    # unrecoverable localCheckpoint lineage (r09 ADVICE long tail)
+    uni = checkpoint_reliable(
         base.select(F.explode("toks").alias("tok"))
         .where(F.col("tok") != "")
         .groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint(eager=False)  # feeds the total AND two probes
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c")),
+        "npmi_unigrams",
     )
     n_uni = uni.agg(F.sum("c").cast("double").alias("nu"))
-    bi = (
+    bi = checkpoint_reliable(
         base.where(F.size("toks") >= 2)
         .select(F.explode(word_shingles(F.col("toks"), 2)).alias("bg"))
         .groupBy("bg")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
-        .where(F.col("c_ab") >= min_count)
-        .localCheckpoint(eager=False)
+        .where(F.col("c_ab") >= min_count),
+        "npmi_bigrams",
     )
     n_bi = bi.agg(F.sum("c_ab").cast("double").alias("nb"))
     split = F.split(F.col("bg"), " ")
