@@ -359,3 +359,99 @@ def test_domain_metadata_removed_roundtrip(spark, tmp_path):
     for i in range(v + 1):
         os.remove(dl._commit_path(t, i))
     assert dl.replay(t).domain_metadata == {"custom.d1": "{\"x\":1}"}
+
+
+def test_adversarial_compositions(spark, tmp_path):
+    """Round-10 self-review (VERDICT r09 item 8): the corners where
+    the new surfaces compose — partitioned update→optimize→merge,
+    repeated OPTIMIZE, CDF riding an rt table (change frames must not
+    leak row-id columns), identity + row tracking on one table, and
+    pre-enablement time travel refusing loudly."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def ids(t, **kw):
+        return {
+            r.k: (r._row_id, r._row_commit_version)
+            for r in dl.read_delta(
+                spark, t, row_ids=True, **kw
+            ).collect()
+        }
+
+    # partitioned: update -> optimize -> merge -> optimize again
+    t = str(tmp_path / "a")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    dl.write_delta(
+        df.repartition(4), t, partition_by=["p"],
+        row_tracking=True, stats_cols=["k"],
+    )
+    dl.delta_update(spark, t, "k = 10", {"v": "999"})
+    b1 = ids(t)
+    dl.delta_compact(spark, t, 1)
+    assert ids(t) == b1
+    upd = spark.createDataFrame(
+        [(10, "1", 5), (1000, "0", 7)], "k long, p string, v long"
+    )
+    dl.delta_merge_upsert(spark, t, upd, ["k"])
+    b3 = ids(t)
+    assert b3[10][0] == b1[10][0] and 1000 in b3
+    dl.delta_compact(spark, t, 2)
+    assert ids(t) == b3  # repeated optimize: zero drift
+
+    # CDF on an rt table: images correct, no row-id column leakage
+    t = str(tmp_path / "c")
+    dl.write_delta(
+        spark.range(0, 20).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        ).coalesce(1),
+        t, row_tracking=True, stats_cols=["k"],
+    )
+    dl.delta_alter_properties(
+        spark, t, {"delta.enableChangeDataFeed": "true"}
+    )
+    before = ids(t)
+    dl.delta_update(spark, t, "k = 3", {"v": "77"})
+    assert ids(t)[3][0] == before[3][0]
+    ch = dl.read_delta_changes(spark, t, 1)
+    agg = {
+        r._change_type: r["count"]
+        for r in ch.groupBy("_change_type").count().collect()
+    }
+    assert agg == {"update_preimage": 1, "update_postimage": 1}
+    assert "_row_id" not in ch.columns
+
+    # identity + row tracking on one table
+    t = str(tmp_path / "d")
+    dl.delta_create_identity_table(
+        StructType([
+            StructField("uid", LongType()),
+            StructField("k", LongType()),
+        ]),
+        t, {"uid": {"start": 1, "step": 1}},
+    )
+    dl.delta_alter_properties(
+        spark, t, {"delta.enableRowTracking": "true"}
+    )
+    dl.write_delta(
+        spark.range(0, 10).select(F.col("id").alias("k"))
+        .coalesce(1),
+        t, "append",
+    )
+    rows = {
+        r.k: (r.uid, r._row_id)
+        for r in dl.read_delta(spark, t, row_ids=True).collect()
+    }
+    assert rows[0] == (1, 0) and rows[9] == (10, 9)
+
+    # pre-enablement time travel: row-id read refuses loudly
+    t = str(tmp_path / "e")
+    dl.write_delta(spark.range(0, 5).select(F.col("id").alias("k")), t)
+    dl.delta_alter_properties(
+        spark, t, {"delta.enableRowTracking": "true"}
+    )
+    with pytest.raises(ValueError, match="baseRowId"):
+        dl.read_delta(spark, t, version=0, row_ids=True).collect()
+    assert dl.read_delta(spark, t, row_ids=True).count() == 5
