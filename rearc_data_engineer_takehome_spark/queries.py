@@ -1128,6 +1128,7 @@ DRIVER_WINDOW: list[str] = [
     "cardinality_sketch",  # reshaped r10: exact + within_bounds
     "orders_row_ids_stable",  # NEW r10: Delta row tracking
     "orders_identity_append",  # NEW r10: Delta identity columns
+    "lineitem_clustered_prune",  # NEW r10: Delta clustered tables
     # --- re-certification fillers: the stalest clean rows in the
     # registry (latest green round r01-r03, 6+ rounds old against
     # code refactored since), oldest-first by
@@ -1164,7 +1165,6 @@ DRIVER_WINDOW: list[str] = [
     "repeated_span_boilerplate",  # r03
     "revenue_rollup",  # r03
     "scd2_customer_orders",  # r03
-    "selection_pipeline",  # r03
 ]
 
 

@@ -5545,6 +5545,83 @@ def orders_ict_time_travel(
 
 
 @query(
+    "lineitem_clustered_prune",
+    """
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n_rows,
+           sum(round(l_extendedprice * 100)::BIGINT)::BIGINT
+               AS sum_cents,
+           count(DISTINCT l_suppkey)::BIGINT AS n_suppliers
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 400
+      AND l_suppkey BETWEEN 10 AND 40
+    GROUP BY l_returnflag
+    """,
+    doc="Clustered tables on the native Delta log "
+    "(delta_set_clustering + delta_cluster_optimize; public "
+    "delta-io PROTOCOL.md 'Clustered Table' — the liquid-clustering "
+    "layout surface of the format the reference persists its tables "
+    "in, notebooks/20_analytics.ipynb:653) certified under the "
+    "value-hash gate: lineitem lands in a scratch Delta table, "
+    "CLUSTER BY (l_partkey, l_suppkey) records the columns in the "
+    "delta.clustering domain and the clustering OPTIMIZE rewrites "
+    "the rows Z-ordered (Morton range-partition + sort, "
+    "dataChange=false, clusteringProvider on every add), then "
+    "delta_scan serves a two-dimensional box predicate from "
+    "file-level stats pruning + the row-level re-filter. Any "
+    "wrongly-pruned file or mis-clustered row breaks the hash vs "
+    "the plain full-table oracle. At 100 TB the win is the layout: "
+    "Z-ordered files cover compact hyper-rectangles, so the box "
+    "scans O(matching) files on EITHER dimension — a lead-key sort "
+    "prunes only its first column (pruning-effectiveness asserted "
+    "in tests/test_clustering.py).",
+)
+def lineitem_clustered_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import uuid as _uuid
+
+    from .sources import delta_log as dl
+    from .sources import snapshots as sn
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_lclu_"
+        f"{_uuid.uuid4().hex[:8]}"
+    )
+    dl.write_delta(
+        li.repartition(8), tbl,
+        stats_cols=["l_partkey", "l_suppkey"],
+    )
+    dl.delta_set_clustering(tbl, ["l_partkey", "l_suppkey"])
+    dl.delta_cluster_optimize(spark, tbl, 8)
+    box = {"l_partkey": (100, 400), "l_suppkey": (10, 40)}
+    return (
+        dl.delta_scan(spark, tbl, prune=box)
+        .where(
+            F.col("l_partkey").between(100, 400)
+            & F.col("l_suppkey").between(10, 40)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.countDistinct("l_suppkey")
+            .cast("bigint")
+            .alias("n_suppliers"),
+        )
+    )
+
+
+@query(
     "orders_identity_append",
     """
     WITH l0 AS (

@@ -86,7 +86,7 @@ _WRITER_FEATURES = {
     "checkConstraints", "timestampNtz", "generatedColumns",
     "columnMapping", "changeDataFeed", "v2Checkpoint",
     "inCommitTimestamp", "domainMetadata", "rowTracking",
-    "identityColumns",
+    "identityColumns", "clustering",
 }
 
 
@@ -1971,6 +1971,221 @@ def _read_cdc_files(
     return out
 
 
+# --- clustered tables (PROTOCOL.md "Clustered Table") ----------------
+# The clustering writer feature: clustering columns live in the
+# ``delta.clustering`` domain-metadata domain ({"clusteringColumns":
+# [["col"], ...]} — name-part arrays, PHYSICAL names under column
+# mapping), and clustering OPTIMIZE rewrites carry
+# ``clusteringProvider`` on their add actions. The physical layout
+# here is a Morton (Z-order) range-partitioned sort
+# (operators/layout.zorder_key), so per-file min/max stats prune on
+# EVERY clustering dimension, not just a lead sort key.
+
+_CLUSTER_DOMAIN = "delta.clustering"
+
+
+def clustering_columns(state: DeltaState) -> list[str]:
+    """The table's clustering columns (LOGICAL names), [] when the
+    table is not clustered."""
+    cfg = (state.domain_metadata or {}).get(_CLUSTER_DOMAIN)
+    if not cfg:
+        return []
+    parts = json.loads(cfg).get("clusteringColumns") or []
+    phys_to_logical = {}
+    try:
+        for f in json.loads(state.schema)["fields"]:
+            p = (f.get("metadata") or {}).get(_CM_PHYS)
+            if p:
+                phys_to_logical[p] = f["name"]
+    except ValueError:
+        pass
+    out = []
+    for name_parts in parts:
+        n = name_parts[0] if name_parts else ""
+        out.append(phys_to_logical.get(n, n))
+    return out
+
+
+def delta_set_clustering(
+    table_dir: str, cols: list[str]
+) -> DeltaState:
+    """ALTER TABLE CLUSTER BY: record ``cols`` as the table's
+    clustering columns in the ``delta.clustering`` domain (spec
+    shape) and upgrade the writer protocol with the ``clustering`` +
+    ``domainMetadata`` features. Metadata-only — the next
+    :func:`delta_cluster_optimize` produces the physical layout,
+    exactly how native defers clustering work to OPTIMIZE."""
+    head = replay(table_dir)
+    _check_writer_protocol(
+        table_dir, head.protocol, head.configuration
+    )
+    sj = json.loads(head.schema)
+    by_name = {f["name"]: f for f in sj["fields"]}
+    missing = [c for c in cols if c not in by_name]
+    if missing:
+        raise ValueError(
+            f"clustering columns {missing} not in table schema "
+            f"{sorted(by_name)}"
+        )
+    if set(cols) & set(head.partition_cols):
+        raise ValueError(
+            "clustering columns cannot overlap partition columns"
+        )
+    # spec: stored as name-part arrays, physical names under mapping
+    stored = [
+        [
+            (by_name[c].get("metadata") or {}).get(_CM_PHYS, c)
+        ]
+        for c in cols
+    ]
+    actions: list[dict] = []
+    pa = _merge_feature_protocol(
+        head.protocol, set(), {"clustering", "domainMetadata"}
+    )
+    if pa:
+        actions.append({"protocol": pa})
+    actions.append({
+        "domainMetadata": {
+            "domain": _CLUSTER_DOMAIN,
+            "configuration": json.dumps(
+                {"clusteringColumns": stored},
+                separators=(",", ":"),
+            ),
+            "removed": False,
+        }
+    })
+    actions.append({
+        "commitInfo": {
+            "timestamp": _now_ms(),
+            "operation": "CLUSTER BY",
+            "operationParameters": {"columns": list(cols)},
+            "engineInfo": "rearc-takehome-spark-cleanroom",
+        }
+    })
+    _commit_actions(
+        table_dir, head.version + 1, actions, head.configuration
+    )
+    return replay(table_dir, head.version + 1)
+
+
+def delta_cluster_optimize(
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int,
+    stats_cols: list[str] | None = None,
+    bits: int = 8,
+) -> DeltaState:
+    """OPTIMIZE of a clustered table: rewrite the live rows Z-ordered
+    on the recorded clustering columns (Morton key, range-partitioned
+    + sorted, so every output file covers a compact hyper-rectangle
+    and footer stats prune on ANY clustering dimension) and commit
+    remove+add with ``dataChange: false``; the new adds carry
+    ``clusteringProvider`` per the spec. Row-tracking tables keep
+    ids and commit versions via the materialized columns, same as
+    plain OPTIMIZE. Unpartitioned tables only (clustering replaces
+    hive partitioning — native's liquid-clustering posture)."""
+    from ..operators.layout import zorder_key
+
+    head = replay(table_dir)
+    _check_writer_protocol(
+        table_dir, head.protocol, head.configuration
+    )
+    cols = clustering_columns(head)
+    if not cols:
+        raise ValueError(
+            f"{table_dir} has no clustering columns — run "
+            "delta_set_clustering first"
+        )
+    if head.partition_cols:
+        raise ValueError(
+            "clustered OPTIMIZE supports unpartitioned tables only "
+            "(clustering replaces hive partitioning)"
+        )
+    rt_on = _rt_enabled(head.configuration)
+    mat_cols: list = []
+    df = _read_state(spark, table_dir, head, with_row_ids=rt_on)
+    if rt_on:
+        mat_id, mat_rcv = _rt_mat_names(
+            table_dir, head.configuration
+        )
+        df = df.withColumnRenamed(_ROW_ID, mat_id) \
+               .withColumnRenamed(_ROW_RCV, mat_rcv)
+        mat_cols = [mat_id, mat_rcv]
+    z = zorder_key(df, cols, bits)
+    df = (
+        df.withColumn("__zkey", z)
+        .repartitionByRange(target_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
+    df, _wp, pstat = _physical_payload(
+        df, head.schema, extra_cols=mat_cols
+    )
+    rel_files = _sn._write_data_files(df, table_dir)
+    import pyarrow.parquet as pq
+
+    phys_stats = [
+        pstat(c) for c in (
+            list(stats_cols) if stats_cols else list(cols)
+        )
+    ]
+    metas = {
+        rel: pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+        for rel in rel_files
+    }
+    adds = []
+    for rel, md in metas.items():
+        if not md.num_rows:
+            continue
+        a = _add_action(table_dir, rel, phys_stats, False, None,
+                        md=md)
+        a["add"]["clusteringProvider"] = "liquid"
+        adds.append(a)
+    computed_against = head.version
+    for _ in range(20):
+        versions = list_delta_versions(table_dir)
+        version = versions[-1] + 1
+        for cv in range(computed_against + 1, version):
+            with open(_commit_path(table_dir, cv)) as f:
+                for line in f:
+                    if "remove" in json.loads(line):
+                        raise _sn.ConcurrentCommitError(
+                            f"clustered optimize of {table_dir} "
+                            f"raced a remove in v{cv}; re-run"
+                        )
+        ts = _now_ms()
+        actions: list[dict] = [
+            _remove_action(head.adds[p], ts, False)
+            for p in head.files
+        ]
+        actions.extend(adds)
+        if _rt_active(head.protocol, head.configuration):
+            actions.extend(_stamp_row_ids(
+                adds, replay(table_dir).domain_metadata, version
+            ))
+        actions.append({
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "targetFiles": target_files,
+                    "clusterBy": list(cols),
+                },
+                "engineInfo": "rearc-takehome-spark-cleanroom",
+            }
+        })
+        try:
+            _commit_actions(
+                table_dir, version, actions, head.configuration
+            )
+            return replay(table_dir, version)
+        except _sn.ConcurrentCommitError:
+            continue
+    raise RuntimeError(
+        f"clustered optimize of {table_dir} lost 20 races"
+    )
+
+
 # --- identity columns (PROTOCOL.md "Identity Columns") ---------------
 # A field carrying delta.identity.{start,step,allowExplicitInsert}
 # metadata is an identity column: writers GENERATE its values —
@@ -2966,6 +3181,7 @@ def write_checkpoint(
                 "defaultRowCommitVersion": a.get(
                     "defaultRowCommitVersion"
                 ),
+                "clusteringProvider": a.get("clusteringProvider"),
             },
         })
     schema = pa.schema([
@@ -3007,6 +3223,7 @@ def write_checkpoint(
             ])),
             ("baseRowId", pa.int64()),
             ("defaultRowCommitVersion", pa.int64()),
+            ("clusteringProvider", pa.string()),
         ])),
         ("domainMetadata", pa.struct([
             ("domain", pa.string()),
