@@ -504,15 +504,16 @@ def _check_writer_protocol(
     mwv = protocol.get("minWriterVersion", 2) or 2
     feats = set(protocol.get("writerFeatures") or [])
     ok_feats = _WRITER_FEATURES
-    if mwv <= 5 and not feats:
+    if mwv <= 6 and not feats:
         # writer v2 = appendOnly + invariants, v3 adds CHECK
         # constraints, v4 adds generated columns (+ CDF, gated
         # above), v5 adds column mapping (name-mode bookkeeping
         # implemented; id mode refused by the configuration gate
-        # above) — all ENFORCED on every mutating path
-        # (_enforce_row_rules / _check_append_only /
-        # _physical_payload), so accepting these versions is honest,
-        # not a bypass
+        # above), v6 adds identity columns (generated + HWM
+        # bookkeeping implemented round 10) — all ENFORCED on every
+        # mutating path (_enforce_row_rules / _check_append_only /
+        # _physical_payload / _identity_fields), so accepting these
+        # versions is honest, not a bypass
         return
     if mwv == 7 and feats <= ok_feats:
         # table-features writer protocol whose every listed feature
@@ -654,6 +655,11 @@ _IMPLIED_WRITER = {
     3: {"appendOnly", "invariants", "checkConstraints"},
     4: {"appendOnly", "invariants", "checkConstraints",
         "generatedColumns", "changeDataFeed"},
+    5: {"appendOnly", "invariants", "checkConstraints",
+        "generatedColumns", "changeDataFeed", "columnMapping"},
+    6: {"appendOnly", "invariants", "checkConstraints",
+        "generatedColumns", "changeDataFeed", "columnMapping",
+        "identityColumns"},
 }
 
 

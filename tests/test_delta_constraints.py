@@ -208,16 +208,20 @@ def test_writer_gate_accepts_v3_refuses_v4plus():
     })
     # v4 (generated columns) is enforced, so accepted — unless the
     # table actually enables CDF (separate test below); v5 (column
-    # mapping, name-mode write support round 9) likewise
+    # mapping, name-mode write support round 9) likewise; v6
+    # (identity columns, implemented round 10) likewise
     dl._check_writer_protocol("t", {"minWriterVersion": 4})
     dl._check_writer_protocol("t", {"minWriterVersion": 5})
-    # v6 = identity columns, not implemented
-    with pytest.raises(NotImplementedError):
-        dl._check_writer_protocol("t", {"minWriterVersion": 6})
+    dl._check_writer_protocol("t", {"minWriterVersion": 6})
+    dl._check_writer_protocol("t", {
+        "minWriterVersion": 7,
+        "writerFeatures": ["identityColumns", "rowTracking"],
+    })
+    # a genuinely unimplemented table feature still refuses
     with pytest.raises(NotImplementedError):
         dl._check_writer_protocol("t", {
             "minWriterVersion": 7,
-            "writerFeatures": ["identityColumns"],
+            "writerFeatures": ["typeWidening"],
         })
 
 

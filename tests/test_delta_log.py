@@ -1016,7 +1016,7 @@ def test_writer_protocol_gate(spark, tmp_path):
             a["protocol"] = {
                 "minReaderVersion": 1,
                 "minWriterVersion": 7,
-                "writerFeatures": ["identityColumns"],
+                "writerFeatures": ["typeWidening"],
             }
     with open(path, "w") as f:
         for a in lines:
@@ -1216,7 +1216,7 @@ def test_checkpoint_preserves_table_protocol_and_gates_writers(
             a["protocol"] = {
                 "minReaderVersion": 1,
                 "minWriterVersion": 7,
-                "writerFeatures": ["identityColumns"],
+                "writerFeatures": ["typeWidening"],
             }
     with open(path, "w") as f:
         for a in lines:
@@ -1247,7 +1247,7 @@ def test_refused_write_leaves_no_orphan_data_files(spark, tmp_path):
             a["protocol"] = {
                 "minReaderVersion": 1,
                 "minWriterVersion": 7,
-                "writerFeatures": ["identityColumns"],
+                "writerFeatures": ["typeWidening"],
             }
     with open(path, "w") as f:
         for a in lines:

@@ -491,12 +491,12 @@ def test_writer_gate_accepts_dv_refuses_more(tmp_path):
     with pytest.raises(NotImplementedError):
         dl._check_writer_protocol("t", {
             "minWriterVersion": 7,
-            "writerFeatures": ["deletionVectors", "identityColumns"],
+            "writerFeatures": ["deletionVectors", "typeWidening"],
         })
-    # v5 (column mapping) writable since round 9; v6 still refuses
+    # v5 (column mapping) writable since round 9; v6 (identity
+    # columns) since round 10
     dl._check_writer_protocol("t", {"minWriterVersion": 5})
-    with pytest.raises(NotImplementedError):
-        dl._check_writer_protocol("t", {"minWriterVersion": 6})
+    dl._check_writer_protocol("t", {"minWriterVersion": 6})
 
 
 def test_delete_concurrent_commit_raises(spark, tmp_path):
