@@ -5292,10 +5292,26 @@ def delta_restore(table_dir: str, version: int) -> DeltaState:
     actions.extend(
         _remove_action(a, ts, True) for a in to_remove
     )
+    readds: list[dict] = []
     for a in to_add:
         na = dict(a)
         na["dataChange"] = True
-        actions.append({"add": na})
+        readds.append({"add": na})
+    actions.extend(readds)
+    if _rt_active(head.protocol, head.configuration):
+        # a restore to a post-enablement version re-adds files that
+        # already carry their baseRowId — ids survive verbatim. A
+        # restore BELOW the enablement re-surfaces unstamped files
+        # while the protocol feature stands: stamp them fresh (the
+        # only spec-consistent choice) and advance the HWM, so a
+        # later row-id read never refuses a table this writer built
+        unstamped = [
+            w for w in readds if w["add"].get("baseRowId") is None
+        ]
+        actions.extend(_stamp_row_ids(
+            unstamped, head.domain_metadata, head.version + 1,
+            table_dir,
+        ))
     actions.append(
         {
             "commitInfo": {

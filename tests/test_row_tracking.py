@@ -455,3 +455,39 @@ def test_adversarial_compositions(spark, tmp_path):
     with pytest.raises(ValueError, match="baseRowId"):
         dl.read_delta(spark, t, version=0, row_ids=True).collect()
     assert dl.read_delta(spark, t, row_ids=True).count() == 5
+
+
+def test_restore_across_enablement_boundary(spark, tmp_path):
+    """RESTORE to a post-enablement version preserves ids verbatim;
+    RESTORE below the enablement re-stamps the unstamped re-adds
+    fresh (and advances the HWM) so row-id reads keep working."""
+    t = str(tmp_path / "t")
+    dl.write_delta(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        ).coalesce(1),
+        t, stats_cols=["k"],
+    )  # v0, pre-enablement
+    dl.delta_alter_properties(
+        spark, t, {"delta.enableRowTracking": "true"}
+    )  # v1 backfill
+    dl.write_delta(
+        spark.createDataFrame([(50, 50)], "k long, v long"),
+        t, "append",
+    )  # v2
+    post = _ids(spark, t)
+    dl.delta_delete(spark, t, "k = 3")  # v3
+    # restore to v2 (post-enablement): ids verbatim
+    dl.delta_restore(t, 2)  # v4
+    assert _ids(spark, t) == post
+    # restore straight to v0 while the original file's CURRENT
+    # incarnation differs (it carries a DV): the target's UNSTAMPED
+    # pre-enablement add must be re-stamped fresh — the feature stays
+    # on, so a silent unstamped add would break every row-id read
+    dl.delta_delete(spark, t, "k = 4")  # v5: F gets a DV again
+    dl.delta_restore(t, 0)  # v6: re-adds v0's unstamped F
+    got = _ids(spark, t)
+    assert set(got) == set(range(10))
+    hwm_after = dl._rt_hwm(dl.replay(t).domain_metadata)
+    assert all(rid > 10 for rid, _ in got.values())
+    assert hwm_after >= max(rid for rid, _ in got.values())
