@@ -79,14 +79,14 @@ _DV_PROTOCOL = {
 # accept; timestampNtz is just the type, which Spark handles.
 _READER_FEATURES = {
     "deletionVectors", "columnMapping", "timestampNtz",
-    "v2Checkpoint",
+    "v2Checkpoint", "vacuumProtocolCheck",
 }
 _WRITER_FEATURES = {
     "deletionVectors", "appendOnly", "invariants",
     "checkConstraints", "timestampNtz", "generatedColumns",
     "columnMapping", "changeDataFeed", "v2Checkpoint",
     "inCommitTimestamp", "domainMetadata", "rowTracking",
-    "identityColumns", "clustering",
+    "identityColumns", "clustering", "vacuumProtocolCheck",
 }
 
 
@@ -5374,6 +5374,17 @@ def vacuum_delta(table_dir: str, retention_ms: int = 0) -> int:
             f"{table_dir} is a mirrored snapshot table; use "
             "snapshots.vacuum (it owns the shared data files)"
         )
+    # PROTOCOL.md "Vacuum Protocol Check": vacuum must gate on the
+    # table protocol BEFORE deleting anything — the feature exists so
+    # future protocol changes can stop old vacuums from destroying
+    # files they no longer understand. replay() runs the reader gate;
+    # the writer gate runs in maintenance form (checkpoint_only: a
+    # vacuum writes no data, so e.g. id-mode tables stay vacuumable)
+    _head = replay(table_dir)
+    _check_writer_protocol(
+        table_dir, _head.protocol, _head.configuration,
+        checkpoint_only=True,
+    )
     now = _now_ms()
     cutoff = now - retention_ms
     log = _log_dir(table_dir)

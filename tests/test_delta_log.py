@@ -1605,3 +1605,52 @@ def test_ict_monotonic_after_json_gc(spark, tmp_path, monkeypatch):
     ict3 = dl._commit_ict(t, 3, ict_only=True)
     assert ict3 == ict2 + 1  # exact floor from the checkpointed ICT
     assert ict3 > enable_ts
+
+
+def test_vacuum_protocol_check(spark, tmp_path):
+    """PROTOCOL.md "Vacuum Protocol Check": with the feature present,
+    vacuum gates on the table protocol BEFORE deleting anything — a
+    table demanding an unknown writer feature must refuse to vacuum
+    (old vacuums destroying files they no longer understand is the
+    failure the feature exists to stop)."""
+    import pytest
+
+    t = str(tmp_path / "t")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t)
+    dl.write_delta(spark.createDataFrame([(2,)], "k long"), t)  # v1
+    # the feature itself is supported: vacuum proceeds
+    path = dl._commit_path(t, 1)
+    lines = [json.loads(x) for x in open(path)]
+    lines.insert(0, {"protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["vacuumProtocolCheck"],
+        "writerFeatures": ["vacuumProtocolCheck"],
+    }})
+    with open(path, "w") as f:
+        for a in lines:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    assert dl.vacuum_delta(t) >= 1  # v0's overwritten file dies
+    # an UNKNOWN writer feature refuses before any deletion
+    t2 = str(tmp_path / "t2")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t2)
+    dl.write_delta(spark.createDataFrame([(2,)], "k long"), t2)
+    path = dl._commit_path(t2, 1)
+    lines = [json.loads(x) for x in open(path)]
+    lines.insert(0, {"protocol": {
+        "minReaderVersion": 1,
+        "minWriterVersion": 7,
+        "writerFeatures": ["somethingFutureAndUnknown"],
+    }})
+    with open(path, "w") as f:
+        for a in lines:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    n_data_before = sum(
+        len(fs) for _, _, fs in os.walk(os.path.join(t2, "data"))
+    )
+    with pytest.raises(NotImplementedError):
+        dl.vacuum_delta(t2)
+    n_data_after = sum(
+        len(fs) for _, _, fs in os.walk(os.path.join(t2, "data"))
+    )
+    assert n_data_after == n_data_before  # nothing deleted
