@@ -1129,6 +1129,7 @@ DRIVER_WINDOW: list[str] = [
     "orders_row_ids_stable",  # NEW r10: Delta row tracking
     "orders_identity_append",  # NEW r10: Delta identity columns
     "lineitem_clustered_prune",  # NEW r10: Delta clustered tables
+    "orders_type_widening",  # NEW r10: Delta type widening
     # --- re-certification fillers: the stalest clean rows in the
     # registry (latest green round r01-r03, 6+ rounds old against
     # code refactored since), oldest-first by
@@ -1164,7 +1165,6 @@ DRIVER_WINDOW: list[str] = [
     "pq_codebook",  # r03
     "repeated_span_boilerplate",  # r03
     "revenue_rollup",  # r03
-    "scd2_customer_orders",  # r03
 ]
 
 

@@ -5545,6 +5545,80 @@ def orders_ict_time_travel(
 
 
 @query(
+    "orders_type_widening",
+    """
+    WITH l0 AS (
+        SELECT round(o_totalprice * 100)::BIGINT AS c
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), l1 AS (
+        SELECT round(o_totalprice * 100)::BIGINT + 10000000000 AS c
+        FROM orders WHERE o_orderkey % 2 = 1
+    ), u AS (
+        SELECT c FROM l0 UNION ALL SELECT c FROM l1
+    )
+    SELECT count(*)::BIGINT AS n_rows,
+           sum(c)::BIGINT AS sum_cents,
+           min(c)::BIGINT AS min_cents,
+           max(c)::BIGINT AS max_cents
+    FROM u
+    """,
+    doc="Type widening on the native Delta log (delta_widen_column; "
+    "public delta-io PROTOCOL.md 'Type Widening' — the "
+    "ALTER-COLUMN-TYPE surface of the format the reference persists "
+    "its tables in, notebooks/20_analytics.ipynb:653) certified "
+    "under the value-hash gate: even-key orders land as INT cents, "
+    "the column widens int->long in a metaData-ONLY commit (zero "
+    "file rewrites — the typeWidening features + field-metadata "
+    "history land with it), then odd-key orders append values "
+    "beyond the int range. The read serves BOTH narrow-physical and "
+    "wide-physical files under the widened schema (Spark's parquet "
+    "reader upcasts int32->int64 in the vectorized scan), so any "
+    "mis-typed file or lost widening breaks the hash vs the plain "
+    "oracle. At 100 TB: widening costs one KB-sized commit, never a "
+    "rewrite.",
+)
+def orders_type_widening(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import uuid as _uuid
+
+    from .sources import delta_log as dl
+    from .sources import snapshots as sn
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("int")
+        .alias("cents"),
+    )
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_otw_"
+        f"{_uuid.uuid4().hex[:8]}"
+    )
+    dl.write_delta(
+        o.where(F.col("o_orderkey") % 2 == 0).select("cents"),
+        tbl,
+        stats_cols=["cents"],
+    )
+    dl.delta_widen_column(tbl, "cents", "long")
+    dl.write_delta(
+        o.where(F.col("o_orderkey") % 2 == 1).select(
+            (F.col("cents").cast("long")
+             + F.lit(10_000_000_000)).alias("cents")
+        ),
+        tbl,
+        "append",
+    )
+    return dl.read_delta(spark, tbl).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.max("cents").cast("bigint").alias("max_cents"),
+    )
+
+
+@query(
     "lineitem_clustered_prune",
     """
     SELECT l_returnflag,

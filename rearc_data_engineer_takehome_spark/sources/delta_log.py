@@ -79,7 +79,7 @@ _DV_PROTOCOL = {
 # accept; timestampNtz is just the type, which Spark handles.
 _READER_FEATURES = {
     "deletionVectors", "columnMapping", "timestampNtz",
-    "v2Checkpoint", "vacuumProtocolCheck",
+    "v2Checkpoint", "vacuumProtocolCheck", "typeWidening",
 }
 _WRITER_FEATURES = {
     "deletionVectors", "appendOnly", "invariants",
@@ -87,6 +87,7 @@ _WRITER_FEATURES = {
     "columnMapping", "changeDataFeed", "v2Checkpoint",
     "inCommitTimestamp", "domainMetadata", "rowTracking",
     "identityColumns", "clustering", "vacuumProtocolCheck",
+    "typeWidening",
 }
 
 
@@ -4811,6 +4812,129 @@ def delta_drop_column(table_dir: str, col: str) -> DeltaState:
             }
         },
     ]
+    _commit_actions(
+        table_dir, head.version + 1, actions, head.configuration
+    )
+    out = replay(table_dir, head.version + 1)
+    _maybe_auto_checkpoint(table_dir, out)
+    return out
+
+
+# PROTOCOL.md "Type Widening": the allowed metadata-only widenings —
+# every EXISTING data file keeps its narrow physical type and the
+# reader upcasts (Spark's parquet reader does int32->long,
+# float->double etc. natively, verified in tests), so ALTER COLUMN
+# TYPE never rewrites data. Keys are (fromType, toType) in
+# schema-JSON spelling.
+_TYPE_WIDENINGS = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+    ("byte", "double"), ("short", "double"), ("integer", "double"),
+}
+
+
+def delta_widen_column(
+    table_dir: str, col: str, new_type: str
+) -> DeltaState:
+    """ALTER TABLE ... ALTER COLUMN ... TYPE as a metaData-only
+    commit (PROTOCOL.md "Type Widening"): the field's logical type
+    widens, a ``delta.typeWidening`` metadata entry records
+    (fromType, toType, tableVersion), and the ``typeWidening``
+    reader+writer features land so incapable readers refuse instead
+    of failing on the narrow physical types still in the files.
+    Decimal widenings accept precision growth at equal-or-grown
+    scale with the integer part never shrinking."""
+    head = replay(table_dir)
+    _check_writer_protocol(
+        table_dir, head.protocol, head.configuration
+    )
+    sj = json.loads(head.schema)
+    by_name = {f["name"]: f for f in sj["fields"]}
+    if col not in by_name:
+        raise ValueError(
+            f"no column {col!r} in {sorted(by_name)}"
+        )
+    if col in head.partition_cols:
+        raise ValueError(
+            f"cannot widen partition column {col!r} — partition "
+            "values are path strings typed by the schema; widening "
+            "them changes directory-name semantics"
+        )
+    old_type = by_name[col]["type"]
+    ok = (old_type, new_type) in _TYPE_WIDENINGS
+    if not ok and isinstance(old_type, str) and \
+            old_type.startswith("decimal(") and \
+            new_type.startswith("decimal("):
+        import re as _re
+
+        po, so = map(int, _re.findall(r"\d+", old_type))
+        pn, sn = map(int, _re.findall(r"\d+", new_type))
+        ok = sn >= so and (pn - sn) >= (po - so) and pn > po
+    if not ok:
+        raise ValueError(
+            f"{old_type!r} -> {new_type!r} is not an allowed type "
+            "widening (spec matrix: byte/short/int -> wider ints or "
+            "double, float -> double, decimal precision growth)"
+        )
+    rules = [
+        expr
+        for _, expr in (
+            list(_table_constraints(head.configuration).items())
+            + _column_invariants(head.schema)
+            + _generated_columns(head.schema)
+        )
+    ]
+    import re as _re
+
+    hit = [r for r in rules if _re.search(
+        rf"\b{_re.escape(col)}\b", r
+    )]
+    if hit:
+        raise ValueError(
+            f"cannot widen {col!r}: referenced by table rule(s) "
+            f"{hit} — drop or rewrite them first"
+        )
+    f = dict(by_name[col])
+    meta = dict(f.get("metadata") or {})
+    hist = list(meta.get("delta.typeWidening") or [])
+    hist.append({
+        "fromType": old_type,
+        "toType": new_type,
+        "tableVersion": head.version + 1,
+    })
+    meta["delta.typeWidening"] = hist
+    f["type"] = new_type
+    f["metadata"] = meta
+    fields = [
+        f if x["name"] == col else x for x in sj["fields"]
+    ]
+    actions: list[dict] = []
+    pa = _merge_feature_protocol(
+        head.protocol, {"typeWidening"}, {"typeWidening"}
+    )
+    if pa:
+        actions.append({"protocol": pa})
+    actions.append(
+        _meta_action(
+            json.dumps({**sj, "fields": fields}),
+            head.metadata_id,
+            list(head.partition_cols),
+            head.configuration,
+        )
+    )
+    actions.append({
+        "commitInfo": {
+            "timestamp": _now_ms(),
+            "operation": "CHANGE COLUMN",
+            "operationParameters": {
+                "column": col, "from": str(old_type),
+                "to": str(new_type),
+            },
+            "engineInfo": "rearc-takehome-spark-cleanroom",
+        }
+    })
     _commit_actions(
         table_dir, head.version + 1, actions, head.configuration
     )

@@ -454,7 +454,7 @@ def test_reader_gate_accepts_cm_feature_combinations():
     with pytest.raises(NotImplementedError):
         dl._check_protocol("t", [{
             "minReaderVersion": 3,
-            "readerFeatures": ["columnMapping", "typeWidening"],
+            "readerFeatures": ["columnMapping", "collations"],
         }])
 
 

@@ -221,7 +221,7 @@ def test_writer_gate_accepts_v3_refuses_v4plus():
     with pytest.raises(NotImplementedError):
         dl._check_writer_protocol("t", {
             "minWriterVersion": 7,
-            "writerFeatures": ["typeWidening"],
+            "writerFeatures": ["collations"],
         })
 
 

@@ -468,7 +468,7 @@ def test_reader_gate_still_refuses_unknown_features(tmp_path):
     with pytest.raises(NotImplementedError):
         dl._check_protocol("t", [{
             "minReaderVersion": 3,
-            "readerFeatures": ["deletionVectors", "typeWidening"],
+            "readerFeatures": ["deletionVectors", "collations"],
         }])
     with pytest.raises(NotImplementedError):
         dl._check_protocol("t", [{
@@ -491,7 +491,7 @@ def test_writer_gate_accepts_dv_refuses_more(tmp_path):
     with pytest.raises(NotImplementedError):
         dl._check_writer_protocol("t", {
             "minWriterVersion": 7,
-            "writerFeatures": ["deletionVectors", "typeWidening"],
+            "writerFeatures": ["deletionVectors", "collations"],
         })
     # v5 (column mapping) writable since round 9; v6 (identity
     # columns) since round 10
