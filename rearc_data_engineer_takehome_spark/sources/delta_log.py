@@ -2282,9 +2282,6 @@ def _identity_generate(
     )
 
     def gen(pdf_iter):
-        from pyspark.sql.functions import (  # noqa: F401
-            spark_partition_id,
-        )
         # TaskContext gives the partition id inside the worker
         from pyspark import TaskContext
 

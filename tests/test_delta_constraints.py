@@ -351,10 +351,11 @@ def test_checkpoint_only_gate_relaxes_cdf_and_column_mapping():
              "writerFeatures": ["icebergCompatV2"]},
             checkpoint_only=True,
         )
-    with pytest.raises(NotImplementedError):
-        dl._check_writer_protocol(
-            "t", {"minWriterVersion": 6}, checkpoint_only=True
-        )
+    # legacy writer v6 (identity columns) is implemented since
+    # round 10 — accepted in maintenance form too
+    dl._check_writer_protocol(
+        "t", {"minWriterVersion": 6}, checkpoint_only=True
+    )
 
 
 def test_cdf_enabled_table_full_lifecycle(spark, tmp_path):
