@@ -3028,6 +3028,7 @@ def write_checkpoint(
     version: int | None = None,
     v2: bool | None = None,
     sidecar_files: int = 1,
+    manifest_format: str = "parquet",
 ) -> int:
     """Write a checkpoint + ``_last_checkpoint``. Classic format:
     ``<v>.checkpoint.parquet`` (single file — pyarrow, since a Spark
@@ -3294,15 +3295,31 @@ def write_checkpoint(
         # through it), manifest BEFORE _last_checkpoint — a crash at
         # any point leaves only unreferenced garbage, never a
         # manifest with missing parts
+        if manifest_format not in ("parquet", "json"):
+            raise ValueError(
+                f"manifest_format={manifest_format!r}: the v2 spec "
+                "allows parquet or json manifests only"
+            )
         cp_path = os.path.join(
             _log_dir(table_dir),
             f"{state.version:020d}.checkpoint."
-            f"{uuid.uuid4()}.parquet",
+            f"{uuid.uuid4()}.{manifest_format}",
         )
-        pq.write_table(
-            pa.Table.from_pylist(meta_rows, schema=v2_schema),
-            cp_tmp,
-        )
+        if manifest_format == "json":
+            # spec: a json manifest is ndjson of the same actions —
+            # one action key per line, no sparse nulls (sidecars stay
+            # parquet either way)
+            with open(cp_tmp, "w") as f:
+                for r in meta_rows:
+                    f.write(json.dumps(
+                        {k: v for k, v in r.items() if v is not None},
+                        separators=(",", ":"),
+                    ) + "\n")
+        else:
+            pq.write_table(
+                pa.Table.from_pylist(meta_rows, schema=v2_schema),
+                cp_tmp,
+            )
         os.replace(cp_tmp, cp_path)
     else:
         cp_path = _checkpoint_path(table_dir, state.version)

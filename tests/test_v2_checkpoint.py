@@ -302,3 +302,51 @@ def test_v2_historical_version_without_feature_refuses(
     )
     with pytest.raises(ValueError, match="historical"):
         dl.write_checkpoint(t, version=0, v2=True)
+
+
+def test_v2_json_manifest_write_roundtrip(spark, tmp_path):
+    """Round 10: WRITE the v2 spec's json manifest variant (ndjson of
+    the same actions, sidecars staying parquet) — replay after full
+    JSON-commit GC must base on it exactly like a parquet manifest,
+    domain metadata included."""
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / "t")
+    dl.write_delta(
+        spark.range(0, 40).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).repartition(3),
+        t, row_tracking=True, stats_cols=["k"],
+    )
+    dl.delta_delete(spark, t, "k = 5")
+    before = {
+        r.k: r._row_id
+        for r in dl.read_delta(spark, t, row_ids=True).collect()
+    }
+    v = dl.write_checkpoint(
+        t, v2=True, sidecar_files=2, manifest_format="json"
+    )
+    manifests = [
+        n for n in os.listdir(os.path.join(t, "_delta_log"))
+        if n.endswith(".json") and ".checkpoint." in n
+    ]
+    assert len(manifests) == 1
+    for i in range(v + 1):
+        p = dl._commit_path(t, i)
+        if os.path.exists(p):
+            os.remove(p)
+    after = {
+        r.k: r._row_id
+        for r in dl.read_delta(spark, t, row_ids=True).collect()
+    }
+    assert after == before
+    st = dl.replay(t)
+    assert dl._rt_hwm(st.domain_metadata) == 39
+    # still writable on top of the json-manifest base
+    dl.write_delta(
+        spark.createDataFrame([(99, 0)], "k long, v long"),
+        t, "append",
+    )
+    assert dl.read_delta(spark, t).count() == 40
+    with pytest.raises(ValueError, match="manifest_format"):
+        dl.write_checkpoint(t, v2=True, manifest_format="orc")
