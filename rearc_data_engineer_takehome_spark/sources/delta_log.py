@@ -2928,6 +2928,14 @@ def write_delta(
                             else head.configuration,
                         )
                     )
+                elif "typeWidening" in (
+                    (head.protocol or {}).get("writerFeatures") or []
+                ) and _schema_narrows_ok(head.schema, schema_json):
+                    # a WIDENED table accepts narrower appends AS-IS
+                    # (spec: data files may carry narrower physical
+                    # types than the schema; readers upcast) — keep
+                    # the table schema, write the narrow files
+                    schema_json = head.schema
                 else:
                     raise ValueError(
                         "append schema incompatible with table schema "
@@ -4847,6 +4855,38 @@ _TYPE_WIDENINGS = {
     ("float", "double"),
     ("byte", "double"), ("short", "double"), ("integer", "double"),
 }
+
+
+def _schema_narrows_ok(table_json: str, incoming_json: str) -> bool:
+    """Whether ``incoming_json`` is the table schema with some columns
+    NARROWER along the widening matrix (same names, same order-free
+    field set, every type equal or widenable to the table's). On a
+    typeWidening table such appends are legal AS-IS — data files may
+    carry narrower physical types than the schema; readers upcast."""
+    try:
+        tf = {
+            f["name"]: f["type"]
+            for f in json.loads(table_json)["fields"]
+        }
+        inf = {
+            f["name"]: f["type"]
+            for f in json.loads(incoming_json)["fields"]
+        }
+    except (ValueError, KeyError, TypeError):
+        return False
+    if set(tf) != set(inf):
+        return False
+    for name, t_type in tf.items():
+        i_type = inf[name]
+        if i_type == t_type:
+            continue
+        if not (
+            isinstance(i_type, str)
+            and isinstance(t_type, str)
+            and (i_type, t_type) in _TYPE_WIDENINGS
+        ):
+            return False
+    return True
 
 
 def delta_widen_column(

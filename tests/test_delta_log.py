@@ -1748,3 +1748,33 @@ def test_type_widening_composes(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="rule"):
         dl.delta_widen_column(t, "d", "decimal(15,2)")
+
+
+def test_widened_table_accepts_narrow_appends(spark, tmp_path):
+    """Spec invariant behind type widening: data files may carry
+    NARROWER physical types than the schema — a widened table accepts
+    narrow appends as-is (no cast, no rewrite); an un-widened table
+    still refuses the type mismatch."""
+    import pytest
+
+    t = str(tmp_path / "t")
+    dl.write_delta(
+        spark.createDataFrame([(1,)], "k int"), t, stats_cols=["k"]
+    )
+    dl.delta_widen_column(t, "k", "long")
+    dl.write_delta(
+        spark.createDataFrame([(2,)], "k int"), t, "append"
+    )  # narrow append: accepted verbatim
+    dl.write_delta(
+        spark.createDataFrame([(1 << 40,)], "k long"), t, "append"
+    )
+    out = dl.read_delta(spark, t)
+    assert out.schema.simpleString() == "struct<k:bigint>"
+    assert sorted(r.k for r in out.collect()) == [1, 2, 1 << 40]
+    # a table WITHOUT the feature keeps refusing mismatched appends
+    t2 = str(tmp_path / "t2")
+    dl.write_delta(spark.createDataFrame([(1,)], "k long"), t2)
+    with pytest.raises(ValueError, match="incompatible"):
+        dl.write_delta(
+            spark.createDataFrame([(2,)], "k int"), t2, "append"
+        )
