@@ -965,7 +965,10 @@ def sample_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the same 7-day/1-day-slide windows. HLL++ register values are "
     "engine-private, so the query emits what IS portable: the exact "
     "per-window count plus a deterministic within_bounds boolean "
-    "(|approx-exact|/exact <= 3*rsd; Spark's HLL is deterministic "
+    "(|approx-exact|/exact <= 5*rsd — rsd is a standard deviation, "
+    "not a guarantee, so the margin is deliberately generous: a "
+    "bounds-break at a new scale factor means re-tuning this "
+    "threshold, not an engine bug; Spark's HLL is deterministic "
     "for fixed input, register merge is a commutative max), making "
     "the sketch's accuracy claim itself the hash-gated fact — the "
     "oracle emits the exact count and literal TRUE. The exact "
@@ -987,7 +990,7 @@ def events_wau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.abs(F.col("wau_approx") - F.col("wau_exact"))
                 / F.col("wau_exact")
-                <= F.lit(0.06)
+                <= F.lit(0.10)
             ).alias("within_bounds"),
         )
     )

@@ -84,6 +84,13 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=512m",
         )
+        # Field-id matching for column-mapping id-mode Delta reads.
+        # Declared HERE so it is session policy, not a side effect of
+        # the first id-mode scan (delta_log._read_state also sets it
+        # for driver-owned sessions). No-op for schemas without
+        # parquet.field.id metadata — i.e. every non-delta read path
+        # in this engine.
+        .config("spark.sql.parquet.fieldId.read.enabled", "true")
         # NOTE: parquet timestamp inference is left at Spark defaults
         # (TIMESTAMP_NTZ) on purpose — the correctness driver builds its
         # own default-config session, so queries must behave identically

@@ -840,9 +840,15 @@ def _read_checkpoint_state(table_dir: str, version: int) -> DeltaState:
             txns[txn["appId"]] = txn["version"]
         dm = row.get("domainMetadata")
         if dm and dm.get("domain"):
-            # checkpoints carry only LIVE domains (removed ones are
-            # dropped at checkpoint time, like cancelled adds)
-            domains[dm["domain"]] = dm.get("configuration")
+            # this writer's checkpoints carry only LIVE domains, but
+            # a FOREIGN checkpoint may retain removed-domain
+            # tombstones (the spec allows either) — honor the flag,
+            # mirroring replay(), or a dropped domain (stale
+            # clustering columns, a rowTracking HWM) would resurrect
+            if dm.get("removed"):
+                domains.pop(dm["domain"], None)
+            else:
+                domains[dm["domain"]] = dm.get("configuration")
     return DeltaState(
         version=version,
         files=tuple(adds),
@@ -1501,9 +1507,18 @@ def _scan_files(
                 phys_schema.fields, read_schema.fields
             )
         ]
-        # matching-by-field-id must be ON when the scan EXECUTES; the
-        # flag is a no-op for read schemas without field ids, so
-        # leaving it enabled never changes name-matched scans
+        # matching-by-field-id must be ON when the scan EXECUTES.
+        # SCOPE: this is a session-wide conf and it stays set — the
+        # scan is lazy, so set-here/unset-after would race execution.
+        # It is a no-op for read schemas without field ids (every
+        # name-matched scan, including all of this engine's non-delta
+        # readers, which never attach parquet.field.id metadata), so
+        # the only behavior it can change is a USER-supplied read
+        # schema that itself carries parquet.field.id metadata — at
+        # which point id-matching is what that metadata requests.
+        # Engine-owned sessions also declare it at init
+        # (session.py), making the setting explicit rather than a
+        # first-id-read side effect.
         spark.conf.set(
             "spark.sql.parquet.fieldId.read.enabled", "true"
         )
@@ -2259,8 +2274,12 @@ def _identity_generate(
     one Arrow-batched pass — no global sort, no single-partition
     shuffle; the spec allows gaps, so allocation only needs
     uniqueness and step arithmetic). Returns (df with col, new high
-    water mark). ``df`` must be deterministic — the same contract as
-    any engine's two-pass identity INSERT."""
+    water mark, counted total). ``df`` must be deterministic — the
+    same contract as any engine's two-pass identity INSERT; the
+    write path re-verifies the contract from parquet footers before
+    committing (see the id_guard block in write_delta), so a
+    nondeterministic input fails loudly instead of committing
+    duplicate identity values."""
     import pandas as pd
 
     from pyspark.sql.types import LongType, StructField, StructType
@@ -2297,7 +2316,11 @@ def _identity_generate(
 
     gen_df = df.mapInPandas(gen, out_schema)
     new_hwm = base + step * total
-    return gen_df.withColumn(col, F.col(col).cast(dtype)), new_hwm
+    return (
+        gen_df.withColumn(col, F.col(col).cast(dtype)),
+        new_hwm,
+        total,
+    )
 
 
 def delta_create_identity_table(
@@ -2609,6 +2632,7 @@ def write_delta(
     validated: tuple | None = None
     head0: DeltaState | None = None
     id_hwms: dict = {}
+    id_guard: dict = {}
     id_specs: list = []
     if list_delta_versions(table_dir):
         # cheap metadata replay BEFORE materializing data files: the
@@ -2663,13 +2687,30 @@ def write_delta(
                         k = math.ceil((mx - base) / step)
                         id_hwms[col] = base + k * step
                 else:
-                    df, new_hwm = _identity_generate(
+                    df, new_hwm, id_total = _identity_generate(
                         df, col, tschema[col].dataType, base, step
                     )
                     id_hwms[col] = new_hwm
+                    id_guard[col] = (step, new_hwm, id_total)
             # identity tables PIN the table schema — rebuilding it
             # from df would drop the identity field metadata (the
-            # declaration); only the high-water marks move
+            # declaration); only the high-water marks move. The pin
+            # must not MASK an incompatible batch: validate the
+            # incoming df (generated identity columns now present)
+            # against the table schema first, the same loud error a
+            # non-identity append raises — otherwise a missing /
+            # extra / retyped column would commit files that silently
+            # null-fill or fail to read under the pinned schema.
+            if not _sn._schema_compatible(
+                head0.schema, df.schema.json()
+            ):
+                raise ValueError(
+                    "append schema incompatible with table schema "
+                    "(identity tables pin the declared schema; the "
+                    "batch must carry exactly the non-identity "
+                    "columns — merge_schema evolution is not "
+                    "supported on identity tables)"
+                )
             schema_json = _identity_bump_schema(
                 head0.schema, id_hwms
             )
@@ -2828,6 +2869,59 @@ def write_delta(
         for rel, md in metas.items()
         if md.num_rows
     ]
+    if id_guard:
+        # _identity_generate allocates per-partition ranges from a
+        # SEPARATE count job; a nondeterministic input (rand/sample/
+        # unstable source) can change partition sizes between the
+        # two jobs and overrun a range — silently emitting duplicate
+        # ids below the recorded high-water mark. Verify the
+        # allocation contract from the already-read parquet footers
+        # (zero extra Spark jobs) BEFORE commit: total written rows
+        # must equal the counted total, and every generated value
+        # must stay on the allocated side of the new high-water
+        # mark. Misallocation fails loudly; no files are registered.
+        written_rows = sum(md.num_rows for md in metas.values())
+        for col, (step, hwm, exp_total) in id_guard.items():
+            if written_rows != exp_total:
+                raise ValueError(
+                    f"identity generation for {col!r} counted "
+                    f"{exp_total} rows but {written_rows} were "
+                    "written — the input DataFrame is "
+                    "nondeterministic between jobs; cache/"
+                    "checkpoint it before an identity append"
+                )
+            pname = pstat(col)
+            seen_stats = False
+            for md in metas.values():
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    for c in range(rg.num_columns):
+                        cc = rg.column(c)
+                        if cc.path_in_schema != pname:
+                            continue
+                        st = cc.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        seen_stats = True
+                        edge = st.max if step > 0 else st.min
+                        if (step > 0 and edge > hwm) or (
+                            step < 0 and edge < hwm
+                        ):
+                            raise ValueError(
+                                f"identity value {edge} for "
+                                f"{col!r} exceeds the allocated "
+                                f"high-water mark {hwm} — the "
+                                "input DataFrame repartitioned "
+                                "between the count and generate "
+                                "jobs; cache/checkpoint it before "
+                                "an identity append"
+                            )
+            if written_rows and not seen_stats:
+                raise ValueError(
+                    f"identity column {col!r} carries no parquet "
+                    "min/max statistics — cannot verify the "
+                    "allocation contract before commit"
+                )
     for _ in range(max_retries):
         versions = list_delta_versions(table_dir)
         head = replay(table_dir) if versions else None

@@ -237,3 +237,50 @@ def _identity_declared(state) -> bool:
         "delta.identity.start" in (f.get("metadata") or {})
         for f in json.loads(state.schema)["fields"]
     )
+
+
+def test_append_schema_validated_despite_pin(spark, tmp_path):
+    """ADVICE r10 (medium): the identity schema PIN must not mask an
+    incompatible batch. A df with a missing, extra, or retyped
+    non-identity column raises the same loud incompatibility error a
+    non-identity append raises — nothing commits, no silent
+    null-fill, no files that later fail to read under the pinned
+    schema."""
+    t = str(tmp_path / "t")
+    wide = StructType([
+        StructField("uid", LongType()),
+        StructField("name", StringType()),
+        StructField("score", LongType()),
+    ])
+    dl.delta_create_identity_table(
+        wide, t, {"uid": {"start": 1, "step": 1}}
+    )
+    # missing column (batch lacks 'score')
+    with pytest.raises(ValueError, match="incompatible"):
+        dl.write_delta(
+            spark.createDataFrame([("a",)], "name string"),
+            t, "append",
+        )
+    # extra column
+    with pytest.raises(ValueError, match="incompatible"):
+        dl.write_delta(
+            spark.createDataFrame(
+                [("a", 1, "x")], "name string, score long, junk string"
+            ),
+            t, "append",
+        )
+    # retyped column
+    with pytest.raises(ValueError, match="incompatible"):
+        dl.write_delta(
+            spark.createDataFrame(
+                [("a", "oops")], "name string, score string"
+            ),
+            t, "append",
+        )
+    assert dl.replay(t).version == 0  # nothing committed
+    # the compatible batch still lands
+    st = dl.write_delta(
+        spark.createDataFrame([("a", 7)], "name string, score long"),
+        t, "append",
+    )
+    assert _hwm(st) == 1

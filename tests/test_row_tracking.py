@@ -491,3 +491,59 @@ def test_restore_across_enablement_boundary(spark, tmp_path):
     hwm_after = dl._rt_hwm(dl.replay(t).domain_metadata)
     assert all(rid > 10 for rid, _ in got.values())
     assert hwm_after >= max(rid for rid, _ in got.values())
+
+
+def test_foreign_checkpoint_removed_tombstone_not_resurrected(
+    spark, tmp_path
+):
+    """ADVICE r10: this writer's checkpoints carry only live domains,
+    but the spec ALLOWS a foreign checkpoint to retain removed-domain
+    tombstones. The checkpoint reader must honor the removed flag —
+    a retained tombstone must not resurrect a dropped domain."""
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    dl.write_delta(spark.range(0, 3), t)
+    dl._atomic_commit(t, 1, [
+        {"domainMetadata": {
+            "domain": "custom.live", "configuration": "{\"x\":1}",
+            "removed": False,
+        }},
+        {"domainMetadata": {
+            "domain": "custom.dropped", "configuration": "{}",
+            "removed": False,
+        }},
+    ])
+    dl._atomic_commit(t, 2, [
+        {"domainMetadata": {
+            "domain": "custom.dropped", "configuration": "{}",
+            "removed": True,
+        }},
+    ])
+    v = dl.write_checkpoint(t)
+    # forge a foreign checkpoint: same rows + a retained tombstone
+    cp = dl._checkpoint_path(t, v)
+    tbl = pq.read_table(cp)
+    rows = tbl.to_pylist()
+    assert not any(
+        (r.get("domainMetadata") or {}).get("domain")
+        == "custom.dropped"
+        for r in rows
+    )  # our writer dropped it at checkpoint time
+    rows.append({
+        "domainMetadata": {
+            "domain": "custom.dropped",
+            "configuration": "{}",
+            "removed": True,
+        }
+    })
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=tbl.schema), cp
+    )
+    for i in range(v + 1):
+        os.remove(dl._commit_path(t, i))
+    st = dl.replay(t)
+    assert "custom.dropped" not in st.domain_metadata
+    assert st.domain_metadata.get("custom.live") == "{\"x\":1}"
