@@ -6298,3 +6298,184 @@ def orders_cm_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_cents"),
         )
     )
+
+
+@query(
+    "orders_cm_id_roundtrip",
+    """
+    WITH base AS (
+        SELECT o_orderkey,
+               (round(o_totalprice * 100)::BIGINT
+                + CASE WHEN o_orderkey % 7 = 3 THEN 1 ELSE 0 END)
+                   AS amount,
+               o_orderpriority AS prio
+        FROM orders
+        WHERE o_orderkey % 11 <> 5
+    )
+    SELECT o_orderkey, amount, prio
+    FROM base WHERE o_orderkey % 97 = 0
+    UNION ALL
+    SELECT -1::BIGINT, sum(amount)::BIGINT, 'ALL' FROM base
+    """,
+    doc="Column-mapping ID mode, write AND read, on the native "
+    "Delta log (public delta-io PROTOCOL.md 'Column Mapping' — the "
+    "addressing mode current runtimes enable on the Delta tables "
+    "the reference persists, notebooks/20_analytics.ipynb:653) "
+    "certified under the value-hash gate: orders written in thirds "
+    "with column_mapping='id' (v0 create + two appends — every "
+    "data file carries parquet footer field ids, physical names "
+    "are non-semantic), a metaData-only RENAME (cents->amount: no "
+    "file touched, the field keeps its id), a DV UPDATE (keys "
+    "%7=3: +1 cent through the renamed column), and a DV DELETE "
+    "(keys %11=5). The read resolves every surviving row by FIELD "
+    "ID via Spark's native fieldId.read matching — any column "
+    "misaddressing, lost rename, or DV slip breaks the hash vs "
+    "the plain-orders oracle. At 100 TB id-resolution is per-file "
+    "footer metadata; the scan stays one distributed "
+    "vectorized-parquet pass.",
+)
+def orders_cm_id_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import uuid as _uuid
+
+    from .sources import delta_log as dl
+    from .sources import snapshots as sn
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_cmid_"
+        f"{_uuid.uuid4().hex[:8]}"
+    )
+    leg = F.pmod("o_orderkey", F.lit(3))
+    dl.write_delta(
+        orders.where(leg == 0), tbl, column_mapping="id"
+    )                                                          # v0
+    dl.write_delta(orders.where(leg == 1), tbl, "append")      # v1
+    dl.write_delta(orders.where(leg == 2), tbl, "append")      # v2
+    dl.delta_rename_column(tbl, "cents", "amount")             # v3
+    dl.delta_update(
+        spark, tbl, "o_orderkey % 7 = 3", {"amount": "amount + 1"}
+    )                                                          # v4
+    dl.delta_delete(spark, tbl, "o_orderkey % 11 = 5")         # v5
+    live = dl.read_delta(spark, tbl).select(
+        "o_orderkey", "amount", "prio"
+    )
+    sample = live.where(F.col("o_orderkey") % 97 == 0)
+    total = live.agg(
+        F.lit(-1).cast("bigint").alias("o_orderkey"),
+        F.sum("amount").cast("bigint").alias("amount"),
+        F.lit("ALL").alias("prio"),
+    )
+    return sample.unionByName(total)
+
+
+@query(
+    "orders_row_ids_multifile",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_orderkey % 4 AS leg,
+               (round(o_totalprice * 100)::BIGINT
+                + CASE WHEN o_orderkey % 7 = 3 THEN 1 ELSE 0 END)
+                   AS cents
+        FROM orders
+    )
+    SELECT leg::BIGINT AS leg, count(*)::BIGINT AS n_rows,
+           sum(cents)::BIGINT AS sum_cents, TRUE AS id_check
+    FROM base GROUP BY leg
+    UNION ALL
+    SELECT -1::BIGINT, count(*)::BIGINT, sum(cents)::BIGINT, TRUE
+    FROM base
+    """,
+    doc="Cross-file row-id bookkeeping on the native Delta log "
+    "(PROTOCOL.md 'Row Tracking'): ONE commit writes FOUR sorted "
+    "files (legs o_orderkey%4, each its own write task — the "
+    "multi-file shape a parallel production writer produces, "
+    "retiring the single-file device of orders_row_ids_stable), "
+    "then a DV UPDATE (keys %7=3) and an OPTIMIZE compaction into "
+    "2 files that must carry every id through materialized "
+    "columns. File->baseRowId assignment order is writer-private, "
+    "so the query certifies the INVARIANTS instead of raw ids, "
+    "all oracle-derivable: per leg, (_row_id - rank_in_leg) is "
+    "ONE constant (the leg's file got a single contiguous id "
+    "block); globally, ids are exactly a permutation of 0..N-1 "
+    "(sum, distinct count, min, max). Any overlap, gap, dropped "
+    "or duplicated id across the four files breaks a boolean and "
+    "the hash. Assignment stays O(files) add-action metadata at "
+    "any scale.",
+)
+def orders_row_ids_multifile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from .sources import delta_log as dl
+    from .sources import snapshots as sn
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_oridmf_"
+        f"{_uuid.uuid4().hex[:8]}"
+    )
+    legs = [
+        orders.where(F.pmod("o_orderkey", F.lit(4)) == i)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+        for i in range(4)
+    ]
+    df = legs[0]
+    for l in legs[1:]:
+        df = df.unionByName(l)
+    dl.write_delta(
+        df, tbl, row_tracking=True, stats_cols=["o_orderkey"]
+    )                                                          # v0
+    dl.delta_update(
+        spark, tbl, "o_orderkey % 7 = 3", {"cents": "cents + 1"}
+    )                                                          # v1
+    dl.delta_compact(spark, tbl, 2)                            # v2
+    ids = dl.read_delta(spark, tbl, row_ids=True).select(
+        "o_orderkey",
+        F.pmod("o_orderkey", F.lit(4)).cast("bigint").alias("leg"),
+        "cents",
+        F.col("_row_id").alias("rid"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("leg").orderBy("o_orderkey")
+    )
+    per_leg = (
+        ids.withColumn("base", F.col("rid") - rk)
+        .groupBy("leg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            (F.countDistinct("base") == 1).alias("id_check"),
+        )
+    )
+    n = F.count(F.lit(1))
+    total = ids.agg(
+        F.lit(-1).cast("bigint").alias("leg"),
+        n.cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        (
+            (F.countDistinct("rid") == n)
+            & (F.min("rid") == 0)
+            & (F.max("rid") == n - 1)
+            & (F.sum("rid") == n * (n - 1) / 2)
+        ).alias("id_check"),
+    )
+    return per_leg.unionByName(total)

@@ -69,11 +69,14 @@ _DV_PROTOCOL = {
 }
 # the table-feature sets this module actually implements; protocol
 # gates admit exactly these and refuse everything else loudly.
-# columnMapping (name mode) is read AND write since round 9:
-# reads resolve physical column names, every mutating path
-# translates logical->physical before touching parquet
-# (_physical_payload), and rename/drop are metaData-only commits;
-# id mode refuses on both sides. appendOnly / invariants /
+# columnMapping is read AND write in BOTH modes: name since round 9
+# (reads resolve physical column names, every mutating path
+# translates logical->physical before touching parquet via
+# _physical_payload, rename/drop are metaData-only commits), id
+# reads since round 10 (parquet field-id matching) and id writes
+# since round 11 (_physical_payload stamps parquet.field.id
+# metadata, so written files carry the footer ids the mode
+# addresses by). appendOnly / invariants /
 # checkConstraints are ENFORCED on every mutating path (round 8), so
 # legacy writer versions 2-3 and their feature forms are honest to
 # accept; timestampNtz is just the type, which Spark handles.
@@ -477,23 +480,27 @@ def _check_writer_protocol(
 
     ``checkpoint_only`` relaxes exactly the refusals irrelevant to a
     checkpoint, which changes no rows and re-serializes protocol /
-    metaData / add actions verbatim — today that is the id-mode
-    column-mapping config refusal (an id-mapped table is checkpoint-
-    able even though its data files are not writable here). Features
-    that change the CHECKPOINT's own contract (e.g. v2Checkpoint)
-    still refuse."""
-    if not checkpoint_only and configuration and (
+    metaData / add actions verbatim. Since round 11 the set is empty
+    — id-mode column mapping (the one member through round 10)
+    became fully writable when _physical_payload started stamping
+    parquet field ids — but the parameter stays: any future
+    data-touching refusal belongs behind it, and checkpoint call
+    sites already declare their intent through it. Features that
+    change the CHECKPOINT's own contract (e.g. v2Checkpoint) must
+    never relax."""
+    if configuration and (
         configuration.get("delta.columnMapping.mode") or "none"
-    ) not in ("none", "name"):
-        # name mode is fully writable (physical-name bookkeeping in
-        # _remap_column_mapping/_physical_payload, round 9); id mode
-        # (address parquet by field id) is not — writing files
-        # without field ids to an id-mapped table would make them
-        # unreadable for native id-mode readers
+    ) not in ("none", "name", "id"):
+        # name AND id modes are fully writable (physical-name
+        # bookkeeping + parquet field-id stamping in
+        # _physical_payload); an unknown FUTURE mode still refuses —
+        # files written under the wrong addressing scheme would be
+        # unreadable for native readers of that mode
         raise NotImplementedError(
             f"{table_dir} uses column mapping mode "
             f"{configuration.get('delta.columnMapping.mode')!r}; "
-            "this clean-room writer implements 'name' mode only"
+            "this clean-room writer implements 'name' and 'id' "
+            "modes only"
         )
     # changeDataFeed is a fully-implemented writer capability since
     # round 9: DV DELETE/UPDATE/MERGE emit spec cdc actions +
@@ -508,9 +515,10 @@ def _check_writer_protocol(
     if mwv <= 6 and not feats:
         # writer v2 = appendOnly + invariants, v3 adds CHECK
         # constraints, v4 adds generated columns (+ CDF, gated
-        # above), v5 adds column mapping (name-mode bookkeeping
-        # implemented; id mode refused by the configuration gate
-        # above), v6 adds identity columns (generated + HWM
+        # above), v5 adds column mapping (name AND id mode
+        # bookkeeping implemented; unknown future modes refused by
+        # the configuration gate above), v6 adds identity columns
+        # (generated + HWM
         # bookkeeping implemented round 10) — all ENFORCED on every
         # mutating path (_enforce_row_rules / _check_append_only /
         # _physical_payload / _identity_fields), so accepting these
@@ -1213,6 +1221,53 @@ def _physical_struct(read_schema):
     )
 
 
+def _relaxed(dt):
+    """``dt`` with every nested containsNull/valueContainsNull/field
+    nullable forced TRUE. The physical->logical rename casts a
+    scanned struct to the logical type; when the table schema
+    declares NOT NULL nested fields, a strict cast is a nullability
+    TIGHTENING and Spark refuses it (CAST_WITHOUT_SUGGESTION) —
+    nullability on a read is advisory, the data already satisfied
+    the declaration at write time, so the cast target relaxes."""
+    from pyspark.sql.types import StructField
+
+    def walk(t):
+        if isinstance(t, dict):
+            kind = t.get("type")
+            if kind == "struct":
+                return {
+                    "type": "struct",
+                    "fields": [
+                        {**f, "type": walk(f["type"]),
+                         "nullable": True}
+                        for f in t.get("fields", [])
+                    ],
+                }
+            if kind == "array":
+                return {
+                    **t,
+                    "elementType": walk(t["elementType"]),
+                    "containsNull": True,
+                }
+            if kind == "map":
+                return {
+                    **t,
+                    "keyType": walk(t["keyType"]),
+                    "valueType": walk(t["valueType"]),
+                    "valueContainsNull": True,
+                }
+        return t
+
+    # DataType has no public fromJson; a single-field StructField
+    # round-trip parses any type JSON
+    return StructField.fromJson({
+        "name": "x",
+        "type": walk(json.loads(dt.json())),
+        "nullable": True,
+        "metadata": {},
+    }).dataType
+
+
 def _phys_col_name(read_schema, col: str) -> str:
     f = read_schema[col]
     return (f.metadata or {}).get(_CM_PHYS, col)
@@ -1413,6 +1468,96 @@ def _remap_column_mapping(
     return json.dumps(mapped), max(next_id, max_id(mapped))
 
 
+def _physical_ids_struct(schema):
+    """Physical-name StructType twin of ``schema`` carrying Spark's
+    ``parquet.field.id`` metadata (from ``delta.columnMapping.id``)
+    on EVERY struct field, nested included — the write-side mirror of
+    ``_field_id_struct``. Spark's parquet writer (``spark.sql.
+    parquet.fieldId.write.enabled``, default on) turns the metadata
+    into ``PARQUET:field_id`` entries in the file footer, which is
+    what id-mode readers address by (PROTOCOL.md "Column Mapping"
+    writer requirements — field ids are mandatory in id mode and
+    conformant in name mode). Returns ``None`` when any mapped field
+    lacks an id: spec-required, but a foreign name-mode table missing
+    ids is still writable by NAME, so the caller just skips
+    stamping."""
+    from pyspark.sql.types import StructType
+
+    class _NoId(Exception):
+        pass
+
+    def walk_type(t):
+        if isinstance(t, dict):
+            kind = t.get("type")
+            if kind == "struct":
+                return {
+                    "type": "struct",
+                    "fields": [
+                        walk_field(f) for f in t.get("fields", [])
+                    ],
+                }
+            if kind == "array":
+                return {**t, "elementType": walk_type(t["elementType"])}
+            if kind == "map":
+                return {
+                    **t,
+                    "keyType": walk_type(t["keyType"]),
+                    "valueType": walk_type(t["valueType"]),
+                }
+        return t
+
+    def walk_field(f):
+        meta = f.get("metadata") or {}
+        cid = meta.get(_CM_ID)
+        if cid is None:
+            raise _NoId()
+        return {
+            "name": meta.get(_CM_PHYS, f["name"]),
+            "type": walk_type(f["type"]),
+            # ALWAYS nullable: this struct is only the .to() target
+            # that carries the ids — .to() REFUSES a nullable input
+            # into a non-nullable target field, and nullability is
+            # already enforced upstream (_enforce_row_rules); a
+            # nullable target accepts either
+            "nullable": True,
+            "metadata": {"parquet.field.id": int(cid)},
+        }
+
+    sj = json.loads(schema.json())
+    try:
+        fields = [walk_field(f) for f in sj["fields"]]
+    except _NoId:
+        return None
+    return StructType.fromJson({"type": "struct", "fields": fields})
+
+
+def _stamp_field_ids(out: DataFrame, schema, extra_cols):
+    """Re-project ``out`` (already under physical names) so the
+    written parquet files carry ``PARQUET:field_id`` footer entries:
+    ``.to()`` propagates the NESTED field metadata, and the final
+    select re-attaches the top-level ids that catalyst's projection
+    collapse can otherwise drop (measured: a bare ``.to()`` loses the
+    id on plain renamed columns while keeping struct ones).
+    ``extra_cols`` (row tracking's materialized columns) ride along
+    id-less — they live outside the logical schema."""
+    from pyspark.sql.types import StructType
+
+    fid = _physical_ids_struct(schema)
+    if fid is None:
+        return out
+    target = StructType(
+        list(fid.fields)
+        + [out.schema[c] for c in extra_cols]
+    )
+    return out.to(target).select(
+        *[
+            F.col(f.name).alias(f.name, metadata=dict(f.metadata))
+            for f in fid.fields
+        ],
+        *[F.col(c) for c in extra_cols],
+    )
+
+
 def _physical_payload(
     df: DataFrame,
     mapped_schema_json: str,
@@ -1421,7 +1566,9 @@ def _physical_payload(
 ):
     """Prepare ``df`` for a column-mapped data-file write: rename
     every column (nested struct fields included, via the same-shape
-    cast — the reader's rename in reverse) to its physical name.
+    cast — the reader's rename in reverse) to its physical name and
+    stamp ``parquet.field.id`` metadata so the files carry field ids
+    (mandatory for id-mode readers, conformant for name mode).
     Returns ``(physical df, physical pcols, logical->physical fn)``;
     identity when the schema carries no mapping, so unmapped call
     sites pay nothing. ``extra_cols`` (row tracking's materialized
@@ -1444,6 +1591,7 @@ def _physical_payload(
         ],
         *[F.col(c) for c in extra_cols],
     )
+    out = _stamp_field_ids(out, schema, extra_cols)
     pmap = {
         lf.name: pf.name
         for lf, pf in zip(schema.fields, phys.fields)
@@ -1494,7 +1642,8 @@ def _scan_files(
     if cm == "name":
         phys_schema = _physical_struct(read_schema)
         base = [
-            F.col(pf.name).cast(lf.dataType).alias(lf.name)
+            F.col(pf.name).cast(_relaxed(lf.dataType))
+            .alias(lf.name)
             for pf, lf in zip(
                 phys_schema.fields, read_schema.fields
             )
@@ -1502,7 +1651,8 @@ def _scan_files(
     elif cm == "id":
         phys_schema = _field_id_struct(read_schema)
         base = [
-            F.col(pf.name).cast(lf.dataType).alias(lf.name)
+            F.col(pf.name).cast(_relaxed(lf.dataType))
+            .alias(lf.name)
             for pf, lf in zip(
                 phys_schema.fields, read_schema.fields
             )
@@ -1586,8 +1736,8 @@ def _read_state(
     schema = StructType.fromJson(json.loads(state.schema))
     # 'name' resolves physical column names, 'id' (round 10)
     # addresses parquet by field id via Spark's native fieldId.read
-    # matching — both modes read-complete; writes to id-mode tables
-    # still refuse (_check_writer_protocol)
+    # matching — both modes read-complete AND write-complete
+    # (round 11: _physical_payload stamps the field ids)
     cm = _cm_mode(state)
     live_udf = _dv_live_filter(spark, table_dir, state.adds)
     mat_id = mat_rcv = None
@@ -1874,6 +2024,11 @@ def _write_cdc_files(
         cols = [F.col(f.name) for f in schema.fields]
         pmap = {}
     payload = df.select(*cols, F.col(_CHANGE_TYPE))
+    if _CM_PHYS in schema_json:
+        # change files carry field ids like data files do — the
+        # id-mode cdc reader addresses them by id; _change_type
+        # itself lives outside the table schema and rides id-less
+        payload = _stamp_field_ids(payload, schema, (_CHANGE_TYPE,))
     wpcols = [pmap.get(c, c) for c in pcols]
     commit_id = uuid.uuid4().hex[:12]
     rel_root = os.path.join("_change_data", commit_id)
@@ -1925,34 +2080,40 @@ def _read_cdc_files(
     from pyspark.sql.types import StringType, StructField, StructType
 
     schema = StructType.fromJson(json.loads(end.schema))
-    if _cm_mode(end) == "id":
-        # the add/remove-derived feed handles id mode (the normal
-        # field-id scan), but CHANGE files are addressed here by
-        # physical NAME — reading an id-mode table's cdc files that
-        # way could misaddress columns; refuse until the cdc reader
-        # learns field-id matching
-        raise NotImplementedError(
-            "change-data files of an id-mode column-mapped table: "
-            "this reader addresses cdc files by physical name only"
-        )
-    cm = _cm_mode(end) == "name"
+    cm = _cm_mode(end)
     pcols = list(end.partition_cols)
     ptypes = {f.name: f.dataType for f in schema.fields}
     data_fields = [f for f in schema.fields if f.name not in pcols]
     data_schema = StructType(data_fields)
-    phys = (
-        _physical_struct(data_schema) if cm else data_schema
-    )
+    if cm == "id":
+        # change files of an id-mode table are addressed by FIELD ID,
+        # exactly like data files: the same __fid placeholder schema
+        # the normal scan uses (collision-proof names, ids in
+        # metadata), plus the id-less _change_type column which Spark
+        # falls back to matching by name. Requires this writer's cdc
+        # files to carry ids (_write_cdc_files stamps them) — a
+        # foreign id-mode table's change files must per spec.
+        phys = _field_id_struct(data_schema)
+        spark.conf.set(
+            "spark.sql.parquet.fieldId.read.enabled", "true"
+        )
+    elif cm == "name":
+        phys = _physical_struct(data_schema)
+    else:
+        phys = data_schema
     read_schema = StructType(
         list(phys.fields)
         + [StructField(_CHANGE_TYPE, StringType(), True)]
     )
     base = [
-        F.col(pf.name).cast(lf.dataType).alias(lf.name)
+        F.col(pf.name).cast(_relaxed(lf.dataType))
+            .alias(lf.name)
         for pf, lf in zip(phys.fields, data_fields)
     ] + [F.col(_CHANGE_TYPE)]
     pphys = {
-        c: (_phys_col_name(schema, c) if cm else c) for c in pcols
+        c: (
+            _phys_col_name(schema, c) if cm != "none" else c
+        ) for c in pcols
     }
 
     def pkey(a):
@@ -2594,13 +2755,17 @@ def write_delta(
     data, the writer just renumbers (overwrite) or re-reads the head
     and re-validates (append).
 
-    ``column_mapping="name"`` enables column mapping on a CREATE (or
-    a whole-table overwrite): every field gets an immutable physical
-    name + id, data files are written under physical names, and
-    ``delta_rename_column`` becomes a metaData-only operation.
-    Appends to a mapped table map automatically (the mode lives in
-    the table's configuration); passing the flag on an append is an
-    error rather than a silent mode change.
+    ``column_mapping="name"`` or ``"id"`` enables column mapping on
+    a CREATE (or a whole-table overwrite): every field gets an
+    immutable physical name + id, data files are written under
+    physical names WITH parquet field ids stamped in the footer
+    (mandatory for id mode, where readers address columns by id and
+    physical names are non-semantic; conformant extra metadata in
+    name mode), and ``delta_rename_column`` becomes a metaData-only
+    operation. Appends to a mapped table map automatically (the mode
+    lives in the table's configuration); passing the flag on an
+    append — or a different mode than the table's — is an error
+    rather than a silent mode change.
 
     ``row_tracking=True`` enables row tracking on a CREATE (or a
     whole-table overwrite): every add action carries a ``baseRowId``
@@ -2619,11 +2784,10 @@ def write_delta(
     writers with the same txn commit it once."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
-    if column_mapping not in (None, "none", "name"):
+    if column_mapping not in (None, "none", "name", "id"):
         raise NotImplementedError(
-            f"column_mapping={column_mapping!r}: only 'name' mode "
-            "is implemented (id mode addresses parquet by field id, "
-            "which these files do not carry)"
+            f"column_mapping={column_mapping!r}: 'name' and 'id' "
+            "modes are implemented"
         )
     import pyarrow.parquet as pq
 
@@ -2742,7 +2906,7 @@ def write_delta(
          or "none")
         if head0 is not None else "none"
     )
-    if column_mapping == "none" and head_mode == "name":
+    if column_mapping == "none" and head_mode in ("name", "id"):
         # an explicit 'none' on a mapped table is an ask to DISABLE
         # the mode — a spec-governed operation (physical rewrite +
         # protocol downgrade rules) this writer does not implement.
@@ -2750,13 +2914,28 @@ def write_delta(
         # explicit request; refuse instead (omit the flag to keep
         # the table's mode).
         raise NotImplementedError(
-            f"{table_dir} has column mapping 'name' enabled; "
+            f"{table_dir} has column mapping {head_mode!r} enabled; "
             "column_mapping='none' would disable it, which this "
             "writer does not implement — omit the argument to keep "
             "the table's existing mode"
         )
+    if (
+        column_mapping in ("name", "id")
+        and head_mode in ("name", "id")
+        and column_mapping != head_mode
+    ):
+        # name<->id is a MODE CHANGE, not an enablement: the spec
+        # governs it (existing files must carry ids for id mode,
+        # physical-name semantics flip) and native only allows
+        # none->name upgrades — refuse rather than silently switch
+        raise NotImplementedError(
+            f"{table_dir} uses column mapping {head_mode!r}; "
+            f"changing to {column_mapping!r} is a mode change this "
+            "writer does not implement — omit the argument to keep "
+            "the table's existing mode"
+        )
     cm_config: dict | None = None
-    if mode == "append" and head_mode == "name":
+    if mode == "append" and head_mode in ("name", "id"):
         if not _sn._schema_compatible(head0.schema, schema_json):
             if merge_schema:
                 # additive evolution on a mapped table: merge keeps
@@ -2786,13 +2965,22 @@ def write_delta(
                 )
         else:
             file_schema = head0.schema  # appends pin the mapping
-    elif head_mode == "name" or column_mapping == "name":
+    elif head_mode in ("name", "id") or column_mapping in (
+        "name", "id"
+    ):
         if mode == "append" and head0 is not None:
             raise ValueError(
                 "cannot enable column mapping on an append; "
-                "overwrite the table with column_mapping='name'"
+                "overwrite the table with "
+                f"column_mapping={column_mapping!r}"
             )
-        base = head0.schema if head_mode == "name" else None
+        target_mode = (
+            head_mode if head_mode in ("name", "id")
+            else column_mapping
+        )
+        base = (
+            head0.schema if head_mode in ("name", "id") else None
+        )
         if base is not None and _sn._schema_compatible(
             base, schema_json
         ):
@@ -2810,7 +2998,7 @@ def write_delta(
             )
             cm_config = {
                 **((head0.configuration or {}) if head0 else {}),
-                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.mode": target_mode,
                 _CM_MAX: str(mx),
             }
         file_schema = schema_json
@@ -2959,7 +3147,7 @@ def write_delta(
         need_r, need_w = _ntz_features(schema_json)
         if (cm_config or {}).get(
             "delta.columnMapping.mode"
-        ) == "name":
+        ) in ("name", "id"):
             need_r = need_r | {"columnMapping"}
             need_w = need_w | {"columnMapping"}
         if rt_on:
@@ -3727,9 +3915,10 @@ def _delta_compact_partitioned(
     data_schema = StructType(
         [f for f in schema.fields if f.name not in pcols]
     )
-    # column-mapped tables key partitionValues, hive segments, and
-    # stats by PHYSICAL names (the reader's pphys, mirrored here)
-    cm = _cm_mode(head) == "name"
+    # column-mapped tables (either mode) key partitionValues, hive
+    # segments, and stats by PHYSICAL names (the reader's pphys,
+    # mirrored here)
+    cm = _cm_mode(head) != "none"
     pphys = {
         c: (_phys_col_name(schema, c) if cm else c) for c in pcols
     }
@@ -4795,7 +4984,7 @@ def delta_rename_column(
         table_dir, head.protocol, head.configuration
     )
     if ((head.configuration or {}).get("delta.columnMapping.mode")
-            or "none") != "name":
+            or "none") not in ("name", "id"):
         raise ValueError(
             f"{table_dir} has no column mapping; RENAME COLUMN "
             "needs it (enable via "
@@ -4876,7 +5065,7 @@ def delta_drop_column(table_dir: str, col: str) -> DeltaState:
         table_dir, head.protocol, head.configuration
     )
     if ((head.configuration or {}).get("delta.columnMapping.mode")
-            or "none") != "name":
+            or "none") not in ("name", "id"):
         raise ValueError(
             f"{table_dir} has no column mapping; DROP COLUMN needs "
             "it — without mapping the reader cannot skip a physical "

@@ -371,8 +371,14 @@ def test_id_mode_missing_field_ids_fails(spark, tmp_path):
         dl.read_delta(spark, t).collect()
 
 
-def test_id_mode_writes_still_refuse(spark, tmp_path):
+def test_id_mode_foreign_append_roundtrip(spark, tmp_path):
+    """Round 11 (VERDICT r10 item 1): id-mode WRITE — an append to a
+    FOREIGN id-mode table commits data files that carry the schema's
+    parquet field ids, so the table stays readable by field-id
+    addressing (the r10 read path) end to end. The fixture's
+    physical name is a name-matching trap like the read test's."""
     import pyarrow as pa
+    import pyarrow.parquet as pq
 
     t = str(tmp_path / "t")
     rel = _write_id_file(
@@ -384,10 +390,21 @@ def test_id_mode_writes_still_refuse(spark, tmp_path):
     ]}
     _commit(t, 0, [_PROTO_CM, _meta(schema, mode="id"), _add(rel)])
     assert dl.read_delta(spark, t).count() == 1
-    with pytest.raises(NotImplementedError, match="'id'"):
-        dl.write_delta(
-            spark.createDataFrame([(2,)], "v long"), t, "append"
-        )
+    st = dl.write_delta(
+        spark.createDataFrame([(2,)], "v long"), t, "append"
+    )
+    assert st.configuration["delta.columnMapping.mode"] == "id"
+    # the new file carries the field id under the physical name
+    new_rels = [r for r in st.files if r != rel]
+    assert len(new_rels) == 1
+    sch = pq.ParquetFile(
+        os.path.join(t, new_rels[0])
+    ).schema_arrow
+    assert sch.names == ["col-v"]
+    assert sch.field(0).metadata[b"PARQUET:field_id"] == b"1"
+    assert sorted(
+        r.v for r in dl.read_delta(spark, t).collect()
+    ) == [1, 2]
 
 
 def test_writes_to_mapped_tables_roundtrip(spark, tmp_path):
@@ -997,3 +1014,234 @@ def test_cm_none_on_mapped_table_refuses(spark, tmp_path):
     t2 = str(tmp_path / "plain")
     dl.write_delta(spark.range(0, 3), t2, column_mapping="none")
     assert dl.read_delta(spark, t2).count() == 3
+
+
+# --- id-mode WRITE battery (round 11, VERDICT r10 items 1+2) -------
+
+
+def _id_table(spark, t, n=100):
+    df = spark.range(0, n).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("v"), F.col("id")).alias("label"),
+    )
+    return dl.write_delta(df, t, column_mapping="id")
+
+
+def test_id_mode_write_creates_table_with_field_ids(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    st = _id_table(spark, t)
+    assert st.configuration["delta.columnMapping.mode"] == "id"
+    assert int(st.configuration["delta.columnMapping.maxColumnId"]) == 3
+    assert "columnMapping" in st.protocol["readerFeatures"]
+    assert "columnMapping" in st.protocol["writerFeatures"]
+    # schema: every field mapped with id + physical name
+    ids = {}
+    for f in json.loads(st.schema)["fields"]:
+        meta = f["metadata"]
+        assert meta["delta.columnMapping.physicalName"].startswith(
+            "col-"
+        )
+        ids[f["name"]] = meta["delta.columnMapping.id"]
+    assert sorted(ids.values()) == [1, 2, 3]
+    # every data file: physical names + matching footer field ids
+    phys_to_id = {
+        f["metadata"]["delta.columnMapping.physicalName"]:
+            f["metadata"]["delta.columnMapping.id"]
+        for f in json.loads(st.schema)["fields"]
+    }
+    for rel in st.files:
+        sch = pq.ParquetFile(os.path.join(t, rel)).schema_arrow
+        for fld in sch:
+            assert fld.metadata[b"PARQUET:field_id"] == str(
+                phys_to_id[fld.name]
+            ).encode()
+    out = dl.read_delta(spark, t)
+    assert out.columns == ["id", "grp", "label"]
+    assert out.count() == 100
+
+
+def test_id_mode_append_rename_drop_roundtrip(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _id_table(spark, t, n=10)
+    dl.write_delta(
+        spark.createDataFrame(
+            [(100, 1, "vX")], "id long, grp long, label string"
+        ),
+        t, "append",
+    )
+    assert dl.read_delta(spark, t).count() == 11
+    # rename is metaData-only; data files untouched
+    files_before = set(dl.replay(t).files)
+    dl.delta_rename_column(t, "label", "tag")
+    st = dl.replay(t)
+    assert set(st.files) == files_before
+    out = dl.read_delta(spark, t)
+    assert out.columns == ["id", "grp", "tag"]
+    assert out.where("tag = 'vX'").count() == 1
+    # drop is metaData-only too
+    dl.delta_drop_column(t, "grp")
+    out = dl.read_delta(spark, t)
+    assert out.columns == ["id", "tag"]
+    assert out.count() == 11
+
+
+def test_id_mode_dv_delete_update_merge(spark, tmp_path):
+    """DV mutations on an id-mode table: rewrites go through
+    _physical_payload, so every new file carries field ids and the
+    field-id read path keeps resolving."""
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    _id_table(spark, t, n=100)
+    dl.delta_delete(spark, t, "grp = 3")
+    assert dl.read_delta(spark, t).count() == 86
+    dl.delta_update(spark, t, "grp = 0", {"label": "'zero'"})
+    assert dl.read_delta(spark, t).where(
+        "label = 'zero'"
+    ).count() == 15
+    ups = spark.createDataFrame(
+        [(1, 1, "one"), (500, 3, "new")],
+        "id long, grp long, label string",
+    )
+    dl.delta_merge_upsert(spark, t, ups, ["id"])
+    out = dl.read_delta(spark, t)
+    assert out.count() == 87
+    assert out.where("id = 500").count() == 1
+    # every live file (originals + rewrites) carries field ids
+    st = dl.replay(t)
+    for rel in st.files:
+        sch = pq.ParquetFile(os.path.join(t, rel)).schema_arrow
+        for fld in sch:
+            if fld.name.startswith("__"):
+                continue  # row-tracking materialized extras
+            assert b"PARQUET:field_id" in (fld.metadata or {}), (
+                rel, fld.name
+            )
+
+
+def test_id_mode_cdc_read(spark, tmp_path):
+    """VERDICT r10 item 2: CDC read of an id-mode table — change
+    files are addressed by field id like data files, and the feed
+    returns logical column names."""
+    t = str(tmp_path / "t")
+    _id_table(spark, t, n=20)
+    st0 = dl.delta_alter_properties(
+        spark, t, {"delta.enableChangeDataFeed": "true"}
+    )
+    dl.delta_delete(spark, t, "id < 3")
+    dl.delta_update(spark, t, "id = 5", {"label": "'five'"})
+    ch = dl.read_delta_changes(spark, t, st0.version)
+    dels = {r.id for r in ch.where(
+        "_change_type = 'delete'"
+    ).collect()}
+    assert dels == {0, 1, 2}
+    posts = {
+        r.label for r in ch.where(
+            "_change_type = 'update_postimage'"
+        ).collect()
+    }
+    assert posts == {"five"}
+
+
+def test_id_mode_merge_schema_evolution_fresh_ids(spark, tmp_path):
+    """Additive evolution on an id-mode table: the new column gets a
+    fresh id above maxColumnId and new files carry it."""
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    st0 = _id_table(spark, t, n=5)
+    max0 = int(st0.configuration["delta.columnMapping.maxColumnId"])
+    st = dl.write_delta(
+        spark.createDataFrame(
+            [(50, 1, "vN", 3.5)],
+            "id long, grp long, label string, score double",
+        ),
+        t, "append", merge_schema=True,
+    )
+    fields = {
+        f["name"]: f["metadata"]
+        for f in json.loads(st.schema)["fields"]
+    }
+    assert fields["score"]["delta.columnMapping.id"] == max0 + 1
+    assert int(
+        st.configuration["delta.columnMapping.maxColumnId"]
+    ) == max0 + 1
+    out = dl.read_delta(spark, t)
+    assert out.where("score is not null").count() == 1
+    assert out.where("score is null").count() == 5
+
+
+def test_id_mode_nested_struct_write_roundtrip(spark, tmp_path):
+    """Nested struct fields get ids at every level (the .to()
+    propagation path) and read back by id."""
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    df = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.struct(
+            (F.col("id") * 2).alias("x"),
+            F.concat(F.lit("s"), F.col("id")).alias("y"),
+        ).alias("payload"),
+    )
+    st = dl.write_delta(df, t, column_mapping="id")
+    for rel in st.files:
+        sch = pq.ParquetFile(os.path.join(t, rel)).schema_arrow
+        for fld in sch:
+            assert b"PARQUET:field_id" in (fld.metadata or {})
+            if fld.type.num_fields if hasattr(fld.type, "num_fields") else 0:
+                for i in range(fld.type.num_fields):
+                    inner = fld.type.field(i)
+                    assert b"PARQUET:field_id" in (
+                        inner.metadata or {}
+                    ), inner.name
+    out = dl.read_delta(spark, t).orderBy("k").collect()
+    assert [(r.k, r.payload.x, r.payload.y) for r in out] == [
+        (0, 0, "s0"), (1, 2, "s1"), (2, 4, "s2"),
+    ]
+
+
+def test_cm_mode_change_refuses(spark, tmp_path):
+    """name<->id is a spec-governed MODE CHANGE, not an enablement —
+    both directions refuse loudly; same-mode overwrite passes."""
+    t1 = str(tmp_path / "t1")
+    _cm_table(spark, t1, n=5)
+    with pytest.raises(NotImplementedError, match="mode change"):
+        dl.write_delta(
+            spark.range(2).select(F.col("id")),
+            t1, "overwrite", column_mapping="id",
+        )
+    t2 = str(tmp_path / "t2")
+    _id_table(spark, t2, n=5)
+    with pytest.raises(NotImplementedError, match="mode change"):
+        dl.write_delta(
+            spark.range(2).select(F.col("id")),
+            t2, "overwrite", column_mapping="name",
+        )
+    # re-stating the table's own mode is a no-op, not a change
+    st = dl.write_delta(
+        spark.range(2).select(
+            F.col("id"), F.lit(1).alias("grp"),
+            F.lit("x").alias("label"),
+        ),
+        t2, "overwrite", column_mapping="id",
+    )
+    assert st.configuration["delta.columnMapping.mode"] == "id"
+
+
+def test_name_mode_files_now_carry_field_ids(spark, tmp_path):
+    """Conformance: name-mode data files also carry field ids (the
+    spec requires ids in files whenever column mapping is active —
+    name mode just doesn't ADDRESS by them)."""
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    st = _cm_table(spark, t, n=5)
+    for rel in st.files:
+        sch = pq.ParquetFile(os.path.join(t, rel)).schema_arrow
+        for fld in sch:
+            assert b"PARQUET:field_id" in (fld.metadata or {})
+    assert dl.read_delta(spark, t).count() == 5
