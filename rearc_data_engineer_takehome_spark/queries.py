@@ -1116,55 +1116,51 @@ DRIVER_WINDOW: list[str] = [
     "knn_ivf",  # LLM tier: ANN family
     "doc_pii_redaction",  # LLM tier: text/chunking family
     "curation_pipeline",  # LLM tier: curation family
-    # --- rotating slots, round 10 (VERDICT r09 items 1/2/4): the
-    # r09 sweep completed cumulative certification, so rotation now
-    # RE-CERTIFIES the stalest green rows (policy encoded in
-    # tests/test_registry_window.py). First the 3 queries with no
-    # clean row yet: the two reshaped approx-sketch queries (now
-    # carrying full value-hash oracles — exact aggregates plus
-    # deterministic within-bounds booleans) and this round's new
+    # --- rotating slots, round 11 (VERDICT r10 items 1/3/4): first
+    # the 2 queries with no clean row yet — this round's new
+    # column-mapping-id-mode write arc and the multi-file
     # row-tracking gate. ---
-    "events_wau_approx",  # reshaped r10: exact + within_bounds
-    "cardinality_sketch",  # reshaped r10: exact + within_bounds
-    "orders_row_ids_stable",  # NEW r10: Delta row tracking
-    "orders_identity_append",  # NEW r10: Delta identity columns
-    "lineitem_clustered_prune",  # NEW r10: Delta clustered tables
-    "orders_type_widening",  # NEW r10: Delta type widening
+    "orders_cm_id_roundtrip",  # NEW r11: CM id-mode write+read
+    "orders_row_ids_multifile",  # NEW r11: cross-file baseRowId
     # --- re-certification fillers: the stalest clean rows in the
-    # registry (latest green round r01-r03, 6+ rounds old against
-    # code refactored since), oldest-first by
-    # (latest_clean_round, name). ---
-    "orders_with_shipped_items",  # r01
-    "promo_revenue_share",  # r01
-    "returnflag_pivot",  # r01
-    "small_quantity_revenue",  # r01
-    "events_props_typed",  # r02
-    "events_range_join_errors_signups",  # r02
-    "events_sliding",  # r02
-    "minhash_signatures",  # r02
-    "order_date_domain",  # r02
-    "part_name_analysis",  # r02
-    "returnflag_priority_mix",  # r02
-    "revenue_by_region",  # r02
-    "top_customers_by_revenue",  # r02
-    "bpe_merge_candidates",  # r03
-    "corpus_mixture_plan",  # r03
-    "dedup_incremental_batch",  # r03
-    "dedup_ngram_jaccard",  # r03
-    "doc_clf_quality",  # r03
-    "doc_lm_perplexity",  # r03
-    "doc_seq_packing",  # r03
-    "dsir_importance_weights",  # r03
-    "embedding_pca_projection",  # r03
-    "eval_contamination",  # r03
-    "events_funnel",  # r03
-    "hard_negative_mining",  # r03
-    "knn_all_pairs_topk",  # r03
-    "knn_ivf_pq",  # r03
-    "part_pagerank",  # r03
-    "pq_codebook",  # r03
-    "repeated_span_boilerplate",  # r03
-    "revenue_rollup",  # r03
+    # registry (latest green round r03-r05), oldest-first by
+    # (latest_clean_round, name). The r10 window consumed the
+    # r01-r03 tier; this is the next-stalest tier. ---
+    "scd2_customer_orders",  # r03
+    "selection_pipeline",  # r03
+    "source_cap_balancing",  # r03
+    "source_similarity_minhash",  # r03
+    "ab_experiment_readout",  # r04
+    "bpe_train_merge_table",  # r04
+    "corpus_health_dashboard",  # r04
+    "customer_k_anonymity",  # r04
+    "customer_rfm_segments",  # r04
+    "customer_rfm_segments_scalable",  # r04
+    "dedup_clusters_star",  # r04
+    "dedup_ngram_containment",  # r04
+    "dedup_ngram_jaccard_prefix",  # r04
+    "doc_bigram_surprisal",  # r04
+    "doc_novelty_scores",  # r04
+    "events_cusum_drift",  # r04
+    "events_hll_daily_users",  # r04
+    "multimodal_phash_dedup",  # r04
+    "orders_benford_deviation",  # r04
+    "part_pair_affinity",  # r04
+    "part_triangle_count",  # r04
+    "perplexity_bands_scalable",  # r04
+    "quality_bootstrap_ci",  # r04
+    "semantic_dedup_embeddings",  # r04
+    "source_score_calibration",  # r04
+    "video_frame_overlap",  # r04
+    "customer_cohort_ltv",  # r05
+    "customer_revenue_gini",  # r05
+    "customer_survival_curve",  # r05
+    "dedup_drop_manifest",  # r05
+    "doc_language_confusion",  # r05
+    "doc_tfidf_topk",  # r05
+    "embedding_int8_quantization",  # r05
+    "events_cohort_retention",  # r05
+    "events_histogram_merge_quantiles",  # r05
 ]
 
 

@@ -91,6 +91,11 @@ _WRITER_FEATURES = {
     "inCommitTimestamp", "domainMetadata", "rowTracking",
     "identityColumns", "clustering", "vacuumProtocolCheck",
     "typeWidening",
+    # checkpointProtection only RESTRICTS metadata cleanup (no log
+    # truncation into (0, requireCheckpointProtectionBeforeVersion));
+    # vacuum_delta honors the restriction, ordinary commits are
+    # unaffected — accepting the feature is honest
+    "checkpointProtection",
 }
 
 
@@ -4893,6 +4898,14 @@ def delta_alter_properties(
         # cdc-incapable native writers refuse instead of silently
         # corrupting table_changes()
         need_w.add("changeDataFeed")
+    if int(config.get(
+        "delta.requireCheckpointProtectionBeforeVersion", 0
+    ) or 0) > 0:
+        # pinning a protected version obliges every writer's
+        # metadata cleanup to honor it — the protocol must say so,
+        # so protection-unaware writers refuse instead of truncating
+        # the log into the protected range
+        need_w.add("checkpointProtection")
     ict0 = None
     if _ict_enabled(config):
         need_w.add("inCommitTimestamp")
@@ -5905,6 +5918,24 @@ def vacuum_delta(table_dir: str, retention_ms: int = 0) -> int:
     # head — the documented aggressive trade.)
     old_vs = [v for v, ts in commit_ts.items() if ts <= cutoff]
     v_floor = max(old_vs) if old_vs else None
+    # PROTOCOL.md "Checkpoint Protection": a table may pin
+    # delta.requireCheckpointProtectionBeforeVersion = V; metadata
+    # cleanup must not truncate the log to a start INSIDE (0, V) —
+    # either clean nothing or clean through at least V in one run.
+    # A floor below V therefore suppresses log GC entirely (data-file
+    # vacuum still follows normal tombstone rules — the feature
+    # protects log metadata, not aged data files).
+    cp_protect = int(
+        (_head.configuration or {}).get(
+            "delta.requireCheckpointProtectionBeforeVersion", 0
+        ) or 0
+    )
+    if (
+        v_floor is not None
+        and cp_protect
+        and v_floor < cp_protect
+    ):
+        v_floor = None
     if v_floor is not None and v_floor < max(commit_ts):
         fl = write_checkpoint(table_dir, v_floor)
         if not _checkpoint_files(table_dir, fl):

@@ -96,6 +96,7 @@ def test_window_rotates_in_never_driver_checked_queries():
         "CORRECTNESS_r07.json",
         "CORRECTNESS_r08.json",
         "CORRECTNESS_r09.json",
+        "CORRECTNESS_r10.json",
     )
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     prior: set[str] = set()
