@@ -1358,14 +1358,20 @@ _CM_MAX = "delta.columnMapping.maxColumnId"
 
 
 def _remap_column_mapping(
-    new_json: str, old_json: str | None = None, start_id: int = 0
+    new_json: str,
+    old_json: str | None = None,
+    start_id: int = 0,
+    keep_names: bool = False,
 ) -> tuple[str, int]:
     """Stamp ``delta.columnMapping.{id,physicalName}`` onto every
     struct field of ``new_json`` (nested included, DFS order). Fields
     whose logical path exists in ``old_json`` with a mapping KEEP
     their id and physical name (physical names are immutable for the
     life of a column — that is the whole point); new fields get
-    fresh ids above ``start_id`` and ``col-<uuid>`` physical names.
+    fresh ids above ``start_id`` and ``col-<uuid>`` physical names —
+    or, with ``keep_names`` (the spec's enable-on-existing-table
+    upgrade), physical names EQUAL to the current logical names, so
+    data files already written under logical names keep resolving.
     Returns ``(mapped schema json, max column id)``."""
     new = json.loads(new_json)
     old_fields: dict = {}
@@ -1445,7 +1451,9 @@ def _remap_column_mapping(
             meta.pop(_CM_PHYS, None)
             next_id += 1
             meta[_CM_ID] = next_id
-            meta[_CM_PHYS] = f"col-{uuid.uuid4()}"
+            meta[_CM_PHYS] = (
+                f["name"] if keep_names else f"col-{uuid.uuid4()}"
+            )
         return {
             **f, "metadata": meta,
             "type": walk_type(f["type"], path),
@@ -4869,8 +4877,10 @@ def delta_alter_properties(
         # field metadata and misaddress every data column
         raise ValueError(
             f"column-mapping properties {touched_cm} cannot be set "
-            "via ALTER TABLE properties; enable mapping by "
-            "overwriting with write_delta(column_mapping='name')"
+            "via ALTER TABLE properties; enable mapping with "
+            "delta_upgrade_column_mapping (metadata-only, existing "
+            "tables) or write_delta(column_mapping='name'|'id') on "
+            "a create/overwrite"
         )
     new_constraints = {
         k: v
@@ -5133,6 +5143,76 @@ def delta_drop_column(table_dir: str, col: str) -> DeltaState:
     _commit_actions(
         table_dir, head.version + 1, actions, head.configuration
     )
+    out = replay(table_dir, head.version + 1)
+    _maybe_auto_checkpoint(table_dir, out)
+    return out
+
+
+def delta_upgrade_column_mapping(table_dir: str) -> DeltaState:
+    """ALTER TABLE SET ``delta.columnMapping.mode = 'name'`` on an
+    EXISTING unmapped table — the spec's metadata-only upgrade path
+    (PROTOCOL.md "Column Mapping" writer requirements for enabling
+    the mode on an existing table): every field, nested included,
+    gets a fresh ``columnMapping.id`` and a physical name EQUAL to
+    its current logical name, because every existing data file was
+    written under logical names and must keep resolving without a
+    rewrite. Columns added later get fresh ``col-<uuid>`` physical
+    names, and RENAME/DROP become metaData-only from here on. The
+    protocol gains the columnMapping reader+writer feature in the
+    same commit (incapable readers must stop — physical addressing
+    is now authoritative).
+
+    none->'id' is NOT upgradable: the existing files carry no
+    parquet field ids, so id-mode readers could never resolve them
+    — enable id mode at creation (or whole-table overwrite) instead.
+    Idempotent on an already-name-mapped table; refuses on id mode
+    (a downgrade-to-name would flip addressing semantics)."""
+    head = replay(table_dir)
+    _check_writer_protocol(
+        table_dir, head.protocol, head.configuration
+    )
+    mode = (
+        (head.configuration or {}).get("delta.columnMapping.mode")
+        or "none"
+    )
+    if mode == "name":
+        return head  # already enabled: no-op, like native
+    if mode != "none":
+        raise NotImplementedError(
+            f"{table_dir} uses column mapping {mode!r}; changing "
+            "modes is not implemented"
+        )
+    schema_json, mx = _remap_column_mapping(
+        head.schema, None, 0, keep_names=True
+    )
+    config = {
+        **(head.configuration or {}),
+        "delta.columnMapping.mode": "name",
+        _CM_MAX: str(mx),
+    }
+    actions: list[dict] = []
+    pa = _merge_feature_protocol(
+        head.protocol, {"columnMapping"}, {"columnMapping"}
+    )
+    if pa:
+        actions.append({"protocol": pa})
+    actions.append(
+        _meta_action(
+            schema_json, head.metadata_id,
+            list(head.partition_cols), config,
+        )
+    )
+    actions.append({
+        "commitInfo": {
+            "timestamp": _now_ms(),
+            "operation": "SET TBLPROPERTIES",
+            "operationParameters": {
+                "properties": '{"delta.columnMapping.mode":"name"}'
+            },
+            "engineInfo": "rearc-takehome-spark-cleanroom",
+        }
+    })
+    _commit_actions(table_dir, head.version + 1, actions, config)
     out = replay(table_dir, head.version + 1)
     _maybe_auto_checkpoint(table_dir, out)
     return out

@@ -1323,3 +1323,95 @@ def test_id_mode_with_row_tracking_compose(spark, tmp_path):
     assert all(
         r.v == r.id * 2 + (1 if r.id % 3 == 0 else 0) for r in rows
     )
+
+
+def test_upgrade_existing_table_to_name_mode(spark, tmp_path):
+    """Round 11: the spec's enable-on-existing-table path — a plain
+    table upgrades to name mode METADATA-ONLY (physical names pin to
+    the current logical names, so every pre-upgrade file keeps
+    resolving), after which rename is metaData-only and appends
+    stamp field ids."""
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 20).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("p"),
+        (F.col("id") * 10).alias("v"),
+    )
+    st0 = dl.write_delta(df, t)
+    files0 = set(st0.files)
+    st = dl.delta_upgrade_column_mapping(t)
+    assert st.configuration["delta.columnMapping.mode"] == "name"
+    assert set(st.files) == files0  # no rewrite
+    for f in json.loads(st.schema)["fields"]:
+        meta = f["metadata"]
+        # physical name EQUALS the logical name (the upgrade rule)
+        assert meta["delta.columnMapping.physicalName"] == f["name"]
+        assert meta["delta.columnMapping.id"] >= 1
+    assert "columnMapping" in (st.protocol.get("readerFeatures") or [])
+    # old files resolve
+    assert dl.read_delta(spark, t).count() == 20
+    # idempotent
+    assert dl.delta_upgrade_column_mapping(t).version == st.version
+    # rename is now metaData-only; old files read through the
+    # physical name (= pre-rename logical name)
+    dl.delta_rename_column(t, "v", "val")
+    out = dl.read_delta(spark, t)
+    assert out.columns == ["id", "p", "val"]
+    assert out.agg(F.sum("val")).first()[0] == sum(
+        i * 10 for i in range(20)
+    )
+    # a post-upgrade append works and carries field ids
+    st2 = dl.write_delta(
+        spark.createDataFrame(
+            [(100, "x", 5)], "id long, p string, val long"
+        ),
+        t, "append",
+    )
+    new_rel = (set(st2.files) - files0).pop()
+    sch = pq.ParquetFile(os.path.join(t, new_rel)).schema_arrow
+    assert all(
+        b"PARQUET:field_id" in (fld.metadata or {}) for fld in sch
+    )
+    # mixed old (id-less) + new (id-carrying) files: name addressing
+    assert dl.read_delta(spark, t).count() == 21
+
+
+def test_upgrade_partitioned_table_keeps_partition_values(
+    spark, tmp_path
+):
+    t = str(tmp_path / "t")
+    df = spark.range(0, 30).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("p")
+    )
+    dl.write_delta(df.repartition(4), t, partition_by=["p"])
+    dl.delta_upgrade_column_mapping(t)
+    out = dl.read_delta(spark, t)
+    assert out.where("p = '1'").count() == 10
+    # new appends key partitionValues by physical (= logical) names
+    st = dl.write_delta(
+        spark.createDataFrame([(100, "9")], "id long, p string"),
+        t, "append", partition_by=["p"],
+    )
+    assert any(
+        a["partitionValues"].get("p") == "9"
+        for a in st.adds.values()
+    )
+    assert dl.read_delta(spark, t).where("p = '9'").count() == 1
+
+
+def test_upgrade_refuses_id_mode_and_alter_points_at_it(
+    spark, tmp_path
+):
+    t = str(tmp_path / "t")
+    _id_table(spark, t, n=3)
+    with pytest.raises(NotImplementedError, match="changing"):
+        dl.delta_upgrade_column_mapping(t)
+    t2 = str(tmp_path / "t2")
+    dl.write_delta(spark.range(3), t2)
+    with pytest.raises(
+        ValueError, match="delta_upgrade_column_mapping"
+    ):
+        dl.delta_alter_properties(
+            spark, t2, {"delta.columnMapping.mode": "name"}
+        )

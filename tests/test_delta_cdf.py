@@ -434,3 +434,27 @@ def test_cdf_timestamps_use_ict_when_enabled(spark, tmp_path):
         for r in ch.select("_commit_timestamp").distinct().collect()
     }
     assert stamps == {ict2}
+
+
+def test_cdc_partitioned_id_mode_compose(spark, tmp_path):
+    """Round 11: cdc change files of an id-mode PARTITIONED table —
+    data columns resolved by field id, partition columns restored
+    from physical-keyed partitionValues."""
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 40).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("p")
+    )
+    dl.write_delta(
+        df, t, partition_by=["p"], column_mapping="id"
+    )
+    st0 = dl.delta_alter_properties(
+        spark, t, {"delta.enableChangeDataFeed": "true"}
+    )
+    dl.delta_delete(spark, t, "p = '2' and id < 20")
+    ch = dl.read_delta_changes(spark, t, st0.version)
+    rows = {(r._change_type, r.id, r.p) for r in ch.collect()}
+    assert rows == {
+        ("delete", i, "2") for i in (2, 6, 10, 14, 18)
+    }
