@@ -1415,3 +1415,111 @@ def test_upgrade_refuses_id_mode_and_alter_points_at_it(
         dl.delta_alter_properties(
             spark, t2, {"delta.columnMapping.mode": "name"}
         )
+
+
+def test_upgrade_identity_table_composition(spark, tmp_path):
+    """Adversarial (round 11): upgrading an IDENTITY table to name
+    mapping must preserve the ``delta.identity.*`` field metadata
+    through ``_remap_column_mapping`` (which rebuilds every field's
+    metadata dict), and the post-upgrade append must both continue
+    the identity sequence and keep the CM stamps through the
+    identity HWM-bump metaData rewrite."""
+    from pyspark.sql import types as T
+
+    t = str(tmp_path / "t")
+    sch = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+    dl.delta_create_identity_table(
+        sch, t,
+        {"id": {"start": 1, "step": 1, "allow_explicit": False}},
+    )
+    dl.write_delta(
+        spark.createDataFrame([("a",), ("b",), ("c",)], "v string"),
+        t, mode="append",
+    )
+    st = dl.delta_upgrade_column_mapping(t)
+    idm = {
+        f["name"]: f["metadata"]
+        for f in json.loads(st.schema)["fields"]
+    }["id"]
+    assert "delta.identity.start" in idm  # survived the remap
+    assert "delta.columnMapping.id" in idm
+    dl.write_delta(
+        spark.createDataFrame([("d",), ("e",)], "v string"),
+        t, mode="append",
+    )
+    head = dl.replay(t)
+    idm2 = {
+        f["name"]: f["metadata"]
+        for f in json.loads(head.schema)["fields"]
+    }["id"]
+    # the identity append's schema rewrite kept BOTH metadata families
+    assert "delta.columnMapping.id" in idm2
+    assert idm2["delta.columnMapping.id"] == idm[
+        "delta.columnMapping.id"
+    ]
+    assert "delta.identity.start" in idm2
+    rows = dl.read_delta(spark, t).orderBy("id").collect()
+    assert [r.id for r in rows] == [1, 2, 3, 4, 5]
+    assert sorted(r.v for r in rows) == ["a", "b", "c", "d", "e"]
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_widen_on_mapped_table_mixed_physical_types(
+    spark, tmp_path, mode
+):
+    """Adversarial (round 11): type widening on a column-mapped
+    table — the widened field keeps its CM id/physical name, the
+    pre-widen files keep their NARROW physical type, and one scan
+    resolves both generations (name- or field-id-addressed) with the
+    native upcast."""
+    t = str(tmp_path / "t")
+    dl.write_delta(
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"),
+        t, column_mapping=mode,
+    )
+    st = dl.delta_widen_column(t, "v", "long")
+    vf = {
+        f["name"]: f for f in json.loads(st.schema)["fields"]
+    }["v"]
+    assert "delta.columnMapping.id" in vf["metadata"]
+    assert vf["type"] == "long"
+    dl.write_delta(
+        spark.createDataFrame(
+            [(3, 30_000_000_000)], "k int, v long"
+        ),
+        t, mode="append",
+    )
+    rows = dl.read_delta(spark, t).orderBy("k").collect()
+    assert [(r.k, r.v) for r in rows] == [
+        (1, 10), (2, 20), (3, 30_000_000_000)
+    ]
+
+
+def test_upgrade_row_tracking_and_dv_composition(spark, tmp_path):
+    """Adversarial (round 11): upgrade on a row-tracking table keeps
+    row ids readable across pre- and post-upgrade files, and a DV
+    DELETE after the upgrade addresses the PRE-upgrade (id-less,
+    logical-named) files correctly."""
+    t = str(tmp_path / "t")
+    dl.write_delta(
+        spark.createDataFrame(
+            [(i, i % 3) for i in range(30)], "k int, g int"
+        ),
+        t, row_tracking=True,
+    )
+    dl.delta_upgrade_column_mapping(t)
+    dl.write_delta(
+        spark.createDataFrame([(100, 9)], "k int, g int"),
+        t, mode="append",
+    )
+    rows = dl.read_delta(spark, t, row_ids=True).collect()
+    assert len(rows) == 31
+    assert len({r._row_id for r in rows}) == 31
+    dl.delta_delete(spark, t, "g = 1")
+    got = sorted(
+        r.k for r in dl.read_delta(spark, t).collect()
+    )
+    assert got == [i for i in range(30) if i % 3 != 1] + [100]
