@@ -4445,15 +4445,24 @@ def read_delta_changes(
                 continue
             # read the raw physical rows (no DV filter: dead rows
             # ARE the payload) with row_index, keep the diff set
-            table_abs = os.path.abspath(table_dir)
+            # add keys may be relative or (shallow clones) absolute;
+            # map scanned absolute paths back through the same join
+            # the forward direction uses instead of relpath()
+            key_by_abs = {
+                os.path.abspath(os.path.join(table_dir, k)): k
+                for k in list(adds_v) + list(cur)
+            }
             bare = {}
             for ap in pos_map:
-                rel = os.path.relpath(ap, table_abs)
-                src = adds_v.get(rel) or cur.get(rel)
+                rel = key_by_abs.get(os.path.abspath(ap))
+                src = (
+                    (adds_v.get(rel) or cur.get(rel))
+                    if rel is not None else None
+                )
                 if src is None:
                     raise RuntimeError(
                         f"change feed of {table_dir} commit {cv} "
-                        f"references {rel}, which is in neither the "
+                        f"references {ap}, which is in neither the "
                         "tracked state nor the commit"
                     )
                 bare[rel] = {
@@ -5525,16 +5534,24 @@ def _dv_mark_actions(
     if not per_file:
         return None
 
-    table_abs = os.path.abspath(table_dir)
+    # resolve scanned absolute paths back to ADD KEYS through the
+    # same join the forward direction uses — adds may be keyed by
+    # relative paths OR (shallow clones) absolute ones, and
+    # relpath() against the clone root would mangle the latter
+    # into ../-prefixed non-keys
+    key_by_abs = {
+        os.path.abspath(os.path.join(table_dir, k)): k
+        for k in head.adds
+    }
     merged: dict[str, tuple[bytes, int]] = {}
     for row in per_file:
-        rel = os.path.relpath(row.path, table_abs)
-        if rel not in head.adds:
+        key = key_by_abs.get(os.path.abspath(row.path))
+        if key is None:
             raise RuntimeError(
-                f"DV scan surfaced {rel}, which is not a live "
+                f"DV scan surfaced {row.path}, which is not a live "
                 f"file of {table_dir} v{head.version}"
             )
-        merged[rel] = (bytes(row.blob), int(row.card))
+        merged[key] = (bytes(row.blob), int(row.card))
 
     import pyarrow.parquet as pq
 
@@ -5778,6 +5795,122 @@ def delta_update(
     )
     out = replay(table_dir, head.version + 1)
     _maybe_auto_checkpoint(table_dir, out)
+    return out
+
+
+def delta_clone(
+    source_dir: str,
+    target_dir: str,
+    version: int | None = None,
+) -> DeltaState:
+    """SHALLOW CLONE — create ``target_dir`` as a new Delta table
+    whose version-0 commit re-references the SOURCE's live data
+    files by ABSOLUTE path, copying zero bytes of data (PROTOCOL.md
+    "Add File and Remove File": ``add.path`` is "a relative path
+    ... or an absolute path" — absolute adds are exactly the spec
+    mechanism behind zero-copy clones). ``version`` clones a
+    historical snapshot (``CLONE ... VERSION AS OF``).
+
+    What the clone commit carries, mirroring native semantics:
+
+    * every live add verbatim (partitionValues, stats, baseRowId /
+      defaultRowCommitVersion, tags) with ``path`` rewritten to the
+      source-anchored absolute path and ``dataChange: true`` (the
+      clone commit IS the table's creation, so its change feed
+      reads as inserts);
+    * deletion-vector descriptors converted from relative
+      storageType ``u`` (which resolves against the TABLE root and
+      would dangle under the clone) to absolute storageType ``p``;
+      inline ``i`` descriptors copy verbatim;
+    * a fresh ``metaData.id`` (a clone is a NEW table) with the
+      source's schema, partitioning, and configuration;
+    * the source's protocol verbatim — whoever reads the clone
+      needs exactly the capabilities the source's files demand;
+    * every live domainMetadata — dropping ``delta.rowTracking``
+      would hand out duplicate row ids on the first append, and
+      dropping ``delta.clustering`` would lose the layout contract.
+
+    Divergence is free after the clone: new writes land relative
+    files under the clone root; DV deletes on cloned files write
+    bins in the CLONE's dir against the absolute data path; vacuum
+    walks only the clone root, so cloned source bytes are physically
+    untouchable from the clone side. The standing shallow-clone
+    hazard is the same as native's: VACUUM on the SOURCE can remove
+    files the clone still references — retention windows are the
+    operator's contract across clones.
+
+    At 100 TB a shallow clone is a metadata-only operation: one
+    commit of O(files) JSON, no data motion — the way a large table
+    gets a dev/staging fork."""
+    src = replay(source_dir, version)
+    _check_protocol(source_dir, [src.protocol])
+    # full writer gate, not checkpoint_only: the clone COMMITS a log
+    # whose protocol promises these writer features to native readers
+    # of the TARGET — promising a contract we cannot enforce on the
+    # clone's own future commits would be a silent lie
+    _check_writer_protocol(
+        source_dir, src.protocol, src.configuration
+    )
+    if os.path.isdir(_log_dir(target_dir)) and any(
+        n.endswith(".json") and n[:-5].isdigit()
+        for n in os.listdir(_log_dir(target_dir))
+    ):
+        raise ValueError(
+            f"{target_dir} is already a Delta table — CLONE only "
+            "creates new tables (native refuses too; REPLACE "
+            "semantics would silently orphan the existing history)"
+        )
+    actions: list[dict] = []
+    if src.protocol:
+        actions.append({"protocol": dict(src.protocol)})
+    actions.append(
+        _meta_action(
+            src.schema, str(uuid.uuid4()),
+            list(src.partition_cols), dict(src.configuration or {}),
+        )
+    )
+    for domain, cfg in (src.domain_metadata or {}).items():
+        actions.append({
+            "domainMetadata": {
+                "domain": domain,
+                "configuration": cfg,
+                "removed": False,
+            }
+        })
+    for rel in src.files:
+        a = dict(src.adds[rel])
+        a["path"] = os.path.abspath(os.path.join(source_dir, rel))
+        a["dataChange"] = True
+        desc = a.get("deletionVector")
+        if desc and desc.get("storageType") == "u":
+            a["deletionVector"] = {
+                **desc,
+                "storageType": "p",
+                "pathOrInlineDv": _dv.absolute_dv_path(
+                    source_dir, desc
+                ),
+                # "p" addresses the bin file directly: the "u"
+                # prefix is consumed by the path derivation and the
+                # offset within the bin is unchanged
+            }
+        actions.append({"add": a})
+    actions.append({
+        "commitInfo": {
+            "timestamp": _now_ms(),
+            "operation": "CLONE",
+            "operationParameters": {
+                "source": os.path.abspath(source_dir),
+                "sourceVersion": src.version,
+            },
+            "engineInfo": "rearc-takehome-spark-cleanroom",
+        }
+    })
+    os.makedirs(_log_dir(target_dir), exist_ok=True)
+    _commit_actions(
+        target_dir, 0, actions, dict(src.configuration or {})
+    )
+    out = replay(target_dir, 0)
+    _maybe_auto_checkpoint(target_dir, out)
     return out
 
 
