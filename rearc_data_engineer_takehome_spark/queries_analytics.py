@@ -6479,3 +6479,127 @@ def orders_row_ids_multifile(
         ).alias("id_check"),
     )
     return per_leg.unionByName(total)
+
+
+@query(
+    "orders_shallow_clone_scan",
+    """
+    WITH base AS (
+        SELECT o_orderkey,
+               round(o_totalprice * 100)::BIGINT AS cents,
+               o_orderpriority AS prio
+        FROM orders
+    ),
+    clone_rows AS (
+        SELECT o_orderkey, cents, prio
+        FROM base WHERE o_orderkey % 11 <> 5
+        UNION ALL
+        SELECT -o_orderkey, cents + 100, prio
+        FROM base WHERE o_orderkey % 13 = 1
+    ),
+    source_rows AS (
+        SELECT o_orderkey,
+               cents + CASE WHEN o_orderkey % 7 = 3
+                            THEN 1 ELSE 0 END AS cents,
+               prio
+        FROM base
+    )
+    SELECT 'clone' AS side, prio,
+           count(*)::BIGINT AS n_rows,
+           sum(cents)::BIGINT AS sum_cents
+    FROM clone_rows GROUP BY prio
+    UNION ALL
+    SELECT 'source', prio, count(*)::BIGINT, sum(cents)::BIGINT
+    FROM source_rows GROUP BY prio
+    UNION ALL
+    SELECT 'meta', 'zero_copy', 1::BIGINT, 1::BIGINT
+    """,
+    doc="SHALLOW CLONE on the native Delta log (PROTOCOL.md 'Add "
+    "File and Remove File': add.path may be an absolute URI — the "
+    "spec mechanism behind zero-copy clones; the dev/staging fork "
+    "any production Delta deployment of the reference's published "
+    "tables uses, notebooks/20_analytics.ipynb:653): orders "
+    "written once (v0), delta_clone re-references every live file "
+    "by ABSOLUTE path in one metadata commit — zero bytes copied "
+    "(the meta row certifies every cloned add is absolute and the "
+    "clone owns no local data files). Divergence is then certified "
+    "in BOTH directions under the value-hash gate: the CLONE takes "
+    "a DV DELETE (keys %11=5) and an APPEND (negated keys %13=1 "
+    "at +100 cents) which the source must not see, the SOURCE "
+    "takes a DV UPDATE (+1 cent at keys %7=3) which the clone "
+    "must not see — any leakage of tombstones, appends, or DVs "
+    "across the boundary, or a mangled absolute-path resolution, "
+    "breaks a per-priority aggregate hash. At 100 TB the clone is "
+    "O(files) JSON metadata, no data motion.",
+)
+def orders_shallow_clone_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import uuid as _uuid
+
+    from .sources import delta_log as dl
+    from .sources import snapshots as sn
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    stem = (
+        f"{os.path.basename(sf_dir.rstrip('/'))}_clone_"
+        f"{_uuid.uuid4().hex[:8]}"
+    )
+    src = sn.scratch_table_dir(f"{stem}_src")
+    cln = sn.scratch_table_dir(f"{stem}_cln")
+    dl.write_delta(orders, src)                            # src v0
+    st = dl.delta_clone(src, cln)                          # cln v0
+    # the zero-copy certificate: every cloned add is an absolute
+    # path and the clone root holds no data files (O(files) log
+    # metadata on the driver, no data touched)
+    zero_copy = all(
+        os.path.isabs(p) for p in st.files
+    ) and not os.path.isdir(os.path.join(cln, "data"))
+    dl.delta_delete(spark, cln, "o_orderkey % 11 = 5")     # cln v1
+    dl.write_delta(                                        # cln v2
+        orders.where(F.pmod("o_orderkey", F.lit(13)) == 1).select(
+            (-F.col("o_orderkey")).alias("o_orderkey"),
+            (F.col("cents") + 100).alias("cents"),
+            "prio",
+        ),
+        cln, "append",
+    )
+    dl.delta_update(                                       # src v1
+        spark, src, "o_orderkey % 7 = 3", {"cents": "cents + 1"}
+    )
+
+    def _side(table_dir: str, side: str) -> DataFrame:
+        return (
+            dl.read_delta(spark, table_dir)
+            .groupBy("prio")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .select(
+                F.lit(side).alias("side"), "prio",
+                "n_rows", "sum_cents",
+            )
+        )
+
+    meta = spark.range(1).select(
+        F.lit("meta").alias("side"),
+        F.lit("zero_copy").alias("prio"),
+        F.lit(1).cast("bigint").alias("n_rows"),
+        F.when(F.lit(zero_copy), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
+    return (
+        _side(cln, "clone")
+        .unionByName(_side(src, "source"))
+        .unionByName(meta)
+    )
