@@ -6603,3 +6603,105 @@ def orders_shallow_clone_scan(
         .unionByName(_side(src, "source"))
         .unionByName(meta)
     )
+
+
+@query(
+    "orders_convert_in_place",
+    """
+    WITH base AS (
+        SELECT o_orderkey,
+               round(o_totalprice * 100)::BIGINT AS cents,
+               o_orderpriority AS prio
+        FROM orders
+    ),
+    converted AS (
+        SELECT o_orderkey, cents, prio
+        FROM base WHERE o_orderkey % 11 <> 5
+        UNION ALL
+        SELECT -o_orderkey, cents + 100, prio
+        FROM base WHERE o_orderkey % 13 = 1
+    )
+    SELECT prio, count(*)::BIGINT AS n_rows,
+           sum(cents)::BIGINT AS sum_cents
+    FROM converted GROUP BY prio
+    UNION ALL
+    SELECT 'ZERO_REWRITE', 1::BIGINT, 1::BIGINT
+    """,
+    doc="CONVERT TO DELTA on the native log (public delta-io "
+    "PROTOCOL.md action model — the standard onboarding path for "
+    "pre-existing parquet into the Delta surface the reference "
+    "publishes, notebooks/20_analytics.ipynb:653): orders written "
+    "as PLAIN hive-partitioned parquet (partitioned by priority, "
+    "no log), then convert_to_delta builds version 0 IN PLACE — "
+    "partition values parsed from the hive segments, per-file "
+    "min/max stats read DISTRIBUTED via mapInPandas footers, zero "
+    "bytes rewritten (the meta row certifies the post-convert live "
+    "set is byte-identical to the pre-convert listing). The "
+    "converted table then takes first-class mutations under the "
+    "value-hash gate: a DV DELETE (keys %11=5) and an APPEND "
+    "(negated keys %13=1 at +100 cents), read back per priority. "
+    "A mis-parsed partition segment, lost file, or double-counted "
+    "add breaks the hash vs the plain-orders oracle. At 100 TB "
+    "the convert is one listing + distributed footer reads + "
+    "O(files) JSON.",
+)
+def orders_convert_in_place(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob as _glob
+    import os
+    import uuid as _uuid
+
+    from .sources import delta_log as dl
+    from .sources import snapshots as sn
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_conv_"
+        f"{_uuid.uuid4().hex[:8]}"
+    )
+    # plain hive-partitioned parquet — no delta log yet
+    orders.write.partitionBy("prio").parquet(tbl)
+    before = sorted(
+        _glob.glob(os.path.join(tbl, "**", "*.parquet"),
+                   recursive=True)
+    )
+    st = dl.convert_to_delta(
+        spark, tbl, partition_by=["prio"],
+        stats_cols=["o_orderkey"],
+    )                                                          # v0
+    zero_rewrite = sorted(
+        os.path.join(tbl, p) for p in st.files
+    ) == before
+    dl.delta_delete(spark, tbl, "o_orderkey % 11 = 5")         # v1
+    dl.write_delta(                                            # v2
+        orders.where(F.pmod("o_orderkey", F.lit(13)) == 1).select(
+            (-F.col("o_orderkey")).alias("o_orderkey"),
+            (F.col("cents") + 100).alias("cents"),
+            "prio",
+        ),
+        tbl, "append", partition_by=["prio"],
+    )
+    per_prio = (
+        dl.read_delta(spark, tbl)
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    meta = spark.range(1).select(
+        F.lit("ZERO_REWRITE").alias("prio"),
+        F.lit(1).cast("bigint").alias("n_rows"),
+        F.when(F.lit(zero_rewrite), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
+    return per_prio.unionByName(meta)
