@@ -5860,20 +5860,33 @@ def delta_clone(
             "creates new tables (native refuses too; REPLACE "
             "semantics would silently orphan the existing history)"
         )
+    cfg = dict(src.configuration or {})
+    ict0 = None
+    if _ict_enabled(cfg):
+        # the source's ICT enablement properties describe the
+        # SOURCE's history; copied verbatim they would claim the
+        # clone's v0 (which carries an ICT) is below the enablement
+        # version and mtime-resolved. Re-anchor: in the clone's
+        # history the reliable clock starts at its own creation.
+        ict0 = _now_ms()
+        cfg["delta.inCommitTimestampEnablementVersion"] = "0"
+        cfg["delta.inCommitTimestampEnablementTimestamp"] = str(
+            ict0
+        )
     actions: list[dict] = []
     if src.protocol:
         actions.append({"protocol": dict(src.protocol)})
     actions.append(
         _meta_action(
             src.schema, str(uuid.uuid4()),
-            list(src.partition_cols), dict(src.configuration or {}),
+            list(src.partition_cols), cfg,
         )
     )
-    for domain, cfg in (src.domain_metadata or {}).items():
+    for domain, dom_cfg in (src.domain_metadata or {}).items():
         actions.append({
             "domainMetadata": {
                 "domain": domain,
-                "configuration": cfg,
+                "configuration": dom_cfg,
                 "removed": False,
             }
         })
@@ -5896,19 +5909,23 @@ def delta_clone(
         actions.append({"add": a})
     actions.append({
         "commitInfo": {
-            "timestamp": _now_ms(),
+            "timestamp": ict0 or _now_ms(),
             "operation": "CLONE",
             "operationParameters": {
                 "source": os.path.abspath(source_dir),
                 "sourceVersion": src.version,
             },
             "engineInfo": "rearc-takehome-spark-cleanroom",
+            # pin the clone commit's ICT to the enablement
+            # timestamp recorded in its own metaData (the alter
+            # path's invariant: enablement properties == the
+            # enabling commit's own ict); _commit_actions honors a
+            # pre-set value
+            **({"inCommitTimestamp": ict0} if ict0 else {}),
         }
     })
     os.makedirs(_log_dir(target_dir), exist_ok=True)
-    _commit_actions(
-        target_dir, 0, actions, dict(src.configuration or {})
-    )
+    _commit_actions(target_dir, 0, actions, cfg)
     out = replay(target_dir, 0)
     _maybe_auto_checkpoint(target_dir, out)
     return out

@@ -303,3 +303,44 @@ def test_clone_preserves_stats_for_pruning(spark, tmp_path):
     assert stats and all("minValues" in x for x in stats)
     out = dl.delta_scan(spark, t, prune={"k": (0, 9)})
     assert out.count() == 10
+
+
+def test_clone_reanchors_ict_enablement(spark, tmp_path):
+    """An ICT source's enablement properties describe the SOURCE's
+    history; the clone must re-anchor them to ITS OWN version 0
+    (whose commit carries an ICT equal to the recorded enablement
+    timestamp), so TIMESTAMP AS OF over the clone never falls back
+    to mtimes for ICT-covered versions."""
+    import json as _json
+
+    s, t = str(tmp_path / "s"), str(tmp_path / "t")
+    dl.write_delta(spark.range(5).selectExpr("id as k"), s)
+    dl.delta_alter_properties(
+        spark, s, {"delta.enableInCommitTimestamps": "true"}
+    )
+    dl.write_delta(
+        spark.range(5, 10).selectExpr("id as k"), s, mode="append"
+    )
+    st = dl.delta_clone(s, t)
+    cfg = st.configuration or {}
+    assert cfg["delta.inCommitTimestampEnablementVersion"] == "0"
+    et = int(cfg["delta.inCommitTimestampEnablementTimestamp"])
+    # the clone commit's own ICT equals the recorded enablement
+    # timestamp (the alter path's invariant)
+    line0 = open(
+        os.path.join(t, "_delta_log", f"{0:020d}.json")
+    ).readline()
+    ci = _json.loads(line0)["commitInfo"]
+    assert ci["inCommitTimestamp"] == et
+    # TIMESTAMP AS OF the enablement instant resolves version 0
+    assert dl.resolve_version_at(t, et) == 0
+    # and later commits stay strictly monotonic over it
+    dl.write_delta(
+        spark.range(10, 12).selectExpr("id as k"), t, mode="append"
+    )
+    line1 = open(
+        os.path.join(t, "_delta_log", f"{1:020d}.json")
+    ).readline()
+    assert _json.loads(line1)["commitInfo"][
+        "inCommitTimestamp"
+    ] > et
