@@ -122,3 +122,40 @@ def test_convert_then_clone_and_checkpoint(spark, tmp_path):
     for j in glob.glob(os.path.join(t, "_delta_log", "0*.json")):
         os.remove(j)
     assert dl.read_delta(spark, t).count() == 20
+
+
+def test_convert_then_upgrade_column_mapping(spark, tmp_path):
+    """The full onboarding chain a real migration runs: plain
+    parquet -> CONVERT (zero rewrite) -> column-mapping upgrade
+    (metadata-only) -> metaData-only RENAME -> append with field
+    ids. Three metadata commits, zero data rewritten, and the
+    pre-existing files keep resolving through physical names equal
+    to their original logical names."""
+    import glob as _glob
+
+    t = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(30)], "k int, v int"
+    ).repartition(3).write.parquet(t)
+    before = sorted(
+        _glob.glob(os.path.join(t, "**", "*.parquet"),
+                   recursive=True)
+    )
+    dl.convert_to_delta(spark, t)
+    dl.delta_upgrade_column_mapping(t)
+    dl.delta_rename_column(t, "v", "val")
+    # still zero rewrites across all three steps
+    assert sorted(
+        _glob.glob(os.path.join(t, "**", "*.parquet"),
+                   recursive=True)
+    ) == before
+    out = dl.read_delta(spark, t)
+    assert out.columns == ["k", "val"]
+    assert out.agg({"val": "sum"}).first()[0] == sum(
+        i * 10 for i in range(30)
+    )
+    dl.write_delta(
+        spark.createDataFrame([(99, 990)], "k int, val int"),
+        t, mode="append",
+    )
+    assert dl.read_delta(spark, t).count() == 31
