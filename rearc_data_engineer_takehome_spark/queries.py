@@ -1124,6 +1124,7 @@ DRIVER_WINDOW: list[str] = [
     "orders_row_ids_multifile",  # NEW r11: cross-file baseRowId
     "orders_shallow_clone_scan",  # NEW r11: zero-copy shallow clone
     "orders_convert_in_place",  # NEW r11: CONVERT TO DELTA
+    "orders_restore_rewind",  # NEW r11: RESTORE version rewind
     # --- re-certification fillers: the stalest clean rows in the
     # registry (latest green round r03-r05), oldest-first by
     # (latest_clean_round, name). The r10 window consumed the
@@ -1160,7 +1161,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_drop_manifest",  # r05
     "doc_language_confusion",  # r05
     "doc_tfidf_topk",  # r05
-    "embedding_int8_quantization",  # r05
 ]
 
 

@@ -6705,3 +6705,107 @@ def orders_convert_in_place(
         .alias("sum_cents"),
     )
     return per_prio.unionByName(meta)
+
+
+@query(
+    "orders_restore_rewind",
+    """
+    WITH base AS (
+        SELECT o_orderkey,
+               round(o_totalprice * 100)::BIGINT AS cents,
+               o_orderpriority AS prio
+        FROM orders
+    ),
+    pre_restore AS (
+        SELECT o_orderkey, cents, prio
+        FROM base WHERE o_orderkey % 11 <> 5
+        UNION ALL
+        SELECT -o_orderkey, cents + 100, prio
+        FROM base WHERE o_orderkey % 13 = 1
+    ),
+    head_rows AS (
+        SELECT o_orderkey,
+               cents + CASE WHEN o_orderkey % 7 = 3
+                            THEN 1 ELSE 0 END AS cents,
+               prio
+        FROM base
+    )
+    SELECT 'head' AS era, prio,
+           count(*)::BIGINT AS n_rows,
+           sum(cents)::BIGINT AS sum_cents
+    FROM head_rows GROUP BY prio
+    UNION ALL
+    SELECT 'pre_restore', prio, count(*)::BIGINT,
+           sum(cents)::BIGINT
+    FROM pre_restore GROUP BY prio
+    """,
+    doc="RESTORE TABLE ... TO VERSION AS OF on the native Delta "
+    "log (the spec's content-rewind-history-moves-forward "
+    "semantics over the same add/remove action model; the recovery "
+    "path for the Delta surface the reference publishes, "
+    "notebooks/20_analytics.ipynb:653) certified under the "
+    "value-hash gate: orders written (v0), DV DELETE %11=5 (v1), "
+    "APPEND negated %13=1 at +100 cents (v2), then "
+    "delta_restore(v0) — one commit (v3) that re-references v0's "
+    "files and cancels the divergence WITHOUT rewriting data — "
+    "followed by a post-restore DV UPDATE (+1 cent at %7=3, v4) "
+    "proving the restored table is live, not a frozen snapshot. "
+    "The 'head' era must equal plain orders + the post-restore "
+    "update (delete and append both fully rewound); the "
+    "'pre_restore' era reads v2 BY TIME TRAVEL, proving the "
+    "restore moved history FORWARD instead of destroying it. A "
+    "restore that leaks tombstones, loses re-added files, or "
+    "truncates history breaks one of the two era hashes. At "
+    "100 TB a restore is O(files) log metadata, zero data motion.",
+)
+def orders_restore_rewind(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import uuid as _uuid
+
+    from .sources import delta_log as dl
+    from .sources import snapshots as sn
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    tbl = sn.scratch_table_dir(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_restore_"
+        f"{_uuid.uuid4().hex[:8]}"
+    )
+    dl.write_delta(orders, tbl)                                # v0
+    dl.delta_delete(spark, tbl, "o_orderkey % 11 = 5")         # v1
+    dl.write_delta(                                            # v2
+        orders.where(F.pmod("o_orderkey", F.lit(13)) == 1).select(
+            (-F.col("o_orderkey")).alias("o_orderkey"),
+            (F.col("cents") + 100).alias("cents"),
+            "prio",
+        ),
+        tbl, "append",
+    )
+    dl.delta_restore(tbl, 0)                                   # v3
+    dl.delta_update(                                           # v4
+        spark, tbl, "o_orderkey % 7 = 3", {"cents": "cents + 1"}
+    )
+
+    def _era(df: DataFrame, era: str) -> DataFrame:
+        return (
+            df.groupBy("prio")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .select(
+                F.lit(era).alias("era"), "prio",
+                "n_rows", "sum_cents",
+            )
+        )
+
+    return _era(dl.read_delta(spark, tbl), "head").unionByName(
+        _era(dl.read_delta(spark, tbl, version=2), "pre_restore")
+    )
