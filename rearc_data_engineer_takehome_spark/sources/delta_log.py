@@ -4230,7 +4230,15 @@ def read_delta_changes(
 
     if since_version == version:
         return _empty()
-    cur = dict(replay(table_dir, since_version).adds)
+    # since_version == -1 reads the feed FROM TABLE CREATION
+    # (native table_changes(startingVersion=0) semantics under this
+    # exclusive-start API): the tracked state before version 0 is
+    # empty, so the creation commit's adds read as inserts
+    cur = (
+        dict(replay(table_dir, since_version).adds)
+        if since_version >= 0
+        else {}
+    )
 
     def _positions(add_action) -> np.ndarray:
         desc = (add_action or {}).get("deletionVector")

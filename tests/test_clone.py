@@ -344,3 +344,23 @@ def test_clone_reanchors_ict_enablement(spark, tmp_path):
     assert _json.loads(line1)["commitInfo"][
         "inCommitTimestamp"
     ] > et
+
+
+def test_clone_commit_reads_as_inserts_in_change_feed(
+    spark, tmp_path
+):
+    """The clone commit is the table's creation — its change feed
+    leg must read every cloned (absolute-path) file's live rows as
+    inserts, DVs applied (a source-side deleted row must not be
+    'inserted' into the clone's history)."""
+    s, t = str(tmp_path / "s"), str(tmp_path / "t")
+    dl.write_delta(_df(spark), s)
+    dl.delta_delete(spark, s, "g = 2")  # DV'd source
+    dl.delta_clone(s, t)
+    feed = dl.read_delta_changes(spark, t, -1, 0)
+    rows = feed.collect()
+    assert rows
+    assert all(r._change_type == "insert" for r in rows)
+    assert sorted(r.k for r in rows) == [
+        i for i in range(40) if i % 4 != 2
+    ]
