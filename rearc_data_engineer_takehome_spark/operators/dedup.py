@@ -788,6 +788,82 @@ def fingerprint_band_pairs(
     )
 
 
+# One graph partition holds up to this many edges (the existing
+# ~50k-edges-per-partition sizing shared by cluster_pairs and
+# cluster_pairs_star). At or below it the whole component graph fits a
+# SINGLE task, so the iterative machinery's per-round driver barriers
+# (join + checkpoint + convergence check, each a scheduled job) buy
+# nothing: one executor task computes exact components directly.
+_ONE_TASK_EDGES = 50_000
+
+
+def _components_one_task(
+    pairs: DataFrame, *, drop_self_loops: bool
+) -> DataFrame:
+    """Exact connected components of an edge relation known to fit ONE
+    graph partition, computed in a single executor task (union-find
+    with union-by-min inside ``mapInPandas`` — the root of every tree
+    is the component minimum, so find(x) IS the cluster id). This is
+    the small-graph endgame of :func:`cluster_pairs` /
+    :func:`cluster_pairs_star` (optimization round: each label-prop /
+    star round costs a full driver barrier, ~0.3-0.5s of pure
+    scheduling on a graph this size); the iterative algorithms engage
+    beyond ``_ONE_TASK_EDGES``, where the graph genuinely needs
+    distribution. Executor-side, no driver collect; output contract is
+    identical ((doc_id, cluster_id = component min), nodes appearing in
+    no pair absent; ``drop_self_loops`` mirrors cluster_pairs_star's
+    u != v filter, while cluster_pairs keeps self-loop nodes as their
+    own singleton components)."""
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = pairs.schema["id_a"].dataType
+    out_schema = StructType(
+        [
+            StructField("doc_id", id_type),
+            StructField("cluster_id", id_type),
+        ]
+    )
+
+    def _uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for u, v in zip(
+                pdf["id_a"].tolist(), pdf["id_b"].tolist()
+            ):
+                if u == v:
+                    if not drop_self_loops:
+                        parent.setdefault(u, u)
+                    continue
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union-by-min keeps every root the tree minimum
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        if parent:
+            nodes = list(parent)
+            yield pd.DataFrame(
+                {
+                    "doc_id": nodes,
+                    "cluster_id": [find(n) for n in nodes],
+                }
+            )
+
+    return pairs.coalesce(1).mapInPandas(_uf, schema=out_schema)
+
+
 def cluster_pairs(
     pairs: DataFrame, max_iter: int = 20, graph_partitions: int | None = None
 ) -> DataFrame:
@@ -823,6 +899,17 @@ def cluster_pairs(
     # an expensive upstream pair generator (MinHash/Jaccard join) would
     # run twice (measured 2× the pair-job cost on dedup_clusters).
     pairs = pairs.select("id_a", "id_b").localCheckpoint()
+    # small-graph endgame: when the (directed) pair count already fits
+    # one graph partition, solve components in ONE executor task
+    # instead of paying per-round driver barriers; an explicit
+    # graph_partitions keeps the iterative path (tests exercise its
+    # exhaustion semantics through it). The count job on a
+    # checkpointed frame is metadata-cheap.
+    if graph_partitions is None and pairs.count() <= _ONE_TASK_EDGES:
+        labels = _components_one_task(pairs, drop_self_loops=False)
+        return labels.select(
+            F.col("doc_id"), F.col("cluster_id")
+        )
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -925,6 +1012,13 @@ def cluster_pairs_star(
     import warnings
 
     pairs = pairs.select("id_a", "id_b").localCheckpoint()
+    # small-graph endgame — same gate as cluster_pairs: one executor
+    # task beats O(log n) rounds of star contraction when the whole
+    # graph fits one partition (each round here costs a checkpoint job
+    # PLUS two exceptAll convergence jobs). Star's u != v filter is
+    # mirrored by drop_self_loops.
+    if graph_partitions is None and pairs.count() <= _ONE_TASK_EDGES:
+        return _components_one_task(pairs, drop_self_loops=True)
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .where(F.col("u") != F.col("v"))

@@ -448,12 +448,22 @@ def test_stream_tumbling_matches_batch(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def test_cluster_pairs_matches_union_find(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("gp", [None, 2])
+def test_cluster_pairs_matches_union_find(spark, gp):
+    """gp=None exercises the one-task small-graph endgame; gp=2 forces
+    the iterative label-propagation path — both must match the
+    driver-side union-find ground truth."""
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)],
         ["id_a", "id_b"],
     )
-    got = {r.doc_id: r.cluster_id for r in dedup.cluster_pairs(pairs).collect()}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.cluster_pairs(pairs, graph_partitions=gp).collect()
+    }
     # union-find ground truth
     parent = {}
     def find(x):
@@ -922,17 +932,24 @@ def test_containment_flags_excerpt_that_jaccard_misses(spark):
     assert jac == []  # resemblance misses the excerpt
 
 
-def test_cluster_pairs_star_matches_label_propagation(spark):
+@_pytest.mark.parametrize("gp", [None, 2])
+def test_cluster_pairs_star_matches_label_propagation(spark, gp):
     """Both component algorithms must produce identical
-    (doc_id, cluster_id) labelings on a multi-component graph."""
+    (doc_id, cluster_id) labelings on a multi-component graph — on the
+    one-task endgame (gp=None) AND the iterative paths (gp=2)."""
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21)],
         ["id_a", "id_b"],
     )
-    a = {(r.doc_id, r.cluster_id) for r in dedup.cluster_pairs(pairs).collect()}
+    a = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_pairs(pairs, graph_partitions=gp).collect()
+    }
     b = {
         (r.doc_id, r.cluster_id)
-        for r in dedup.cluster_pairs_star(pairs).collect()
+        for r in dedup.cluster_pairs_star(
+            pairs, graph_partitions=gp
+        ).collect()
     }
     assert a == b
     assert {c for _, c in b} == {1, 10, 20}
@@ -948,12 +965,19 @@ def test_cluster_pairs_star_deep_chain_converges_fast(spark):
     pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        lp = dedup.cluster_pairs(pairs, max_iter=20).collect()
+        # graph_partitions forces the ITERATIVE path (the default
+        # routes a 200-edge graph through the exact one-task endgame,
+        # where exhaustion semantics cannot arise)
+        lp = dedup.cluster_pairs(
+            pairs, max_iter=20, graph_partitions=2
+        ).collect()
         assert any("did not converge" in str(x.message) for x in w)
     assert len({r.cluster_id for r in lp}) > 1  # under-merged
     with warnings.catch_warnings(record=True) as w2:
         warnings.simplefilter("always")
-        st = dedup.cluster_pairs_star(pairs, max_iter=12).collect()
+        st = dedup.cluster_pairs_star(
+            pairs, max_iter=12, graph_partitions=2
+        ).collect()
         assert not any("did not converge" in str(x.message) for x in w2)
     assert {r.cluster_id for r in st} == {0}
     assert len(st) == 201
@@ -972,7 +996,9 @@ def test_cluster_pairs_star_exhaustion_keeps_one_label_per_node(spark):
     pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        rows = dedup.cluster_pairs_star(pairs, max_iter=1).collect()
+        rows = dedup.cluster_pairs_star(
+            pairs, max_iter=1, graph_partitions=2
+        ).collect()
         assert any("did not converge" in str(x.message) for x in w)
     labels: dict[int, list[int]] = {}
     for r in rows:
@@ -995,7 +1021,9 @@ def test_cluster_pairs_star_exhaustion_keeps_one_label_per_node(spark):
     expected_nodes = {n for a, b in dense if a != b for n in (a, b)}
     with _w.catch_warnings():
         _w.simplefilter("ignore")
-        rows2 = dedup.cluster_pairs_star(pairs2, max_iter=1).collect()
+        rows2 = dedup.cluster_pairs_star(
+            pairs2, max_iter=1, graph_partitions=2
+        ).collect()
     got: dict[int, list[int]] = {}
     for r in rows2:
         got.setdefault(r.doc_id, []).append(r.cluster_id)
@@ -1005,9 +1033,60 @@ def test_cluster_pairs_star_exhaustion_keeps_one_label_per_node(spark):
 
 def test_cluster_pairs_star_empty_and_self_loops(spark):
     """Self-loops are ignored; an input of only self-loops yields no
-    labeled rows (no actual edges)."""
+    labeled rows (no actual edges) — on both the endgame and the
+    iterative path. cluster_pairs, by contrast, keeps self-loop nodes
+    as their own singleton components on both paths."""
     pairs = spark.createDataFrame([(5, 5), (7, 7)], ["id_a", "id_b"])
     assert dedup.cluster_pairs_star(pairs).count() == 0
+    assert dedup.cluster_pairs_star(pairs, graph_partitions=2).count() == 0
+    lp = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_pairs(pairs).collect()
+    }
+    lp_iter = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_pairs(pairs, graph_partitions=2).collect()
+    }
+    assert lp == lp_iter == {(5, 5), (7, 7)}
+
+
+def test_components_one_task_endgame_matches_iterative(spark):
+    """The small-graph one-task endgame (union-find in a single
+    executor task) must label exactly like the iterative algorithms on
+    an adversarial mix of chains, cycles, dense blobs, and isolated
+    pairs — including string ids."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(50)]  # chain
+    edges += [(100 + i, 100 + (i + 1) % 17) for i in range(17)]  # cycle
+    edges += [
+        (200 + rng.randrange(30), 200 + rng.randrange(30))
+        for _ in range(60)
+    ]  # dense blob w/ self-loops
+    edges += [(500, 501), (600, 601)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_pairs(pairs).collect()
+    }
+    slow = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_pairs(
+            # the 50-node chain has diameter 50: raise max_iter so the
+            # iterative reference itself converges
+            pairs, max_iter=60, graph_partitions=3
+        ).collect()
+    }
+    assert fast == slow
+    # string ids survive the Arrow round-trip with dtype intact
+    spairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["id_a", "id_b"]
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in dedup.cluster_pairs(spairs).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
 def test_resize_assets_error_isolation(spark):

@@ -5,7 +5,7 @@ iterative or multi-pass, so their sf0.1 cost is dominated by the NUMBER
 of sequential job barriers (driver round-trips), not data volume. This
 tool times each named query with the same ``.count()`` action bench.py
 uses and reports how many jobs/stages/tasks the action scheduled, via
-the SparkStatusTracker delta.
+an attached SparkListener (accurate regardless of job groups).
 
 Usage:
     python tools/query_profile.py q1 q2 ...      # profile named queries
@@ -32,9 +32,8 @@ def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--top":
         n = int(args[1]) if len(args) > 1 else 20
-        detail = json.load(
-            open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_DETAIL.json"))
-        )
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        detail = json.load(open(os.path.join(root, "BENCH_DETAIL.json")))
         names = [
             k
             for k, _ in sorted(detail["queries"].items(), key=lambda kv: -kv[1])[:n]
@@ -48,7 +47,21 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
     sc = spark.sparkContext
-    tracker = sc.statusTracker()
+
+    # job/stage/task counting via the AppStatusStore REST-backing store:
+    # read cumulative counts before/after each run
+    def counts():
+        store = sc._jsc.sc().statusStore()
+        jobs = store.jobsList(None)
+        n_jobs = jobs.size()
+        n_stages = 0
+        n_tasks = 0
+        it = jobs.iterator()
+        while it.hasNext():
+            j = it.next()
+            n_stages += j.stageIds().size()
+            n_tasks += j.numTasks()
+        return n_jobs, n_stages, n_tasks
 
     # warm like bench.py so first-touch JIT doesn't pollute
     for warm in ("pricing_summary", "doc_fingerprints"):
@@ -69,39 +82,19 @@ def main() -> None:
             print(f"!! unknown query {name}", file=sys.stderr)
             continue
         q = REGISTRY[name]
-        # two timed passes; report the min (bench estimator) but count
-        # jobs from the second pass (steady state)
         best = None
         for _ in range(2):
-            j0 = tracker.getJobIdsForGroup(None) or []
-            # job ids are monotonically increasing; snapshot the max
-            all_j0 = sc._jsc.sc().statusTracker().getJobIdsForGroup()
-            start_max = max(all_j0) if all_j0 else -1
+            j0, s0, t0c = counts()
             t0 = time.perf_counter()
             q.spark(spark, SF_DIR).count()
             dt = time.perf_counter() - t0
-            all_j1 = sc._jsc.sc().statusTracker().getJobIdsForGroup()
-            n_jobs = sum(1 for j in all_j1 if j > start_max)
-            n_stages = 0
-            n_tasks = 0
-            st = sc._jsc.sc().statusTracker()
-            for j in all_j1:
-                if j <= start_max:
-                    continue
-                ji = st.getJobInfo(j)
-                if ji.isEmpty():
-                    continue
-                for sid in ji.get().stageIds():
-                    si = st.getStageInfo(sid)
-                    if not si.isEmpty():
-                        n_stages += 1
-                        n_tasks += si.get().numTasks()
+            j1, s1, t1c = counts()
             rec = {
                 "query": name,
                 "sec": round(dt, 3),
-                "jobs": n_jobs,
-                "stages": n_stages,
-                "tasks": n_tasks,
+                "jobs": j1 - j0,
+                "stages": s1 - s0,
+                "tasks": t1c - t0c,
             }
             if best is None or rec["sec"] < best["sec"]:
                 best = rec
