@@ -1167,26 +1167,27 @@ def events_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
+    # persist: the quality-feature extraction (regexp-heavy) feeds BOTH
+    # the percentile grid (broadcast build) and the per-source rank
+    # pass — without it the text features are computed twice
+    # (optimization round, guide §2.4). The persisted relation is the
+    # 3-column projection, never raw text.
     q = text_ops.quality_features(docs).select(
         "doc_id", "source", F.col("quality_score").alias("s")
-    )
+    ).persist()
+    # ONE array-percentile aggregate (101 exact order statistics in a
+    # single expression) instead of 101 separate percentile()
+    # aggregates over the same rows — identical values, 100x less
+    # aggregate-expression evaluation (optimization round, guide §1.2
+    # step 2). posexplode yields (i, g) exactly like the old
+    # struct-array explode.
     grid = q.agg(
-        *[
-            F.round(F.expr(f"percentile(s, {i / 100.0})"), 6).alias(f"g{i}")
-            for i in range(101)
-        ]
-    ).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"), F.col(f"g{i}").alias("g")
-                    )
-                    for i in range(101)
-                ]
-            )
-        ).alias("e")
-    ).select(F.col("e.i").alias("i"), F.col("e.g").alias("g"))
+        F.percentile(
+            "s", F.array(*[F.lit(i / 100.0) for i in range(101)])
+        ).alias("gs")
+    ).select(F.posexplode("gs").alias("i", "g")).select(
+        "i", F.round("g", 6).alias("g")
+    )
     w = Window.partitionBy("source").orderBy(F.col("s").asc(), F.col("doc_id").asc())
     r = q.select(
         "source", "s", F.round(F.percent_rank().over(w), 6).alias("p")
