@@ -669,22 +669,40 @@ def pmi_collocations(
     # constant-bounded, so they materialize to RELIABLE scratch — a
     # lost executor re-scans parquet instead of killing the query with
     # unrecoverable localCheckpoint lineage (r09 ADVICE long tail)
-    uni = checkpoint_reliable(
-        base.select(F.explode("toks").alias("tok"))
-        .where(F.col("tok") != "")
-        .groupBy("tok")
+    # ONE tokenize pass feeds BOTH vocab folds (optimization round,
+    # guide §1.2 step 1 — was two scans, each re-running the regexp
+    # tokenizer): every doc emits its tagged unigram and bigram
+    # streams from the same token array, one explode + one grouped
+    # count, and the two vocabularies are tag-slices of a single
+    # scratch relation. Counts are unchanged: filter('' ) matches the
+    # old post-explode where, and the size>=2 guard reproduces the
+    # old row filter (word_shingles' whole-text fallback must not
+    # fire for 1-token docs).
+    one = F.filter(F.col("toks"), lambda x: x != F.lit(""))
+    two = F.when(
+        F.size("toks") >= 2, word_shingles(F.col("toks"), 2)
+    ).otherwise(F.array().cast("array<string>"))
+    tagged = F.concat(
+        F.transform(
+            one, lambda x: F.struct(F.lit("u").alias("tag"), x.alias("g"))
+        ),
+        F.transform(
+            two, lambda x: F.struct(F.lit("b").alias("tag"), x.alias("g"))
+        ),
+    )
+    grams = checkpoint_reliable(
+        base.select(F.explode(tagged).alias("e"))
+        .groupBy(F.col("e.tag").alias("tag"), F.col("e.g").alias("g"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c")),
-        "npmi_unigrams",
+        "npmi_grams",
+    )
+    uni = grams.where(F.col("tag") == "u").select(
+        F.col("g").alias("tok"), "c"
     )
     n_uni = uni.agg(F.sum("c").cast("double").alias("nu"))
-    bi = checkpoint_reliable(
-        base.where(F.size("toks") >= 2)
-        .select(F.explode(word_shingles(F.col("toks"), 2)).alias("bg"))
-        .groupBy("bg")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
-        .where(F.col("c_ab") >= min_count),
-        "npmi_bigrams",
-    )
+    bi = grams.where(
+        (F.col("tag") == "b") & (F.col("c") >= min_count)
+    ).select(F.col("g").alias("bg"), F.col("c").alias("c_ab"))
     n_bi = bi.agg(F.sum("c_ab").cast("double").alias("nb"))
     split = F.split(F.col("bg"), " ")
     keyed = bi.select(
