@@ -837,9 +837,28 @@ def _components_one_task(
             return r
 
         for pdf in batches:
-            for u, v in zip(
-                pdf["id_a"].tolist(), pdf["id_b"].tolist()
+            # null endpoints must be detected via the pandas mask: a
+            # nullable long column arrives as float64 where null is
+            # NaN, and NaN != NaN would spin find() forever if a NaN
+            # ever became a dict key
+            for u, v, u_null, v_null in zip(
+                pdf["id_a"].tolist(),
+                pdf["id_b"].tolist(),
+                pdf["id_a"].isna().tolist(),
+                pdf["id_b"].isna().tolist(),
             ):
+                if u_null or v_null:
+                    u = None if u_null else u
+                    v = None if v_null else v
+                    # mirror the iterative paths' null semantics: the
+                    # star path's u != v SQL filter drops null pairs
+                    # entirely; label propagation's equi-joins never
+                    # match a null, so each non-null endpoint (and the
+                    # null node itself) stays its own singleton
+                    if not drop_self_loops:
+                        parent.setdefault(u, u)
+                        parent.setdefault(v, v)
+                    continue
                 if u == v:
                     if not drop_self_loops:
                         parent.setdefault(u, u)

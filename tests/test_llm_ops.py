@@ -1089,6 +1089,38 @@ def test_components_one_task_endgame_matches_iterative(spark):
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
+def test_components_one_task_null_pairs_match_iterative(spark):
+    """Null endpoints (arriving as NaN in the Arrow batch — a naive
+    dict-key union-find would spin on NaN != NaN): the endgame must
+    mirror the iterative paths' null semantics — label propagation
+    keeps each endpoint (null included) a self-labeled singleton
+    because equi-joins never match null; star's u != v filter drops
+    the pair entirely."""
+    pairs = spark.createDataFrame(
+        [(None, 2), (2, 3), (5, None)], "id_a long, id_b long"
+    )
+    lp_fast = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_pairs(pairs).collect()
+    }
+    lp_iter = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_pairs(pairs, graph_partitions=2).collect()
+    }
+    assert lp_fast == lp_iter == {(2, 2), (3, 2), (5, 5), (None, None)}
+    st_fast = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_pairs_star(pairs).collect()
+    }
+    st_iter = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_pairs_star(
+            pairs, graph_partitions=2
+        ).collect()
+    }
+    assert st_fast == st_iter == {(2, 2), (3, 2)}
+
+
 def test_resize_assets_error_isolation(spark):
     """Images resize to deterministic 32-byte thumbs; a null-payload
     image and a non-image row become tagged error rows, never
