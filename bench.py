@@ -62,10 +62,38 @@ HEADLINE = [
     "events_sessionize",
     "doc_quality_scores",
     "part_pagerank",
+    # r12 additions-only (VERDICT r11 item 2): the optimization rounds'
+    # actual targets, so the driver's round-over-round lens can see
+    # optimization work — iterative CC, delta-scenario commit machinery,
+    # exact-quantile two-pass, percentile grid, tagged tokenize, 2-hop.
+    "dedup_clusters_star",
+    "orders_cdc_feed_counts",
+    "source_score_calibration",
+    "bigram_pmi_collocations",
+    "order_price_psi_by_year",
+    "part_two_hop_reach",
 ]
 
 
 def main() -> None:
+    # Result-cache hygiene (VERDICT r11 item 8, additions-only): the
+    # plan-fingerprint result cache (plans/result_cache.py) legitimately
+    # persists materializations in /tmp ACROSS runs — for the bench that
+    # would make revenue_by_region_cached's number depend on whether a
+    # previous run already materialized the entry. Clear it up front so
+    # every bench times the same code path (first call materializes, the
+    # min-of-3 later passes serve from cache — the feature's honest
+    # steady-state cost, rebuilt from this run's own work).
+    import shutil
+    import tempfile
+
+    _rc_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_result_cache_{os.getuid()}"
+    )
+    if os.path.isdir(_rc_dir):
+        shutil.rmtree(_rc_dir, ignore_errors=True)
+        print(f"bench: cleared result cache dir {_rc_dir}", file=sys.stderr)
+
     spark = get_spark(
         app_name="bench",
         master=f"local[{CPUS}]",
