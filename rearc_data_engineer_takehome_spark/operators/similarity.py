@@ -381,47 +381,67 @@ def kmeans_lloyd(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     w_init = Window.orderBy("id")
-    cents = (
+    # centroids as ONE broadcast row holding the cluster-sorted
+    # array<struct(cluster, c)> (k×dim scalars): the per-row argmin is
+    # then a pure projection — array_min over per-centroid (dist,
+    # cluster) structs, the same lexicographic compare as the previous
+    # min(struct(dist, cluster)) aggregate — so the k-way crossJoin
+    # fan-out AND the groupBy(id) exchange that re-shuffled every
+    # vector once per iteration are gone (optimization r12, guide
+    # §2.4: the rows of an id never needed to move — they were already
+    # co-located; only Spark couldn't see it).
+    cents_row = (
         v.orderBy("id")
         .limit(k)
-        .select((F.row_number().over(w_init) - 1).alias("cluster"), F.col("v").alias("c"))
+        .select(
+            (F.row_number().over(w_init) - 1).alias("cluster"),
+            F.col("v").alias("c"),
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cs"))
     )
-    # exact same arithmetic string as the DuckDB oracle: sequential
-    # left-fold of (x-y)*(x-y) — NOT pow(), whose libm path may differ
-    dist = F.expr(
-        "round(aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
-        " 0.0D, (acc, x) -> acc + x), 6)"
-    )
+
+    # exact same arithmetic as the DuckDB oracle: sequential left-fold
+    # of (x-y)*(x-y) — NOT pow(), whose libm path may differ; round 6dp
+    # BEFORE the argmin, cluster-id tie-break via struct ordering
+    def _dist(c):
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda s: F.struct(
+                _dist(s.getField("c")).alias("dist"),
+                s.getField("cluster").alias("cluster"),
+            ),
+        )
+    ).getField("cluster")
+
     assign = None
     for _ in range(iters):
-        scored = v.crossJoin(F.broadcast(cents)).select(
-            "id", "v", "cluster", dist.alias("dist")
-        )
-        # argmin as min(struct(dist, cluster)) — identical tie-break to
-        # ORDER BY dist, cluster (lexicographic struct compare), but a
-        # partial-aggregating hash agg instead of a per-id sort window:
-        # the k-way scored fan-out combines map-side back to one row per
-        # id before the exchange. first(v) is deterministic here: every
-        # candidate row of an id carries the same v.
-        assign = (
-            scored.groupBy("id")
-            .agg(
-                F.min(F.struct("dist", "cluster")).alias("m"),
-                F.first("v").alias("v"),
-            )
-            .select("id", F.col("m.cluster").alias("cluster"), "v")
+        assign = v.crossJoin(F.broadcast(cents_row)).select(
+            "id", best.alias("cluster"), "v"
         )
         means = (
             assign.select("cluster", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos")
             .agg(F.round(F.avg("x"), 6).alias("m"))
         )
-        cents = (
+        cents_row = (
             means.groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select(
                 "cluster",
                 F.transform(F.col("pm"), lambda s: s.getField("m")).alias("c"),
+            )
+            .agg(
+                F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cs")
             )
         )
     return assign.select(F.col("id").alias(id_col), "cluster")

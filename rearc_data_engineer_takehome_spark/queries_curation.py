@@ -1004,11 +1004,20 @@ _NOV_SHINGLES = word_shingles_sql("t", 3)
 def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import _shingle_posting
 
+    from pyspark.sql import Window
+
     docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     posting = _shingle_posting(docs, "text", "doc_id", 3, None)
-    dfreq = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("dfx"))
-    j = posting.join(dfreq, "sh").select(
-        "doc_id", (F.col("dfx") == 1).cast("int").alias("uniq")
+    # document frequency as a count window over the posting partitioned
+    # by shingle hash — same number as the groupBy(sh) aggregate, but
+    # ONE pass over the posting instead of two full
+    # tokenize+shingle+distinct lineages feeding a hash-keyed join
+    # (optimization r12, guide §2.4)
+    j = posting.select(
+        "doc_id",
+        (F.count(F.lit(1)).over(Window.partitionBy("sh")) == 1)
+        .cast("int")
+        .alias("uniq"),
     )
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shingles"),

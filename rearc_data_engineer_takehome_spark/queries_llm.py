@@ -2810,15 +2810,21 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dl").alias("dl"),
         F.count(F.lit(1)).cast("bigint").alias("tf"),
     )
-    df = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
-    )
+    # document frequency as a COUNT WINDOW over the (doc, term) tf
+    # relation partitioned by term — same number (rows per term ==
+    # docs containing the term) without the vocabulary aggregate +
+    # term-keyed join, whose two consumers of tf re-ran the whole
+    # tokenize+explode+aggregate lineage (optimization r12, guide
+    # §2.4: ReusedExchange never fired across the aggregate/join pair)
+    wterm = Window.partitionBy("term")
     n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     idf8 = F.round(
         F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0, 8
     )
     sc = (
-        tf.join(df, "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(wterm).cast("bigint")
+        )
         .join(F.broadcast(n))
         .select(
             "doc_id",
