@@ -36,6 +36,21 @@ def copurchase_edges(
     union. Replaces the round-1 basket self-join (distinct + two-sided
     order-key join): 2 exchanges instead of 4, measured 4.9 s -> ~2 s
     at sf0.1."""
+    return mirror_edges(
+        copurchase_edges_half(lineitem, order_col, item_col)
+    )
+
+
+def copurchase_edges_half(
+    lineitem: DataFrame,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """The src < dst half of :func:`copurchase_edges` — exposed so a
+    caller that must MATERIALIZE the edge relation (reliable scratch
+    for multi-consumer queries) can write half the bytes and mirror
+    after the read-back (:func:`mirror_edges`), instead of persisting
+    both directions (optimization r12, guide §6)."""
     sets = lineitem.groupBy(order_col).agg(
         F.array_sort(F.collect_set(item_col)).alias("items")
     )
@@ -44,11 +59,16 @@ def copurchase_edges(
         " transform(slice(items, i + 2, size(items)),"
         " y -> struct(x AS src, y AS dst))))"
     )
-    half = (
+    return (
         sets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.src", "p.dst")
         .distinct()
     )
+
+
+def mirror_edges(half: DataFrame) -> DataFrame:
+    """Both directions of a src < dst half-edge relation (map-side
+    union, no shuffle)."""
     return half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

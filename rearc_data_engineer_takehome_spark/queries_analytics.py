@@ -3604,29 +3604,50 @@ def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "seeds the uncapped audit is exact and bounded.",
 )
 def part_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.graph import copurchase_edges
+    from .operators.graph import copurchase_edges_half, mirror_edges
 
     li = _t(spark, sf_dir, "lineitem")
     # edge-cardinality (basket pairs — not driver-bounded) and feeds
-    # the degree ranking plus BOTH hop expansions: reliable scratch
-    edges = checkpoint_reliable(
-        copurchase_edges(li, "l_orderkey", "l_partkey"), "twohop_edges"
+    # the degree ranking plus BOTH hop expansions: reliable scratch.
+    # Only the src < dst HALF is materialized (half the scratch write
+    # bytes); the mirror direction is a map-side union over the
+    # read-back (optimization r12, guide §6)
+    edges = mirror_edges(
+        checkpoint_reliable(
+            copurchase_edges_half(li, "l_orderkey", "l_partkey"),
+            "twohop_edges",
+        )
     )
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     )
+    # seeds (5 rows) and h1 (the seed frontier — already the BROADCAST
+    # side of the hop-2 join, so its size bound is a pre-existing
+    # contract, not a new one) each feed MULTIPLE consumers below;
+    # without materialization catalyst re-evaluates the whole degree
+    # aggregate 4x and scans the edge scratch 8x (plan dump
+    # plans/r12/part_two_hop_reach_before.txt: 8 parquet scans, 4
+    # TakeOrderedAndProject subtrees). localCheckpoint pins both so
+    # the final plan runs ONE degree pass, ONE h1 expansion, ONE
+    # hop-2 pass (optimization r12, guide §2.4).
     seeds = (
         deg.orderBy(F.col("deg").desc(), "src")
         .limit(5)
         .select(F.col("src").alias("seed"), "deg")
+        .localCheckpoint()
     )
-    h1 = edges.join(
-        F.broadcast(seeds.select("seed")), edges.src == F.col("seed")
-    ).select("seed", F.col("dst").alias("node"))
+    h1 = (
+        edges.join(
+            F.broadcast(seeds.select("seed")),
+            edges.src == F.col("seed"),
+        )
+        .select("seed", F.col("dst").alias("node"))
+        .localCheckpoint()
+    )
     e2 = edges.select(
         F.col("src").alias("n2src"), F.col("dst").alias("n2dst")
     )
-    h2 = h1.join(e2, h1.node == e2.n2src).select(
+    h2 = e2.join(F.broadcast(h1), h1.node == e2.n2src).select(
         "seed", F.col("n2dst").alias("node")
     )
     agg1 = h1.groupBy("seed").agg(
@@ -3639,8 +3660,10 @@ def part_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("node").cast("bigint").alias("n_2hop"))
     )
     return (
-        seeds.join(agg1, "seed")
-        .join(agg2, "seed")
+        # agg1/agg2 emit at most one row per seed (<=5): broadcast
+        # them so the final assembly never sorts or shuffles
+        seeds.join(F.broadcast(agg1), "seed")
+        .join(F.broadcast(agg2), "seed")
         .select(
             F.col("seed").alias("partkey"),
             F.col("deg").alias("degree"),
@@ -6358,8 +6381,32 @@ def orders_cm_id_roundtrip(
     dl.write_delta(
         orders.where(leg == 0), tbl, column_mapping="id"
     )                                                          # v0
-    dl.write_delta(orders.where(leg == 1), tbl, "append")      # v1
-    dl.write_delta(orders.where(leg == 2), tbl, "append")      # v2
+    # v1/v2 appends are INDEPENDENT legs: overlap their data-file
+    # materialization in threads (the expensive Spark jobs) while the
+    # gate serializes only the commit step, so v1 still lands before
+    # v2 — deterministic versions, identical log (optimization r12,
+    # guide §2 round structure; v0 must exist first: it creates the
+    # table and pins the id-mode physical column names the appends
+    # write under)
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    v1_done = threading.Event()
+
+    def _w1():
+        try:
+            dl.write_delta(orders.where(leg == 1), tbl, "append")
+        finally:
+            v1_done.set()  # even on failure: never deadlock v2
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        f1 = _pool.submit(_w1)                                 # v1
+        f2 = _pool.submit(
+            dl.write_delta, orders.where(leg == 2), tbl, "append",
+            _commit_gate=v1_done.wait,
+        )                                                      # v2
+        f1.result()
+        f2.result()
     dl.delta_rename_column(tbl, "cents", "amount")             # v3
     dl.delta_update(
         spark, tbl, "o_orderkey % 7 = 3", {"amount": "amount + 1"}

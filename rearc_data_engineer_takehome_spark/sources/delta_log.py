@@ -1127,6 +1127,17 @@ def _dv_live_filter(spark: SparkSession, table_dir: str, adds: dict):
         # the old .map(lambda)+string-mask body cost ~0.6s per 150k-row
         # scan; this is ~10ms)
         codes, uniques = pd.factorize(paths)
+        if (codes == -1).any():
+            # factorize codes null/NaN paths -1 and omits them from
+            # uniques — such a row would never match any `codes == k`
+            # mask below and silently stay live, bypassing the loud
+            # miss contract; a null _metadata.file_path cannot resolve
+            # to a descriptor, so refuse exactly like a path miss
+            raise ValueError(
+                "deletion-vector filter: scan batch carries a null "
+                "file path — cannot resolve a DV descriptor; passing "
+                "the row through would resurrect deleted rows"
+            )
         for k, raw in enumerate(uniques):
             ap = _normalize_file_uri(raw)
             desc = descs.get(ap)
@@ -2779,6 +2790,7 @@ def write_delta(
     merge_schema: bool = False,
     column_mapping: str | None = None,
     row_tracking: bool = False,
+    _commit_gate=None,
 ) -> DeltaState:
     """Write ``df`` as one Delta commit. ``overwrite`` removes every
     previously-live file and adds the new ones (emitting a fresh
@@ -3146,6 +3158,17 @@ def write_delta(
                     "min/max statistics — cannot verify the "
                     "allocation contract before commit"
                 )
+    if _commit_gate is not None:
+        # optimization hook (r12, guide §2 round structure): a caller
+        # issuing several INDEPENDENT writes may overlap their data-
+        # file materialization (everything above — the expensive Spark
+        # jobs) in threads while keeping the COMMIT order — and thus
+        # the version numbering — deterministic by gating entry to the
+        # commit loop (e.g. on the previous write's completion). Not a
+        # semantic knob: by this point the data files are immutable
+        # under data/<uuid>/ and the loop below revalidates against
+        # whatever head it finds, exactly as for any concurrent writer.
+        _commit_gate()
     for _ in range(max_retries):
         versions = list_delta_versions(table_dir)
         head = replay(table_dir) if versions else None
@@ -4297,6 +4320,15 @@ def read_delta_changes(
             # per-row lambda + per-file string masks (same fix as
             # _dv_live_filter, guide §4.2)
             codes, uniques = pd.factorize(paths)
+            if (codes == -1).any():
+                # a null path factorizes to code -1 (absent from
+                # uniques) — the row would keep its default False and
+                # silently vanish from the feed; refuse like a key miss
+                raise ValueError(
+                    "change-feed diff filter: scan batch carries a "
+                    "null file path — cannot match a position-map "
+                    "key; dropping the row would lose changed rows"
+                )
             for k, raw in enumerate(uniques):
                 ap = _normalize_file_uri(raw)
                 pos = m.get(ap)
@@ -5465,17 +5497,27 @@ def delta_delete(
         matched = matched.persist()
     try:
         hits = matched.select(_DV_PATH, _DV_IDX)
-        marks = _dv_mark_actions(spark, table_dir, head, hits)
-        if marks is None:
-            return head  # nothing matched: no commit, converged
-        removes, dv_adds, metrics, ts = marks
         actions: list[dict] = []
         if cdf:
-            # CDF contract: a DV delete is NOT derivable from
-            # add/remove by readers that trust cdc files, so the
-            # deleted rows ride a change-data file
-            actions.extend(
-                _write_cdc_files(
+            # the bitmap pass and the change-data file write are
+            # independent jobs over the SAME persisted matched set —
+            # overlap them (optimization r12, guide §2 round
+            # structure: the serial per-commit job floor is latency,
+            # not data). The count materializes the persist exactly
+            # once up front, and doubles as the converged-no-op gate
+            # the bitmap pass's None used to provide; commit-action
+            # assembly order below is unchanged, so the log is
+            # byte-shape identical to the serial path.
+            if matched.count() == 0:
+                return head  # nothing matched: no commit, converged
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_marks = pool.submit(
+                    _dv_mark_actions, spark, table_dir, head, hits
+                )
+                f_cdc = pool.submit(
+                    _write_cdc_files,
                     matched
                     .drop(_DV_PATH, _DV_IDX)
                     .withColumn(_CHANGE_TYPE, F.lit("delete")),
@@ -5483,7 +5525,20 @@ def delta_delete(
                     head.schema,
                     head.partition_cols,
                 )
-            )
+                marks = f_marks.result()
+                cdc_actions = f_cdc.result()
+            if marks is None:  # unreachable with count > 0; keep the
+                return head    # serial path's contract regardless
+            removes, dv_adds, metrics, ts = marks
+            # CDF contract: a DV delete is NOT derivable from
+            # add/remove by readers that trust cdc files, so the
+            # deleted rows ride a change-data file
+            actions.extend(cdc_actions)
+        else:
+            marks = _dv_mark_actions(spark, table_dir, head, hits)
+            if marks is None:
+                return head  # nothing matched: no commit, converged
+            removes, dv_adds, metrics, ts = marks
     finally:
         if cdf:
             matched.unpersist()
@@ -5752,13 +5807,15 @@ def _delta_update_commit(
 ):
     """Tail of :func:`delta_update` over the persisted ``matched``
     set (split out so the persist/unpersist lifecycle wraps it)."""
-    marks = _dv_mark_actions(
-        spark, table_dir, head,
-        matched.select(_DV_PATH, _DV_IDX),
-    )
-    if marks is None:
+    # materialize the persist exactly once up front: the count is the
+    # same converged-no-op gate the bitmap pass's None return used to
+    # provide, and it lets the three independent jobs below (bitmap
+    # pass, change-data file, rewritten-copy write) run CONCURRENTLY
+    # over the cached rows instead of as three serial job barriers
+    # (optimization r12, guide §2 round structure — the scenario
+    # family's floor is per-job latency, not data volume)
+    if matched.count() == 0:
         return head  # nothing matched: no commit, converged
-    removes, dv_adds, metrics, ts = marks
 
     updated = matched
     for col, expr in assignments.items():
@@ -5785,30 +5842,54 @@ def _delta_update_commit(
         updated, head.configuration, head.schema, "UPDATE"
     )
     pcols = list(head.partition_cols)
-    cdc_actions: list[dict] = []
-    if _cdf_enabled(head.configuration):
-        # native UPDATE cdc shape: the matched rows' old values as
-        # update_preimage + their new values as update_postimage
-        pre = matched.drop(_DV_PATH, _DV_IDX).select(
-            *[f.name for f in schema.fields]
-        ).withColumn(_CHANGE_TYPE, F.lit("update_preimage"))
-        post = updated.select(
-            *[f.name for f in schema.fields]
-        ).withColumn(
-            _CHANGE_TYPE, F.lit("update_postimage")
-        )
-        cdc_actions = _write_cdc_files(
-            [pre, post], table_dir, head.schema, pcols
-        )
-    updated, wpcols, _ = _physical_payload(
+    # the three remaining jobs — DV bitmap pass, change-data file
+    # write, rewritten-copy write — are independent reads of the
+    # persisted matched set (the persist closed the nondeterministic-
+    # predicate hazard; threading cannot reopen it, every consumer
+    # still reads the SAME materialized rows). Overlap them; the
+    # commit-action assembly order below is unchanged, so the log is
+    # byte-shape identical to the serial path.
+    from concurrent.futures import ThreadPoolExecutor
+
+    wupdated, wpcols, _ = _physical_payload(
         updated, head.schema, pcols, extra_cols=mat_cols
     )
-    if wpcols:
-        written = _write_partitioned_data_files(
-            updated, table_dir, wpcols
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_marks = pool.submit(
+            _dv_mark_actions, spark, table_dir, head,
+            matched.select(_DV_PATH, _DV_IDX),
         )
-    else:
-        written = _sn._write_data_files(updated, table_dir)
+        f_cdc = None
+        if _cdf_enabled(head.configuration):
+            # native UPDATE cdc shape: the matched rows' old values as
+            # update_preimage + their new values as update_postimage
+            pre = matched.drop(_DV_PATH, _DV_IDX).select(
+                *[f.name for f in schema.fields]
+            ).withColumn(_CHANGE_TYPE, F.lit("update_preimage"))
+            post = updated.select(
+                *[f.name for f in schema.fields]
+            ).withColumn(
+                _CHANGE_TYPE, F.lit("update_postimage")
+            )
+            f_cdc = pool.submit(
+                _write_cdc_files,
+                [pre, post], table_dir, head.schema, pcols,
+            )
+        if wpcols:
+            f_write = pool.submit(
+                _write_partitioned_data_files,
+                wupdated, table_dir, wpcols,
+            )
+        else:
+            f_write = pool.submit(
+                _sn._write_data_files, wupdated, table_dir
+            )
+        marks = f_marks.result()
+        cdc_actions = f_cdc.result() if f_cdc is not None else []
+        written = f_write.result()
+    if marks is None:  # unreachable with count > 0; keep the serial
+        return head    # path's contract regardless
+    removes, dv_adds, metrics, ts = marks
     import pyarrow.parquet as pq
 
     metas = {

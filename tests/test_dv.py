@@ -662,6 +662,11 @@ def test_live_filter_raises_on_descriptor_miss(spark, tmp_path):
         pd.Series([int(pos[0]), int(pos[0]) + 1]),
     )
     assert list(out) == [False, True] or list(out) == [False, False]
+    # a null path factorizes to code -1 and would silently stay LIVE
+    # (never matched by any codes == k mask) — the r11 ADVICE guard
+    # must refuse as loudly as a descriptor miss
+    with pytest.raises(ValueError, match="null file path"):
+        live.func(pd.Series([ap, None]), pd.Series([0, 0]))
 
 
 def test_merge_via_dv_does_not_rewrite_untouched_files(
