@@ -815,9 +815,19 @@ def _components_one_task(
     u != v filter, while cluster_pairs keeps self-loop nodes as their
     own singleton components)."""
     import pandas as pd
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+    )
 
     id_type = pairs.schema["id_a"].dataType
+    integral_ids = isinstance(
+        id_type, (ByteType, ShortType, IntegerType, LongType)
+    )
     out_schema = StructType(
         [
             StructField("doc_id", id_type),
@@ -837,6 +847,30 @@ def _components_one_task(
             return r
 
         for pdf in batches:
+            if integral_ids:
+                # a nullable integral column arrives as float64 (any
+                # null in the batch forces the cast), which is lossy
+                # above 2^53 — a silently wrong cluster_id, and
+                # union-by-min would compare corrupted values. Refuse
+                # loudly; the iterative path (graph_partitions=N) is
+                # exact for such ids. Two vectorized passes per batch.
+                for cn in ("id_a", "id_b"):
+                    s = pdf[cn]
+                    # >= 2^53, not >: ints are uniquely representable
+                    # in float64 only BELOW 2^53 — (2^53 + 1) rounds
+                    # to exactly 2.0**53, so a batch value AT the
+                    # bound may already be a corrupted neighbour
+                    if s.dtype.kind == "f" and bool(
+                        (s.abs() >= 2.0**53).fillna(False).any()
+                    ):
+                        raise ValueError(
+                            "components one-task endgame: nullable "
+                            f"integral id column {cn!r} carries values "
+                            "above 2^53, which lose precision in the "
+                            "float64 null representation — pass an "
+                            "explicit graph_partitions to use the "
+                            "exact iterative path"
+                        )
             # null endpoints must be detected via the pandas mask: a
             # nullable long column arrives as float64 where null is
             # NaN, and NaN != NaN would spin find() forever if a NaN

@@ -1121,6 +1121,42 @@ def test_components_one_task_null_pairs_match_iterative(spark):
     assert st_fast == st_iter == {(2, 2), (3, 2)}
 
 
+def test_components_one_task_guards_float64_precision_loss(spark):
+    """A nullable integral id column reaches the endgame's pandas
+    batch as float64; ids above 2^53 would silently lose precision in
+    that representation (r11 ADVICE). The endgame must refuse loudly
+    (pointing at the exact iterative path) instead of corrupting
+    union-by-min comparisons."""
+    big = (1 << 53) + 1  # not representable as float64
+    # the >2^53 id must share a COLUMN with a null — only then does
+    # the whole column arrive as lossy float64 (a null in the OTHER
+    # column leaves this one exact int64, which the guard correctly
+    # lets through)
+    pairs = spark.createDataFrame(
+        [(big, 2), (None, 5)], "id_a long, id_b long"
+    )
+    with pytest.raises(Exception, match="2\\^53"):
+        dedup.cluster_pairs(pairs).collect()
+    # the iterative path stays exact on the same input
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_pairs(
+            pairs, graph_partitions=2
+        ).collect()
+    }
+    assert (big, 2) in got
+    # an all-non-null batch of huge ids arrives as int64 — no false
+    # positive from the guard
+    ok = spark.createDataFrame(
+        [(big, 2), (2, 3)], "id_a long, id_b long"
+    )
+    fast = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_pairs(ok).collect()
+    }
+    assert fast == {(big, 2), (2, 2), (3, 2)}
+
+
 def test_resize_assets_error_isolation(spark):
     """Images resize to deterministic 32-byte thumbs; a null-payload
     image and a non-image row become tagged error rows, never
