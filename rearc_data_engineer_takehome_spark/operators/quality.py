@@ -344,11 +344,22 @@ def assert_unique_keys(df: DataFrame, keys: Sequence[str], what: str) -> None:
         raise ValidationError(f"{what}: {n} duplicate key groups on {keys}")
 
 
+# Small-input endgame bound for the two-pass quantile operators
+# (optimization r12, the cluster_pairs _ONE_TASK_EDGES pattern): below
+# this many non-null rows the exact single-pass percentile() — whose
+# counts-map working set is bounded by the row count — beats the
+# two-pass plan's serial job barriers outright, and its results are
+# what the two-pass is tested bit-identical against. Beyond the bound
+# the scalable two-pass engages unchanged.
+_ONE_PASS_ROWS = 1_000_000
+
+
 def exact_quantiles_scalable(
     df: DataFrame,
     col: str,
     probs: Sequence[float],
     accuracy: int = 10_000,
+    small_n_bound: int | None = _ONE_PASS_ROWS,
 ) -> DataFrame:
     """EXACT interpolated quantiles (quantile_cont semantics) in two
     bounded passes — the 100 TB replacement for ``percentile()``'s
@@ -397,6 +408,26 @@ def exact_quantiles_scalable(
         )
         .localCheckpoint()
     )  # tiny; feeds the filter AND the final assembly
+
+    if small_n_bound:
+        # small-input endgame: pass 1 already computed n, so reading it
+        # back is a bounded driver fetch of the 1-row checkpoint (the
+        # materialize_small pattern). Below the bound, ONE exact
+        # percentile() aggregate replaces the whole pass-2 plan (below
+        # counts + bracket walk + assembly — a chain of serial stage
+        # barriers that dominates wall time when the data is small);
+        # its counts-map working set is bounded by n, and its results
+        # are the very reference the two-pass is tested bit-identical
+        # against. Large inputs pay one ~ms first() and proceed
+        # unchanged.
+        n_total = b.first()["n"]
+        if (n_total or 0) <= small_n_bound:
+            return src.agg(
+                *[
+                    F.percentile("x", F.lit(float(p))).alias(f"q_{i}")
+                    for i, p in enumerate(probs)
+                ]
+            )
 
     cand = src.join(F.broadcast(b))
     # one scan: per prob, the below-bracket count plus the adjacent
@@ -503,6 +534,7 @@ def grouped_exact_quantiles_scalable(
     col: str,
     probs: Sequence[float],
     accuracy: int = 10_000,
+    small_n_bound: int | None = _ONE_PASS_ROWS,
 ) -> DataFrame:
     """Per-group :func:`exact_quantiles_scalable`: one row per group
     with exact interpolated quantiles, without per-group counts maps.
@@ -551,6 +583,22 @@ def grouped_exact_quantiles_scalable(
         ),
         "grouped_quantile_brackets",
     )
+
+    if small_n_bound:
+        # small-input endgame (see exact_quantiles_scalable): the TOTAL
+        # row count across groups bounds every per-group counts map, so
+        # below the bound one grouped percentile() aggregate replaces
+        # the pass-2 join/walk/assembly chain with bit-identical
+        # results. The total is a bounded aggregate over the already-
+        # written O(|groups|) bracket scratch, not a data rescan.
+        tot = b.agg(F.sum("n").alias("t")).first()["t"]
+        if (tot or 0) <= small_n_bound:
+            return src.groupBy(g).agg(
+                *[
+                    F.percentile("x", F.lit(float(p))).alias(f"q_{i}")
+                    for i, p in enumerate(probs)
+                ]
+            )
 
     cand = src.join(b, g)
     side_aggs = []

@@ -2872,8 +2872,15 @@ def order_price_psi_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = _t(spark, sf_dir, "orders").select(
         F.year("o_orderdate").alias("yr"), F.col("o_totalprice").alias("x")
     )
-    miny = y.agg(F.min("yr").alias("miny"))
-    ref = y.join(F.broadcast(miny)).where(F.col("yr") == F.col("miny"))
+    # ONE bounded driver fetch of the reference year (the
+    # materialize_small pattern at |rows| == 1): re-embedding min(yr)
+    # as a plan LITERAL turns the reference slice into a plain filter
+    # — the broadcast-join of the 1-row aggregate used to be
+    # re-evaluated by EVERY consumer of ref (both quantile passes ×2
+    # scans + the share lookup), one broadcast job each (optimization
+    # r12, guide §2.4/§6)
+    mny = y.agg(F.min("yr").alias("miny")).first()["miny"]
+    ref = y.where(F.col("yr") == F.lit(mny))
     cuts = exact_quantiles_scalable(ref, "x", _PSI_PROBS).select(
         *[F.round(f"q_{i}", 4).alias(f"c{i}") for i in range(9)]
     )
@@ -2896,9 +2903,8 @@ def order_price_psi_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         2048,
     )
-    refshare = (
-        shares.join(F.broadcast(miny), F.col("yr") == F.col("miny"))
-        .select("bin", F.col("s").alias("p"))
+    refshare = shares.where(F.col("yr") == F.lit(mny)).select(
+        "bin", F.col("s").alias("p")
     )
     # Year domain from the |years*bins|-row checkpointed aggregate (every
     # year has >=1 order so appears in shares) — NOT a distinct over the

@@ -345,7 +345,12 @@ def test_exact_quantiles_scalable_matches_percentile(spark, vals, p20):
     prob = p20 / 20.0
     df = spark.createDataFrame([(float(v),) for v in vals], "x double")
     ref = df.agg(F.expr(f"percentile(x, {prob})")).collect()[0][0]
-    got = exact_quantiles_scalable(df, "x", [prob]).collect()[0]["q_0"]
+    # small_n_bound=0 forces the two-pass machinery this property
+    # stresses (±1-rank fallbacks, bracket collapse); the default
+    # bound would route these tiny inputs to percentile() itself
+    got = exact_quantiles_scalable(
+        df, "x", [prob], small_n_bound=0
+    ).collect()[0]["q_0"]
     assert got == ref
 
 
@@ -433,7 +438,9 @@ def test_grouped_exact_quantiles_scalable_property(spark, rows, p20):
     }
     got = {
         r.g: r.q_0
-        for r in grouped_exact_quantiles_scalable(df, "g", "x", [prob]).collect()
+        for r in grouped_exact_quantiles_scalable(
+            df, "g", "x", [prob], small_n_bound=0  # force the two-pass
+        ).collect()
     }
     assert got == ref
 

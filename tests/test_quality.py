@@ -141,13 +141,25 @@ def test_exact_quantiles_scalable_matches_single_pass(spark, sf_smoke):
     ref = li.agg(
         F.expr(f"percentile(l_extendedprice, array({','.join(map(str, probs))}))")
     ).collect()[0][0]
-    got = exact_quantiles_scalable(li, "l_extendedprice", probs).collect()[0]
+    # small_n_bound=0 pins the TWO-PASS path (the smoke fixture is far
+    # below the default endgame bound, which would otherwise route to
+    # the very percentile() this test compares against)
+    got = exact_quantiles_scalable(
+        li, "l_extendedprice", probs, small_n_bound=0
+    ).collect()[0]
     assert [got[f"q_{i}"] for i in range(len(probs))] == list(ref)
 
     dup = li.select("l_quantity")  # ~50 distinct values, heavy duplicates
     ref2 = dup.agg(F.expr("percentile(l_quantity, array(0.5, 0.9))")).collect()[0][0]
-    got2 = exact_quantiles_scalable(dup, "l_quantity", [0.5, 0.9]).collect()[0]
+    got2 = exact_quantiles_scalable(
+        dup, "l_quantity", [0.5, 0.9], small_n_bound=0
+    ).collect()[0]
     assert [got2["q_0"], got2["q_1"]] == list(ref2)
+
+    # the default-bound small-input endgame (single-pass percentile)
+    # must agree with the forced two-pass on the same inputs
+    end = exact_quantiles_scalable(li, "l_extendedprice", probs).collect()[0]
+    assert [end[f"q_{i}"] for i in range(len(probs))] == list(ref)
 
 
 def test_exact_quantiles_bracketed_matches_single_pass(spark, sf_smoke):
@@ -191,13 +203,16 @@ def test_grouped_exact_quantiles_scalable_matches_single_pass(spark, sf_smoke):
             .agg(F.expr(f"percentile({col}, array(0.1, 0.5, 0.9))").alias("q"))
             .collect()
         }
-        got = {
-            r.l_returnflag: [r.q_0, r.q_1, r.q_2]
-            for r in grouped_exact_quantiles_scalable(
-                li, "l_returnflag", col, [0.1, 0.5, 0.9]
-            ).collect()
-        }
-        assert got == ref, col
+        # forced two-pass AND default-bound endgame must both be
+        # bit-identical to grouped percentile()
+        for kw in ({"small_n_bound": 0}, {}):
+            got = {
+                r.l_returnflag: [r.q_0, r.q_1, r.q_2]
+                for r in grouped_exact_quantiles_scalable(
+                    li, "l_returnflag", col, [0.1, 0.5, 0.9], **kw
+                ).collect()
+            }
+            assert got == ref, (col, kw)
 
 
 def test_fk_integrity_detects_planted_orphans(spark):
