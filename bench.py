@@ -230,9 +230,33 @@ def main() -> None:
         for n, q in REGISTRY.items()
         if (m := _re.search(r"scalable_twin: (\w+)", q.doc or ""))
     }
+    # Host-control probe (VERDICT r11 item 8, additions-only): a tiny
+    # fixed yardstick pinned INSIDE every detail file, so two pins can
+    # be normalized for host drift without a separate tool run (the
+    # r11 adjudication leaned entirely on such control rows). Ten
+    # timed repeats of the two cheapest stable probes, AFTER the
+    # timed passes so they cannot perturb the measurements above;
+    # excluded from every total.
+    host_control: dict = {"runs": 10, "probes": {}}
+    for _probe in ("pricing_summary", "lineitem_part_report"):
+        if _probe in failures:
+            continue
+        _ts = []
+        for _ in range(10):
+            _t0 = time.perf_counter()
+            REGISTRY[_probe].spark(spark, SF_DIR).count()
+            _ts.append(round(time.perf_counter() - _t0, 4))
+        _ts.sort()
+        host_control["probes"][_probe] = {
+            "min": _ts[0],
+            "median": _ts[len(_ts) // 2],
+            "max": _ts[-1],
+        }
+
     detail = {
         "metric": "total_query_seconds",
         "value": round(sum(query_timings.values()), 4),
+        "host_control": host_control,
         "unit": "sec",
         "queries": query_timings,
         "builds": builds,
